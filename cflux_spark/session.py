@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we
+would ship to a 1000-executor cluster — AQE on (runtime re-planning,
+skew-join splitting, partition coalescing), Arrow for the Python
+boundary, UTC session time zone so timestamp semantics match the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cflux_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``spark.sql.shuffle.partitions`` is sized to the local core count
+    rather than the 200 default — at cluster scale this would instead be
+    ~2-3× total executor cores, and AQE coalesces the excess anyway.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # Make cflux_spark importable inside Python workers (mapInPandas /
+    # pandas_udf): prepend the repo root to PYTHONPATH before the JVM
+    # forks the worker daemon. On a real cluster this would be a
+    # --py-files/pip-installed wheel instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = repo_root + (os.pathsep + existing if existing else "")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

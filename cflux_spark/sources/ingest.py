@@ -1,0 +1,208 @@
+"""Batch ingest: line-protocol text → facts + series registry parquet.
+
+Reference pipeline (SURVEY.md §3.1, cflux.js:298-371): split body,
+parse each line, fan out one row per field, fingerprint the
+(tags + field name) set, buffer, bulk-insert facts per measurement and
+new series into ``time_series``.
+
+Spark shape:
+
+    text lines DataFrame (one column `line`)
+      → mapInPandas(parse)          # Arrow-batched pure-Python parser
+      → fan out fields              # explode over the field maps, JVM-side
+      → fingerprint = xxhash64(canonical labels json)   # codegen'd
+      → facts: append, partitioned by `date`, sorted by (fingerprint, ts)
+      → registry: distinct new fingerprints left-anti existing, append
+
+The per-field fan-out and fingerprinting stay JVM-side (explode +
+to_json + xxhash64) — only the character-level LP parse runs in Python,
+Arrow-batched. At 100 TB the parse is embarrassingly parallel
+(per-line), and every downstream op is a narrow transformation until
+the registry anti-join (whose right side is the distinct-fingerprint
+set — small relative to facts, broadcastable).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cflux_spark.model.fingerprint import NAME_LABEL
+from cflux_spark.model.schemas import PARSED_LINE_SCHEMA
+from cflux_spark.sources.lineprotocol import parse_line
+
+# epoch(ns) to use when a line carries no timestamp; injected as a
+# literal so the whole batch is deterministic & testable (the reference
+# stamps arrival time, cflux.js:360).
+_INGEST_TS_COL = "_ingest_ts_ns"
+
+
+def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[dict[str, Any]] = []
+        for line in pdf["line"]:
+            p = parse_line(line)
+            if p is None:
+                continue
+            rows.append(
+                {
+                    "measurement": p.measurement,
+                    "tags": p.tags,
+                    "float_fields": p.float_fields,
+                    "string_fields": p.string_fields,
+                    "ts_ns": p.ts_ns,
+                    "error": p.error,
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["measurement", "tags", "float_fields", "string_fields", "ts_ns", "error"],
+        )
+
+
+def parse_lp_df(lines: DataFrame, default_ts_ns: int = 0) -> DataFrame:
+    """`lines` has a single string column `line`; returns PARSED_LINE_SCHEMA
+    rows with missing timestamps filled with `default_ts_ns`."""
+    parsed = lines.mapInPandas(_parse_batches, schema=PARSED_LINE_SCHEMA)
+    return parsed.withColumn("ts_ns", F.coalesce(F.col("ts_ns"), F.lit(default_ts_ns)))
+
+
+def explode_fields(parsed: DataFrame) -> DataFrame:
+    """Fan out one fact row per field (cflux.js:321-332,356-371), all
+    JVM-side: explode each field map, union float/string paths."""
+    ok = parsed.filter(F.col("error").isNull())
+    base_cols = [
+        F.col("measurement"),
+        F.col("tags"),
+        F.col("ts_ns"),
+        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
+    ]
+    floats = ok.select(*base_cols, F.explode("float_fields").alias("field", "value")).withColumn(
+        "message", F.lit(None).cast("string")
+    )
+    strings = ok.select(*base_cols, F.explode("string_fields").alias("field", "message")).withColumn(
+        "value", F.lit(None).cast("double")
+    )
+    both = floats.unionByName(strings, allowMissingColumns=False)
+    # canonical labels json = sorted-key map of tags + __name__:
+    # "<measurement>.<field>" (reference uses the field key as
+    # time_series.name with the measurement as table name; we qualify
+    # with the measurement so names are global, SURVEY §1.1).
+    name = F.concat_ws(".", "measurement", "field")
+    labels_map = F.map_concat(
+        F.coalesce(F.col("tags"), F.from_json(F.lit("{}"), "map<string,string>")),
+        F.create_map(F.lit(NAME_LABEL), name),
+    )
+    # to_json of a map does NOT sort keys; sort via map_from_entries(array_sort(map_entries))
+    canonical = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(labels_map))))
+    return (
+        both.withColumn("name", name)
+        .withColumn("labels", canonical)
+        .withColumn("fingerprint", F.xxhash64("labels"))
+    )
+
+
+def fact_rows(exploded: DataFrame) -> DataFrame:
+    return exploded.select(
+        "fingerprint",
+        "ts",
+        "ts_ns",
+        "value",
+        "message",
+        "field",
+        "measurement",
+        F.to_date("ts").alias("date"),
+    )
+
+
+def registry_rows(exploded: DataFrame) -> DataFrame:
+    """One row per distinct series in the batch (ST4 new-series path)."""
+    return (
+        exploded.select(
+            F.to_date("ts").alias("date"),
+            "fingerprint",
+            "measurement",
+            "name",
+            "tags",
+            "labels",
+        )
+        .dropDuplicates(["fingerprint"])
+    )
+
+
+def dedup_registry(registry: DataFrame) -> DataFrame:
+    """Latest-wins per fingerprint — ReplacingMergeTree FINAL semantics
+    (cflux.js:164,754). Window dedup, not dropDuplicates, so *latest*
+    (max date) wins deterministically."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col("date").desc())
+    return (
+        registry.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class LPStore:
+    """Filesystem layout + write/read orchestration for one 'database'.
+
+    facts at  <root>/<db>/samples/      (parquet, partitioned by date)
+    registry  <root>/<db>/time_series/  (parquet, append; dedup on read)
+    """
+
+    def __init__(self, spark: SparkSession, root: str, db: str = "default"):
+        self.spark = spark
+        self.root = root
+        self.db = db
+
+    @property
+    def samples_path(self) -> str:
+        return os.path.join(self.root, self.db, "samples")
+
+    @property
+    def registry_path(self) -> str:
+        return os.path.join(self.root, self.db, "time_series")
+
+    def write_batch(self, lines: DataFrame, default_ts_ns: int = 0) -> dict[str, int]:
+        exploded = explode_fields(parse_lp_df(lines, default_ts_ns)).cache()
+        try:
+            facts = fact_rows(exploded)
+            # sortWithinPartitions(fingerprint, ts) mirrors the MergeTree
+            # ORDER BY (cflux.js:152): parquet row-group min/max stats then
+            # skip on fingerprint/time predicates at read.
+            (
+                facts.repartition("date")
+                .sortWithinPartitions("fingerprint", "ts")
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(self.samples_path)
+            )
+            new_series = registry_rows(exploded)
+            existing = self.read_registry_raw()
+            if existing is not None:
+                new_series = new_series.join(
+                    existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
+                )
+            new_series.write.mode("append").parquet(self.registry_path)
+            return {"facts": facts.count(), "new_series": new_series.count()}
+        finally:
+            exploded.unpersist()
+
+    def read_registry_raw(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.registry_path)
+        except Exception:
+            return None
+
+    def read_registry(self) -> DataFrame | None:
+        raw = self.read_registry_raw()
+        return None if raw is None else dedup_registry(raw)
+
+    def read_samples(self) -> DataFrame:
+        return self.spark.read.parquet(self.samples_path)
