@@ -1,0 +1,183 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.13).
+
+Four tiers, each the right tool at a different scale/fidelity point:
+
+- exact:     hash-groupBy on the full text. One shuffle on a
+             well-distributed key; at 100 TB use `md5(text)` as the
+             group key so the shuffle rows carry a 16-byte digest, not
+             the document body.
+- ngram_jaccard: exact Jaccard over token shingles via explode +
+             self-join on shingle. Quadratic in bucket size — correct
+             gold standard at small scale, the oracle for the
+             approximate tiers.
+- minhash_lsh: shingle → minhash signatures → band-bucket join.
+             Near-linear: candidate pairs only form inside identical
+             (band, bucket-hash) groups. This is the 100 TB path.
+- simhash:   64-bit rotational fingerprint; hamming-near duplicates
+             join on band keys similarly.
+
+All are pure DataFrame ops (explode / groupBy / join) — no Python in
+the hot path except the hash primitives, which use built-in xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1 — keep the lowest id per exact text. groupBy(min) rather than
+    dropDuplicates so the survivor is deterministic."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+    )
+
+
+def tokenize(text: Column, lower: bool = True) -> Column:
+    t = F.lower(text) if lower else text
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word-n-gram shingles per document: (id, shingle)."""
+    toks = tokenize(F.col(text_col))
+    # n-gram via transform over index range; sliding window JVM-side
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| ≥ threshold. Output: id_a, id_b, jaccard.
+
+    Scale: the self-join explodes on hot shingles; at 100 TB run the
+    MinHash-LSH tier instead and reserve this as the verifier on
+    candidate pairs (where it is linear in candidates)."""
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), round_to),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for each of `num_hashes` seeded
+    xxhash64 functions, the min over the doc's shingles. One groupBy —
+    map-side partial min keeps the shuffle tiny."""
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 — MinHash + LSH banding candidate pairs (id_a < id_b,
+    est_jaccard = fraction of matching minhashes).
+
+    bands=16 × rows=4 over 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
+    ≈ 0.5. Candidates form only within equal band-signatures: the join
+    is an equi-join on (band_id, band_hash) — shuffle-partitionable,
+    no quadratic blowup except inside genuine near-dup clusters."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(df, n, text_col, id_col), num_hashes, id_col).cache()
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band_id"), F.col("bb.bh"))
+    a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "bh")
+    b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "bh")
+    cand = (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # estimate similarity from full signatures for the surviving pairs
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(num_hashes))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document: sign-sum of per-token hash
+    bits. Pure column ops: explode tokens → per-bit ±1 votes → sum →
+    sign bits → binary fingerprint."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    # shiftleft (not lit(1 << i)) — 1 << 63 overflows a Python->JVM long
+    fp = sum(
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits)
+    )
+    return votes.select(F.col(id_col), fp.alias("simhash"))

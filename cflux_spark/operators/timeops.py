@@ -1,0 +1,80 @@
+"""Time-range predicates and time bucketing (SURVEY.md §2.2, §2.4).
+
+The reference supports three WHERE-time shapes (cflux.js:702-727):
+relative (``time > now() - 24h``), absolute epoch-ns, and ISO strings
+(with a 5-minute-floor bug we do not copy), plus a default window when
+none parses. Buckets: the reference hard-codes 1-minute tumbling
+windows (toStartOfMinute, cflux.js:749) and regex-strips
+``GROUP BY time(N)`` (cflux.js:378) — we implement the parameterized
+version for real.
+
+All of these are plain column predicates — Catalyst pushes them to the
+parquet scan (PushedFilters) and prunes date partitions, which is the
+whole scale story for time-series reads: a 24 h query on 100 TB touches
+only the matching partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_time_absolute(df: DataFrame, ts_col: str, lo_ns: int, hi_ns: int) -> DataFrame:
+    """Epoch-nanosecond bounds (F2; divisor TSDIVIDE=1e9, cflux.js:10,712)."""
+    lo = F.timestamp_micros(F.lit(lo_ns // 1000))
+    hi = F.timestamp_micros(F.lit(hi_ns // 1000))
+    return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) < hi))
+
+
+def filter_time_iso(df: DataFrame, ts_col: str, lo_iso: str, hi_iso: str) -> DataFrame:
+    """ISO-string bounds (F3). No 5-minute floor (reference bug,
+    cflux.js:32-34, not copied)."""
+    return df.filter(
+        (F.col(ts_col) > F.to_timestamp(F.lit(lo_iso))) & (F.col(ts_col) < F.to_timestamp(F.lit(hi_iso)))
+    )
+
+
+def filter_time_relative_to(df: DataFrame, ts_col: str, anchor: Column, seconds: int) -> DataFrame:
+    """``time > anchor - Ns`` (F1). The reference anchors at now();
+    for reproducible tests the anchor is injectable (e.g. max(ts))."""
+    return df.filter(F.col(ts_col) > anchor - F.expr(f"INTERVAL {seconds} SECONDS"))
+
+
+def filter_time_relative_now(df: DataFrame, ts_col: str, seconds: int) -> DataFrame:
+    return filter_time_relative_to(df, ts_col, F.current_timestamp(), seconds)
+
+
+def default_time_window(df: DataFrame, ts_col: str, seconds: int = 300) -> DataFrame:
+    """Missing/unparsable range → last `seconds` (F4, cflux.js:719-726)."""
+    return filter_time_relative_now(df, ts_col, seconds)
+
+
+def bucket_start(ts_col: str | Column, seconds: int) -> Column:
+    """Tumbling-window bucket start as epoch seconds (A2: the
+    parameterized GROUP BY time(N) the reference stubs out).
+
+    Uses integer floor-division on the epoch — exactly what
+    ``window(ts, "N seconds")`` computes for its window.start, but as a
+    single codegen'd expression that the DuckDB oracle can mirror
+    (to_timestamp(floor(epoch(ts)/N)*N)).
+    """
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return (F.floor(F.unix_timestamp(c) / seconds) * seconds).cast("long")
+
+
+def bucket_ts(ts_col: str | Column, seconds: int) -> Column:
+    """Same bucket, as a timestamp column."""
+    return F.timestamp_seconds(bucket_start(ts_col, seconds))
+
+
+def minute_trunc(ts_col: str | Column) -> Column:
+    """toStartOfMinute (C2, cflux.js:749)."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.date_trunc("minute", c)
+
+
+def hour_trunc(ts_col: str | Column) -> Column:
+    """toRelativeHourNum analogue (C3, cflux.js:152) — partition grain."""
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.date_trunc("hour", c)

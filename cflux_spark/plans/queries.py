@@ -1,0 +1,787 @@
+"""The engine's test-query catalog (SURVEY.md §2 → driver contract).
+
+Each entry couples a DataFrame builder `(spark, sf_dir) -> DataFrame`
+with a DuckDB-ANSI-SQL oracle over the same parquet tables. Column
+names/types are aligned on both sides (the driver's compare sorts
+columns by name and hashes values). Double-valued aggregates are
+rounded on BOTH sides so summation-order float noise cannot flip the
+hash.
+
+Queries marked rows-only (no oracle) exercise non-SQL-expressible ops:
+LP ingest, MinHash LSH, SimHash, LSH ANN, language ID, the series
+pivot, fingerprint stability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cflux_spark.extensions import dedup, similarity, text
+from cflux_spark.functions.scalars import label_matcher, props_map, props_tag
+from cflux_spark.operators import aggregates, joins, metadata, pivot, sets, timeops, windows
+from cflux_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------- events slice
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata.events_registry(_events(spark, sf_dir))
+
+
+_REG_SQL = "SELECT user_id, event_type, min(props) AS labels FROM events GROUP BY 1, 2"
+
+
+# ----------------------------------------------------------- query definitions
+# Each function returns (spark_fn, oracle_sql | None).
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- flagship: F2 time filter → J1 registry join → A1 minute avg → O1 sort ---
+
+
+@q(
+    "q_minute_avg",
+    f"""
+    WITH reg AS ({_REG_SQL})
+    SELECT e.event_type, date_trunc('minute', e.ts) AS minute,
+           round(avg(e.value), 4) AS mean
+    FROM events e JOIN reg USING (user_id, event_type)
+    WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND e.ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    f = ev.filter(
+        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-05 00:00:00")))
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-12 00:00:00")))
+    )
+    # J1: ANY inner join against the (already unique per composite key)
+    # registry — broadcast, so the fact side never shuffles for the join.
+    reg = _registry(spark, sf_dir).select("user_id", "event_type", "labels")
+    joined = f.join(F.broadcast(reg), ["user_id", "event_type"], "inner")
+    return aggregates.minute_avg(joined, keys=["event_type"])
+
+
+# ----------------------------------------------------- time-range predicates
+
+
+@q(
+    "q_time_relative",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events
+    WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+    GROUP BY 1
+    """,
+)
+def q_time_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    f = ev.crossJoin(F.broadcast(anchor)).filter(
+        F.col("ts") > F.col("mx") - F.expr("INTERVAL 24 HOURS")
+    )
+    return f.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v")
+    )
+
+
+_ABS_LO_NS = 1704844800 * 10**9  # 2024-01-10T00:00:00Z
+_ABS_HI_NS = 1705276800 * 10**9  # 2024-01-15T00:00:00Z
+
+
+@q(
+    "q_time_absolute",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_time_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return timeops.filter_time_absolute(ev, "ts", _ABS_LO_NS, _ABS_HI_NS).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@q(
+    "q_time_iso",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20T12:00:00' AND ts < TIMESTAMP '2024-01-25T06:30:00'
+    GROUP BY 1
+    """,
+)
+def q_time_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        timeops.filter_time_iso(ev, "ts", "2024-01-20T12:00:00", "2024-01-25T06:30:00")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------------------ tag/name filters
+
+
+@q(
+    "q_tag_filter",
+    r"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) = 29
+    """,
+)
+def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.filter(props_tag("props", "k").cast("int") == 29).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@q(
+    "q_name_filter",
+    "SELECT event_id, ts, value FROM events WHERE event_type = 'click'",
+)
+def q_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).filter(F.col("event_type") == "click").select("event_id", "ts", "value")
+
+
+@q(
+    "q_label_matchers",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE regexp_matches(event_type, '^(c|e)') AND NOT regexp_matches(event_type, 'rror$')
+    GROUP BY 1
+    """,
+)
+def q_label_matchers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cond = label_matcher(F.col("event_type"), "=~", "^(c|e)") & label_matcher(
+        F.col("event_type"), "!~", "rror$"
+    )
+    return ev.filter(cond).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ------------------------------------------------------------------- joins
+
+
+@q(
+    "q_series_join",
+    f"""
+    WITH reg AS ({_REG_SQL})
+    SELECT e.event_type, e.user_id, count(*) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS avg_v
+    FROM events e JOIN reg USING (user_id, event_type)
+    WHERE CAST(regexp_extract(reg.labels, '"k":\\s*(\\d+)', 1) AS INT) < 50
+    GROUP BY 1, 2
+    """,
+)
+def q_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    reg = _registry(spark, sf_dir).select("user_id", "event_type", "labels")
+    joined = joins.any_inner_join(
+        ev, reg, key=["user_id", "event_type"],
+        dim_filter=props_tag("labels", "k").cast("int") < 50,
+    ).drop("labels")
+    # avg via exact integer cents (values carry 2 decimals): the sum is
+    # an exact int64, so the final double division is bit-identical in
+    # any engine — immune to summation-order and round-tie noise.
+    cents = F.round(F.col("value") * 100).cast("long")
+    return joined.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents).cast("double") / F.count("*") / 100).alias("avg_v"),
+    )
+
+
+@q(
+    "q_series_semijoin",
+    f"""
+    WITH reg AS ({_REG_SQL})
+    SELECT e.event_type, count(*) AS n
+    FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM reg r
+      WHERE r.user_id = e.user_id AND r.event_type = e.event_type
+        AND CAST(regexp_extract(r.labels, '"k":\\s*(\\d+)', 1) AS INT) % 2 = 1
+    )
+    GROUP BY 1
+    """,
+)
+def q_series_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    reg = _registry(spark, sf_dir)
+    filtered = joins.semi_join_filter(
+        ev, reg, key=["user_id", "event_type"],
+        dim_filter=props_tag("labels", "k").cast("int") % 2 == 1,
+    )
+    return filtered.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@q(
+    "q_orders_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+
+@q(
+    "q_time_bucket_param",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
+           round(avg(value), 4) AS mean
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", timeops.bucket_start("ts", 600).alias("bucket_s"))
+        .agg(F.round(F.avg("value"), 4).alias("mean"))
+    )
+
+
+@q(
+    "q_agg_suite",
+    """
+    SELECT event_type,
+           count(value) AS n,
+           round(sum(value), 4) AS sum_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           round(avg(value), 4) AS avg_v,
+           round(quantile_cont(value, 0.5), 4) AS median_v,
+           round(stddev_samp(value), 4) AS stddev_v
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aggregates.agg_suite(_events(spark, sf_dir), keys=["event_type"])
+
+
+@q(
+    "q_hour_bucket",
+    """
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(avg(value), 4) AS mean
+    FROM events GROUP BY 1
+    """,
+)
+def q_hour_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(timeops.hour_trunc("ts").alias("hour")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("mean")
+    )
+
+
+@q(
+    "q_distinct_groupby",
+    "SELECT l_returnflag, l_linestatus FROM lineitem GROUP BY 1, 2",
+)
+def q_distinct_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------- window fns
+
+
+@q(
+    "q_series_difference",
+    """
+    SELECT event_id, user_id, event_type,
+           round(value - lag(value) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id), 4) AS diff
+    FROM events
+    """,
+)
+def q_series_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windows.series_difference(
+        ev, key_cols=["user_id", "event_type"], order_tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "event_type", "diff")
+
+
+# --------------------------------------------------------------- set ops
+
+
+@q(
+    "q_union_fields",
+    """
+    SELECT 'click' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+    FROM events WHERE event_type = 'click' GROUP BY 2
+    UNION ALL
+    SELECT 'error' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+    FROM events WHERE event_type = 'error' GROUP BY 2
+    """,
+)
+def q_union_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def branch(field: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == field)
+            .groupBy(timeops.minute_trunc("ts").alias("minute"))
+            .agg(F.round(F.avg("value"), 4).alias("mean"))
+            .select(F.lit(field).alias("field"), "minute", "mean")
+        )
+
+    return sets.union_all([branch("click"), branch("error")])
+
+
+@q(
+    "q_union_sorted",
+    """
+    SELECT field, minute, mean FROM (
+      SELECT 'view' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+      FROM events WHERE event_type = 'view' GROUP BY 2
+      UNION ALL
+      SELECT 'signup' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+      FROM events WHERE event_type = 'signup' GROUP BY 2
+    ) ORDER BY minute, field
+    """,
+)
+def q_union_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def branch(field: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == field)
+            .groupBy(timeops.minute_trunc("ts").alias("minute"))
+            .agg(F.round(F.avg("value"), 4).alias("mean"))
+            .select(F.lit(field).alias("field"), "minute", "mean")
+        )
+
+    return sets.union_all([branch("view"), branch("signup")]).orderBy("minute", "field")
+
+
+# ------------------------------------------------------------ sort / limit
+
+
+@q(
+    "q_limit",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+# -------------------------------------------------------------- SHOW family
+
+
+@q("q_show_measurements", "SELECT DISTINCT event_type AS measurement FROM events")
+def q_show_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata.show_measurements(_registry(spark, sf_dir))
+
+
+@q(
+    "q_show_field_keys",
+    "SELECT DISTINCT event_type AS field_key, 'float' AS field_type FROM events WHERE event_type = 'click'",
+)
+def q_show_field_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = metadata.show_field_keys(_registry(spark, sf_dir), "click")
+    return out.select(F.col("fieldKey").alias("field_key"), F.col("fieldType").alias("field_type"))
+
+
+@q("q_show_tag_keys", "SELECT DISTINCT 'k' AS tag_key FROM events")
+def q_show_tag_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metadata.show_tag_keys(_registry(spark, sf_dir)).select(F.col("tagKey").alias("tag_key"))
+
+
+@q(
+    "q_show_tag_values",
+    r"""
+    SELECT DISTINCT 'k' AS tag_key, regexp_extract(props, '"k":\s*(\d+)', 1) AS tag_value
+    FROM events
+    """,
+)
+def q_show_tag_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    reg = ev.select(
+        F.col("event_type").alias("measurement"), props_map("props").alias("tags")
+    )
+    return metadata.show_tag_values(reg).select(
+        F.col("key").alias("tag_key"), F.col("value").alias("tag_value")
+    )
+
+
+@q(
+    "q_explode_tags",
+    r"""
+    SELECT event_id, 'k' AS tag_key, regexp_extract(props, '"k":\s*(\d+)', 1) AS tag_value
+    FROM events
+    """,
+)
+def q_explode_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", F.explode(props_map("props")).alias("tag_key", "tag_value"))
+
+
+@q(
+    "q_labels_json",
+    r"""
+    SELECT event_id, '{"k":"' || regexp_extract(props, '"k":\s*(\d+)', 1) || '"}' AS labels
+    FROM events
+    """,
+)
+def q_labels_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", F.to_json(props_map("props")).alias("labels"))
+
+
+# ------------------------------------------------------------ scalar converts
+
+
+@q(
+    "q_ts_convert",
+    """
+    SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts_sec,
+           CAST(year(o_orderdate) AS INT) AS yr
+    FROM orders
+    """,
+)
+def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("ts_sec"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+
+
+# ------------------------------------------------------------- TPC-H classics
+
+
+@q(
+    "q_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q5ish",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------- extensions
+
+
+@q(
+    "q_dedup_exact",
+    "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_dedup_jaccard",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+@q("q_dedup_near")  # rows-only: MinHash LSH est_jaccard is sampling-based
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@q("q_simhash")  # rows-only: 64-bit fingerprint not portable to the oracle
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_vector_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat_q AS (
+      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM q, idx
+    ),
+    flat_c AS (
+      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
+    ),
+    norms_q AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat_q GROUP BY 1),
+    norms_c AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat_c GROUP BY 1),
+    dots AS (
+      SELECT fq.vec_id AS query_id, fc.vec_id AS neighbor_id, sum(fq.x * fc.x) AS dot
+      FROM flat_q fq JOIN flat_c fc ON fq.ord = fc.ord
+      WHERE fq.vec_id <> fc.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           round(dot / (nq.nrm * nc.nrm), 4) AS sim,
+           -- order by the ROUNDED sim (matching the Spark plan) so ties
+           -- break on neighbor_id identically in both engines
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY round(dot / (nq.nrm * nc.nrm), 4) DESC, neighbor_id) AS INT) AS rank
+    FROM dots
+    JOIN norms_q nq ON nq.vec_id = query_id
+    JOIN norms_c nc ON nc.vec_id = neighbor_id
+    QUALIFY rank <= 5
+    """,
+)
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=5).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@q("q_vector_lsh")  # rows-only: ANN recall is probabilistic by design
+def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@q(
+    "q_text_tokens",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+           round(list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1), 4)
+             AS mean_token_len
+    FROM t
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_quality_score",
+    r"""
+    SELECT doc_id,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:''"]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(list_filter(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+                                 x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by'], x)))
+                 * 1.0 / greatest(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')), 1), 4)
+             AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                 * 1.0 / greatest(length(text), 1), 4) AS upper_ratio
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_lang_filter",
+    "SELECT source, count(*) AS n FROM documents WHERE lang = 'en' GROUP BY 1",
+)
+def q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("lang") == "en").groupBy("source").agg(F.count("*").alias("n"))
+
+
+@q("q_lang_id")  # rows-only: heuristic classifier output
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
+
+
+@q("q_multimodal_features")  # rows-only: stubbed decode, real Spark plumbing
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_media_stub(docs))
+
+
+# ---------------------------------------------------------- ingest (rows-only)
+
+_LP_SMOKE = [
+    "cpu,host=a,region=eu user=0.64,sys=0.11 1545424651000000000",
+    "cpu,host=b,region=us user=0.32 1545424652000000000",
+    "cpu,host=a,region=eu user=0.70,idle=0 1545424711000000000",
+    'app,host=a status="ok",code=200 1545424651000000000',
+    "up,host=a ok=true 1545424651000000000",
+]
+
+
+@q("q_lp_parse")  # rows-only: LP grammar is not SQL-expressible
+def q_lp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cflux_spark.sources.ingest import parse_lp_df
+
+    lines = spark.createDataFrame([(l,) for l in _LP_SMOKE], "line string")
+    return parse_lp_df(lines)
+
+
+@q("q_ingest_smoke")  # rows-only: end-to-end LP -> facts + registry
+def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cflux_spark.sources.ingest import LPStore, explode_fields, parse_lp_df
+
+    lines = spark.createDataFrame([(l,) for l in _LP_SMOKE], "line string")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = LPStore(spark, tmp, db="smoke")
+        store.write_batch(lines)
+        facts = store.read_samples().select(
+            "fingerprint", "ts", "ts_ns", "value", "message", "field", "measurement"
+        )
+        # materialize before the tempdir vanishes
+        rows = facts.collect()
+    return spark.createDataFrame(rows, facts.schema)
+
+
+@q("q_series_pivot")  # rows-only: nested array-of-struct result shape
+def q_series_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_min = (
+        ev.groupBy("event_type", timeops.minute_trunc("ts").alias("minute"))
+        .agg(F.round(F.avg("value"), 4).alias("mean"))
+        .select(
+            F.col("event_type").alias("name"),
+            F.lit("k").alias("tagname"),
+            F.lit("all").alias("tagvalue"),
+            "minute",
+            "mean",
+        )
+    )
+    return pivot.series_pivot(per_min, message_col=None)
+
+
+@q("q_fingerprint_stable")  # rows-only: engine-internal hash identity
+def q_fingerprint_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cflux_spark.model.fingerprint import NAME_LABEL
+
+    ev = _events(spark, sf_dir).limit(1000)
+    tags = props_map("props")
+    with_name = F.map_concat(tags, F.create_map(F.lit(NAME_LABEL), F.col("event_type")))
+    canonical = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(with_name))))
+    return ev.select("event_id", F.xxhash64(canonical).alias("fingerprint"))

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -25,6 +26,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. The events table stores parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it
+    as nanosecond longs (legacy conf, runtime-settable) and convert to
+    TimestampType via integer µs division — `ts div 1000` stays in
+    64-bit integer math (a double round-trip would lose precision above
+    2^53 ns)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
