@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with the `noop` sink (full physical
+execution, no driver collect bottleneck). Session startup is excluded
+from per-query numbers but included in `total_wall_sec` for honesty.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the representative slice of the catalog: one per operator family,
+# weighted toward the scale-sensitive ops (joins, window, dedup, ANN)
+BENCH_QUERIES = [
+    "q_minute_avg",
+    "q_time_bucket_param",
+    "q_hour_bucket",
+    "q_agg_suite",
+    "q_series_join",
+    "q_series_semijoin",
+    "q_series_difference",
+    "q_union_fields",
+    "q_tag_filter",
+    "q_tpch_q1",
+    "q_tpch_q5ish",
+    "q_orders_join",
+    "q_dedup_exact",
+    "q_dedup_jaccard",
+    "q_dedup_near",
+    "q_simhash",
+    "q_vector_topk",
+    "q_vector_lsh",
+    "q_text_tokens",
+    "q_quality_score",
+    "q_doc_fingerprint",
+    "q_series_pivot",
+]
+
+
+def main() -> int:
+    t0 = time.monotonic()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+    from cflux_spark.session import get_spark
+    from cflux_spark.plans.queries import QUERIES
+
+    spark = get_spark("cflux_spark_bench", cpus=cpus)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = 0.0
+
+    # session warm-up: JIT/codegen/Arrow paths, not the queries themselves
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_query_sweep_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": cpus,
+        "total_wall_sec": round(time.monotonic() - t0, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -44,10 +44,17 @@ def tokenize(text: Column, lower: bool = True) -> Column:
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word-n-gram shingles per document: (id, shingle)."""
     toks = tokenize(F.col(text_col))
-    # n-gram via transform over index range; sliding window JVM-side
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    # sliding n-gram via arrays_zip of n shifted views of the token
+    # array — one zip + one transform, instead of a slice+concat per
+    # position (which is quadratic-ish in interpreted HOF calls).
+    # Shorter-than-n docs yield one truncated shingle (zip pads the
+    # shifted arrays with null; concat_ws skips nulls).
+    shifted = [F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(1))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    # drop the trailing (n-1) partial shingles for docs longer than n
+    grams = F.when(F.size(toks) >= n, F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))).otherwise(
+        F.slice(grams, 1, 1)
     )
     return (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
@@ -99,14 +106,19 @@ def minhash_signatures(
     num_hashes: int = 64,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signature per doc: for each of `num_hashes` seeded
-    xxhash64 functions, the min over the doc's shingles. One groupBy —
-    map-side partial min keeps the shuffle tiny."""
+    """MinHash signature per doc: min over the doc's shingles of
+    `num_hashes` independent hash functions.
+
+    The variable-length shingle string is hashed ONCE (xxhash64);
+    the i-th function is then derived by hashing the (fixed-width)
+    base long with the index — 64 long-hashes per shingle instead of
+    64 string-hashes, all inside whole-stage codegen. One groupBy with
+    map-side partial min keeps the shuffle at one row per doc."""
+    based = sh.withColumn("_base", F.xxhash64("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
