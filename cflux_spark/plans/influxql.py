@@ -1,0 +1,406 @@
+"""InfluxQL front-end: the statement surface of the reference's /query
+endpoint (SURVEY.md §2.11, §3.2-3.3), compiled to DataFrame plans.
+
+The reference dispatches on string prefixes (cflux.js:395-852) and
+builds ClickHouse SQL by concatenation; we parse the same grammar
+subset into small statement objects and build DataFrame plans — the
+logical/physical planning the reference lacks comes from Catalyst.
+
+Supported statements (reference citation → our handler):
+
+- SHOW DATABASES                       (cflux.js:659)   → catalog
+- SHOW MEASUREMENTS                    (cflux.js:637)   → registry distinct
+- SHOW FIELD KEYS [FROM m]             (cflux.js:450)   → registry distinct
+- SHOW TAG KEYS [FROM m]               (cflux.js:497)   → map_keys explode
+- SHOW TAG VALUES [FROM m] WITH KEY [IN] (cflux.js:543,591) → entries explode
+- SHOW RETENTION POLICIES              (cflux.js:419)   → static row
+- SHOW SUBSCRIPTIONS                   (cflux.js:835)   → control table
+- CREATE DATABASE db                   (cflux.js:395)   → store init
+- CREATE SUBSCRIPTION ... DESTINATIONS (cflux.js:676)   → control table
+- SELECT f1[, f2] | agg(f) FROM [db.[rp.]]m
+    [WHERE time <op> …  [AND tag='v']…]
+    [GROUP BY time(Nu)] [LIMIT n]      (cflux.js:687-833)
+
+Deviations from the reference, on purpose (SURVEY §2.2/2.4/2.6):
+GROUP BY time(N) is honored (the reference strips it and hard-codes
+1-minute buckets); LIMIT is honored (the reference deletes it); the
+ISO-timestamp 5-minute floor bug is not copied; aggregates beyond
+mean are available (sum/min/max/count/median/stddev/first/last).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cflux_spark.operators import pivot as pivot_ops
+from cflux_spark.sources.ingest import LPStore
+
+_DUR_UNITS = {"ns": 1e-9, "u": 1e-6, "µ": 1e-6, "ms": 1e-3, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+_AGG_FNS = {
+    "mean": lambda c: F.avg(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c),
+    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+    "stddev": lambda c: F.stddev_samp(c),
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+}
+
+
+class InfluxQLError(ValueError):
+    """Raised for statements outside the supported grammar — loudly,
+    per SURVEY §7 ('keep grammar minimal, reject loudly')."""
+
+
+@dataclass
+class SelectStmt:
+    fields: list[tuple[str | None, str]]  # (agg_fn | None, field_name)
+    measurement: str
+    db: str | None = None
+    time_lo_ns: int | None = None
+    time_hi_ns: int | None = None
+    relative_s: int | None = None
+    tag_filters: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value)
+    group_by_time_s: int | None = None
+    limit: int | None = None
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'`":
+        return s[1:-1]
+    return s
+
+
+def _parse_duration(s: str) -> float:
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ns|u|µ|ms|s|m|h|d|w)", s.strip())
+    if not m:
+        raise InfluxQLError(f"bad duration {s!r}")
+    return float(m.group(1)) * _DUR_UNITS[m.group(2)]
+
+
+def _parse_time_value(v: str) -> int:
+    """A time literal → epoch ns. Accepts bare integers (ns, the
+    reference's TSDIVIDE convention, cflux.js:10,712) and ISO strings."""
+    v = v.strip()
+    if re.fullmatch(r"\d+", v):
+        return int(v)
+    iso = _unquote(v)
+    from datetime import datetime, timezone
+
+    txt = iso.replace("T", " ").replace("Z", "")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(txt, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1e9)
+        except ValueError:
+            continue
+    raise InfluxQLError(f"bad time literal {v!r}")
+
+
+def parse_select(q: str) -> SelectStmt:
+    m = re.match(
+        r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise InfluxQLError(f"unparsable SELECT: {q!r}")
+
+    fields: list[tuple[str | None, str]] = []
+    for raw in m.group("fields").split(","):
+        raw = raw.strip()
+        fm = re.fullmatch(r"(\w+)\s*\(\s*([^)]+?)\s*\)(?:\s+AS\s+\w+)?", raw, re.IGNORECASE)
+        if fm:
+            fn = fm.group(1).lower()
+            if fn not in _AGG_FNS:
+                raise InfluxQLError(f"unsupported aggregate {fn!r}")
+            fields.append((fn, _unquote(fm.group(2))))
+        else:
+            fields.append((None, _unquote(raw)))
+
+    parts = [_unquote(p) for p in re.split(r"\.", m.group("from"))]
+    if len(parts) == 1:
+        db, meas = None, parts[0]
+    elif len(parts) == 2:
+        db, meas = parts[0], parts[1]
+    elif len(parts) == 3:  # db.rp.measurement — retention policy ignored (M7 is faked anyway)
+        db, meas = parts[0], parts[2]
+    else:
+        raise InfluxQLError(f"bad FROM {m.group('from')!r}")
+
+    stmt = SelectStmt(fields=fields, measurement=meas, db=db)
+
+    where = m.group("where") or ""
+    for cond in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        cond = cond.strip()
+        if not cond:
+            continue
+        tm = re.fullmatch(r"time\s*(>=|<=|>|<)\s*(.+)", cond, re.IGNORECASE)
+        if tm:
+            op, val = tm.group(1), tm.group(2).strip()
+            rel = re.fullmatch(r"now\s*\(\s*\)\s*-\s*(\S+)", val, re.IGNORECASE)
+            if rel:
+                if op in (">", ">="):
+                    stmt.relative_s = int(_parse_duration(rel.group(1)))
+                continue  # 'AND time < now()' is a no-op bound (cflux.js:689 strips it; same here, knowingly)
+            ns = _parse_time_value(val)
+            if op in (">", ">="):
+                stmt.time_lo_ns = ns
+            else:
+                stmt.time_hi_ns = ns
+            continue
+        gm = re.fullmatch(r"([\w\"']+)\s*(=~|!~|!=|=)\s*(.+)", cond)
+        if gm:
+            stmt.tag_filters.append((_unquote(gm.group(1)), gm.group(2), _unquote(gm.group(3))))
+            continue
+        raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
+
+    groupby = m.group("groupby") or ""
+    if groupby:
+        gbt = re.search(r"time\s*\(\s*(\S+?)\s*\)", groupby, re.IGNORECASE)
+        if gbt:
+            stmt.group_by_time_s = max(1, int(_parse_duration(gbt.group(1))))
+        elif groupby.strip():
+            raise InfluxQLError(f"unsupported GROUP BY {groupby!r}")
+
+    if m.group("limit"):
+        stmt.limit = int(m.group("limit"))
+    return stmt
+
+
+class InfluxQLEngine:
+    """Executes the statement surface against LPStore-backed databases."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        self.subscriptions: dict[str, list[tuple[str, str]]] = {}
+
+    def store(self, db: str | None) -> LPStore:
+        return LPStore(self.spark, self.root, db=db or "default")
+
+    # ------------------------------------------------------------ dispatch
+
+    def execute(self, q: str, db: str | None = None) -> dict:
+        qs = q.strip()
+        upper = qs.upper()
+        if upper.startswith("SHOW DATABASES"):
+            return self._show_databases()
+        if upper.startswith("SHOW MEASUREMENTS"):
+            return self._show_measurements(db)
+        if upper.startswith("SHOW FIELD KEYS"):
+            return self._show_field_keys(qs, db)
+        if upper.startswith("SHOW TAG KEYS"):
+            return self._show_tag_keys(qs, db)
+        if upper.startswith("SHOW TAG VALUES"):
+            return self._show_tag_values(qs, db)
+        if upper.startswith("SHOW RETENTION POLICIES"):
+            return _envelope([_series("retention policies", ["name", "duration", "shardGroupDuration", "replicaN", "default"], [["autogen", "0s", "168h0m0s", 1, True]])])
+        if upper.startswith("SHOW SUBSCRIPTIONS"):
+            return self._show_subscriptions()
+        if upper.startswith("CREATE DATABASE"):
+            name = _unquote(qs.split(None, 2)[2]) if len(qs.split(None, 2)) > 2 else (db or "default")
+            self.store(name)  # lazily created on first write; nothing to do eagerly
+            return _envelope([])
+        if upper.startswith("CREATE SUBSCRIPTION"):
+            return self._create_subscription(qs, db)
+        if upper.startswith("SELECT"):
+            return self._select(qs, db)
+        # M11: unsupported statements return the empty envelope
+        # (cflux.js:846-852) rather than erroring the client
+        return _envelope([])
+
+    # ------------------------------------------------------------ metadata
+
+    def _registry(self, db: str | None) -> DataFrame | None:
+        return self.store(db).read_registry()
+
+    def _show_databases(self) -> dict:
+        import os
+
+        dbs = sorted(
+            d for d in (os.listdir(self.root) if os.path.isdir(self.root) else []) if not d.startswith("_")
+        )
+        return _envelope([_series("databases", ["name"], [[d] for d in dbs])])
+
+    def _show_measurements(self, db: str | None) -> dict:
+        reg = self._registry(db)
+        vals = [] if reg is None else [[r.measurement] for r in reg.select("measurement").distinct().orderBy("measurement").collect()]
+        return _envelope([_series("measurements", ["name"], vals)])
+
+    def _show_field_keys(self, qs: str, db: str | None) -> dict:
+        meas = _from_clause(qs)
+        reg = self._registry(db)
+        if reg is None:
+            return _envelope([])
+        if meas:
+            reg = reg.filter(F.col("measurement") == meas)
+        rows = reg.select("measurement", "name").distinct().orderBy("measurement", "name").collect()
+        out: dict[str, list] = {}
+        for r in rows:
+            fieldname = r.name.split(".", 1)[1] if "." in r.name else r.name
+            # the reference reports every field as float (cflux.js:461)
+            out.setdefault(r.measurement, []).append([fieldname, "float"])
+        return _envelope([_series(m, ["fieldKey", "fieldType"], v) for m, v in out.items()])
+
+    def _show_tag_keys(self, qs: str, db: str | None) -> dict:
+        meas = _from_clause(qs)
+        reg = self._registry(db)
+        if reg is None:
+            return _envelope([])
+        if meas:
+            reg = reg.filter(F.col("measurement") == meas)
+        rows = (
+            reg.select("measurement", F.explode(F.map_keys("tags")).alias("tagKey"))
+            .distinct()
+            .orderBy("measurement", "tagKey")
+            .collect()
+        )
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r.measurement, []).append([r.tagKey])
+        return _envelope([_series(m, ["tagKey"], v) for m, v in out.items()])
+
+    def _show_tag_values(self, qs: str, db: str | None) -> dict:
+        meas = _from_clause(qs)
+        keys_in = re.search(r"WITH\s+KEY\s+(?:IN\s*\(([^)]*)\)|=\s*(\S+))", qs, re.IGNORECASE)
+        keys: list[str] | None = None
+        if keys_in:
+            if keys_in.group(1) is not None:
+                keys = [_unquote(k) for k in keys_in.group(1).split(",") if k.strip()]
+            else:
+                keys = [_unquote(keys_in.group(2))]
+        reg = self._registry(db)
+        if reg is None:
+            return _envelope([])
+        if meas:
+            reg = reg.filter(F.col("measurement") == meas)
+        kv = reg.select("measurement", F.explode("tags").alias("key", "value"))
+        if keys is not None:
+            kv = kv.filter(F.col("key").isin(keys))
+        rows = kv.distinct().orderBy("measurement", "key", "value").collect()
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(r.measurement, []).append([r.key, r.value])
+        return _envelope([_series(m, ["key", "value"], v) for m, v in out.items()])
+
+    def _show_subscriptions(self) -> dict:
+        series = []
+        for db, subs in self.subscriptions.items():
+            series.append(
+                _series(db, ["retention_policy", "name", "mode", "destinations"],
+                        [["autogen", sid, "ANY", [tgt]] for sid, tgt in subs])
+            )
+        return _envelope(series)
+
+    def _create_subscription(self, qs: str, db: str | None) -> dict:
+        m = re.match(
+            r"CREATE\s+SUBSCRIPTION\s+(\S+)\s+ON\s+(\S+?)(?:\.\S+)?\s+DESTINATIONS\s+\w+\s+(.+)",
+            qs,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise InfluxQLError(f"unparsable CREATE SUBSCRIPTION: {qs!r}")
+        sid, target_db, target = _unquote(m.group(1)), _unquote(m.group(2)), _unquote(m.group(3).strip())
+        self.subscriptions.setdefault(target_db, []).append((sid, target))
+        return _envelope([])
+
+    # -------------------------------------------------------------- SELECT
+
+    def _select(self, qs: str, db: str | None) -> dict:
+        stmt = parse_select(qs)
+        store = self.store(stmt.db or db)
+        facts = store.read_samples_or_empty().filter(F.col("measurement") == stmt.measurement)
+
+        # time range (F1/F2/F3; default window F4 when nothing parses)
+        if stmt.relative_s is not None:
+            facts = facts.filter(
+                F.col("ts") > F.current_timestamp() - F.expr(f"INTERVAL {stmt.relative_s} SECONDS")
+            )
+        if stmt.time_lo_ns is not None:
+            facts = facts.filter(F.col("ts_ns") >= F.lit(stmt.time_lo_ns))
+        if stmt.time_hi_ns is not None:
+            facts = facts.filter(F.col("ts_ns") < F.lit(stmt.time_hi_ns))
+
+        # tag filters via the registry (J1 broadcast join); the four
+        # matcher ops are the labelParser table (cflux.js:140-148)
+        reg = store.read_registry()
+        if stmt.tag_filters and reg is not None:
+            from cflux_spark.functions.scalars import label_matcher
+
+            cond = None
+            for key, op, val in stmt.tag_filters:
+                c = label_matcher(F.element_at(F.col("tags"), key), op, val)
+                cond = c if cond is None else (cond & c)
+            slice_ = reg.filter(cond).select("fingerprint")
+            facts = facts.join(F.broadcast(slice_.distinct()), "fingerprint", "left_semi")
+
+        # attach tags for series grouping in the envelope
+        tag_map = (
+            F.broadcast(reg.select("fingerprint", "tags")) if reg is not None else None
+        )
+
+        series: list[dict] = []
+        for fn, fieldname in stmt.fields:
+            ff = facts.filter(F.col("field") == fieldname)
+            if fn is None and stmt.group_by_time_s is None:
+                # raw points, string-over-float per cflux.js:795
+                sel = ff.select(
+                    (F.col("ts_ns") / 1e6).cast("long").alias("ts_ms"),
+                    F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
+                ).orderBy("ts_ms")
+                if stmt.limit:
+                    sel = sel.limit(stmt.limit)
+                rows = sel.collect()
+                series.append(
+                    _series(stmt.measurement, ["time", fieldname], [[r.ts_ms, pivot_ops._maybe_float(r.val)] for r in rows])
+                )
+                continue
+            # aggregated path: default = the reference's 1-minute mean
+            # (cflux.js:749); honored GROUP BY time(N) generalizes it
+            bucket_s = stmt.group_by_time_s or 60
+            agg = _AGG_FNS[fn or "mean"]("value")
+            bucket_ns = int(bucket_s * 1e9)
+            grouped = (
+                # integer div — double division of ns-scale longs loses
+                # precision above 2^53
+                ff.groupBy((F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"))
+                .agg(F.round(agg, 6).alias("val"))
+                .orderBy("ts_ms")
+            )
+            if stmt.limit:
+                grouped = grouped.limit(stmt.limit)
+            rows = grouped.collect()
+            colname = f"{fn or 'mean'}_{fieldname}" if len(stmt.fields) > 1 else (fn or "mean")
+            series.append(_series(stmt.measurement, ["time", colname], [[r.ts_ms, r.val] for r in rows]))
+        return _envelope(series)
+
+
+def _from_clause(qs: str) -> str | None:
+    m = re.search(r"\bFROM\s+(\S+)", qs, re.IGNORECASE)
+    if not m:
+        return None
+    parts = [_unquote(p) for p in m.group(1).split(".")]
+    return parts[-1]
+
+
+def _series(name: str, columns: list[str], values: list[list]) -> dict:
+    return {"name": name, "columns": columns, "values": values}
+
+
+def _envelope(series: list[dict], statement_id: int = 0) -> dict:
+    out: dict = {"results": [{"statement_id": statement_id}]}
+    if series:
+        out["results"][0]["series"] = series
+    return out

@@ -206,3 +206,14 @@ class LPStore:
 
     def read_samples(self) -> DataFrame:
         return self.spark.read.parquet(self.samples_path)
+
+    def read_samples_or_empty(self) -> DataFrame:
+        """Samples, or an empty frame when the db has never been
+        written (the reference creates DBs lazily and answers queries
+        on unknown tables with empty results)."""
+        try:
+            return self.read_samples()
+        except Exception:
+            from cflux_spark.model.schemas import SAMPLES_SCHEMA
+
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA.add("date", "date"))

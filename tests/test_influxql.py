@@ -1,0 +1,158 @@
+"""InfluxQL front-end tests: the reference's de facto validation is its
+docker rig (Telegraf writes + Chronograf SHOW/SELECT, SURVEY §5);
+this mirrors that flow — ingest LP, then exercise every statement.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cflux_spark.plans.influxql import InfluxQLEngine, InfluxQLError, parse_select
+from cflux_spark.sources.ingest import LPStore
+
+LINES = [
+    "cpu,host=a,region=eu user=0.10,sys=0.01 1704067200000000000",  # 2024-01-01T00:00:00Z
+    "cpu,host=a,region=eu user=0.30 1704067230000000000",  # :00:30
+    "cpu,host=a,region=eu user=0.50 1704067290000000000",  # :01:30
+    "cpu,host=b,region=us user=0.70 1704067200000000000",
+    'app,host=a status="ok" 1704067200000000000',
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("influx"))
+    store = LPStore(spark, root, db="mydb")
+    lines = spark.createDataFrame([(l,) for l in LINES], "line string")
+    store.write_batch(lines)
+    return InfluxQLEngine(spark, root)
+
+
+def _values(res, i=0):
+    return res["results"][0]["series"][i]["values"]
+
+
+def test_show_databases(engine):
+    res = engine.execute("SHOW DATABASES")
+    assert ["mydb"] in _values(res)
+
+
+def test_show_measurements(engine):
+    res = engine.execute("SHOW MEASUREMENTS", db="mydb")
+    assert [v[0] for v in _values(res)] == ["app", "cpu"]
+
+
+def test_show_field_keys(engine):
+    res = engine.execute('SHOW FIELD KEYS FROM "cpu"', db="mydb")
+    series = res["results"][0]["series"][0]
+    assert series["name"] == "cpu"
+    assert sorted(v[0] for v in series["values"]) == ["sys", "user"]
+    assert all(v[1] == "float" for v in series["values"])  # reference fidelity
+
+
+def test_show_tag_keys(engine):
+    res = engine.execute("SHOW TAG KEYS FROM cpu", db="mydb")
+    assert sorted(v[0] for v in _values(res)) == ["host", "region"]
+
+
+def test_show_tag_values_with_key(engine):
+    res = engine.execute('SHOW TAG VALUES FROM cpu WITH KEY = "host"', db="mydb")
+    assert sorted(v[1] for v in _values(res)) == ["a", "b"]
+
+
+def test_show_tag_values_in(engine):
+    res = engine.execute("SHOW TAG VALUES FROM cpu WITH KEY IN (host, region)", db="mydb")
+    pairs = {(v[0], v[1]) for v in _values(res)}
+    assert ("host", "a") in pairs and ("region", "eu") in pairs
+
+
+def test_select_raw_points_with_tag_filter_and_limit(engine):
+    res = engine.execute("SELECT user FROM cpu WHERE host = 'a' LIMIT 2", db="mydb")
+    vals = _values(res)
+    assert len(vals) == 2
+    assert vals[0] == [1704067200000, 0.10]
+    assert vals[1] == [1704067230000, 0.30]
+
+
+def test_select_mean_group_by_time(engine):
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    vals = _values(res)
+    # minute 0: (0.1+0.3)/2 = 0.2 ; minute 1: 0.5
+    assert vals == [[1704067200000, 0.2], [1704067260000, 0.5]]
+
+
+def test_select_default_minute_bucket(engine):
+    # no GROUP BY → the reference's hard-coded 1-minute mean buckets
+    res = engine.execute("SELECT mean(user) FROM cpu WHERE host = 'b'", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7]]
+
+
+def test_select_time_range_ns(engine):
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE host = 'a' AND time >= 1704067230000000000 AND time < 1704067290000000000",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067230000, 0.3]]
+
+
+def test_select_iso_time_range(engine):
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE time >= '2024-01-01T00:01:00' AND host = 'a'", db="mydb"
+    )
+    assert _values(res) == [[1704067290000, 0.5]]
+
+
+def test_select_string_field(engine):
+    res = engine.execute("SELECT status FROM app", db="mydb")
+    assert _values(res) == [[1704067200000, "ok"]]  # string-over-float rule
+
+
+def test_select_multi_aggregates(engine):
+    res = engine.execute("SELECT max(user), count(user) FROM cpu GROUP BY time(1h)", db="mydb")
+    series = res["results"][0]["series"]
+    assert len(series) == 2
+    maxs = {tuple(v) for v in series[0]["values"]}
+    assert (1704067200000, 0.7) in maxs
+    counts = series[1]["values"]
+    assert counts == [[1704067200000, 4.0]]
+
+
+def test_regex_tag_matcher(engine):
+    res = engine.execute("SELECT user FROM cpu WHERE region =~ 'e.*'", db="mydb")
+    assert len(_values(res)) == 3  # only host=a (region=eu) points
+
+
+def test_subscriptions_lifecycle(engine):
+    engine.execute(
+        "CREATE SUBSCRIPTION \"sub0\" ON mydb.autogen DESTINATIONS ANY 'http://localhost:9999'"
+    )
+    res = engine.execute("SHOW SUBSCRIPTIONS")
+    series = res["results"][0]["series"]
+    assert series and series[0]["name"] == "mydb"
+    assert series[0]["values"][0][1] == "sub0"
+
+
+def test_unsupported_statement_returns_empty_envelope(engine):
+    res = engine.execute("DROP SERIES FROM cpu")
+    assert res == {"results": [{"statement_id": 0}]}  # M11 fidelity
+
+
+def test_parse_select_rejects_garbage():
+    with pytest.raises(InfluxQLError):
+        parse_select("SELECT FROM WHERE")
+    with pytest.raises(InfluxQLError):
+        parse_select("SELECT percentile_nope(x) FROM m")
+
+
+def test_parse_select_shapes():
+    s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
+    assert s.fields == [("mean", "user")]
+    assert s.db == "db" and s.measurement == "cpu"
+    assert s.relative_s == 86400
+    assert s.group_by_time_s == 10
+    assert s.limit == 5
