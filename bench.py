@@ -61,6 +61,41 @@ def main() -> int:
     # session warm-up: JIT/codegen/Arrow paths, not the queries themselves
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # batch-ingest throughput: events → LP lines (cached, excluded from
+    # timing) → full parse/fanout/fingerprint/write pipeline
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cflux_spark.sources.ingest import LPStore
+    from cflux_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    lines = (
+        ev.crossJoin(spark.range(6).withColumnRenamed("id", "rep"))
+        .select(
+            F.concat(
+                F.col("event_type"),
+                F.lit(",user="),
+                F.col("user_id").cast("string"),
+                F.lit(",rep=r"),
+                F.col("rep").cast("string"),
+                F.lit(" value="),
+                F.col("value").cast("string"),
+                F.lit(" "),
+                (F.col("ts_ns") + F.col("rep")).cast("string"),
+            ).alias("line")
+        )
+        .cache()
+    )
+    n_lines = lines.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        t = time.monotonic()
+        LPStore(spark, tmp, db="bench").write_batch(lines, collect_stats=False)
+        ingest_dt = time.monotonic() - t
+    lines.unpersist()
+
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -68,6 +103,9 @@ def main() -> int:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t, 3)
+        # isolate queries: some operators cache intermediates (e.g.
+        # minhash signatures); don't let one query's cache pressure the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -78,6 +116,8 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(timings),
         "cpus": cpus,
+        "ingest_rows_per_sec": int(n_lines / ingest_dt),
+        "ingest_lines": n_lines,
         "total_wall_sec": round(time.monotonic() - t0, 3),
     }
     print(json.dumps(out))

@@ -20,8 +20,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def filter_time_absolute(df: DataFrame, ts_col: str, lo_ns: int, hi_ns: int) -> DataFrame:
-    """Epoch-nanosecond bounds (F2; divisor TSDIVIDE=1e9, cflux.js:10,712)."""
+def filter_time_absolute(
+    df: DataFrame, ts_col: str, lo_ns: int, hi_ns: int, ts_ns_col: str | None = None
+) -> DataFrame:
+    """Epoch-nanosecond bounds (F2; divisor TSDIVIDE=1e9, cflux.js:10,712).
+
+    When the frame carries the raw nanosecond long (`ts_ns_col`), the
+    predicate is applied to IT, not the derived TimestampType column:
+    a filter on the derived column cannot be pushed through the
+    conversion expression to the parquet scan, while the bigint
+    comparison reaches PushedFilters and prunes row groups — the
+    difference between a pruned read and a full scan at 100 TB.
+    """
+    if ts_ns_col is not None and ts_ns_col in df.columns:
+        return df.filter((F.col(ts_ns_col) > F.lit(lo_ns)) & (F.col(ts_ns_col) < F.lit(hi_ns)))
     lo = F.timestamp_micros(F.lit(lo_ns // 1000))
     hi = F.timestamp_micros(F.lit(hi_ns // 1000))
     return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) < hi))

@@ -72,9 +72,11 @@ def q(name: str, oracle: str | None = None):
 )
 def q_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # filter on the raw ns long so the range predicate reaches the
+    # parquet scan (PushedFilters) — see timeops.filter_time_absolute
     f = ev.filter(
-        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-05 00:00:00")))
-        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-12 00:00:00")))
+        (F.col("ts_ns") >= F.lit(1704412800 * 10**9))  # 2024-01-05T00:00:00Z
+        & (F.col("ts_ns") < F.lit(1705017600 * 10**9))  # 2024-01-12T00:00:00Z
     )
     # J1: ANY inner join against the (already unique per composite key)
     # registry — broadcast, so the fact side never shuffles for the join.
@@ -120,7 +122,7 @@ _ABS_HI_NS = 1705276800 * 10**9  # 2024-01-15T00:00:00Z
 )
 def q_time_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return timeops.filter_time_absolute(ev, "ts", _ABS_LO_NS, _ABS_HI_NS).select(
+    return timeops.filter_time_absolute(ev, "ts", _ABS_LO_NS, _ABS_HI_NS, ts_ns_col="ts_ns").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
 
@@ -136,8 +138,11 @@ def q_time_absolute(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_time_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    # ISO bounds resolved to ns epochs so the predicate pushes down
     return (
-        timeops.filter_time_iso(ev, "ts", "2024-01-20T12:00:00", "2024-01-25T06:30:00")
+        timeops.filter_time_absolute(
+            ev, "ts", 1705752000 * 10**9, 1706164200 * 10**9, ts_ns_col="ts_ns"
+        )
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
@@ -337,6 +342,43 @@ def q_series_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_cols=["user_id", "event_type"], order_tiebreak=["event_id"]
     )
     return out.select("event_id", "user_id", "event_type", "diff")
+
+
+@q(
+    "q_series_rate",
+    """
+    WITH d AS (
+      SELECT event_id, user_id, event_type, value, ts,
+             lag(value) OVER w AS pv,
+             lag(ts) OVER w AS pts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, event_type,
+           CASE WHEN floor(epoch(ts)) - floor(epoch(pts)) > 0
+                THEN round((value - pv) / (floor(epoch(ts)) - floor(epoch(pts))), 4)
+           END AS rate
+    FROM d
+    """,
+)
+def q_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windows.series_rate(ev, key_cols=["user_id", "event_type"], order_tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "event_type", "rate")
+
+
+@q(
+    "q_count_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n")
+    )
 
 
 # --------------------------------------------------------------- set ops

@@ -67,28 +67,59 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def parse_lp_df(lines: DataFrame, default_ts_ns: int = 0) -> DataFrame:
     """`lines` has a single string column `line`; returns PARSED_LINE_SCHEMA
-    rows with missing timestamps filled with `default_ts_ns`."""
+    rows with missing timestamps filled with `default_ts_ns`.
+
+    The input is fanned out to the session's full parallelism before
+    the Python-side parse: sources often arrive as one partition (a
+    single HTTP body / one text file), which would otherwise pin the
+    whole parse to a single core."""
+    target = lines.sparkSession.sparkContext.defaultParallelism
+    if lines.rdd.getNumPartitions() < target:
+        lines = lines.repartition(target)
     parsed = lines.mapInPandas(_parse_batches, schema=PARSED_LINE_SCHEMA)
     return parsed.withColumn("ts_ns", F.coalesce(F.col("ts_ns"), F.lit(default_ts_ns)))
 
 
 def explode_fields(parsed: DataFrame) -> DataFrame:
     """Fan out one fact row per field (cflux.js:321-332,356-371), all
-    JVM-side: explode each field map, union float/string paths."""
+    JVM-side, in ONE pass: both field maps become a single array of
+    (field, value, message) structs, then one explode. (A union of two
+    explode branches would execute the upstream Python parse twice —
+    each branch is its own stage over the same input.)"""
     ok = parsed.filter(F.col("error").isNull())
-    base_cols = [
-        F.col("measurement"),
-        F.col("tags"),
-        F.col("ts_ns"),
-        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
-    ]
-    floats = ok.select(*base_cols, F.explode("float_fields").alias("field", "value")).withColumn(
-        "message", F.lit(None).cast("string")
+    fan = F.concat(
+        F.transform(
+            F.map_entries("float_fields"),
+            lambda e: F.struct(
+                e["key"].alias("field"),
+                e["value"].alias("value"),
+                F.lit(None).cast("string").alias("message"),
+            ),
+        ),
+        F.transform(
+            F.map_entries("string_fields"),
+            lambda e: F.struct(
+                e["key"].alias("field"),
+                F.lit(None).cast("double").alias("value"),
+                e["value"].alias("message"),
+            ),
+        ),
     )
-    strings = ok.select(*base_cols, F.explode("string_fields").alias("field", "message")).withColumn(
-        "value", F.lit(None).cast("double")
+    both = ok.select(
+        "measurement",
+        "tags",
+        "ts_ns",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+        F.explode(fan).alias("fvm"),
+    ).select(
+        "measurement",
+        "tags",
+        "ts_ns",
+        "ts",
+        F.col("fvm.field").alias("field"),
+        F.col("fvm.value").alias("value"),
+        F.col("fvm.message").alias("message"),
     )
-    both = floats.unionByName(strings, allowMissingColumns=False)
     # canonical labels json = sorted-key map of tags + __name__:
     # "<measurement>.<field>" (reference uses the field key as
     # time_series.name with the measurement as table name; we qualify
@@ -169,9 +200,15 @@ class LPStore:
     def registry_path(self) -> str:
         return os.path.join(self.root, self.db, "time_series")
 
-    def write_batch(self, lines: DataFrame, default_ts_ns: int = 0) -> dict[str, int]:
-        exploded = explode_fields(parse_lp_df(lines, default_ts_ns)).cache()
+    def write_batch(
+        self, lines: DataFrame, default_ts_ns: int = 0, collect_stats: bool = True
+    ) -> dict[str, int]:
+        # cache the PARSED frame (one Python-parse pass); the JVM-side
+        # explode/fingerprint downstream is cheap to recompute for the
+        # facts and registry consumers.
+        parsed = parse_lp_df(lines, default_ts_ns).cache()
         try:
+            exploded = explode_fields(parsed)
             facts = fact_rows(exploded)
             # sortWithinPartitions(fingerprint, ts) mirrors the MergeTree
             # ORDER BY (cflux.js:152): parquet row-group min/max stats then
@@ -190,9 +227,11 @@ class LPStore:
                     existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
                 )
             new_series.write.mode("append").parquet(self.registry_path)
+            if not collect_stats:
+                return {"facts": -1, "new_series": -1}
             return {"facts": facts.count(), "new_series": new_series.count()}
         finally:
-            exploded.unpersist()
+            parsed.unpersist()
 
     def read_registry_raw(self) -> DataFrame | None:
         try:
