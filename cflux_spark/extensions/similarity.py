@@ -66,6 +66,57 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    queries: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (query,
+    candidate) pair with cosine ≥ threshold (query id < candidate id
+    excluded only when identical ids).
+
+    Executed as a blocked matrix product: the query matrix (small —
+    collected and shipped in the UDF closure) multiplies each Arrow
+    batch of candidates in one numpy GEMM. This is the scalable shape
+    for exact near-dup verification behind an LSH candidate generator:
+    work is (candidates × queries) fused multiply-adds, fully
+    vectorized, no per-element interpretation."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+
+    @pandas_udf("array<struct<query_id:long,sim:double>>")
+    def matches(ids: pd.Series, vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0] = 1.0
+        sims = (v @ q_mat.T) / nrm[:, None] / q_norm[None, :]
+        out = []
+        for i, cid in enumerate(ids):
+            hits = np.where((sims[i] >= threshold) & (q_ids != cid))[0]
+            scale = 10.0**round_to
+            out.append(
+                [
+                    # floor(x*1e4+0.5)/1e4 — same deterministic IEEE ops
+                    # the SQL oracle uses (Python round() is half-even)
+                    {"query_id": int(q_ids[j]), "sim": float(np.floor(sims[i, j] * scale + 0.5) / scale)}
+                    for j in hits
+                ]
+            )
+        return pd.Series(out)
+
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.select("neighbor_id", F.explode(matches(F.col("neighbor_id"), F.col("cv"))).alias("m"))
+        .select(F.col("m.query_id").alias("query_id"), "neighbor_id", F.col("m.sim").alias("sim"))
+    )
+
+
 def _hyperplane(dim: int, seed: int, table: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (driver-side, tiny).
     Splitmix64-style mixing of (seed, table, plane, i) — no RNG state,

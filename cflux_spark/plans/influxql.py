@@ -69,6 +69,7 @@ class SelectStmt:
     relative_s: int | None = None
     tag_filters: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value)
     group_by_time_s: int | None = None
+    group_by_tags: list[str] = field(default_factory=list)
     limit: int | None = None
 
 
@@ -168,11 +169,19 @@ def parse_select(q: str) -> SelectStmt:
 
     groupby = m.group("groupby") or ""
     if groupby:
+        rest = groupby
         gbt = re.search(r"time\s*\(\s*(\S+?)\s*\)", groupby, re.IGNORECASE)
         if gbt:
             stmt.group_by_time_s = max(1, int(_parse_duration(gbt.group(1))))
-        elif groupby.strip():
-            raise InfluxQLError(f"unsupported GROUP BY {groupby!r}")
+            rest = groupby.replace(gbt.group(0), "")
+        for tok in rest.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            if re.fullmatch(r"[\w\"']+", tok):
+                stmt.group_by_tags.append(_unquote(tok))
+            else:
+                raise InfluxQLError(f"unsupported GROUP BY term {tok!r}")
 
     if m.group("limit"):
         stmt.limit = int(m.group("limit"))
@@ -346,10 +355,19 @@ class InfluxQLEngine:
             slice_ = reg.filter(cond).select("fingerprint")
             facts = facts.join(F.broadcast(slice_.distinct()), "fingerprint", "left_semi")
 
-        # attach tags for series grouping in the envelope
-        tag_map = (
-            F.broadcast(reg.select("fingerprint", "tags")) if reg is not None else None
-        )
+        # GROUP BY <tag> attaches tag values from the registry (J1
+        # broadcast) and fans one output series out per tag combination
+        gtags = stmt.group_by_tags
+        if gtags:
+            if reg is None:
+                return _envelope([])
+            tag_cols = [
+                F.element_at(F.col("tags"), t).alias(f"_t{i}") for i, t in enumerate(gtags)
+            ]
+            facts = facts.join(
+                F.broadcast(reg.select("fingerprint", *tag_cols)), "fingerprint", "inner"
+            )
+        tkeys = [f"_t{i}" for i in range(len(gtags))]
 
         series: list[dict] = []
         for fn, fieldname in stmt.fields:
@@ -357,14 +375,18 @@ class InfluxQLEngine:
             if fn is None and stmt.group_by_time_s is None:
                 # raw points, string-over-float per cflux.js:795
                 sel = ff.select(
+                    *tkeys,
                     (F.col("ts_ns") / 1e6).cast("long").alias("ts_ms"),
                     F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
-                ).orderBy("ts_ms")
-                if stmt.limit:
+                ).orderBy(*tkeys, "ts_ms")
+                if stmt.limit and not gtags:
                     sel = sel.limit(stmt.limit)
                 rows = sel.collect()
-                series.append(
-                    _series(stmt.measurement, ["time", fieldname], [[r.ts_ms, pivot_ops._maybe_float(r.val)] for r in rows])
+                series.extend(
+                    _tag_series(
+                        rows, gtags, tkeys, stmt, fieldname,
+                        lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)],
+                    )
                 )
                 continue
             # aggregated path: default = the reference's 1-minute mean
@@ -375,16 +397,36 @@ class InfluxQLEngine:
             grouped = (
                 # integer div — double division of ns-scale longs loses
                 # precision above 2^53
-                ff.groupBy((F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"))
+                ff.groupBy(
+                    *tkeys,
+                    (F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"),
+                )
                 .agg(F.round(agg, 6).alias("val"))
-                .orderBy("ts_ms")
+                .orderBy(*tkeys, "ts_ms")
             )
-            if stmt.limit:
+            if stmt.limit and not gtags:
                 grouped = grouped.limit(stmt.limit)
             rows = grouped.collect()
             colname = f"{fn or 'mean'}_{fieldname}" if len(stmt.fields) > 1 else (fn or "mean")
-            series.append(_series(stmt.measurement, ["time", colname], [[r.ts_ms, r.val] for r in rows]))
+            series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return _envelope(series)
+
+
+def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:
+    """Partition collected rows into one series per tag combination
+    (InfluxDB GROUP BY <tag> emits a tagged series each)."""
+    if not gtags:
+        return [_series(stmt.measurement, ["time", colname], [to_value(r) for r in rows])]
+    buckets: dict[tuple, list] = {}
+    for r in rows:
+        key = tuple(getattr(r, k) for k in tkeys)
+        buckets.setdefault(key, []).append(to_value(r))
+    out = []
+    for key in sorted(buckets, key=lambda k: tuple(str(x) for x in k)):
+        s = _series(stmt.measurement, ["time", colname], buckets[key])
+        s["tags"] = {t: key[i] for i, t in enumerate(gtags)}
+        out.append(s)
+    return out
 
 
 def _from_clause(qs: str) -> str | None:

@@ -691,6 +691,37 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_dedup_embedding",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat_q AS (SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM q, idx),
+    flat_c AS (SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx),
+    norms_q AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat_q GROUP BY 1),
+    norms_c AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat_c GROUP BY 1),
+    dots AS (
+      SELECT fq.vec_id AS query_id, fc.vec_id AS neighbor_id, sum(fq.x * fc.x) AS dot
+      FROM flat_q fq JOIN flat_c fc ON fq.ord = fc.ord
+      WHERE fq.vec_id <> fc.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           floor(dot / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS sim
+    FROM dots
+    JOIN norms_q nq ON nq.vec_id = query_id
+    JOIN norms_c nc ON nc.vec_id = neighbor_id
+    WHERE dot / (nq.nrm * nc.nrm) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: exact pairs ≥ 0.3 for a 100-vector
+    query sample, computed as a blocked numpy GEMM (the exact-verify
+    tier behind LSH candidate generation at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb.filter(F.col("vec_id") < 100), emb, threshold=0.3)
+
+
 @q("q_vector_lsh")  # rows-only: ANN recall is probabilistic by design
 def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

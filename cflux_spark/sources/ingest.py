@@ -233,6 +233,38 @@ class LPStore:
         finally:
             parsed.unpersist()
 
+    def compact(self, target_file_mb: int = 128) -> int:
+        """Maintenance: rewrite each date partition of the fact table
+        into size-targeted files sorted by (fingerprint, ts) —
+        MergeTree-merge / OPTIMIZE analogue. Streaming appends produce
+        one small file per (micro-batch × date); compaction restores
+        scan efficiency and re-establishes the sort for row-group
+        skipping. Returns the number of partitions rewritten.
+
+        Writes to a sibling directory then atomically renames, so a
+        crash mid-compact leaves the original data intact."""
+        import shutil
+
+        if not os.path.isdir(self.samples_path):
+            return 0
+        df = self.read_samples()
+        dates = [r.date for r in df.select("date").distinct().collect()]
+        tmp_path = self.samples_path + "._compact"
+        bytes_total = sum(
+            f.stat().st_size for f in __import__("pathlib").Path(self.samples_path).rglob("*.parquet")
+        )
+        n_files = max(1, bytes_total // (target_file_mb * 1024 * 1024))
+        (
+            df.repartitionByRange(int(n_files), "date", "fingerprint")
+            .sortWithinPartitions("fingerprint", "ts")
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(tmp_path)
+        )
+        shutil.rmtree(self.samples_path)
+        os.rename(tmp_path, self.samples_path)
+        return len(dates)
+
     def read_registry_raw(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self.registry_path)

@@ -1,0 +1,107 @@
+"""Streaming pre-aggregation and stateful operators (SURVEY.md ST3+).
+
+The reference accepts all rows regardless of timestamp and aggregates
+only at query time (lambda style). These operators add the streaming-
+native upgrades Spark makes available:
+
+- ``windowed_rollup``: watermarked tumbling-window aggregation in
+  update mode — late data within the watermark still lands in its
+  window; beyond it, state is dropped (bounded memory at 100 TB/day
+  stream rates, unlike query-time-only aggregation).
+- ``stateful_series_diff``: per-series difference over an unbounded
+  stream via ``applyInPandasWithState`` — the Kapacitor
+  ``difference('counter')`` TICK task (docker/config/diffs.tick:8-9)
+  as an in-engine stateful operator: state = last (ts, value) per
+  series, O(#series) not O(#rows).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_rollup(
+    facts: DataFrame,
+    window_seconds: int = 60,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window mean/count/min/max per series.
+
+    Output schema: keys..., window(start,end), mean, n, min_v, max_v.
+    Attach with ``.writeStream.outputMode("update")``.
+    """
+    keys = keys or ["fingerprint"]
+    return (
+        facts.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.window(ts_col, f"{window_seconds} seconds"))
+        .agg(
+            F.avg(value_col).alias("mean"),
+            F.count(value_col).alias("n"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+_DIFF_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("diff", DoubleType(), True),
+    ]
+)
+_DIFF_STATE = StructType(
+    [StructField("last_ts_ns", LongType(), True), StructField("last_value", DoubleType(), True)]
+)
+
+
+def _diff_fn(key: Any, pdfs, state: GroupState):
+    """Emit value - previous value per series, carrying the last
+    observation across micro-batches in GroupState."""
+    (series_key,) = key
+    if state.exists:
+        last_ts_ns, last_value = state.get
+    else:
+        last_ts_ns, last_value = None, None
+    rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts_ns")
+        for r in pdf.itertuples():
+            diff = None if last_value is None else float(r.value) - last_value
+            rows.append((series_key, r.ts, r.value, diff))
+            last_ts_ns, last_value = int(r.ts_ns), float(r.value)
+    state.update((last_ts_ns, last_value))
+    yield pd.DataFrame(rows, columns=["series_key", "ts", "value", "diff"])
+
+
+def stateful_series_diff(facts: DataFrame, key_col: str = "series_key") -> DataFrame:
+    """Custom stateful streaming operator: per-series difference.
+
+    `facts` must be a streaming DataFrame with columns
+    (series_key string, ts timestamp, ts_ns long, value double).
+    State per group is a single (last_ts_ns, last_value) pair.
+    """
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _diff_fn,
+        outputStructType=_DIFF_OUTPUT,
+        stateStructType=_DIFF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -156,3 +156,21 @@ def test_parse_select_shapes():
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
     assert s.limit == 5
+
+
+def test_group_by_tag(engine):
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu GROUP BY time(60s), host", db="mydb"
+    )
+    series = res["results"][0]["series"]
+    assert len(series) == 2
+    by_host = {s["tags"]["host"]: s["values"] for s in series}
+    assert by_host["a"] == [[1704067200000, 0.2], [1704067260000, 0.5]]
+    assert by_host["b"] == [[1704067200000, 0.7]]
+
+
+def test_group_by_tag_raw(engine):
+    res = engine.execute("SELECT user FROM cpu GROUP BY host", db="mydb")
+    series = res["results"][0]["series"]
+    hosts = {s["tags"]["host"] for s in series}
+    assert hosts == {"a", "b"}

@@ -72,3 +72,22 @@ def test_streaming_restart_no_reprocess(spark, tmp_path):
     # restart with no new data
     ingest.start(file_line_source(spark, src), available_now=True).awaitTermination(120)
     assert store.read_samples().count() == n1
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    """Compaction rewrites many small files into few, preserving rows."""
+    store = LPStore(spark, str(tmp_path / "store"), db="c")
+    for i in range(4):  # 4 appends -> many small files
+        lines = spark.createDataFrame(
+            [(f"m,host=h{j} v={i}.{j} 17040672{i:02d}000000000",) for j in range(5)],
+            "line string",
+        )
+        store.write_batch(lines, collect_stats=False)
+    import pathlib
+    before_files = len(list(pathlib.Path(store.samples_path).rglob("*.parquet")))
+    before = store.read_samples().orderBy("fingerprint", "ts_ns").collect()
+    store.compact()
+    after_files = len(list(pathlib.Path(store.samples_path).rglob("*.parquet")))
+    after = store.read_samples().orderBy("fingerprint", "ts_ns").collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert after_files < before_files

@@ -1,0 +1,91 @@
+"""Watermarked rollup + stateful series-diff streaming tests, driven
+through the memory-stream → memory-sink path so late/ordered arrival
+is controlled."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cflux_spark.streaming.rollup import stateful_series_diff, windowed_rollup
+
+
+def _wait_rows(spark, table, n, timeout=60):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(rows) >= n:
+            return rows
+        time.sleep(0.5)
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+def test_windowed_rollup_batchlike(spark):
+    """Semantics check on a bounded frame (same plan, batch mode):
+    one window row per (fingerprint, minute)."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:10", 1.0),
+            (1, "2024-01-01 00:00:50", 3.0),
+            (1, "2024-01-01 00:01:10", 5.0),
+            (2, "2024-01-01 00:00:20", 7.0),
+        ],
+        "fingerprint long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = windowed_rollup(df).orderBy("fingerprint", "window.start").collect()
+    assert [(r.fingerprint, r.mean, r.n) for r in out] == [
+        (1, 2.0, 2),
+        (1, 5.0, 1),
+        (2, 7.0, 1),
+    ]
+
+
+def test_stateful_series_diff_across_batches(spark, tmp_path):
+    """The diff must carry state ACROSS micro-batches: feed two
+    batches through a MemoryStream-like rate of files."""
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for key, ts_ns, val in rows:
+                f.write(f"{key},{ts_ns},{val}\n")
+
+    write_batch("b1.csv", [("s1", 1_000_000_000, 10.0), ("s1", 2_000_000_000, 13.0)])
+
+    lines = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].alias("series_key"),
+            F.col("p")[1].cast("long").alias("ts_ns"),
+            F.timestamp_micros((F.col("p")[1].cast("long") / 1000).cast("long")).alias("ts"),
+            F.col("p")[2].cast("double").alias("value"),
+        )
+    )
+    out = stateful_series_diff(lines)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("diffs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        rows = _wait_rows(spark, "diffs", 2)
+        got = {(r.series_key, r.value): r.diff for r in rows}
+        assert got[("s1", 10.0)] is None
+        assert got[("s1", 13.0)] == 3.0
+
+        # second batch arrives later: state must remember value=13
+        write_batch("b2.csv", [("s1", 3_000_000_000, 20.0), ("s2", 1_000_000_000, 1.0)])
+        rows = _wait_rows(spark, "diffs", 4)
+        got = {(r.series_key, r.value): r.diff for r in rows}
+        assert got[("s1", 20.0)] == 7.0  # 20 - 13 across the batch boundary
+        assert got[("s2", 1.0)] is None
+    finally:
+        q.stop()
