@@ -3,9 +3,17 @@
 Each entry couples a DataFrame builder `(spark, sf_dir) -> DataFrame`
 with a DuckDB-ANSI-SQL oracle over the same parquet tables. Column
 names/types are aligned on both sides (the driver's compare sorts
-columns by name and hashes values). Double-valued aggregates are
-rounded on BOTH sides so summation-order float noise cannot flip the
-hash.
+columns by name and hashes values).
+
+Float-parity policy: sums/averages over the 2-decimal `value`/price
+columns use EXACT integer-cents math (sum of int64 cents, then one
+double division) — bit-identical across engines regardless of
+summation order or partitioning, immune to round-half ties (which we
+hit in practice: avg over a power-of-2 count ties at the 4th decimal
+and Spark's BigDecimal HALF_UP vs DuckDB's scaled-double rounding can
+disagree). Where exactness is impossible (median interpolation,
+stddev, cosine), both sides round identically and order by the rounded
+value so rank ties break identically.
 
 Queries marked rows-only (no oracle) exercise non-SQL-expressible ops:
 LP ingest, MinHash LSH, SimHash, LSH ANN, language ID, the series
@@ -63,7 +71,7 @@ def q(name: str, oracle: str | None = None):
     f"""
     WITH reg AS ({_REG_SQL})
     SELECT e.event_type, date_trunc('minute', e.ts) AS minute,
-           round(avg(e.value), 4) AS mean
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events e JOIN reg USING (user_id, event_type)
     WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
       AND e.ts <  TIMESTAMP '2024-01-12 00:00:00'
@@ -82,7 +90,14 @@ def q_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registry — broadcast, so the fact side never shuffles for the join.
     reg = _registry(spark, sf_dir).select("user_id", "event_type", "labels")
     joined = f.join(F.broadcast(reg), ["user_id", "event_type"], "inner")
-    return aggregates.minute_avg(joined, keys=["event_type"])
+    # exact integer-cents mean (values carry 2 decimals): bit-identical
+    # across engines regardless of summation order — see q_series_join
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        joined.groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("minute"))
+        .agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean"))
+        .orderBy("event_type", "minute")
+    )
 
 
 # ----------------------------------------------------- time-range predicates
@@ -91,7 +106,8 @@ def q_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_time_relative",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_v
     FROM events
     WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
     GROUP BY 1
@@ -103,8 +119,9 @@ def q_time_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = ev.crossJoin(F.broadcast(anchor)).filter(
         F.col("ts") > F.col("mx") - F.expr("INTERVAL 24 HOURS")
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return f.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v")
+        F.count("*").alias("n"), (F.sum(cents).cast("double") / 100).alias("sum_v")
     )
 
 
@@ -248,7 +265,8 @@ def q_series_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_orders_join",
     """
-    SELECT c.c_mktsegment, count(*) AS n, round(sum(o.o_totalprice), 2) AS total
+    SELECT c.c_mktsegment, count(*) AS n,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -259,7 +277,12 @@ def q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double") / 100).alias(
+                "total"
+            ),
+        )
     )
 
 
@@ -271,15 +294,16 @@ def q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_s,
-           round(avg(value), 4) AS mean
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events GROUP BY 1, 2
     """,
 )
 def q_time_bucket_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     return (
         ev.groupBy("event_type", timeops.bucket_start("ts", 600).alias("bucket_s"))
-        .agg(F.round(F.avg("value"), 4).alias("mean"))
+        .agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean"))
     )
 
 
@@ -288,30 +312,47 @@ def q_time_bucket_param(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(value) AS n,
-           round(sum(value), 4) AS sum_v,
-           round(min(value), 4) AS min_v,
-           round(max(value), 4) AS max_v,
-           round(avg(value), 4) AS avg_v,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_v,
+           min(value) AS min_v,
+           max(value) AS max_v,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(value) / 100 AS avg_v,
            round(quantile_cont(value, 0.5), 4) AS median_v,
            round(stddev_samp(value), 4) AS stddev_v
     FROM events GROUP BY 1
     """,
 )
 def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return aggregates.agg_suite(_events(spark, sf_dir), keys=["event_type"])
+    ev = _events(spark, sf_dir)
+    v = F.col("value")
+    cents = F.round(v * 100).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(v).alias("n"),
+            (F.sum(cents).cast("double") / 100).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            (F.sum(cents).cast("double") / F.count(v) / 100).alias("avg_v"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+            F.round(F.stddev_samp(v), 4).alias("stddev_v"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @q(
     "q_hour_bucket",
     """
-    SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(avg(value), 4) AS mean
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events GROUP BY 1
     """,
 )
 def q_hour_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     return ev.groupBy(timeops.hour_trunc("ts").alias("hour")).agg(
-        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("mean")
+        F.count("*").alias("n"), (F.sum(cents).cast("double") / F.count("*") / 100).alias("mean")
     )
 
 
@@ -356,15 +397,26 @@ def q_series_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, event_type,
            CASE WHEN floor(epoch(ts)) - floor(epoch(pts)) > 0
-                THEN round((value - pv) / (floor(epoch(ts)) - floor(epoch(pts))), 4)
+                THEN (CAST(round(value * 100) AS BIGINT) - CAST(round(pv * 100) AS BIGINT))
+                     / (floor(epoch(ts)) - floor(epoch(pts))) / 100
            END AS rate
     FROM d
     """,
 )
 def q_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = _events(spark, sf_dir)
-    out = windows.series_rate(ev, key_cols=["user_id", "event_type"], order_tiebreak=["event_id"])
-    return out.select("event_id", "user_id", "event_type", "rate")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    dv = cents - F.lag(cents).over(w)
+    dt = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(dt > 0, dv.cast("double") / dt.cast("double") / 100).alias("rate"),
+    )
 
 
 @q(
@@ -387,10 +439,12 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_union_fields",
     """
-    SELECT 'click' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+    SELECT 'click' AS field, date_trunc('minute', ts) AS minute,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events WHERE event_type = 'click' GROUP BY 2
     UNION ALL
-    SELECT 'error' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+    SELECT 'error' AS field, date_trunc('minute', ts) AS minute,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events WHERE event_type = 'error' GROUP BY 2
     """,
 )
@@ -398,10 +452,11 @@ def q_union_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
 
     def branch(field: str) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
         return (
             ev.filter(F.col("event_type") == field)
             .groupBy(timeops.minute_trunc("ts").alias("minute"))
-            .agg(F.round(F.avg("value"), 4).alias("mean"))
+            .agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean"))
             .select(F.lit(field).alias("field"), "minute", "mean")
         )
 
@@ -412,10 +467,12 @@ def q_union_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_sorted",
     """
     SELECT field, minute, mean FROM (
-      SELECT 'view' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+      SELECT 'view' AS field, date_trunc('minute', ts) AS minute,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
       FROM events WHERE event_type = 'view' GROUP BY 2
       UNION ALL
-      SELECT 'signup' AS field, date_trunc('minute', ts) AS minute, round(avg(value), 4) AS mean
+      SELECT 'signup' AS field, date_trunc('minute', ts) AS minute,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
       FROM events WHERE event_type = 'signup' GROUP BY 2
     ) ORDER BY minute, field
     """,
@@ -424,10 +481,11 @@ def q_union_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
 
     def branch(field: str) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("long")
         return (
             ev.filter(F.col("event_type") == field)
             .groupBy(timeops.minute_trunc("ts").alias("minute"))
-            .agg(F.round(F.avg("value"), 4).alias("mean"))
+            .agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean"))
             .select(F.lit(field).alias("field"), "minute", "mean")
         )
 
@@ -540,10 +598,12 @@ def q_ts_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS sum_disc_price,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS avg_qty,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -556,12 +616,27 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2001-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+            # exact integer math: 2-decimal inputs become int64 cents; the
+            # discount product stays integral at scale 10^-4 — the whole
+            # aggregation is order-independent and engine-exact
+            (F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double") / 100).alias(
+                "sum_qty"
             ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double") / 100
+            ).alias("sum_base_price"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ).cast("double")
+                / 10000
+            ).alias("sum_disc_price"),
+            (
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("double")
+                / F.count("*")
+                / 100
+            ).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -571,7 +646,9 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5ish",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000
+             AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -596,7 +673,15 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                ).cast("double")
+                / 10000
+            ).alias("revenue")
+        )
     )
 
 
@@ -726,6 +811,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+@q("q_vector_ivf")  # rows-only: ANN (IVF/k-means cells), probabilistic recall
+def q_vector_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
 @q(

@@ -165,3 +165,14 @@ def test_series_pivot_envelope(spark):
     assert [v[1] for v in a["values"]] == [1.0, 1.5]  # time-sorted
     b = next(s for s in series if s["tags"] == {"host": "b"})
     assert b["values"][0][1] == "oops"  # string-over-float rule
+
+
+def test_ivf_topk_recall_vs_exact(emb):
+    """IVF with nprobe=nlist is exhaustive -> must equal exact top-k;
+    with nprobe<nlist it's a subset with high overlap."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(q, emb, k=5).collect()}
+    full = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(q, emb, k=5, nlist=8, nprobe=8).collect()}
+    assert full == exact
+    probed = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(q, emb, k=5, nlist=8, nprobe=3).collect()}
+    assert len(probed & exact) / len(exact) >= 0.4
