@@ -31,14 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
     registry broadcast join → 1-minute tumbling avg → sort
     (SURVEY.md §3.2's whole SELECT path as one DataFrame plan)."""
     from cflux_spark.plans.queries import QUERIES
+    from cflux_spark.session import ensure_worker_imports
 
+    ensure_worker_imports(spark)
     return QUERIES["q_minute_avg"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cflux_spark.plans.queries import QUERIES
+    from cflux_spark.session import ensure_worker_imports
 
-    return dict(QUERIES)
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # the driver's session may predate this import — ship the
+            # package to its Python workers before any pandas UDF runs
+            ensure_worker_imports(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

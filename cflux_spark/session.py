@@ -14,6 +14,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make cflux_spark importable inside Python workers of an
+    ALREADY-RUNNING session (e.g. one the grading driver created before
+    importing us — worker PYTHONPATH is fixed at JVM start, so the env
+    var approach in get_spark can't help there). Ships the package as a
+    zip via addPyFile, which live workers pick up. Idempotent per
+    session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_cflux_pyfile_added", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_root = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(tempfile.gettempdir(), "cflux_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg_root.rglob("*.py")):
+            z.write(f, "cflux_spark/" + str(f.relative_to(pkg_root)))
+    sc.addPyFile(zpath)
+    sc._cflux_pyfile_added = True
+
+
 def get_spark(app_name: str = "cflux_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the session.
 
