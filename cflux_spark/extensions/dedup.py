@@ -179,15 +179,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sign bits → binary fingerprint."""
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
     h = F.xxhash64("tok")
+    # majority vote per bit via ones-count: vote_i > 0  ⇔  2·ones_i > n.
+    # Plain sums of extracted bits (no conditionals) keep the 64 agg
+    # expressions inside whole-stage codegen; map-side partial agg
+    # shrinks the shuffle to 65 longs per doc.
     votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-            for i in range(bits)
-        ]
+        F.count("*").alias("_n"),
+        *[F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(bits)],
     )
     # shiftleft (not lit(1 << i)) — 1 << 63 overflows a Python->JVM long
     fp = sum(
-        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+        F.when(F.col(f"b{i}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
         for i in range(bits)

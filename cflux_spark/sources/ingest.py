@@ -201,8 +201,20 @@ class LPStore:
         return os.path.join(self.root, self.db, "time_series")
 
     def write_batch(
-        self, lines: DataFrame, default_ts_ns: int = 0, collect_stats: bool = True
+        self,
+        lines: DataFrame,
+        default_ts_ns: int = 0,
+        collect_stats: bool = True,
+        backfill: bool = False,
     ) -> dict[str, int]:
+        """Ingest a batch of LP lines.
+
+        `backfill=True` switches the facts write from
+        ``repartition("date")`` (one task per date — right for
+        micro-batches spanning 1-2 dates) to
+        ``repartitionByRange(parallelism, date, fingerprint)`` so a
+        historical load spanning hundreds of dates parallelizes across
+        the cluster instead of serializing per date (SCALE.md)."""
         # cache the PARSED frame (one Python-parse pass); the JVM-side
         # explode/fingerprint downstream is cheap to recompute for the
         # facts and registry consumers.
@@ -213,9 +225,13 @@ class LPStore:
             # sortWithinPartitions(fingerprint, ts) mirrors the MergeTree
             # ORDER BY (cflux.js:152): parquet row-group min/max stats then
             # skip on fingerprint/time predicates at read.
+            if backfill:
+                par = self.spark.sparkContext.defaultParallelism
+                distributed = facts.repartitionByRange(par, "date", "fingerprint")
+            else:
+                distributed = facts.repartition("date")
             (
-                facts.repartition("date")
-                .sortWithinPartitions("fingerprint", "ts")
+                distributed.sortWithinPartitions("fingerprint", "ts")
                 .write.mode("append")
                 .partitionBy("date")
                 .parquet(self.samples_path)

@@ -226,6 +226,10 @@ def parse_line(line: str) -> ParsedLine | None:
             ts_ns = int(sections[2])
         except ValueError:
             return ParsedLine(measurement, tags, floats, strings, error=f"bad ts {sections[2]!r}")
+        # int64 bounds: an out-of-range timestamp must become a parse
+        # error on ITS line, not an Arrow overflow that kills the batch
+        if not (-(1 << 63) <= ts_ns < (1 << 63)):
+            return ParsedLine(measurement, tags, floats, strings, error=f"ts out of int64 range {sections[2]!r}")
     return ParsedLine(measurement, tags, floats, strings, ts_ns)
 
 

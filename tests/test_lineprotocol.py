@@ -149,3 +149,10 @@ def test_roundtrip(meas, tags, floats, strings, ts):
     assert out.float_fields == floats
     assert out.string_fields == strings
     assert out.ts_ns == ts
+
+
+def test_timestamp_out_of_int64_range_is_error():
+    p = parse_line("m,host=a v=1 17040670000000000000")
+    assert p.error is not None and "int64" in p.error
+    p2 = parse_line(f"m,host=a v=1 {2**63 - 1}")
+    assert p2.error is None and p2.ts_ns == 2**63 - 1
