@@ -70,7 +70,10 @@ class SelectStmt:
     tag_filters: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value)
     group_by_time_s: int | None = None
     group_by_tags: list[str] = field(default_factory=list)
+    fill: str | None = None  # none|null|previous|<number>
+    order_desc: bool = False
     limit: int | None = None
+    offset: int | None = None
 
 
 def _unquote(s: str) -> str:
@@ -111,7 +114,9 @@ def parse_select(q: str) -> SelectStmt:
         r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+)"
         r"(?:\s+WHERE\s+(?P<where>.*?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?"
-        r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+        r"(?:\s+ORDER\s+BY\s+time\s*(?P<order>ASC|DESC)?)?"
+        r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
+        r"(?:\s+OFFSET\s+(?P<offset>\d+))?\s*;?\s*$",
         q,
         re.IGNORECASE | re.DOTALL,
     )
@@ -169,6 +174,10 @@ def parse_select(q: str) -> SelectStmt:
 
     groupby = m.group("groupby") or ""
     if groupby:
+        fm = re.search(r"fill\s*\(\s*([\w.+-]+)\s*\)", groupby, re.IGNORECASE)
+        if fm:
+            stmt.fill = fm.group(1).lower()
+            groupby = groupby.replace(fm.group(0), "")
         rest = groupby
         gbt = re.search(r"time\s*\(\s*(\S+?)\s*\)", groupby, re.IGNORECASE)
         if gbt:
@@ -183,8 +192,12 @@ def parse_select(q: str) -> SelectStmt:
             else:
                 raise InfluxQLError(f"unsupported GROUP BY term {tok!r}")
 
+    if m.group("order"):
+        stmt.order_desc = m.group("order").upper() == "DESC"
     if m.group("limit"):
         stmt.limit = int(m.group("limit"))
+    if m.group("offset"):
+        stmt.offset = int(m.group("offset"))
     return stmt
 
 
@@ -378,7 +391,9 @@ class InfluxQLEngine:
                     *tkeys,
                     (F.col("ts_ns") / 1e6).cast("long").alias("ts_ms"),
                     F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
-                ).orderBy(*tkeys, "ts_ms")
+                ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+                if stmt.offset and not gtags:
+                    sel = sel.offset(stmt.offset)
                 if stmt.limit and not gtags:
                     sel = sel.limit(stmt.limit)
                 rows = sel.collect()
@@ -402,8 +417,35 @@ class InfluxQLEngine:
                     (F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"),
                 )
                 .agg(F.round(agg, 6).alias("val"))
-                .orderBy(*tkeys, "ts_ms")
             )
+            if stmt.fill and stmt.fill != "none" and stmt.group_by_time_s:
+                # materialize missing buckets per series between its
+                # first and last observed bucket, then fill per policy
+                bucket_ms = int(bucket_s * 1000)
+                bounds = grouped.groupBy(*tkeys).agg(
+                    F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
+                )
+                allb = bounds.select(
+                    *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
+                )
+                grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
+                if stmt.fill == "previous":
+                    from pyspark.sql import Window as _W
+
+                    wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                        _W.unboundedPreceding, 0
+                    )
+                    grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
+                elif stmt.fill != "null":
+                    try:
+                        grouped = grouped.fillna({"val": float(stmt.fill)})
+                    except ValueError as exc:
+                        raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
+            grouped = grouped.orderBy(
+                *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            if stmt.offset and not gtags:
+                grouped = grouped.offset(stmt.offset)
             if stmt.limit and not gtags:
                 grouped = grouped.limit(stmt.limit)
             rows = grouped.collect()

@@ -838,6 +838,29 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_token_bpe",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS n_word_tokens,
+           len(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+             AS n_unique_tokens
+    FROM documents
+    """,
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization: word-piece splits on non-alphanumeric runs
+    (brief §text-analysis: 'whitespace + a BPE-ish regex')."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_word_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@q(
     "q_quality_score",
     r"""
     SELECT doc_id,

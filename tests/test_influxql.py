@@ -174,3 +174,39 @@ def test_group_by_tag_raw(engine):
     series = res["results"][0]["series"]
     hosts = {s["tags"]["host"] for s in series}
     assert hosts == {"a", "b"}
+
+
+def test_order_by_time_desc(engine):
+    res = engine.execute("SELECT user FROM cpu WHERE host = 'a' ORDER BY time DESC", db="mydb")
+    vals = _values(res)
+    assert [v[0] for v in vals] == sorted((v[0] for v in vals), reverse=True)
+
+
+def test_limit_offset(engine):
+    res = engine.execute("SELECT user FROM cpu WHERE host = 'a' LIMIT 1 OFFSET 1", db="mydb")
+    assert _values(res) == [[1704067230000, 0.3]]
+
+
+def test_fill_null_inserts_missing_buckets(engine):
+    # host=a has points in minutes 0 and 1 only for 30s buckets 0,30,90
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(30s) fill(null)", db="mydb"
+    )
+    vals = _values(res)
+    assert [v for v in vals if v[1] is None]  # gap bucket present as null
+
+
+def test_fill_zero(engine):
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(30s) fill(0)", db="mydb"
+    )
+    vals = dict((v[0], v[1]) for v in _values(res))
+    assert vals[1704067260000] == 0.0  # the empty 00:01:00-00:01:30 bucket
+
+
+def test_fill_previous(engine):
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(30s) fill(previous)", db="mydb"
+    )
+    vals = dict((v[0], v[1]) for v in _values(res))
+    assert vals[1704067260000] == vals[1704067230000]  # forward-filled
