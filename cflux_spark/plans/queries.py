@@ -492,6 +492,61 @@ def q_union_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sets.union_all([branch("view"), branch("signup")]).orderBy("minute", "field")
 
 
+@q(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals — absent in the reference (SURVEY §2.4
+    'no grouping sets/cube/rollup'), free in Spark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), (F.sum(cents).cast("double") / 100).alias("sum_qty")
+    )
+
+
+@q(
+    "q_intersect",
+    """
+    SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    week1 = ev.filter(F.col("ts_ns") < F.lit(1704672000 * 10**9)).select("user_id").distinct()
+    week4 = ev.filter(F.col("ts_ns") >= F.lit(1706054400 * 10**9)).select("user_id").distinct()
+    return week1.intersect(week4)
+
+
+@q(
+    "q_except",
+    r"""
+    SELECT DISTINCT user_id, regexp_extract(props, '"k":\s*(\d+)', 1) AS k
+    FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT DISTINCT user_id, regexp_extract(props, '"k":\s*(\d+)', 1) AS k
+    FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user, tag) combinations seen only in the first week (set
+    difference — absent in the reference, SURVEY §2.7). Uses the
+    sparse tag dimension so the difference is non-trivial."""
+    ev = _events(spark, sf_dir)
+    pairs = ev.select("ts_ns", "user_id", props_tag("props", "k").alias("k"))
+    early = pairs.filter(F.col("ts_ns") < F.lit(1704672000 * 10**9)).select("user_id", "k")
+    late = pairs.filter(F.col("ts_ns") >= F.lit(1704672000 * 10**9)).select("user_id", "k")
+    return early.distinct().exceptAll(late.distinct())
+
+
 # ------------------------------------------------------------ sort / limit
 
 
