@@ -70,7 +70,7 @@ def q(name: str, oracle: str | None = None):
     "q_minute_avg",
     f"""
     WITH reg AS ({_REG_SQL})
-    SELECT e.event_type, date_trunc('minute', e.ts) AS minute,
+    SELECT e.event_type, CAST(date_trunc('minute', e.ts) AS TIMESTAMP) AS minute,
            CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events e JOIN reg USING (user_id, event_type)
     WHERE e.ts >= TIMESTAMP '2024-01-05 00:00:00'
@@ -132,7 +132,7 @@ _ABS_HI_NS = 1705276800 * 10**9  # 2024-01-15T00:00:00Z
 @q(
     "q_time_absolute",
     """
-    SELECT event_id, ts, user_id, event_type, value
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
     FROM events
     WHERE ts > TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
     """,
@@ -185,7 +185,7 @@ def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_name_filter",
-    "SELECT event_id, ts, value FROM events WHERE event_type = 'click'",
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'click'",
 )
 def q_name_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).filter(F.col("event_type") == "click").select("event_id", "ts", "value")
@@ -343,7 +343,7 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_hour_bucket",
     """
-    SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events GROUP BY 1
     """,
@@ -439,11 +439,11 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_union_fields",
     """
-    SELECT 'click' AS field, date_trunc('minute', ts) AS minute,
+    SELECT 'click' AS field, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events WHERE event_type = 'click' GROUP BY 2
     UNION ALL
-    SELECT 'error' AS field, date_trunc('minute', ts) AS minute,
+    SELECT 'error' AS field, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
     FROM events WHERE event_type = 'error' GROUP BY 2
     """,
@@ -467,11 +467,11 @@ def q_union_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_union_sorted",
     """
     SELECT field, minute, mean FROM (
-      SELECT 'view' AS field, date_trunc('minute', ts) AS minute,
+      SELECT 'view' AS field, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
       FROM events WHERE event_type = 'view' GROUP BY 2
       UNION ALL
-      SELECT 'signup' AS field, date_trunc('minute', ts) AS minute,
+      SELECT 'signup' AS field, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
       FROM events WHERE event_type = 'signup' GROUP BY 2
     ) ORDER BY minute, field
