@@ -41,8 +41,18 @@ def tokenize(text: Column, lower: bool = True) -> Column:
     return F.filter(F.split(t, r"\s+"), lambda x: x != "")
 
 
-def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word-n-gram shingles per document: (id, shingle)."""
+def shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word-n-gram shingles per document: (id, shingle).
+
+    `distinct=False` skips the dedup shuffle — correct for consumers
+    whose aggregation is duplicate-idempotent (MinHash: min over a
+    multiset equals min over its set)."""
     toks = tokenize(F.col(text_col))
     # sliding n-gram via arrays_zip of n shifted views of the token
     # array — one zip + one transform, instead of a slice+concat per
@@ -56,11 +66,10 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "d
     grams = F.when(F.size(toks) >= n, F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))).otherwise(
         F.slice(grams, 1, 1)
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
+        F.col("shingle") != ""
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -137,7 +146,11 @@ def minhash_lsh_pairs(
     is an equi-join on (band_id, band_hash) — shuffle-partitionable,
     no quadratic blowup except inside genuine near-dup clusters."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(shingles(df, n, text_col, id_col), num_hashes, id_col).cache()
+    # distinct=False: MinHash min is idempotent to duplicate shingles,
+    # so the dedup shuffle is pure overhead here
+    sig = minhash_signatures(
+        shingles(df, n, text_col, id_col, distinct=False), num_hashes, id_col
+    ).cache()
     band_cols = [
         F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band{b}"
