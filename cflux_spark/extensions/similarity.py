@@ -134,6 +134,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every (query,
     candidate) pair with cosine ≥ threshold (query id < candidate id
@@ -144,8 +145,20 @@ def cosine_pairs(
     batch of candidates in one numpy GEMM. This is the scalable shape
     for exact near-dup verification behind an LSH candidate generator:
     work is (candidates × queries) fused multiply-adds, fully
-    vectorized, no per-element interpretation."""
-    q_rows = queries.select(id_col, vec_col).collect()
+    vectorized, no per-element interpretation.
+
+    The query side is collected to the driver and broadcast in the UDF
+    closure — deliberately the SMALL side. `max_query_rows` guards the
+    collect (no extra count job: we fetch at most N+1 rows) and fails
+    loudly instead of OOMing the driver on a misuse."""
+    q_rows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_pairs collects the query side to the driver and got "
+            f"> {max_query_rows} query rows; this tier is the exact verifier "
+            "for small query sets. For large query sets use lsh_topk/ivf_topk "
+            "(bucketed candidate generation), or raise max_query_rows explicitly."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

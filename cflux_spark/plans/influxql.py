@@ -64,9 +64,12 @@ class SelectStmt:
     fields: list[tuple[str | None, str]]  # (agg_fn | None, field_name)
     measurement: str
     db: str | None = None
-    time_lo_ns: int | None = None
+    time_lo_ns: int | None = None  # canonical half-open [lo, hi) in ns
     time_hi_ns: int | None = None
-    relative_s: int | None = None
+    relative_s: int | None = None  # lower bound: ts > now() - relative_s
+    relative_lo_inclusive: bool = False
+    relative_hi_s: int | None = None  # upper bound: ts < now() - relative_hi_s
+    relative_hi_inclusive: bool = False
     tag_filters: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value)
     group_by_time_s: int | None = None
     group_by_tags: list[str] = field(default_factory=list)
@@ -155,16 +158,34 @@ def parse_select(q: str) -> SelectStmt:
         tm = re.fullmatch(r"time\s*(>=|<=|>|<)\s*(.+)", cond, re.IGNORECASE)
         if tm:
             op, val = tm.group(1), tm.group(2).strip()
-            rel = re.fullmatch(r"now\s*\(\s*\)\s*-\s*(\S+)", val, re.IGNORECASE)
+            rel = re.fullmatch(r"now\s*\(\s*\)\s*(?:-\s*(\S+))?", val, re.IGNORECASE)
             if rel:
+                dur_s = int(_parse_duration(rel.group(1))) if rel.group(1) else 0
                 if op in (">", ">="):
-                    stmt.relative_s = int(_parse_duration(rel.group(1)))
-                continue  # 'AND time < now()' is a no-op bound (cflux.js:689 strips it; same here, knowingly)
+                    stmt.relative_s = dur_s
+                    stmt.relative_lo_inclusive = op == ">="
+                elif dur_s == 0:
+                    pass  # 'time < now()' — no-op upper bound (cflux.js:689 strips it; same, knowingly)
+                else:
+                    stmt.relative_hi_s = dur_s
+                    stmt.relative_hi_inclusive = op == "<="
+                continue
+            # absolute bounds canonicalize to half-open [lo, hi) in ns,
+            # so strict vs inclusive operators keep InfluxDB semantics
+            # (ts_ns is integer ns — the ±1 adjustment is exact)
             ns = _parse_time_value(val)
+            if op == ">":
+                lo = ns + 1
+            elif op == ">=":
+                lo = ns
+            elif op == "<=":
+                hi = ns + 1
+            else:  # <
+                hi = ns
             if op in (">", ">="):
-                stmt.time_lo_ns = ns
+                stmt.time_lo_ns = lo if stmt.time_lo_ns is None else max(stmt.time_lo_ns, lo)
             else:
-                stmt.time_hi_ns = ns
+                stmt.time_hi_ns = hi if stmt.time_hi_ns is None else min(stmt.time_hi_ns, hi)
             continue
         gm = re.fullmatch(r"([\w\"']+)\s*(=~|!~|!=|=)\s*(.+)", cond)
         if gm:
@@ -347,8 +368,14 @@ class InfluxQLEngine:
 
         # time range (F1/F2/F3; default window F4 when nothing parses)
         if stmt.relative_s is not None:
+            lo_bound = F.current_timestamp() - F.expr(f"INTERVAL {stmt.relative_s} SECONDS")
             facts = facts.filter(
-                F.col("ts") > F.current_timestamp() - F.expr(f"INTERVAL {stmt.relative_s} SECONDS")
+                F.col("ts") >= lo_bound if stmt.relative_lo_inclusive else F.col("ts") > lo_bound
+            )
+        if stmt.relative_hi_s is not None:
+            hi_bound = F.current_timestamp() - F.expr(f"INTERVAL {stmt.relative_hi_s} SECONDS")
+            facts = facts.filter(
+                F.col("ts") <= hi_bound if stmt.relative_hi_inclusive else F.col("ts") < hi_bound
             )
         if stmt.time_lo_ns is not None:
             facts = facts.filter(F.col("ts_ns") >= F.lit(stmt.time_lo_ns))
@@ -389,7 +416,9 @@ class InfluxQLEngine:
                 # raw points, string-over-float per cflux.js:795
                 sel = ff.select(
                     *tkeys,
-                    (F.col("ts_ns") / 1e6).cast("long").alias("ts_ms"),
+                    # integer div — double division of epoch-ns longs
+                    # (~1.7e18 > 2^53) can round and shift a ms
+                    F.expr("ts_ns div 1000000").alias("ts_ms"),
                     F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
                 ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
                 if stmt.offset and not gtags:

@@ -191,6 +191,7 @@ class LPStore:
         self.spark = spark
         self.root = root
         self.db = db
+        self._recover_compact()
 
     @property
     def samples_path(self) -> str:
@@ -257,8 +258,13 @@ class LPStore:
         scan efficiency and re-establishes the sort for row-group
         skipping. Returns the number of partitions rewritten.
 
-        Writes to a sibling directory then atomically renames, so a
-        crash mid-compact leaves the original data intact."""
+        Crash safety: the new data is written to a ``._compact``
+        sibling, the live directory is renamed ASIDE (``._old``), the
+        sibling renamed in, and only then is the old data deleted — a
+        crash at any point leaves a recoverable state that
+        ``_recover_compact`` (run on store construction) repairs. The
+        brief window between the two renames is not atomic for
+        concurrent readers; single-writer maintenance is assumed."""
         import shutil
 
         if not os.path.isdir(self.samples_path):
@@ -266,6 +272,7 @@ class LPStore:
         df = self.read_samples()
         dates = [r.date for r in df.select("date").distinct().collect()]
         tmp_path = self.samples_path + "._compact"
+        old_path = self.samples_path + "._old"
         bytes_total = sum(
             f.stat().st_size for f in __import__("pathlib").Path(self.samples_path).rglob("*.parquet")
         )
@@ -277,9 +284,28 @@ class LPStore:
             .partitionBy("date")
             .parquet(tmp_path)
         )
-        shutil.rmtree(self.samples_path)
+        os.rename(self.samples_path, old_path)
         os.rename(tmp_path, self.samples_path)
+        shutil.rmtree(old_path)
         return len(dates)
+
+    def _recover_compact(self) -> None:
+        """Repair any state a crash mid-``compact()`` left behind.
+        Invariant: the original data survives until the rewritten copy
+        is in place, so recovery always restores a readable store."""
+        import shutil
+
+        samples = self.samples_path
+        old, tmp = samples + "._old", samples + "._compact"
+        if not os.path.isdir(samples) and os.path.isdir(old):
+            # crashed between rename-aside and swap-in: restore original
+            os.rename(old, samples)
+        if os.path.isdir(samples) and os.path.isdir(old):
+            # crashed after swap-in, before cleanup: new data is live
+            shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            # incomplete (or superseded) compaction output
+            shutil.rmtree(tmp)
 
     def read_registry_raw(self) -> DataFrame | None:
         try:

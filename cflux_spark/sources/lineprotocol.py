@@ -198,7 +198,15 @@ def parse_line(line: str) -> ParsedLine | None:
         kv = _split_unescaped(item, "=")
         if len(kv) != 2 or not kv[0]:
             return ParsedLine(measurement, error=f"bad tag {item!r}")
-        tags[_unescape(kv[0])] = _unescape(kv[1])
+        key = _unescape(kv[0])
+        if key == "__name__":
+            # reserved: ingest appends __name__ to the tag map for the
+            # series identity (cflux.js:322-325 analogue); a literal
+            # tag with this key would be a duplicate map key that kills
+            # the whole batch under Spark's mapKeyDedupPolicy=EXCEPTION.
+            # Reject THIS line (keep-and-route policy), not the batch.
+            return ParsedLine(measurement, error=f"reserved tag key {key!r}")
+        tags[key] = _unescape(kv[1])
 
     if len(sections) < 2:
         return ParsedLine(measurement, tags, error="missing fields")

@@ -176,3 +176,10 @@ def test_ivf_topk_recall_vs_exact(emb):
     assert full == exact
     probed = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(q, emb, k=5, nlist=8, nprobe=3).collect()}
     assert len(probed & exact) / len(exact) >= 0.4
+
+
+def test_cosine_pairs_refuses_oversized_query_side(spark, emb):
+    """The exact tier collects the query side to the driver; an
+    oversized query set must fail loudly, pointing at the ANN tiers."""
+    with pytest.raises(ValueError, match="lsh_topk"):
+        similarity.cosine_pairs(emb, emb, threshold=0.9, max_query_rows=10)

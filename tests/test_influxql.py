@@ -210,3 +210,53 @@ def test_fill_previous(engine):
     )
     vals = dict((v[0], v[1]) for v in _values(res))
     assert vals[1704067260000] == vals[1704067230000]  # forward-filled
+
+
+def test_upper_bound_now_is_noop(engine):
+    """'AND time < now()' must not error (Grafana's standard shape) and
+    must behave as a no-op upper bound (cflux.js:689 parity)."""
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE host = 'a' AND time > now() - 520w AND time < now()",
+        db="mydb",
+    )
+    assert len(_values(res)) == 3
+
+
+def test_upper_bound_now_minus_duration(engine):
+    """'time < now() - d' is a real upper bound, not silently dropped."""
+    # data is all of 2024-01; now() - 520w (~10y ago) excludes everything
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE host = 'a' AND time < now() - 520w", db="mydb"
+    )
+    assert res["results"][0].get("series", [{}])[0].get("values", []) == []
+    # lower bound in the recent past excludes the 2024 data too
+    res2 = engine.execute("SELECT user FROM cpu WHERE host = 'a' AND time > now() - 1h", db="mydb")
+    assert res2["results"][0].get("series", [{}])[0].get("values", []) == []
+
+
+def test_absolute_bound_strictness(engine):
+    """Strict vs inclusive comparison operators honor InfluxDB
+    semantics for boundary-aligned timestamps."""
+    lo, hi = 1704067230000000000, 1704067290000000000  # exact point timestamps
+    inclusive = engine.execute(
+        f"SELECT user FROM cpu WHERE host = 'a' AND time >= {lo} AND time <= {hi}", db="mydb"
+    )
+    assert [v[1] for v in _values(inclusive)] == [0.3, 0.5]
+    strict = engine.execute(
+        f"SELECT user FROM cpu WHERE host = 'a' AND time > {lo} AND time < {hi}", db="mydb"
+    )
+    assert strict["results"][0].get("series", [{}])[0].get("values", []) == []
+
+
+def test_parse_time_bound_fields():
+    s = parse_select("SELECT v FROM m WHERE time < now()")
+    assert s.relative_hi_s is None and s.relative_s is None
+    s = parse_select("SELECT v FROM m WHERE time < now() - 1h")
+    assert s.relative_hi_s == 3600 and not s.relative_hi_inclusive
+    s = parse_select("SELECT v FROM m WHERE time <= now() - 30m AND time >= now() - 1d")
+    assert s.relative_hi_s == 1800 and s.relative_hi_inclusive
+    assert s.relative_s == 86400 and s.relative_lo_inclusive
+    s = parse_select("SELECT v FROM m WHERE time > 100 AND time <= 200")
+    assert s.time_lo_ns == 101 and s.time_hi_ns == 201
+    s = parse_select("SELECT v FROM m WHERE time >= 100 AND time < 200")
+    assert s.time_lo_ns == 100 and s.time_hi_ns == 200

@@ -156,3 +156,14 @@ def test_timestamp_out_of_int64_range_is_error():
     assert p.error is not None and "int64" in p.error
     p2 = parse_line(f"m,host=a v=1 {2**63 - 1}")
     assert p2.error is None and p2.ts_ns == 2**63 - 1
+
+
+def test_reserved_name_tag_is_rejected():
+    """A literal '__name__' tag would duplicate the reserved label key
+    at fingerprint time (mapKeyDedupPolicy=EXCEPTION would kill the
+    whole ingest batch); the parser rejects the line instead."""
+    p = parse_line("m,__name__=x v=1 1704067200000000000")
+    assert p is not None and p.error is not None and "__name__" in p.error
+    # the rest of a batch containing such a line still ingests
+    batch = parse_lines("m,__name__=x v=1\nm,host=a v=2")
+    assert [p.error is None for p in batch] == [False, True]

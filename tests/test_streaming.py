@@ -109,3 +109,32 @@ def test_backfill_write_mode(spark, tmp_path):
     ra = sorted(tuple(r) for r in a.read_samples().collect())
     rb = sorted(tuple(r) for r in b.read_samples().collect())
     assert ra == rb and len(ra) == len(lines_list)
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash at any point mid-compact leaves a state the next store
+    construction repairs, with the data intact."""
+    import pathlib
+    import shutil
+
+    root = str(tmp_path / "store")
+    store = LPStore(spark, root, db="c")
+    lines = spark.createDataFrame(
+        [(f"m,host=h{j} v=1.{j} 1704067200000000000",) for j in range(5)], "line string"
+    )
+    store.write_batch(lines, collect_stats=False)
+    expect = sorted(tuple(r) for r in store.read_samples().collect())
+
+    # crash between rename-aside and swap-in: samples gone, ._old + ._compact present
+    shutil.copytree(store.samples_path, store.samples_path + "._compact")
+    pathlib.Path(store.samples_path).rename(store.samples_path + "._old")
+    recovered = LPStore(spark, root, db="c")  # __init__ runs recovery
+    assert sorted(tuple(r) for r in recovered.read_samples().collect()) == expect
+    assert not pathlib.Path(store.samples_path + "._old").exists()
+    assert not pathlib.Path(store.samples_path + "._compact").exists()
+
+    # crash after swap-in, before cleanup: both samples and ._old present
+    shutil.copytree(store.samples_path, store.samples_path + "._old")
+    recovered2 = LPStore(spark, root, db="c")
+    assert sorted(tuple(r) for r in recovered2.read_samples().collect()) == expect
+    assert not pathlib.Path(store.samples_path + "._old").exists()
