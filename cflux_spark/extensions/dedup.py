@@ -208,3 +208,60 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         for i in range(bits)
     )
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """Hamming-near duplicate pairs from SimHash fingerprints:
+    (id_a < id_b, hamming ≤ max_hamming). Output: id_a, id_b, hamming.
+
+    Candidate generation is EXACT (pigeonhole, not probabilistic): the
+    fingerprint splits into (max_hamming + 1) bit-bands — a pair at
+    hamming distance ≤ d differs in ≤ d bands, so at least one band
+    matches exactly. Candidates form via an equi-join on
+    (band_id, band_bits); popcount(xor) then verifies exactly. The join
+    carries only (id, fingerprint, band key) — one shuffle, no
+    quadratic blowup outside genuine near-dup clusters, same scale
+    shape as the MinHash banding above."""
+    fp = simhash(df, text_col, id_col, bits)
+    nbands = max_hamming + 1
+    width = (bits + nbands - 1) // nbands
+    band_structs = []
+    for bnd in range(nbands):
+        shift = bnd * width
+        w = min(width, bits - shift)
+        mask = (1 << w) - 1
+        # arithmetic shiftright sign-extends, but the mask truncates to
+        # the band width — equivalent to a logical shift
+        band_structs.append(
+            F.struct(
+                F.lit(bnd).alias("band_id"),
+                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("band_bits"),
+            )
+        )
+    stacked = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(F.col(id_col), "simhash", F.col("bb.band_id"), F.col("bb.band_bits"))
+    a = stacked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band_id", "band_bits"
+    )
+    b = stacked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band_id", "band_bits"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -401,8 +401,11 @@ class InfluxQLEngine:
         if gtags:
             if reg is None:
                 return _envelope([])
+            # a series lacking the tag groups under "" (InfluxDB emits
+            # an empty tag value, not null)
             tag_cols = [
-                F.element_at(F.col("tags"), t).alias(f"_t{i}") for i, t in enumerate(gtags)
+                F.coalesce(F.element_at(F.col("tags"), t), F.lit("")).alias(f"_t{i}")
+                for i, t in enumerate(gtags)
             ]
             facts = facts.join(
                 F.broadcast(reg.select("fingerprint", *tag_cols)), "fingerprint", "inner"
@@ -421,10 +424,7 @@ class InfluxQLEngine:
                     F.expr("ts_ns div 1000000").alias("ts_ms"),
                     F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
                 ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
-                if stmt.offset and not gtags:
-                    sel = sel.offset(stmt.offset)
-                if stmt.limit and not gtags:
-                    sel = sel.limit(stmt.limit)
+                sel = _apply_slice(sel, tkeys, stmt)
                 rows = sel.collect()
                 series.extend(
                     _tag_series(
@@ -473,14 +473,35 @@ class InfluxQLEngine:
             grouped = grouped.orderBy(
                 *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
-            if stmt.offset and not gtags:
-                grouped = grouped.offset(stmt.offset)
-            if stmt.limit and not gtags:
-                grouped = grouped.limit(stmt.limit)
+            grouped = _apply_slice(grouped, tkeys, stmt)
             rows = grouped.collect()
             colname = f"{fn or 'mean'}_{fieldname}" if len(stmt.fields) > 1 else (fn or "mean")
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return _envelope(series)
+
+
+def _apply_slice(df: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame:
+    """LIMIT/OFFSET. Under GROUP BY <tag>, InfluxDB applies them PER
+    SERIES (the reference strips LIMIT wholesale, cflux.js:689; round 1
+    skipped it when grouping by tags) — a rank within each tag
+    combination, ordered like the output, does it distributed."""
+    if not (stmt.limit or stmt.offset):
+        return df
+    if not tkeys:
+        if stmt.offset:
+            df = df.offset(stmt.offset)
+        if stmt.limit:
+            df = df.limit(stmt.limit)
+        return df
+    from pyspark.sql import Window
+
+    order = F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms").asc()
+    rn = F.row_number().over(Window.partitionBy(*tkeys).orderBy(order))
+    lo = stmt.offset or 0
+    cond = F.col("_rn") > lo
+    if stmt.limit:
+        cond = cond & (F.col("_rn") <= lo + stmt.limit)
+    return df.withColumn("_rn", rn).filter(cond).drop("_rn")
 
 
 def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:

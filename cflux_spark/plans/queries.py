@@ -814,6 +814,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
+@q("q_simhash_near")  # rows-only: fingerprints are xxhash64-derived (no DuckDB twin);
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # candidate recall is EXACT by pigeonhole (tests/test_extensions.py
+    # asserts equality against the brute-force all-pairs popcount)
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
 @q(
     "q_vector_topk",
     """

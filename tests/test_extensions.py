@@ -183,3 +183,25 @@ def test_cosine_pairs_refuses_oversized_query_side(spark, emb):
     oversized query set must fail loudly, pointing at the ANN tiers."""
     with pytest.raises(ValueError, match="lsh_topk"):
         similarity.cosine_pairs(emb, emb, threshold=0.9, max_query_rows=10)
+
+
+def test_simhash_near_pairs_exact_vs_bruteforce(docs):
+    """Pigeonhole banding is exact, not probabilistic: the banded join
+    must find EXACTLY the pairs the all-pairs popcount finds."""
+    d = 6
+    sample = docs.limit(120).cache()
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_near_pairs(sample, max_hamming=d).collect()
+    }
+    fp = dedup.simhash(sample)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int"))
+        .filter(F.col("hamming") <= d)
+    )
+    want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    assert got == want and len(want) > 0

@@ -260,3 +260,31 @@ def test_parse_time_bound_fields():
     assert s.time_lo_ns == 101 and s.time_hi_ns == 201
     s = parse_select("SELECT v FROM m WHERE time >= 100 AND time < 200")
     assert s.time_lo_ns == 100 and s.time_hi_ns == 200
+
+
+def test_per_series_limit_under_group_by_tag(engine):
+    """InfluxDB applies LIMIT per series under GROUP BY <tag>."""
+    res = engine.execute("SELECT user FROM cpu GROUP BY host LIMIT 1", db="mydb")
+    series = res["results"][0]["series"]
+    assert {s["tags"]["host"] for s in series} == {"a", "b"}
+    for s in series:
+        assert len(s["values"]) == 1
+        assert s["values"][0][0] == 1704067200000  # first point of each series
+
+
+def test_per_series_limit_offset_group_by_tag(engine):
+    res = engine.execute("SELECT user FROM cpu GROUP BY host LIMIT 2 OFFSET 1", db="mydb")
+    series = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert [v[1] for v in series["a"]] == [0.3, 0.5]  # rows 2-3 of host=a
+    assert "b" not in series or series.get("b") == []  # host=b has 1 point; offset 1 -> none
+
+
+def test_missing_tag_groups_as_empty_string(engine):
+    """Series lacking the GROUP BY tag get tag value '' (InfluxDB
+    fidelity), not null."""
+    res = engine.execute("SELECT user FROM cpu GROUP BY region, host LIMIT 5", db="mydb")
+    tagsets = [s["tags"] for s in res["results"][0]["series"]]
+    assert all(v is not None for t in tagsets for v in t.values())
+    res2 = engine.execute("SELECT status FROM app GROUP BY region", db="mydb")
+    s2 = res2["results"][0]["series"]
+    assert s2[0]["tags"] == {"region": ""}  # app series has no region tag
