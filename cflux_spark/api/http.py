@@ -1,0 +1,133 @@
+"""HTTP edge: the InfluxDB 1.x wire surface of the reference.
+
+Endpoints (reference citations):
+
+- ``POST /write?db=``  — line-protocol body → ingest  (cflux.js:298-352)
+- ``GET|POST /query``  — InfluxQL → JSON envelope     (cflux.js:375-393)
+- ``GET /ping``        — liveness, X-Influxdb-Version (cflux.js:861-864)
+- subscription fan-out — every raw /write body mirrored via HTTP POST
+  to each registered target, fire-and-forget with a timeout
+  (cflux.js:313-315, axios timeout 5000 ms at :273)
+
+Stdlib-WSGI only (no framework dependency): the app is a plain WSGI
+callable, served by ``wsgiref`` for tests/dev; production would front
+it with any WSGI server. The HTTP layer is a THIN shim — all query
+planning and ingest runs through the same `InfluxQLEngine` / `LPStore`
+library surface the rest of the engine uses; Telegraf/Chronograf/
+Grafana speak to this endpoint exactly as they would to the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from typing import Any
+from urllib.parse import parse_qs
+from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+from pyspark.sql import SparkSession
+
+from cflux_spark.plans.influxql import InfluxQLEngine, InfluxQLError
+
+
+class CFluxApp:
+    """WSGI application exposing the reference's HTTP API over the
+    engine. One app per store root; databases are lazy, per ``?db=``
+    (cflux.js:304-311)."""
+
+    def __init__(self, spark: SparkSession, root: str, forward_timeout_s: float = 5.0):
+        self.spark = spark
+        self.engine = InfluxQLEngine(spark, root)
+        self.forward_timeout_s = forward_timeout_s
+        # mirror targets whose POST failed, for observability (the
+        # reference swallows forward errors silently, cflux.js:870-872)
+        self.forward_errors: list[str] = []
+
+    # ------------------------------------------------------------- WSGI
+
+    def __call__(self, environ: dict, start_response) -> list[bytes]:
+        path = environ.get("PATH_INFO", "")
+        method = environ.get("REQUEST_METHOD", "GET")
+        params = parse_qs(environ.get("QUERY_STRING", ""))
+        try:
+            if path == "/ping":
+                return self._respond(start_response, 204, b"", [("X-Influxdb-Version", "1.8-cflux-spark")])
+            if path == "/write" and method == "POST":
+                return self._write(environ, params, start_response)
+            if path == "/query":
+                return self._query(environ, method, params, start_response)
+            return self._respond(start_response, 404, b'{"error":"not found"}')
+        except InfluxQLError as exc:
+            body = json.dumps({"error": str(exc)}).encode()
+            return self._respond(start_response, 400, body)
+
+    def _respond(self, start_response, status: int, body: bytes, extra_headers=()) -> list[bytes]:
+        reasons = {200: "OK", 204: "No Content", 400: "Bad Request", 404: "Not Found"}
+        headers = [("Content-Type", "application/json"), ("Content-Length", str(len(body)))]
+        headers.extend(extra_headers)
+        start_response(f"{status} {reasons[status]}", headers)
+        return [body]
+
+    # ------------------------------------------------------------ /write
+
+    def _write(self, environ: dict, params: dict, start_response) -> list[bytes]:
+        db = params.get("db", ["default"])[0]
+        length = int(environ.get("CONTENT_LENGTH") or 0)
+        raw = environ["wsgi.input"].read(length) if length else b""
+        body = raw.decode("utf-8", errors="replace")
+        # ST5: mirror the UNPARSED body first, like the reference
+        # forwards before parsing (cflux.js:313-315)
+        self._forward(db, raw)
+        lines = [(l,) for l in body.split("\n") if l.strip()]
+        if lines:
+            store = self.engine.store(db)
+            df = self.spark.createDataFrame(lines, "line string")
+            store.write_batch(df, collect_stats=False)
+        # 204-before-flush in the reference (cflux.js:351) is
+        # at-most-once; here the write completed before the 204 —
+        # the durability upgrade documented in SURVEY §2.9 ST2
+        return self._respond(start_response, 204, b"")
+
+    def _forward(self, db: str, raw: bytes) -> None:
+        for _sid, target in self.engine.subscriptions.get(db, []):
+            def post(url: str = target) -> None:
+                try:
+                    req = urllib.request.Request(url, data=raw, method="POST")
+                    urllib.request.urlopen(req, timeout=self.forward_timeout_s).read()
+                except Exception as exc:  # noqa: BLE001 — fire-and-forget, but record
+                    self.forward_errors.append(f"{url}: {exc}")
+
+            threading.Thread(target=post, daemon=True).start()
+
+    # ------------------------------------------------------------ /query
+
+    def _query(self, environ: dict, method: str, params: dict, start_response) -> list[bytes]:
+        q = params.get("q", [None])[0]
+        db = params.get("db", [None])[0]
+        if q is None and method == "POST":
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+            form = parse_qs(environ["wsgi.input"].read(length).decode("utf-8")) if length else {}
+            q = form.get("q", [None])[0]
+            db = db or form.get("db", [None])[0]
+        if not q:
+            return self._respond(start_response, 400, b'{"error":"missing q parameter"}')
+        result = self.engine.execute(q, db=db)
+        return self._respond(start_response, 200, json.dumps(result).encode())
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, *args: Any) -> None:  # no per-request stderr spam
+        pass
+
+
+def serve(spark: SparkSession, root: str, host: str = "127.0.0.1", port: int = 0):
+    """Start a dev/test HTTP server; returns (server, app, bound_port).
+    Run ``server.serve_forever()`` (e.g. in a thread). Requests are
+    served serially — deliberate: concurrent ``write_batch`` calls to
+    one store would race on the registry anti-join. Production mounts
+    ``CFluxApp`` under a real WSGI server with a single writer per db
+    (SURVEY §7 'streaming registry upsert races — single-writer')."""
+    app = CFluxApp(spark, root)
+    server = make_server(host, port, app, server_class=WSGIServer, handler_class=_QuietHandler)
+    return server, app, server.server_port

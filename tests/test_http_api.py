@@ -1,0 +1,117 @@
+"""HTTP edge integration: the Telegraf/Chronograf flow over the wire
+(reference /write cflux.js:298, /query :375, /ping :861, subscription
+fan-out :313-315) — POST the LP corpus, query it back, assert the
+mirror target received the raw body.
+"""
+
+import http.server
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from cflux_spark.api.http import serve
+
+LINES = (
+    "cpu,host=a,region=eu user=0.64,sys=0.11 1545424651000000000\n"
+    "cpu,host=b,region=us user=0.32 1545424652000000000\n"
+    "cpu,host=a,region=eu user=0.70 1545424711000000000\n"
+    'app,host=a status="ok" 1545424651000000000'
+)
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("httpstore"))
+    srv, app, port = serve(spark, root)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}", app
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read()
+
+
+def test_ping(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/ping") as r:
+        assert r.status == 204
+        assert "cflux-spark" in r.headers["X-Influxdb-Version"]
+
+
+def test_write_then_query_roundtrip(server):
+    url, _ = server
+    req = urllib.request.Request(url + "/write?db=web", data=LINES.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+
+    status, body = _get(url + "/query?db=web&q=SHOW%20MEASUREMENTS")
+    assert status == 200
+    names = [v[0] for v in json.loads(body)["results"][0]["series"][0]["values"]]
+    assert names == ["app", "cpu"]
+
+    q = "SELECT user FROM cpu WHERE host = 'a'"
+    status, body = _get(url + "/query?db=web&q=" + urllib.request.quote(q))
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert vals == [[1545424651000, 0.64], [1545424711000, 0.7]]
+
+
+def test_query_via_post_form(server):
+    url, _ = server
+    data = b"db=web&q=SHOW%20FIELD%20KEYS%20FROM%20cpu"
+    req = urllib.request.Request(url + "/query", data=data, method="POST")
+    with urllib.request.urlopen(req) as r:
+        series = json.loads(r.read())["results"][0]["series"][0]
+    assert sorted(v[0] for v in series["values"]) == ["sys", "user"]
+
+
+def test_bad_query_is_400_not_crash(server):
+    url, _ = server
+    q = urllib.request.quote("SELECT FROM")
+    try:
+        urllib.request.urlopen(url + f"/query?db=web&q={q}")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
+
+
+def test_subscription_fanout_posts_raw_body(server):
+    url, app = server
+    received: list[bytes] = []
+    got = threading.Event()
+
+    class Collector(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            received.append(self.rfile.read(int(self.headers["Content-Length"])))
+            self.send_response(204)
+            self.end_headers()
+            got.set()
+
+        def log_message(self, *a):
+            pass
+
+    sink = http.server.HTTPServer(("127.0.0.1", 0), Collector)
+    threading.Thread(target=sink.serve_forever, daemon=True).start()
+    target = f"http://127.0.0.1:{sink.server_port}/receive"
+
+    q = urllib.request.quote(
+        f"CREATE SUBSCRIPTION \"mirror\" ON web.autogen DESTINATIONS ANY '{target}'"
+    )
+    _get(url + f"/query?db=web&q={q}")
+
+    body = b"cpu,host=c user=0.5 1545424800000000000"
+    req = urllib.request.Request(url + "/write?db=web", data=body, method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    assert got.wait(timeout=10), f"mirror never received the body; errors={app.forward_errors}"
+    assert received == [body]
+    sink.shutdown()
