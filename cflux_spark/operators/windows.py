@@ -30,6 +30,55 @@ def series_difference(
     return df.withColumn("diff", diff)
 
 
+def series_difference_segmented(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int | None = 4,
+    segment_span_s: int = 3600,
+) -> DataFrame:
+    """`series_difference`, skew-proof: identical output, but a hot
+    series no longer serializes one task.
+
+    A plain per-series window puts EVERY row of a series in one
+    partition — a pathological fingerprint (one series holding 10% of
+    the table) pins a core for the whole stage (SCALE.md 'Skew & hot
+    keys'). Two-phase segment lag restores parallelism:
+
+      1. lag within (series, time-segment) — partition count for a hot
+         series becomes its time span / segment_span_s;
+      2. each segment's first row takes its predecessor from the
+         previous segment's last value, computed by a per-segment
+         aggregate (one row per (series, segment)) and a window over
+         THAT tiny frame.
+
+    The boundary join keys match the phase-1 window partitioning, so
+    no extra shuffle of the fact rows beyond the one the window needed
+    anyway. Null `value`s would be ambiguous with 'first row' — callers
+    with nullable values should pre-filter (facts' value is non-null).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    seg = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(segment_span_s)).alias("_seg")
+    df2 = df.withColumn("_seg", seg)
+    w_in = Window.partitionBy(*key_cols, "_seg").orderBy(*order)
+    bounds = df2.groupBy(*key_cols, "_seg").agg(
+        F.max_by(F.col(value_col), F.struct(*order)).alias("_lv")
+    )
+    w_seg = Window.partitionBy(*key_cols).orderBy("_seg")
+    prev = bounds.select(
+        *key_cols, "_seg", F.lag("_lv").over(w_seg).alias("_prev_last")
+    )
+    out = df2.withColumn("_lag_in", F.lag(value_col).over(w_in)).join(
+        prev, [*key_cols, "_seg"], "left"
+    )
+    diff = F.col(value_col) - F.coalesce(F.col("_lag_in"), F.col("_prev_last"))
+    if round_to is not None:
+        diff = F.round(diff, round_to)
+    return out.withColumn("diff", diff).drop("_seg", "_lag_in", "_prev_last")
+
+
 def series_rate(
     df: DataFrame,
     key_cols: list[str],

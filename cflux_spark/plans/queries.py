@@ -386,6 +386,26 @@ def q_series_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_series_difference_seg",
+    """
+    SELECT event_id, user_id, event_type,
+           round(value - lag(value) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id), 4) AS diff
+    FROM events
+    """,
+)
+def q_series_difference_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase segment lag (skew mitigation for hot series) — same
+    oracle as q_series_difference: the rewrite must be EXACTLY
+    equivalent to the global per-series window."""
+    ev = _events(spark, sf_dir)
+    out = windows.series_difference_segmented(
+        ev, key_cols=["user_id", "event_type"], order_tiebreak=["event_id"], segment_span_s=3600
+    )
+    return out.select("event_id", "user_id", "event_type", "diff")
+
+
+@q(
     "q_series_rate",
     """
     WITH d AS (
