@@ -17,9 +17,11 @@ Supported statements (reference citation → our handler):
 - SHOW SUBSCRIPTIONS                   (cflux.js:835)   → control table
 - CREATE DATABASE db                   (cflux.js:395)   → store init
 - CREATE SUBSCRIPTION ... DESTINATIONS (cflux.js:676)   → control table
-- SELECT f1[, f2] | agg(f) FROM [db.[rp.]]m
+- SELECT f1[, f2] | agg(f) FROM [db.[rp.]]m | /regex/
     [WHERE time <op> …  [AND tag='v']…]
-    [GROUP BY time(Nu)] [LIMIT n]      (cflux.js:687-833)
+    [GROUP BY time(Nu) | <tag>,… | *] [FILL(...)] [ORDER BY time DESC]
+    [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]   (cflux.js:687-833)
+- multiple ;-separated statements → one results[] per statement
 
 Deviations from the reference, on purpose (SURVEY §2.2/2.4/2.6):
 GROUP BY time(N) is honored (the reference strips it and hard-codes
@@ -64,6 +66,10 @@ class SelectStmt:
     fields: list[tuple[str | None, str]]  # (agg_fn | None, field_name)
     measurement: str
     db: str | None = None
+    measurement_regex: str | None = None  # FROM /re/ — one series set per match
+    group_by_star: bool = False  # GROUP BY * — all tag keys of the measurement
+    slimit: int | None = None  # series-level LIMIT/OFFSET (InfluxQL SLIMIT/SOFFSET)
+    soffset: int | None = None
     time_lo_ns: int | None = None  # canonical half-open [lo, hi) in ns
     time_hi_ns: int | None = None
     relative_s: int | None = None  # lower bound: ts > now() - relative_s
@@ -119,7 +125,9 @@ def parse_select(q: str) -> SelectStmt:
         r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?"
         r"(?:\s+ORDER\s+BY\s+time\s*(?P<order>ASC|DESC)?)?"
         r"(?:\s+LIMIT\s+(?P<limit>\d+))?"
-        r"(?:\s+OFFSET\s+(?P<offset>\d+))?\s*;?\s*$",
+        r"(?:\s+OFFSET\s+(?P<offset>\d+))?"
+        r"(?:\s+SLIMIT\s+(?P<slimit>\d+))?"
+        r"(?:\s+SOFFSET\s+(?P<soffset>\d+))?\s*;?\s*$",
         q,
         re.IGNORECASE | re.DOTALL,
     )
@@ -138,17 +146,22 @@ def parse_select(q: str) -> SelectStmt:
         else:
             fields.append((None, _unquote(raw)))
 
-    parts = [_unquote(p) for p in re.split(r"\.", m.group("from"))]
-    if len(parts) == 1:
-        db, meas = None, parts[0]
-    elif len(parts) == 2:
-        db, meas = parts[0], parts[1]
-    elif len(parts) == 3:  # db.rp.measurement — retention policy ignored (M7 is faked anyway)
-        db, meas = parts[0], parts[2]
+    raw_from = m.group("from")
+    if len(raw_from) >= 2 and raw_from[0] == "/" and raw_from[-1] == "/":
+        # FROM /regex/ — the reference's ifql-parser accepts it; we
+        # resolve matches against the registry at execution time
+        stmt = SelectStmt(fields=fields, measurement=raw_from, measurement_regex=raw_from[1:-1])
     else:
-        raise InfluxQLError(f"bad FROM {m.group('from')!r}")
-
-    stmt = SelectStmt(fields=fields, measurement=meas, db=db)
+        parts = [_unquote(p) for p in re.split(r"\.", raw_from)]
+        if len(parts) == 1:
+            db, meas = None, parts[0]
+        elif len(parts) == 2:
+            db, meas = parts[0], parts[1]
+        elif len(parts) == 3:  # db.rp.measurement — retention policy ignored (M7 is faked anyway)
+            db, meas = parts[0], parts[2]
+        else:
+            raise InfluxQLError(f"bad FROM {raw_from!r}")
+        stmt = SelectStmt(fields=fields, measurement=meas, db=db)
 
     where = m.group("where") or ""
     for cond in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
@@ -208,7 +221,9 @@ def parse_select(q: str) -> SelectStmt:
             tok = tok.strip()
             if not tok:
                 continue
-            if re.fullmatch(r"[\w\"']+", tok):
+            if tok == "*":
+                stmt.group_by_star = True  # every tag key of the measurement
+            elif re.fullmatch(r"[\w\"']+", tok):
                 stmt.group_by_tags.append(_unquote(tok))
             else:
                 raise InfluxQLError(f"unsupported GROUP BY term {tok!r}")
@@ -219,7 +234,38 @@ def parse_select(q: str) -> SelectStmt:
         stmt.limit = int(m.group("limit"))
     if m.group("offset"):
         stmt.offset = int(m.group("offset"))
+    if m.group("slimit"):
+        stmt.slimit = int(m.group("slimit"))
+    if m.group("soffset"):
+        stmt.soffset = int(m.group("soffset"))
     return stmt
+
+
+def _split_statements(q: str) -> list[str]:
+    """Split on ``;`` outside quoted strings (InfluxQL accepts multiple
+    ``;``-separated statements per request)."""
+    out: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for c in q:
+        if quote:
+            buf.append(c)
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+        else:
+            buf.append(c)
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
 
 
 class InfluxQLEngine:
@@ -236,6 +282,21 @@ class InfluxQLEngine:
     # ------------------------------------------------------------ dispatch
 
     def execute(self, q: str, db: str | None = None) -> dict:
+        """One or more ``;``-separated statements → one results array
+        with sequential statement_ids (InfluxDB envelope shape)."""
+        stmts = _split_statements(q)
+        if not stmts:
+            return _envelope([])
+        if len(stmts) == 1:
+            return self._execute_one(stmts[0], db)
+        results = []
+        for i, s in enumerate(stmts):
+            entry = self._execute_one(s, db)["results"][0]
+            entry["statement_id"] = i
+            results.append(entry)
+        return {"results": results}
+
+    def _execute_one(self, q: str, db: str | None = None) -> dict:
         qs = q.strip()
         upper = qs.upper()
         if upper.startswith("SHOW DATABASES"):
@@ -364,6 +425,35 @@ class InfluxQLEngine:
     def _select(self, qs: str, db: str | None) -> dict:
         stmt = parse_select(qs)
         store = self.store(stmt.db or db)
+        reg = store.read_registry()
+        if stmt.measurement_regex is not None:
+            # FROM /re/: resolve matching measurements from the (small)
+            # registry, then run the single-measurement pipeline per
+            # match — InfluxDB emits one series set per measurement
+            from dataclasses import replace as _replace
+
+            series: list[dict] = []
+            if reg is not None:
+                pat = re.compile(stmt.measurement_regex)
+                names = sorted(
+                    r.measurement
+                    for r in reg.select("measurement").distinct().collect()
+                    if pat.search(r.measurement)
+                )
+                for meas in names:
+                    sub = _replace(stmt, measurement=meas, measurement_regex=None)
+                    series.extend(self._select_series(sub, store, reg))
+        else:
+            series = self._select_series(stmt, store, reg)
+        # SLIMIT/SOFFSET slice the series list (driver-side: one entry
+        # per series, already aggregated — small by construction)
+        if stmt.soffset:
+            series = series[stmt.soffset :]
+        if stmt.slimit is not None:
+            series = series[: stmt.slimit]
+        return _envelope(series)
+
+    def _select_series(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
         facts = store.read_samples_or_empty().filter(F.col("measurement") == stmt.measurement)
 
         # time range (F1/F2/F3; default window F4 when nothing parses)
@@ -384,7 +474,6 @@ class InfluxQLEngine:
 
         # tag filters via the registry (J1 broadcast join); the four
         # matcher ops are the labelParser table (cflux.js:140-148)
-        reg = store.read_registry()
         if stmt.tag_filters and reg is not None:
             from cflux_spark.functions.scalars import label_matcher
 
@@ -398,9 +487,20 @@ class InfluxQLEngine:
         # GROUP BY <tag> attaches tag values from the registry (J1
         # broadcast) and fans one output series out per tag combination
         gtags = stmt.group_by_tags
+        if stmt.group_by_star:
+            # GROUP BY * — every tag key the measurement's series carry
+            if reg is None:
+                return []
+            gtags = sorted(
+                r.k
+                for r in reg.filter(F.col("measurement") == stmt.measurement)
+                .select(F.explode(F.map_keys("tags")).alias("k"))
+                .distinct()
+                .collect()
+            )
         if gtags:
             if reg is None:
-                return _envelope([])
+                return []
             # a series lacking the tag groups under "" (InfluxDB emits
             # an empty tag value, not null)
             tag_cols = [
@@ -477,7 +577,7 @@ class InfluxQLEngine:
             rows = grouped.collect()
             colname = f"{fn or 'mean'}_{fieldname}" if len(stmt.fields) > 1 else (fn or "mean")
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
-        return _envelope(series)
+        return series
 
 
 def _apply_slice(df: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame:

@@ -288,3 +288,37 @@ def test_missing_tag_groups_as_empty_string(engine):
     res2 = engine.execute("SELECT status FROM app GROUP BY region", db="mydb")
     s2 = res2["results"][0]["series"]
     assert s2[0]["tags"] == {"region": ""}  # app series has no region tag
+
+
+def test_from_regex_measurement(engine):
+    """FROM /re/ resolves to one series set per matching measurement."""
+    res = engine.execute("SELECT user FROM /^c.u$/", db="mydb")
+    series = res["results"][0]["series"]
+    assert [s["name"] for s in series] == ["cpu"]
+    res2 = engine.execute("SELECT mean(user) FROM /p/ GROUP BY time(1m)", db="mydb")
+    # both 'app' (no user field -> empty values) and 'cpu' match /p/
+    assert {s["name"] for s in res2["results"][0]["series"]} == {"app", "cpu"}
+
+
+def test_group_by_star(engine):
+    """GROUP BY * expands to every tag key of the measurement."""
+    res = engine.execute("SELECT user FROM cpu GROUP BY *", db="mydb")
+    series = res["results"][0]["series"]
+    assert all(set(s["tags"]) == {"host", "region"} for s in series)
+    assert {(s["tags"]["host"], s["tags"]["region"]) for s in series} == {("a", "eu"), ("b", "us")}
+
+
+def test_multi_statement(engine):
+    res = engine.execute("SHOW MEASUREMENTS; SELECT user FROM cpu WHERE host = 'b'", db="mydb")
+    assert [r["statement_id"] for r in res["results"]] == [0, 1]
+    assert [v[0] for v in res["results"][0]["series"][0]["values"]] == ["app", "cpu"]
+    assert res["results"][1]["series"][0]["values"] == [[1704067200000, 0.7]]
+
+
+def test_slimit_soffset(engine):
+    res = engine.execute("SELECT user FROM cpu GROUP BY host SLIMIT 1", db="mydb")
+    series = res["results"][0]["series"]
+    assert len(series) == 1 and series[0]["tags"] == {"host": "a"}
+    res2 = engine.execute("SELECT user FROM cpu GROUP BY host SLIMIT 1 SOFFSET 1", db="mydb")
+    series2 = res2["results"][0]["series"]
+    assert len(series2) == 1 and series2[0]["tags"] == {"host": "b"}
