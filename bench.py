@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q_dedup_jaccard",
     "q_dedup_near",
     "q_simhash",
+    "q_simhash_near",
     "q_vector_topk",
     "q_vector_lsh",
     "q_text_tokens",
@@ -96,6 +97,28 @@ def main() -> int:
     lines.unpersist()
 
 
+    # streaming steady-state: rate source at the reference's implied
+    # 2,500 rows/s floor, 2 s trigger, ~20 s run; batch duration from
+    # StreamingQuery progress (the hot path runs collect_stats=False —
+    # no extra jobs per batch). First two batches dropped (warm-up).
+    from cflux_spark.streaming.pipeline import StreamingIngest, rate_lp_source
+
+    stream_median_ms = stream_max_ms = None
+    with tempfile.TemporaryDirectory() as tmp:
+        si = StreamingIngest(LPStore(spark, tmp, db="stream"), tmp + "/ckpt")
+        sq = si.start(rate_lp_source(spark, 2500), trigger_seconds=2.0)
+        time.sleep(24)
+        durs = [
+            p["durationMs"]["triggerExecution"]
+            for p in sq.recentProgress
+            if p.get("numInputRows", 0) > 0 and "triggerExecution" in p.get("durationMs", {})
+        ][2:]
+        sq.stop()
+        if durs:
+            durs.sort()
+            stream_median_ms = durs[len(durs) // 2]
+            stream_max_ms = durs[-1]
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -118,6 +141,9 @@ def main() -> int:
         "cpus": cpus,
         "ingest_rows_per_sec": int(n_lines / ingest_dt),
         "ingest_lines": n_lines,
+        "streaming_batch_ms_median": stream_median_ms,
+        "streaming_batch_ms_max": stream_max_ms,
+        "streaming_rate_rows_per_sec": 2500,
         "total_wall_sec": round(time.monotonic() - t0, 3),
     }
     print(json.dumps(out))

@@ -190,8 +190,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash fingerprint per document: sign-sum of per-token hash
     bits. Pure column ops: explode tokens → per-bit ±1 votes → sum →
     sign bits → binary fingerprint."""
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    # materialize the token hash ONCE as a projected column — inlining
+    # xxhash64 into each of the 64 aggregate expressions would hash
+    # every token 64× (no CSE across aggregate buffers)
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")).select(
+        F.col(id_col), F.xxhash64("tok").alias("_h")
+    )
+    h = F.col("_h")
     # majority vote per bit via ones-count: vote_i > 0  ⇔  2·ones_i > n.
     # Plain sums of extracted bits (no conditionals) keep the 64 agg
     # expressions inside whole-stage codegen; map-side partial agg

@@ -991,8 +991,37 @@ def q_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.col("lang") == "en").groupBy("source").agg(F.count("*").alias("n"))
 
 
-@q("q_lang_id")  # rows-only: heuristic classifier output
+@q(
+    "q_lang_id",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS s_en,
+        len(list_filter(toks, x -> list_contains(['der','die','und','ist'], x))) AS s_de,
+        len(list_filter(toks, x -> list_contains(['le','la','et','est'], x))) AS s_fr,
+        len(list_filter(toks, x -> list_contains(['el','la','y','es'], x))) AS s_es,
+        len(list_filter(toks, x -> list_contains(['de','shi','le','bu'], x))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+           WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+           ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marker-word classifier is deterministic column algebra, so
+    it IS oracle-expressible: the SQL twin mirrors the marker lists and
+    the dict-order tie-break (earlier language wins)."""
     return text.lang_id(load_table(spark, sf_dir, "documents"))
 
 
