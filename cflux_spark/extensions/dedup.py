@@ -186,6 +186,72 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster assignment over near-duplicate pairs: connected
+    components, every document labeled with the MIN doc id reachable
+    through the pair graph (singletons label themselves). Output:
+    (doc_id, cluster_id) — the keep-one-per-cluster step downstream of
+    any pair generator (exact Jaccard by default; pass `pairs` from
+    MinHash-LSH / SimHash at scale).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels — converges in
+    O(graph diameter) rounds, and near-dup clusters are shallow (dozens
+    of docs, diameter ≪ 20). Each round is one join + groupBy on the
+    edge list; the driver-side loop does one tiny `limit(1).count()`
+    convergence probe per round — the standard Spark shape for an
+    iterative fixpoint (this is the one operator family where a driver
+    loop is the design, not an accident)."""
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
+    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        df.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node")).cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.dst, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        new_labels.count()
+        changed = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(new_labels, "node")
+            .filter(F.col("old_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of per-token hash
     bits. Pure column ops: explode tokens → per-bit ±1 votes → sum →

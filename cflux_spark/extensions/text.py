@@ -104,6 +104,41 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return scored.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+def top_terms_tfidf(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k corpus terms per group by tf-idf: tf = term occurrences
+    within the group, idf = ln(N_docs / docs-containing-term). Output:
+    (group, term, score, rank). Rank orders by the ROUNDED score then
+    term, so ties break identically across engines.
+
+    Scale shape: one explode + two groupBys (term stats are tiny after
+    aggregation); doc count is a broadcast scalar, not a driver
+    collect."""
+    toks = df.select(F.col(id_col), F.col(group_col).alias("grp"), F.explode(word_tokens(F.col(text_col))).alias("term"))
+    n_docs = df.agg(F.count("*").alias("_n"))
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.select(F.col(id_col), "term").distinct().groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), round_to))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "score", "rank")
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 content hash (portable across engines)
     + xxhash64 rolling hash for in-engine use."""

@@ -41,6 +41,68 @@ def any_inner_join(
     return facts.join(d, keys, "inner")
 
 
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join (backward, inclusive): each left row gets the columns
+    of the LATEST right row with ``right.ts <= left.ts`` per key — the
+    time-series join the reference lacks (SURVEY §2.3 'no as-of join
+    anywhere in the reference'; available cheaply in Spark).
+
+    Executed as union + running ``last(_, ignorenulls)`` window — ONE
+    shuffle on (key, ts), no range-join row explosion: a naive
+    range-join would produce |matches| intermediate rows per left row
+    and re-aggregate; this form is linear in |left| + |right| and the
+    per-key sort is the same work a merge-based as-of does. At equal
+    timestamps the right row sorts first (side marker 0 < 1), so the
+    match is inclusive like DuckDB/pandas ``ASOF``/``merge_asof``.
+
+    Right rows should be unique per (key, right_ts) — with duplicates,
+    which row wins is tie-broken by the window order deterministically
+    only up to the value columns.
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    vals = value_cols or [c for c in right.columns if c not in (*keys, right_ts)]
+    lcols = [c for c in left.columns if c not in keys]
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in vals],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in vals],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        *keys,
+        "_asof_ts",
+        "_side",
+        *lcols,
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in vals],
+    )
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    for c in vals:
+        out = out.withColumnRenamed(f"_r_{c}", c)
+    return out.withColumnRenamed("_asof_ts", left_ts)
+
+
 def semi_join_filter(
     facts: DataFrame,
     dim: DataFrame,

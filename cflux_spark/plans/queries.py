@@ -286,6 +286,38 @@ def q_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_asof_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    s AS (
+      SELECT user_id, ts, max(value) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, s.signup_value
+    FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each click gets the user's latest
+    signup value at-or-before its timestamp. Oracle is DuckDB's native
+    ASOF LEFT JOIN; the Spark plan is the union + running-last window
+    (one shuffle, no range-join explosion — see joins.asof_join_backward)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = joins.asof_join_backward(
+        clicks, signups, key="user_id", left_ts="ts", right_ts="ts", value_cols=["signup_value"]
+    )
+    return out.select("event_id", "user_id", "signup_value")
+
+
 # ------------------------------------------------------------- aggregations
 
 
@@ -824,6 +856,54 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
+@q(
+    "q_dedup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph: every
+    doc labeled with the min reachable doc id. The oracle computes the
+    same thing declaratively (recursive-CTE transitive closure) — the
+    Spark side is the iterative min-label propagation that actually
+    scales (closure materializes O(cluster²) rows; propagation stays
+    linear per round)."""
+    return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
 @q("q_dedup_near")  # rows-only: MinHash LSH est_jaccard is sampling-based
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
@@ -1023,6 +1103,70 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     it IS oracle-expressible: the SQL twin mirrors the marker lists and
     the dict-order tie-break (earlier language wins)."""
     return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_sample_hash",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% sample (64/256 hash buckets): reproducible
+    across engines/runs/repartitioning — the sampling primitive a
+    training pipeline needs (RNG sample() is none of those things)."""
+    from cflux_spark.extensions.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, keep_buckets=64).select("doc_id", "source")
+
+
+@q(
+    "q_sample_stratified",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
+       OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rates (en 10%, de 50% — e.g. downsample the dominant
+    language), one pass, no shuffle — thresholds 0.1*65536=6554=0x199a
+    and 0.5*65536=0x8000."""
+    from cflux_spark.extensions.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(docs, {"en": 0.10, "de": 0.50}, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+
+
+@q(
+    "q_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source AS grp, unnest(
+        list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), x -> x <> '')
+      ) AS term
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tf AS (SELECT grp, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+    ),
+    scored AS (
+      SELECT grp, term, round(tf * ln(n_docs * 1.0 / df), 4) AS score
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT grp AS source, term, score,
+           CAST(row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_terms_tfidf(load_table(spark, sf_dir, "documents"), k=5)
 
 
 @q(

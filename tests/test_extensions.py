@@ -205,3 +205,59 @@ def test_simhash_near_pairs_exact_vs_bruteforce(docs):
     )
     want = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_hash_sample_nesting_and_determinism(docs):
+    """Smaller rates are strict subsets of larger ones; repeated runs
+    identical (the properties RNG sampling lacks)."""
+    from cflux_spark.extensions.sampling import hash_sample
+
+    small = {r.doc_id for r in hash_sample(docs, 16).select("doc_id").collect()}
+    big = {r.doc_id for r in hash_sample(docs, 64).select("doc_id").collect()}
+    again = {r.doc_id for r in hash_sample(docs, 16).select("doc_id").collect()}
+    assert small <= big and small == again
+    # rate lands near keep/256 (binomial tolerance on 500 docs)
+    assert abs(len(big) / docs.count() - 64 / 256) < 0.08
+
+
+def test_dedup_clusters_synthetic_graph(spark):
+    """Chain 1-2, 2-3 plus isolated 4: one 3-cluster, one singleton."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"t{i}") for i in range(1, 5)])
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs=pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive at equal ts; null before any right row; latest wins."""
+    from cflux_spark.operators.joins import asof_join_backward
+    from pyspark.sql import functions as SF
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 10)], "k int, t int"
+    ).select("k", SF.timestamp_seconds("t").alias("ts"), SF.col("t").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, 20, 200.0), (1, 30, 300.0)], "k int, t int, v double"
+    ).select("k", SF.timestamp_seconds("t").alias("ts"), "v")
+    out = {
+        r.lt: r.v
+        for r in asof_join_backward(left, right, key="k", value_cols=["v"]).filter(
+            SF.col("k") == 1
+        ).collect()
+    }
+    assert out == {10: None, 20: 200.0, 35: 300.0}
+    # key 2 has no right rows at all -> null
+    out2 = asof_join_backward(left, right, key="k", value_cols=["v"]).filter(
+        SF.col("k") == 2
+    ).collect()
+    assert out2[0].v is None
+
+
+def test_tfidf_top_terms_shape(docs):
+    out = text.top_terms_tfidf(docs, k=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in by_src.values())
