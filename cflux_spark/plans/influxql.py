@@ -565,6 +565,30 @@ class InfluxQLEngine:
                         _W.unboundedPreceding, 0
                     )
                     grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
+                elif stmt.fill == "linear":
+                    # interpolate gap buckets between the nearest known
+                    # neighbors; leading/trailing nulls stay null
+                    # (InfluxDB fill(linear) semantics)
+                    from pyspark.sql import Window as _W
+
+                    wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                        _W.unboundedPreceding, 0
+                    )
+                    wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                        0, _W.unboundedFollowing
+                    )
+                    known = F.when(
+                        F.col("val").isNotNull(),
+                        F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
+                    )
+                    prev = F.last(known, ignorenulls=True).over(wp)
+                    nxt = F.first(known, ignorenulls=True).over(wn)
+                    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                        (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
+                    )
+                    grouped = grouped.withColumn(
+                        "val", F.coalesce(F.col("val"), F.round(interp, 6))
+                    )
                 elif stmt.fill != "null":
                     try:
                         grouped = grouped.fillna({"val": float(stmt.fill)})

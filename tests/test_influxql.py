@@ -322,3 +322,14 @@ def test_slimit_soffset(engine):
     res2 = engine.execute("SELECT user FROM cpu GROUP BY host SLIMIT 1 SOFFSET 1", db="mydb")
     series2 = res2["results"][0]["series"]
     assert len(series2) == 1 and series2[0]["tags"] == {"host": "b"}
+
+
+def test_fill_linear_interpolates_gap(engine):
+    # host=a user points at 30s buckets 0 (0.10), 30 (0.30), 90 (0.50);
+    # the empty 60s bucket interpolates to (0.30+0.50)/2 = 0.40
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(30s) fill(linear)", db="mydb"
+    )
+    vals = dict((v[0], v[1]) for v in _values(res))
+    assert vals[1704067260000] == 0.4
+    assert vals[1704067230000] == 0.3 and vals[1704067290000] == 0.5
