@@ -12,8 +12,10 @@ a threshold. Properties that matter at 100 TB:
 - streams: a row's fate is decided on arrival, no coordination.
 
 Lexicographic compare of fixed-width lowercase hex equals numeric
-compare, so the filter is a pure string predicate — pushes down to the
-scan when the key is a stored column.
+compare, so the filter is a single cheap string predicate evaluated
+inside whole-stage codegen right after the scan (being a derived
+expression it does not reach PushedFilters — column pruning still
+applies, and the scan reads only the key + selected columns).
 """
 
 from __future__ import annotations
