@@ -41,26 +41,33 @@ def any_inner_join(
     return facts.join(d, keys, "inner")
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str | list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """As-of join (backward, inclusive): each left row gets the columns
-    of the LATEST right row with ``right.ts <= left.ts`` per key — the
-    time-series join the reference lacks (SURVEY §2.3 'no as-of join
-    anywhere in the reference'; available cheaply in Spark).
+    """As-of join: each left row gets the columns of the nearest right
+    row per key — the time-series join the reference lacks (SURVEY §2.3
+    'no as-of join anywhere in the reference').
 
-    Executed as union + running ``last(_, ignorenulls)`` window — ONE
-    shuffle on (key, ts), no range-join row explosion: a naive
-    range-join would produce |matches| intermediate rows per left row
-    and re-aggregate; this form is linear in |left| + |right| and the
+    direction: 'backward' (latest right.ts <= left.ts, inclusive),
+    'forward' (earliest right.ts >= left.ts), or 'nearest' (smaller
+    absolute gap; backward wins exact ties — pandas merge_asof parity).
+    tolerance_s bounds the match distance in seconds (out-of-tolerance
+    matches become null, like merge_asof's tolerance).
+
+    Executed as union + running ``last``/``first(_, ignorenulls)``
+    window — ONE shuffle on (key, ts), no range-join row explosion: a
+    naive range-join produces |matches| intermediate rows per left row
+    and re-aggregates; this form is linear in |left| + |right| and the
     per-key sort is the same work a merge-based as-of does. At equal
     timestamps the right row sorts first (side marker 0 < 1), so the
-    match is inclusive like DuckDB/pandas ``ASOF``/``merge_asof``.
+    backward match is inclusive like DuckDB ``ASOF``.
 
     Right rows should be unique per (key, right_ts) — with duplicates,
     which row wins is tie-broken by the window order deterministically
@@ -68,6 +75,8 @@ def asof_join_backward(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     vals = value_cols or [c for c in right.columns if c not in (*keys, right_ts)]
     lcols = [c for c in left.columns if c not in keys]
@@ -85,22 +94,68 @@ def asof_join_backward(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in vals],
     )
-    w = (
+    both = l.unionByName(r)
+    # carry the matched right timestamp alongside each value via a
+    # struct, so tolerance/nearest can reason about the gap
+    wb = (
         Window.partitionBy(*keys)
         .orderBy("_asof_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l.unionByName(r).select(
-        *keys,
-        "_asof_ts",
-        "_side",
-        *lcols,
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}") for c in vals],
+    # forward scan: right rows must still sort BEFORE left at equal ts
+    # to be visible inclusively, so scan the same order from the end
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_ts", "_side")
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+
+    def tagged(c: str) -> Column:
+        return F.when(
+            F.col("_side") == 0, F.struct(F.col("_asof_ts").alias("t"), F.col(f"_r_{c}").alias("v"))
+        )
+
+    picks = []
+    for c in vals:
+        back = F.last(tagged(c), ignorenulls=True).over(wb)
+        fwd = F.first(tagged(c), ignorenulls=True).over(wf)
+        if direction == "backward":
+            pick = back
+        elif direction == "forward":
+            # back-scan may see a right row at EXACTLY left.ts (sorted
+            # before it); forward-inclusive prefers that exact match
+            pick = F.when(back["t"] == F.col("_asof_ts"), back).otherwise(fwd)
+        else:  # nearest — backward wins exact-distance ties
+            bgap = F.col("_asof_ts").cast("double") - back["t"].cast("double")
+            fgap = fwd["t"].cast("double") - F.col("_asof_ts").cast("double")
+            pick = (
+                F.when(back.isNull(), fwd)
+                .when(fwd.isNull(), back)
+                .when(fgap < bgap, fwd)
+                .otherwise(back)
+            )
+        if tolerance_s is not None:
+            gap = F.abs(F.col("_asof_ts").cast("double") - pick["t"].cast("double"))
+            pick = F.when(gap <= F.lit(float(tolerance_s)), pick)
+        picks.append(pick["v"].alias(f"_r_{c}"))
+
+    filled = both.select(*keys, "_asof_ts", "_side", *lcols, *picks)
     out = filled.filter(F.col("_side") == 1).drop("_side")
     for c in vals:
         out = out.withColumnRenamed(f"_r_{c}", c)
     return out.withColumnRenamed("_asof_ts", left_ts)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join (see ``asof_join``)."""
+    return asof_join(left, right, key, left_ts, right_ts, value_cols, direction="backward")
 
 
 def semi_join_filter(

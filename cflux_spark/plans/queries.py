@@ -318,6 +318,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "signup_value")
 
 
+@q(
+    "q_asof_forward",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    s AS (
+      SELECT user_id, ts, max(value) AS next_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, s.next_signup
+    FROM clicks c ASOF LEFT JOIN s ON c.user_id = s.user_id AND c.ts <= s.ts
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click matched to the user's EARLIEST signup
+    at-or-after it (DuckDB ASOF with the inequality flipped)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_signup"))
+    )
+    out = joins.asof_join(
+        clicks, signups, key="user_id", value_cols=["next_signup"], direction="forward"
+    )
+    return out.select("event_id", "user_id", "next_signup")
+
+
 # ------------------------------------------------------------- aggregations
 
 

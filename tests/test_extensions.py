@@ -261,3 +261,32 @@ def test_tfidf_top_terms_shape(docs):
     for r in out:
         by_src.setdefault(r.source, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in by_src.values())
+
+
+def test_asof_join_forward_nearest_tolerance(spark):
+    from cflux_spark.operators.joins import asof_join
+    from pyspark.sql import functions as SF
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 21), (1, 29), (1, 100)], "k int, t int"
+    ).select("k", SF.timestamp_seconds("t").alias("ts"), SF.col("t").alias("lt"))
+    right = spark.createDataFrame(
+        [(1, 20, 200.0), (1, 30, 300.0)], "k int, t int, v double"
+    ).select("k", SF.timestamp_seconds("t").alias("ts"), "v")
+
+    def run(**kw):
+        return {
+            r.lt: r.v for r in asof_join(left, right, key="k", value_cols=["v"], **kw).collect()
+        }
+
+    assert run(direction="forward") == {10: 200.0, 21: 300.0, 29: 300.0, 100: None}
+    # nearest: 21 is closer to 20 (gap 1 vs 9); 29 closer to 30
+    assert run(direction="nearest") == {10: 200.0, 21: 200.0, 29: 300.0, 100: 300.0}
+    # tolerance bounds the gap (nearest within 5s)
+    assert run(direction="nearest", tolerance_s=5) == {10: None, 21: 200.0, 29: 300.0, 100: None}
+    # exact-ts forward match is inclusive
+    left2 = spark.createDataFrame([(1, 20)], "k int, t int").select(
+        "k", SF.timestamp_seconds("t").alias("ts"), SF.col("t").alias("lt")
+    )
+    out2 = asof_join(left2, right, key="k", value_cols=["v"], direction="forward").collect()
+    assert out2[0].v == 200.0
