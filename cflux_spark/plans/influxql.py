@@ -27,7 +27,10 @@ Deviations from the reference, on purpose (SURVEY §2.2/2.4/2.6):
 GROUP BY time(N) is honored (the reference strips it and hard-codes
 1-minute buckets); LIMIT is honored (the reference deletes it); the
 ISO-timestamp 5-minute floor bug is not copied; aggregates beyond
-mean are available (sum/min/max/count/median/stddev/first/last).
+mean are available (sum/min/max/count/median/stddev/first/last/
+percentile/spread/mode) plus the InfluxQL transform functions
+derivative/non_negative_derivative/moving_average/cumulative_sum
+over an inner aggregate, e.g. ``derivative(mean(f), 1s)``.
 """
 
 from __future__ import annotations
@@ -44,16 +47,26 @@ from cflux_spark.sources.ingest import LPStore
 _DUR_UNITS = {"ns": 1e-9, "u": 1e-6, "µ": 1e-6, "ms": 1e-3, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
 _AGG_FNS = {
-    "mean": lambda c: F.avg(c),
-    "sum": lambda c: F.sum(c),
-    "min": lambda c: F.min(c),
-    "max": lambda c: F.max(c),
-    "count": lambda c: F.count(c),
-    "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
-    "stddev": lambda c: F.stddev_samp(c),
-    "first": lambda c: F.first(c, ignorenulls=True),
-    "last": lambda c: F.last(c, ignorenulls=True),
+    "mean": lambda c, a: F.avg(c),
+    "sum": lambda c, a: F.sum(c),
+    "min": lambda c, a: F.min(c),
+    "max": lambda c, a: F.max(c),
+    "count": lambda c, a: F.count(c),
+    "median": lambda c, a: F.expr(f"percentile({c}, 0.5)"),
+    "stddev": lambda c, a: F.stddev_samp(c),
+    "first": lambda c, a: F.first(c, ignorenulls=True),
+    "last": lambda c, a: F.last(c, ignorenulls=True),
+    # InfluxQL percentile(f, N) takes N in 0-100
+    "percentile": lambda c, a: F.expr(f"percentile({c}, {(a if a is not None else 50) / 100.0})"),
+    "spread": lambda c, a: F.max(c) - F.min(c),
+    "mode": lambda c, a: F.mode(c),
 }
+
+# InfluxQL transform functions over an aggregated series:
+# derivative(mean(f), 1s), moving_average(mean(f), n),
+# cumulative_sum(sum(f)) — applied per output series after
+# bucketing/fill, as InfluxDB does.
+_TX_FNS = {"derivative", "non_negative_derivative", "moving_average", "cumulative_sum"}
 
 
 class InfluxQLError(ValueError):
@@ -61,9 +74,22 @@ class InfluxQLError(ValueError):
     per SURVEY §7 ('keep grammar minimal, reject loudly')."""
 
 
+from typing import NamedTuple
+
+
+class FieldSpec(NamedTuple):
+    """One SELECT expression: ``[tx(]agg(name[, agg_arg])[, tx_arg)]``."""
+
+    agg: str | None  # aggregate fn name, None = raw field
+    name: str  # field name
+    agg_arg: float | None = None  # percentile N
+    tx: str | None = None  # transform fn wrapping the aggregate
+    tx_arg: float | None = None  # derivative unit (s) | moving_average n
+
+
 @dataclass
 class SelectStmt:
-    fields: list[tuple[str | None, str]]  # (agg_fn | None, field_name)
+    fields: list[FieldSpec]
     measurement: str
     db: str | None = None
     measurement_regex: str | None = None  # FROM /re/ — one series set per match
@@ -134,17 +160,46 @@ def parse_select(q: str) -> SelectStmt:
     if not m:
         raise InfluxQLError(f"unparsable SELECT: {q!r}")
 
-    fields: list[tuple[str | None, str]] = []
-    for raw in m.group("fields").split(","):
+    fields: list[FieldSpec] = []
+    # split the SELECT list on commas outside parens so
+    # "derivative(mean(v), 1s), max(v)" yields two expressions
+    for raw in _split_outside_parens(m.group("fields")):
         raw = raw.strip()
+        # nested transform: tx(agg(field[, agg_arg])[, tx_arg])
+        tm2 = re.fullmatch(
+            r"(\w+)\s*\(\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*(?:,\s*([^)]+?)\s*)?\)(?:\s+AS\s+\w+)?",
+            raw,
+            re.IGNORECASE,
+        )
+        if tm2 and tm2.group(1).lower() in _TX_FNS:
+            tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
+            if inner not in _AGG_FNS:
+                raise InfluxQLError(f"unsupported aggregate {inner!r} under {tx}()")
+            iargs = [a.strip() for a in tm2.group(3).split(",")] if tm2.group(3) else []
+            if not iargs:
+                raise InfluxQLError(f"missing field in {raw!r}")
+            agg_arg = float(iargs[1]) if len(iargs) > 1 else None
+            tx_arg: float | None = None
+            if tm2.group(4):
+                a = tm2.group(4).strip()
+                # derivative unit is a duration; moving_average n is an int
+                tx_arg = float(a) if re.fullmatch(r"\d+(\.\d+)?", a) else _parse_duration(a)
+            fields.append(FieldSpec(inner, _unquote(iargs[0]), agg_arg, tx, tx_arg))
+            continue
         fm = re.fullmatch(r"(\w+)\s*\(\s*([^)]+?)\s*\)(?:\s+AS\s+\w+)?", raw, re.IGNORECASE)
         if fm:
             fn = fm.group(1).lower()
+            if fn in _TX_FNS:
+                raise InfluxQLError(
+                    f"{fn}() requires an inner aggregate, e.g. {fn}(mean(field), ...)"
+                )
             if fn not in _AGG_FNS:
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
-            fields.append((fn, _unquote(fm.group(2))))
+            args = [a.strip() for a in fm.group(2).split(",")]
+            agg_arg = float(args[1]) if len(args) > 1 else None
+            fields.append(FieldSpec(fn, _unquote(args[0]), agg_arg))
         else:
-            fields.append((None, _unquote(raw)))
+            fields.append(FieldSpec(None, _unquote(raw)))
 
     raw_from = m.group("from")
     if len(raw_from) >= 2 and raw_from[0] == "/" and raw_from[-1] == "/":
@@ -239,6 +294,25 @@ def parse_select(q: str) -> SelectStmt:
     if m.group("soffset"):
         stmt.soffset = int(m.group("soffset"))
     return stmt
+
+
+def _split_outside_parens(s: str) -> list[str]:
+    out: list[str] = []
+    depth = 0
+    buf: list[str] = []
+    for c in s:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    if buf:
+        out.append("".join(buf))
+    return out
 
 
 def _split_statements(q: str) -> list[str]:
@@ -513,7 +587,8 @@ class InfluxQLEngine:
         tkeys = [f"_t{i}" for i in range(len(gtags))]
 
         series: list[dict] = []
-        for fn, fieldname in stmt.fields:
+        for spec in stmt.fields:
+            fn, fieldname = spec.agg, spec.name
             ff = facts.filter(F.col("field") == fieldname)
             if fn is None and stmt.group_by_time_s is None:
                 # raw points, string-over-float per cflux.js:795
@@ -536,7 +611,7 @@ class InfluxQLEngine:
             # aggregated path: default = the reference's 1-minute mean
             # (cflux.js:749); honored GROUP BY time(N) generalizes it
             bucket_s = stmt.group_by_time_s or 60
-            agg = _AGG_FNS[fn or "mean"]("value")
+            agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
             bucket_ns = int(bucket_s * 1e9)
             grouped = (
                 # integer div — double division of ns-scale longs loses
@@ -594,12 +669,47 @@ class InfluxQLEngine:
                         grouped = grouped.fillna({"val": float(stmt.fill)})
                     except ValueError as exc:
                         raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
+            if spec.tx:
+                # transforms run per output series, over the bucketed
+                # (and filled) values, ordered by time — a per-series
+                # window; the partition is one series' buckets, small
+                # by construction
+                from pyspark.sql import Window as _W
+
+                wt = _W.partitionBy(*tkeys).orderBy("ts_ms")
+                if spec.tx == "cumulative_sum":
+                    wc = wt.rowsBetween(_W.unboundedPreceding, 0)
+                    grouped = grouped.withColumn("val", F.round(F.sum("val").over(wc), 6))
+                elif spec.tx == "moving_average":
+                    n = int(spec.tx_arg or 2)
+                    if n < 1:
+                        raise InfluxQLError(f"moving_average window must be >= 1, got {n}")
+                    wm = wt.rowsBetween(-(n - 1), 0)
+                    # InfluxDB emits the first point only once the
+                    # window holds n values
+                    grouped = (
+                        grouped.withColumn("_ma", F.round(F.avg("val").over(wm), 6))
+                        .withColumn("_n", F.count("val").over(wm))
+                        .filter(F.col("_n") >= n)
+                        .withColumn("val", F.col("_ma"))
+                        .drop("_ma", "_n")
+                    )
+                else:  # derivative / non_negative_derivative
+                    unit_s = spec.tx_arg if spec.tx_arg is not None else 1.0
+                    dv = F.col("val") - F.lag("val").over(wt)
+                    dt_s = (F.col("ts_ms") - F.lag("ts_ms").over(wt)) / F.lit(1000.0)
+                    der = F.round(dv / dt_s * F.lit(unit_s), 6)
+                    grouped = grouped.withColumn("_d", der).filter(F.col("_d").isNotNull())
+                    if spec.tx == "non_negative_derivative":
+                        grouped = grouped.filter(F.col("_d") >= 0)
+                    grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
             grouped = grouped.orderBy(
                 *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
             grouped = _apply_slice(grouped, tkeys, stmt)
             rows = grouped.collect()
-            colname = f"{fn or 'mean'}_{fieldname}" if len(stmt.fields) > 1 else (fn or "mean")
+            base = spec.tx or fn or "mean"
+            colname = f"{base}_{fieldname}" if len(stmt.fields) > 1 else base
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return series
 

@@ -151,7 +151,7 @@ def test_parse_select_rejects_garbage():
 
 def test_parse_select_shapes():
     s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
-    assert s.fields == [("mean", "user")]
+    assert s.fields == [("mean", "user", None, None, None)]
     assert s.db == "db" and s.measurement == "cpu"
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
@@ -333,3 +333,90 @@ def test_fill_linear_interpolates_gap(engine):
     vals = dict((v[0], v[1]) for v in _values(res))
     assert vals[1704067260000] == 0.4
     assert vals[1704067230000] == 0.3 and vals[1704067290000] == 0.5
+
+
+# ---- InfluxQL function surface: percentile/spread/mode aggregates +
+# ---- derivative/moving_average/cumulative_sum transforms.
+# host=a user: 0.10 @ :00:00, 0.30 @ :00:30, 0.50 @ :01:30
+# → 60s buckets: mean 0.20 @ min0, 0.50 @ min1; sum 0.40, 0.50
+
+
+def test_percentile_aggregate(engine):
+    res = engine.execute(
+        "SELECT percentile(user, 50) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    vals = _values(res)
+    assert res["results"][0]["series"][0]["columns"][1] == "percentile"
+    assert vals[0] == [1704067200000, 0.2]  # interpolated median of 0.10, 0.30
+    assert vals[1] == [1704067260000, 0.5]
+
+
+def test_spread_aggregate(engine):
+    res = engine.execute(
+        "SELECT spread(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    vals = _values(res)
+    assert vals[0] == [1704067200000, 0.2]
+    assert vals[1] == [1704067260000, 0.0]
+
+
+def test_mode_aggregate(engine):
+    res = engine.execute("SELECT mode(user) FROM cpu WHERE host = 'b'", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7]]
+
+
+def test_derivative_of_mean(engine):
+    res = engine.execute(
+        "SELECT derivative(mean(user), 1s) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"][1] == "derivative"
+    # (0.50 - 0.20) / 60s * 1s = 0.005; first bucket is dropped
+    assert series["values"] == [[1704067260000, 0.005]]
+
+
+def test_non_negative_derivative_filters(engine):
+    # host=b has a single point → derivative empty; use host=a desc order
+    res = engine.execute(
+        "SELECT non_negative_derivative(mean(user), 60s) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["values"] == [[1704067260000, 0.3]]  # (0.5-0.2)/60*60
+
+
+def test_moving_average_of_mean(engine):
+    res = engine.execute(
+        "SELECT moving_average(mean(user), 2) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"][1] == "moving_average"
+    # window fills at the 2nd bucket: (0.20 + 0.50) / 2 = 0.35
+    assert series["values"] == [[1704067260000, 0.35]]
+
+
+def test_cumulative_sum_of_sum(engine):
+    res = engine.execute(
+        "SELECT cumulative_sum(sum(user)) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    vals = _values(res)
+    assert vals == [[1704067200000, 0.4], [1704067260000, 0.9]]
+
+
+def test_bare_transform_rejected():
+    with pytest.raises(InfluxQLError):
+        parse_select("SELECT derivative(user) FROM cpu")
+
+
+def test_transform_per_tag_group(engine):
+    # GROUP BY host: each series gets its own cumulative sum; host=b
+    # has one point so its running sum equals the point
+    res = engine.execute(
+        "SELECT cumulative_sum(sum(user)) FROM cpu GROUP BY time(60s), host", db="mydb"
+    )
+    series = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert series["a"] == [[1704067200000, 0.4], [1704067260000, 0.9]]
+    assert series["b"] == [[1704067200000, 0.7]]
