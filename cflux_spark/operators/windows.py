@@ -79,6 +79,50 @@ def series_difference_segmented(
     return out.withColumn("diff", diff).drop("_seg", "_lag_in", "_prev_last")
 
 
+def moving_average(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Trailing n-row mean per series (InfluxQL moving_average()).
+
+    Emits every row; the first n-1 rows of a series average the rows
+    seen so far (callers wanting InfluxDB's emit-once-full behavior
+    filter on ``ma_n >= n``, exposed as a count column).
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(-(n - 1), 0)
+    ma = F.avg(value_col).over(w)
+    if round_to is not None:
+        ma = F.round(ma, round_to)
+    return df.withColumn("ma", ma).withColumn("ma_n", F.count(value_col).over(w))
+
+
+def cumulative_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: list[str] | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Running sum per series (InfluxQL cumulative_sum())."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = F.sum(value_col).over(w)
+    if round_to is not None:
+        cs = F.round(cs, round_to)
+    return df.withColumn("cumsum", cs)
+
+
 def series_rate(
     df: DataFrame,
     key_cols: list[str],

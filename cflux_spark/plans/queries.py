@@ -502,6 +502,65 @@ def q_series_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_moving_average",
+    """
+    SELECT event_id, user_id, event_type,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w3
+                 / (count(*) OVER w3 * 100.0), 6) AS ma
+    FROM events
+    WINDOW w3 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-row mean per series (InfluxQL moving_average over the
+    events stand-in). Exact integer-cents sums so Spark and the DuckDB
+    oracle agree bit-for-bit regardless of float association order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w3 = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    ma = F.round(F.sum(cents).over(w3) / (F.count("*").over(w3) * F.lit(100.0)), 6)
+    return ev.select("event_id", "user_id", "event_type", ma.alias("ma"))
+
+
+@q(
+    "q_cumulative_sum",
+    """
+    SELECT event_id, user_id, event_type,
+           sum(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS cum
+    FROM events
+    """,
+)
+def q_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-series sum (InfluxQL cumulative_sum): integer-cents
+    running total, one float division at the end — exact on both
+    engines (cents totals stay far below 2^53)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("cum"),
+    )
+
+
+@q(
     "q_count_distinct",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
