@@ -296,3 +296,107 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+class IVFIndex:
+    """Persisted IVF index: train once, query many times.
+
+    ``ivf_topk`` retrains k-means and re-assigns every candidate on
+    every call — wasteful for repeated-query workloads (NEXT.md #4).
+    This variant stores the trained index on disk:
+
+    - ``<path>/centroids``: (cell long, center array<double>) — tiny.
+    - ``<path>/cells``: (neighbor_id, cv, cell), parquet PARTITIONED BY
+      cell, so a probe of nprobe cells reads nprobe/nlist of the data
+      via partition pruning — the scan never touches unprobed cells.
+
+    At 100 TB the cells table is the big artifact; partitioning by cell
+    keeps each probe a static-pruned scan (the probed cell list is
+    collected from the queries side, which is small by contract — same
+    broadcast-queries regime as ivf_topk/brute_force_topk).
+    """
+
+    def __init__(self, spark, path: str, nlist: int = 16, seed: int = 11):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.nlist = nlist
+        self.seed = seed
+        self._cents: np.ndarray | None = None
+
+    # -------------------------------------------------------------- build
+
+    def build(self, candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = candidates.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=self.nlist, seed=self.seed, maxIter=20).fit(train)
+        cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+        @pandas_udf("long")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1))
+
+        cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+        self.spark.createDataFrame(cent_rows, "cell long, center array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        (
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                cell_of(F.col(vec_col)).alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/cells")
+        )
+        self._cents = cents
+        return self
+
+    def _centroids(self) -> np.ndarray:
+        if self._cents is None:
+            rows = self.spark.read.parquet(f"{self.path}/centroids").orderBy("cell").collect()
+            self._cents = np.array([np.asarray(r.center) for r in rows])
+        return self._cents
+
+    # -------------------------------------------------------------- query
+
+    def topk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 4) -> DataFrame:
+        """Same contract as ``ivf_topk`` but against the stored index;
+        the probed-cell set is pushed into the parquet scan as a
+        partition filter."""
+        cents = self._centroids()
+
+        @pandas_udf("array<long>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)[:, :nprobe]
+            return pd.Series(list(order.astype(np.int64)))
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        # queries are small by contract: collect the distinct probed
+        # cells so the cells scan is statically partition-pruned
+        probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
+        cells = self.spark.read.parquet(f"{self.path}/cells").filter(F.col("cell").isin(probed))
+        scored = (
+            cells.join(F.broadcast(q), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )

@@ -89,6 +89,42 @@ def file_line_source(spark: SparkSession, dir_path: str) -> DataFrame:
     return spark.readStream.format("text").load(dir_path).withColumnRenamed("value", "line")
 
 
+def kafka_line_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Streaming source over a Kafka topic of LP lines — the production
+    analogue of the reference's HTTP /write fan-in (cflux.js:298): at
+    1000-executor scale, topic partitions are the parallelism unit and
+    everything downstream of the `line` column is unchanged.
+
+    Requires the spark-sql-kafka package on the classpath; this
+    container has no broker or kafka jar, so the constructor raises a
+    clear error instead of a cryptic provider failure (NEXT.md #5 —
+    kept import-gated until verifiable)."""
+    try:
+        df = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as exc:  # AnalysisException: failed to find data source
+        raise RuntimeError(
+            "Kafka source unavailable: spark-sql-kafka package not on the "
+            "classpath (add org.apache.spark:spark-sql-kafka-0-10 via "
+            "spark.jars.packages)"
+        ) from exc
+    from pyspark.sql import functions as F
+
+    # value is the raw LP line bytes; one line per record (Telegraf's
+    # kafka output mode) — batch-of-lines producers should split first
+    return df.select(F.col("value").cast("string").alias("line"))
+
+
 def rate_lp_source(spark: SparkSession, rows_per_second: int = 2500) -> DataFrame:
     """Synthetic LP line stream at a fixed rate (benchmark parity with
     the reference's implied 2,500 rows/s floor, BASELINE.md)."""

@@ -290,3 +290,41 @@ def test_asof_join_forward_nearest_tolerance(spark):
     )
     out2 = asof_join(left2, right, key="k", value_cols=["v"], direction="forward").collect()
     assert out2[0].v == 200.0
+
+
+def test_ivf_index_matches_inline_ivf(spark, emb, tmp_path):
+    """Stored index (same nlist/seed) must return exactly what the
+    retrain-per-call ivf_topk returns, and its plan must scan only the
+    probed cell partitions."""
+    idx = similarity.IVFIndex(spark, str(tmp_path / "ivf"), nlist=8).build(emb)
+    q = emb.filter(F.col("vec_id") < 5)
+    stored = idx.topk(q, k=5, nprobe=3)
+    inline = similarity.ivf_topk(q, emb, k=5, nlist=8, nprobe=3)
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, inline.collect()))
+    # partition pruning: the scan's partition filter names `cell`
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivf_index_reload_from_disk(spark, emb, tmp_path):
+    """A fresh IVFIndex object (no in-memory centroids) reloads the
+    stored artifacts and answers identically."""
+    path = str(tmp_path / "ivf2")
+    built = similarity.IVFIndex(spark, path, nlist=8).build(emb)
+    q = emb.filter(F.col("vec_id") < 3)
+    expect = sorted(map(tuple, built.topk(q, k=3, nprobe=2).collect()))
+    reloaded = similarity.IVFIndex(spark, path, nlist=8)
+    assert sorted(map(tuple, reloaded.topk(q, k=3, nprobe=2).collect())) == expect
+
+
+def test_kafka_source_gates_cleanly(spark):
+    """No kafka jar in this container: the constructor must raise the
+    documented RuntimeError, not a cryptic provider lookup failure."""
+    from cflux_spark.streaming.pipeline import kafka_line_source
+
+    try:
+        df = kafka_line_source(spark, "localhost:9092", "lp")
+    except RuntimeError as exc:
+        assert "spark-sql-kafka" in str(exc)
+    else:  # classpath has the jar after all — contract: one `line` column
+        assert df.columns == ["line"]
