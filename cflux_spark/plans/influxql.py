@@ -21,6 +21,8 @@ Supported statements (reference citation → our handler):
     [WHERE time <op> …  [AND tag='v']…]
     [GROUP BY time(Nu) | <tag>,… | *] [FILL(...)] [ORDER BY time DESC]
     [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]   (cflux.js:687-833)
+- SELECT agg(col) FROM (SELECT agg(f) FROM m ...) [GROUP BY ...]
+    — InfluxDB 1.2+ subqueries (beyond the reference), one level
 - multiple ;-separated statements → one results[] per statement
 
 Deviations from the reference, on purpose (SURVEY §2.2/2.4/2.6):
@@ -109,6 +111,7 @@ class SelectStmt:
     order_desc: bool = False
     limit: int | None = None
     offset: int | None = None
+    subquery: "SelectStmt | None" = None  # FROM (SELECT ...) — InfluxDB 1.2+
 
 
 def _unquote(s: str) -> str:
@@ -145,6 +148,39 @@ def _parse_time_value(v: str) -> int:
 
 
 def parse_select(q: str) -> SelectStmt:
+    # FROM (SELECT ...) — carve out the parenthesized inner statement,
+    # parse it recursively, and parse the outer clauses against a
+    # placeholder measurement
+    sub = re.match(r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s*\(", q, re.IGNORECASE | re.DOTALL)
+    if sub:
+        start = sub.end() - 1
+        depth = 0
+        end = -1
+        for i in range(start, len(q)):
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise InfluxQLError(f"unbalanced parens in FROM subquery: {q!r}")
+        inner = parse_select(q[start + 1 : end])
+        outer = parse_select(f"SELECT {sub.group('fields')} FROM __sub__ {q[end + 1 :]}")
+        outer.subquery = inner
+        # the envelope's series name is the innermost measurement
+        outer.measurement = inner.measurement
+        outer.db = inner.db
+        # InfluxDB propagates the outer time range into the subquery
+        if inner.time_lo_ns is None and outer.time_lo_ns is not None:
+            inner.time_lo_ns = outer.time_lo_ns
+        if inner.time_hi_ns is None and outer.time_hi_ns is not None:
+            inner.time_hi_ns = outer.time_hi_ns
+        if inner.relative_s is None and outer.relative_s is not None:
+            inner.relative_s = outer.relative_s
+            inner.relative_lo_inclusive = outer.relative_lo_inclusive
+        return outer
     m = re.match(
         r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+)"
         r"(?:\s+WHERE\s+(?P<where>.*?))?"
@@ -500,7 +536,9 @@ class InfluxQLEngine:
         stmt = parse_select(qs)
         store = self.store(stmt.db or db)
         reg = store.read_registry()
-        if stmt.measurement_regex is not None:
+        if stmt.subquery is not None:
+            series = self._select_subquery(stmt, store, reg)
+        elif stmt.measurement_regex is not None:
             # FROM /re/: resolve matching measurements from the (small)
             # registry, then run the single-measurement pipeline per
             # match — InfluxDB emits one series set per measurement
@@ -527,7 +565,12 @@ class InfluxQLEngine:
             series = series[: stmt.slimit]
         return _envelope(series)
 
-    def _select_series(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
+    def _prepared_facts(
+        self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None
+    ) -> tuple[DataFrame | None, list[str], list[str]]:
+        """Measurement + time + tag filtering, and the GROUP BY <tag>
+        broadcast join. Returns (facts, gtags, tkeys); facts is None
+        when a tag grouping is requested with no registry."""
         facts = store.read_samples_or_empty().filter(F.col("measurement") == stmt.measurement)
 
         # time range (F1/F2/F3; default window F4 when nothing parses)
@@ -564,7 +607,7 @@ class InfluxQLEngine:
         if stmt.group_by_star:
             # GROUP BY * — every tag key the measurement's series carry
             if reg is None:
-                return []
+                return None, [], []
             gtags = sorted(
                 r.k
                 for r in reg.filter(F.col("measurement") == stmt.measurement)
@@ -574,7 +617,7 @@ class InfluxQLEngine:
             )
         if gtags:
             if reg is None:
-                return []
+                return None, [], []
             # a series lacking the tag groups under "" (InfluxDB emits
             # an empty tag value, not null)
             tag_cols = [
@@ -585,6 +628,12 @@ class InfluxQLEngine:
                 F.broadcast(reg.select("fingerprint", *tag_cols)), "fingerprint", "inner"
             )
         tkeys = [f"_t{i}" for i in range(len(gtags))]
+        return facts, gtags, tkeys
+
+    def _select_series(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
+        facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+        if facts is None:
+            return []
 
         series: list[dict] = []
         for spec in stmt.fields:
@@ -610,99 +659,7 @@ class InfluxQLEngine:
                 continue
             # aggregated path: default = the reference's 1-minute mean
             # (cflux.js:749); honored GROUP BY time(N) generalizes it
-            bucket_s = stmt.group_by_time_s or 60
-            agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
-            bucket_ns = int(bucket_s * 1e9)
-            grouped = (
-                # integer div — double division of ns-scale longs loses
-                # precision above 2^53
-                ff.groupBy(
-                    *tkeys,
-                    (F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"),
-                )
-                .agg(F.round(agg, 6).alias("val"))
-            )
-            if stmt.fill and stmt.fill != "none" and stmt.group_by_time_s:
-                # materialize missing buckets per series between its
-                # first and last observed bucket, then fill per policy
-                bucket_ms = int(bucket_s * 1000)
-                bounds = grouped.groupBy(*tkeys).agg(
-                    F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
-                )
-                allb = bounds.select(
-                    *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
-                )
-                grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
-                if stmt.fill == "previous":
-                    from pyspark.sql import Window as _W
-
-                    wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                        _W.unboundedPreceding, 0
-                    )
-                    grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
-                elif stmt.fill == "linear":
-                    # interpolate gap buckets between the nearest known
-                    # neighbors; leading/trailing nulls stay null
-                    # (InfluxDB fill(linear) semantics)
-                    from pyspark.sql import Window as _W
-
-                    wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                        _W.unboundedPreceding, 0
-                    )
-                    wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                        0, _W.unboundedFollowing
-                    )
-                    known = F.when(
-                        F.col("val").isNotNull(),
-                        F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
-                    )
-                    prev = F.last(known, ignorenulls=True).over(wp)
-                    nxt = F.first(known, ignorenulls=True).over(wn)
-                    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
-                        (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
-                    )
-                    grouped = grouped.withColumn(
-                        "val", F.coalesce(F.col("val"), F.round(interp, 6))
-                    )
-                elif stmt.fill != "null":
-                    try:
-                        grouped = grouped.fillna({"val": float(stmt.fill)})
-                    except ValueError as exc:
-                        raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
-            if spec.tx:
-                # transforms run per output series, over the bucketed
-                # (and filled) values, ordered by time — a per-series
-                # window; the partition is one series' buckets, small
-                # by construction
-                from pyspark.sql import Window as _W
-
-                wt = _W.partitionBy(*tkeys).orderBy("ts_ms")
-                if spec.tx == "cumulative_sum":
-                    wc = wt.rowsBetween(_W.unboundedPreceding, 0)
-                    grouped = grouped.withColumn("val", F.round(F.sum("val").over(wc), 6))
-                elif spec.tx == "moving_average":
-                    n = int(spec.tx_arg or 2)
-                    if n < 1:
-                        raise InfluxQLError(f"moving_average window must be >= 1, got {n}")
-                    wm = wt.rowsBetween(-(n - 1), 0)
-                    # InfluxDB emits the first point only once the
-                    # window holds n values
-                    grouped = (
-                        grouped.withColumn("_ma", F.round(F.avg("val").over(wm), 6))
-                        .withColumn("_n", F.count("val").over(wm))
-                        .filter(F.col("_n") >= n)
-                        .withColumn("val", F.col("_ma"))
-                        .drop("_ma", "_n")
-                    )
-                else:  # derivative / non_negative_derivative
-                    unit_s = spec.tx_arg if spec.tx_arg is not None else 1.0
-                    dv = F.col("val") - F.lag("val").over(wt)
-                    dt_s = (F.col("ts_ms") - F.lag("ts_ms").over(wt)) / F.lit(1000.0)
-                    der = F.round(dv / dt_s * F.lit(unit_s), 6)
-                    grouped = grouped.withColumn("_d", der).filter(F.col("_d").isNotNull())
-                    if spec.tx == "non_negative_derivative":
-                        grouped = grouped.filter(F.col("_d") >= 0)
-                    grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
+            grouped = self._aggregated_frame(stmt, spec, ff, tkeys)
             grouped = grouped.orderBy(
                 *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
@@ -712,6 +669,164 @@ class InfluxQLEngine:
             colname = f"{base}_{fieldname}" if len(stmt.fields) > 1 else base
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return series
+
+    def _select_subquery(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
+        """SELECT agg(col) FROM (SELECT agg(field) FROM m ...) —
+        InfluxDB 1.2+ subqueries (absent in the reference; NEXT.md #7).
+
+        The inner statement's bucketed frame is NEVER collected: the
+        outer aggregate composes onto it as another groupBy, so the
+        whole thing stays one Catalyst plan (scan → inner agg shuffle →
+        outer agg shuffle). The canonical Grafana shape
+        ``SELECT mean(max) FROM (SELECT max(v) FROM m GROUP BY
+        time(1m), host) GROUP BY time(1m)`` is one job."""
+        inner = stmt.subquery
+        if inner.subquery is not None:
+            raise InfluxQLError("only one level of subquery nesting is supported")
+        if len(inner.fields) != 1 or inner.fields[0].agg is None:
+            raise InfluxQLError("subquery must contain exactly one aggregated field")
+        if stmt.fill or stmt.tag_filters:
+            raise InfluxQLError("outer fill()/tag filters over a subquery are not supported")
+        ispec = inner.fields[0]
+        facts, igtags, itkeys = self._prepared_facts(inner, store, reg)
+        if facts is None:
+            return []
+        ff = facts.filter(F.col("field") == ispec.name)
+        inner_df = self._aggregated_frame(inner, ispec, ff, itkeys)
+        inner_col = ispec.tx or ispec.agg or "mean"
+
+        ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        missing = [t for t in ogtags if t not in igtags]
+        if missing:
+            raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
+        okeys = [itkeys[igtags.index(t)] for t in ogtags]
+
+        series: list[dict] = []
+        for spec in stmt.fields:
+            if spec.agg is None:
+                raise InfluxQLError("outer SELECT over a subquery must aggregate")
+            if spec.tx:
+                raise InfluxQLError("transform functions over a subquery are not supported")
+            if spec.name != inner_col:
+                raise InfluxQLError(
+                    f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
+                )
+            bucket_ms = int((stmt.group_by_time_s or 60) * 1000)
+            agg = _AGG_FNS[spec.agg]("val", spec.agg_arg)
+            grouped = inner_df.groupBy(
+                *okeys, (F.expr(f"ts_ms div {bucket_ms}") * bucket_ms).alias("ts_ms")
+            ).agg(F.round(agg, 6).alias("val"))
+            grouped = grouped.orderBy(
+                *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            grouped = _apply_slice(grouped, okeys, stmt)
+            rows = grouped.collect()
+            colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
+            series.extend(
+                _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+            )
+        return series
+
+    def _aggregated_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys: list[str]
+    ) -> DataFrame:
+        """Bucketed aggregate + fill + transform for one SELECT
+        expression → DataFrame of [*tkeys, ts_ms, val]."""
+        fn = spec.agg
+        bucket_s = stmt.group_by_time_s or 60
+        agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
+        bucket_ns = int(bucket_s * 1e9)
+        grouped = (
+            # integer div — double division of ns-scale longs loses
+            # precision above 2^53
+            ff.groupBy(
+                *tkeys,
+                (F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"),
+            )
+            .agg(F.round(agg, 6).alias("val"))
+        )
+        if stmt.fill and stmt.fill != "none" and stmt.group_by_time_s:
+            # materialize missing buckets per series between its
+            # first and last observed bucket, then fill per policy
+            bucket_ms = int(bucket_s * 1000)
+            bounds = grouped.groupBy(*tkeys).agg(
+                F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
+            )
+            allb = bounds.select(
+                *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
+            )
+            grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
+            if stmt.fill == "previous":
+                from pyspark.sql import Window as _W
+
+                wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    _W.unboundedPreceding, 0
+                )
+                grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
+            elif stmt.fill == "linear":
+                # interpolate gap buckets between the nearest known
+                # neighbors; leading/trailing nulls stay null
+                # (InfluxDB fill(linear) semantics)
+                from pyspark.sql import Window as _W
+
+                wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    _W.unboundedPreceding, 0
+                )
+                wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    0, _W.unboundedFollowing
+                )
+                known = F.when(
+                    F.col("val").isNotNull(),
+                    F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
+                )
+                prev = F.last(known, ignorenulls=True).over(wp)
+                nxt = F.first(known, ignorenulls=True).over(wn)
+                interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                    (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
+                )
+                grouped = grouped.withColumn(
+                    "val", F.coalesce(F.col("val"), F.round(interp, 6))
+                )
+            elif stmt.fill != "null":
+                try:
+                    grouped = grouped.fillna({"val": float(stmt.fill)})
+                except ValueError as exc:
+                    raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
+        if spec.tx:
+            # transforms run per output series, over the bucketed
+            # (and filled) values, ordered by time — a per-series
+            # window; the partition is one series' buckets, small
+            # by construction
+            from pyspark.sql import Window as _W
+
+            wt = _W.partitionBy(*tkeys).orderBy("ts_ms")
+            if spec.tx == "cumulative_sum":
+                wc = wt.rowsBetween(_W.unboundedPreceding, 0)
+                grouped = grouped.withColumn("val", F.round(F.sum("val").over(wc), 6))
+            elif spec.tx == "moving_average":
+                n = int(spec.tx_arg or 2)
+                if n < 1:
+                    raise InfluxQLError(f"moving_average window must be >= 1, got {n}")
+                wm = wt.rowsBetween(-(n - 1), 0)
+                # InfluxDB emits the first point only once the
+                # window holds n values
+                grouped = (
+                    grouped.withColumn("_ma", F.round(F.avg("val").over(wm), 6))
+                    .withColumn("_n", F.count("val").over(wm))
+                    .filter(F.col("_n") >= n)
+                    .withColumn("val", F.col("_ma"))
+                    .drop("_ma", "_n")
+                )
+            else:  # derivative / non_negative_derivative
+                unit_s = spec.tx_arg if spec.tx_arg is not None else 1.0
+                dv = F.col("val") - F.lag("val").over(wt)
+                dt_s = (F.col("ts_ms") - F.lag("ts_ms").over(wt)) / F.lit(1000.0)
+                der = F.round(dv / dt_s * F.lit(unit_s), 6)
+                grouped = grouped.withColumn("_d", der).filter(F.col("_d").isNotNull())
+                if spec.tx == "non_negative_derivative":
+                    grouped = grouped.filter(F.col("_d") >= 0)
+                grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
+        return grouped
 
 
 def _apply_slice(df: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame:

@@ -420,3 +420,51 @@ def test_transform_per_tag_group(engine):
     series = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
     assert series["a"] == [[1704067200000, 0.4], [1704067260000, 0.9]]
     assert series["b"] == [[1704067200000, 0.7]]
+
+
+# ---- subqueries (InfluxDB 1.2+; beyond the reference) ----
+
+
+def test_subquery_mean_of_max(engine):
+    # inner: per-host per-minute max → min0: a=0.3, b=0.7; min1: a=0.5
+    # outer: mean across hosts per minute → 0.5, 0.5
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["name"] == "cpu" and series["columns"] == ["time", "mean"]
+    assert series["values"] == [[1704067200000, 0.5], [1704067260000, 0.5]]
+
+
+def test_subquery_outer_group_by_tag(engine):
+    res = engine.execute(
+        "SELECT sum(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) GROUP BY time(60s), host",
+        db="mydb",
+    )
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host["a"] == [[1704067200000, 0.3], [1704067260000, 0.5]]
+    assert by_host["b"] == [[1704067200000, 0.7]]
+
+
+def test_subquery_time_range_propagates(engine):
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) "
+        "WHERE time >= 1704067260000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067260000, 0.5]]  # only minute 1 survives
+
+
+def test_subquery_field_mismatch_rejected(engine):
+    with pytest.raises(InfluxQLError, match="does not match"):
+        engine.execute(
+            "SELECT mean(user) FROM (SELECT max(user) FROM cpu GROUP BY time(60s))", db="mydb"
+        )
+
+
+def test_subquery_outer_must_aggregate(engine):
+    with pytest.raises(InfluxQLError, match="must aggregate"):
+        engine.execute(
+            "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s))", db="mydb"
+        )
