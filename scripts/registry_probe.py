@@ -1,0 +1,81 @@
+"""Registry-scale probe (SCALE.md 'Registry (measured)', NEXT.md #2).
+
+Synthesizes a registry of N series and a fact table of M rows, then
+runs the production query shape — filter the registry by measurement
+(the filtered slice), join facts to it, hourly aggregate — at several
+slice cardinalities to find where the broadcast strategy gives way to
+sort-merge, and what each costs.
+
+The fixture registry is ~10^4 series; this probes 10^2-10^3× that.
+Run:  python scripts/registry_probe.py [n_series] [n_facts]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+from cflux_spark import get_spark  # noqa: E402
+
+
+def main(n_series: int = 10_000_000, n_facts: int = 10_000_000) -> None:
+    spark = get_spark("registry-probe", cpus=16)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # one row per series: fingerprint + measurement (1000 measurements
+    # → a measurement filter keeps n_series/1000 rows) + name
+    reg = (
+        spark.range(n_series)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("fingerprint"),
+            F.concat(F.lit("m"), (F.col("id") % 1000).cast("string")).alias("measurement"),
+            F.concat(F.lit("f"), (F.col("id") % 7).cast("string")).alias("name"),
+        )
+        .cache()
+    )
+    reg.count()
+
+    facts = (
+        spark.range(n_facts)
+        .select(
+            F.xxhash64((F.col("id") % n_series).cast("string")).alias("fingerprint"),
+            (F.col("id") * 1_000_000_000 % (86400 * 1_000_000_000)).alias("ts_ns"),
+            (F.col("id") % 997 / 10.0).alias("value"),
+        )
+        .cache()
+    )
+    facts.count()
+
+    # slice cardinality sweep: 1 measurement (n/1000 series), 10, 100,
+    # all 1000 (the whole registry — the anti-broadcast extreme)
+    for n_meas in (1, 10, 100, 1000):
+        ms = [f"m{i}" for i in range(n_meas)]
+        t0 = time.time()
+        slice_ = reg.filter(F.col("measurement").isin(ms)).select("fingerprint")
+        out = (
+            facts.join(slice_, "fingerprint")
+            .groupBy(F.expr("ts_ns div 3600000000000").alias("hour"))
+            .agg(F.avg("value").alias("mean"), F.count("*").alias("n"))
+        )
+        rows = out.collect()
+        dt = time.time() - t0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        strategy = "broadcast" if "BroadcastHashJoin" in plan else (
+            "sort-merge" if "SortMergeJoin" in plan else "shuffled-hash" if "ShuffledHashJoin" in plan else "?"
+        )
+        n_slice = n_meas * (n_series // 1000)
+        print(
+            f"slice={n_slice:>10,} series ({n_meas:>4} measurements): "
+            f"{dt:6.2f} s  join={strategy}  out_rows={len(rows)}"
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    ns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    nf = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    main(ns, nf)
