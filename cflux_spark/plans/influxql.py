@@ -30,9 +30,12 @@ GROUP BY time(N) is honored (the reference strips it and hard-codes
 1-minute buckets); LIMIT is honored (the reference deletes it); the
 ISO-timestamp 5-minute floor bug is not copied; aggregates beyond
 mean are available (sum/min/max/count/median/stddev/first/last/
-percentile/spread/mode) plus the InfluxQL transform functions
-derivative/non_negative_derivative/moving_average/cumulative_sum
-over an inner aggregate, e.g. ``derivative(mean(f), 1s)``.
+percentile/spread/mode/count(distinct())/integral) plus the selector
+functions top/bottom, the point transforms distinct/elapsed, the
+InfluxQL transform functions derivative/non_negative_derivative/
+moving_average/cumulative_sum over an inner aggregate (e.g.
+``derivative(mean(f), 1s)``), and GROUP BY time(N, offset) shifted
+buckets.
 """
 
 from __future__ import annotations
@@ -62,7 +65,16 @@ _AGG_FNS = {
     "percentile": lambda c, a: F.expr(f"percentile({c}, {(a if a is not None else 50) / 100.0})"),
     "spread": lambda c, a: F.max(c) - F.min(c),
     "mode": lambda c, a: F.mode(c),
+    # count(distinct(f)) — InfluxQL's only nested-aggregate form
+    "count_distinct": lambda c, a: F.countDistinct(c),
 }
+
+# selector functions keep the point's own timestamp (InfluxQL top/
+# bottom return the N actual points, not a folded aggregate)
+_SEL_FNS = {"top", "bottom"}
+
+# envelope column names where the internal fn name differs
+_DISPLAY = {"count_distinct": "count"}
 
 # InfluxQL transform functions over an aggregated series:
 # derivative(mean(f), 1s), moving_average(mean(f), n),
@@ -107,6 +119,7 @@ class SelectStmt:
     tag_filters: list[tuple[str, str, str]] = field(default_factory=list)  # (key, op, value)
     group_by_time_s: int | None = None
     group_by_tags: list[str] = field(default_factory=list)
+    group_by_time_offset_s: float = 0.0  # GROUP BY time(N, offset)
     fill: str | None = None  # none|null|previous|<number>
     order_desc: bool = False
     limit: int | None = None
@@ -207,6 +220,14 @@ def parse_select(q: str) -> SelectStmt:
             raw,
             re.IGNORECASE,
         )
+        if (
+            tm2
+            and tm2.group(1).lower() == "count"
+            and tm2.group(2).lower() == "distinct"
+            and not tm2.group(4)
+        ):
+            fields.append(FieldSpec("count_distinct", _unquote(tm2.group(3))))
+            continue
         if tm2 and tm2.group(1).lower() in _TX_FNS:
             tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
             if inner not in _AGG_FNS:
@@ -229,9 +250,29 @@ def parse_select(q: str) -> SelectStmt:
                 raise InfluxQLError(
                     f"{fn}() requires an inner aggregate, e.g. {fn}(mean(field), ...)"
                 )
+            args = [a.strip() for a in fm.group(2).split(",")]
+            if fn in _SEL_FNS:
+                # top(f, N) / bottom(f, N) — N actual points
+                if len(args) != 2 or not re.fullmatch(r"\d+", args[1]):
+                    raise InfluxQLError(f"{fn}(field, N) requires an integer N: {raw!r}")
+                fields.append(FieldSpec(fn, _unquote(args[0]), float(args[1])))
+                continue
+            if fn == "integral":
+                # integral(f[, unit]) — area under the curve per unit
+                unit_s = _parse_duration(args[1]) if len(args) > 1 else 1.0
+                fields.append(FieldSpec(fn, _unquote(args[0]), unit_s))
+                continue
+            if fn == "elapsed":
+                # elapsed(f[, unit]) — gap between consecutive points,
+                # default unit 1ns (InfluxDB's default)
+                unit_s = _parse_duration(args[1]) if len(args) > 1 else 1e-9
+                fields.append(FieldSpec(fn, _unquote(args[0]), unit_s))
+                continue
+            if fn == "distinct":
+                fields.append(FieldSpec(fn, _unquote(args[0])))
+                continue
             if fn not in _AGG_FNS:
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
-            args = [a.strip() for a in fm.group(2).split(",")]
             agg_arg = float(args[1]) if len(args) > 1 else None
             fields.append(FieldSpec(fn, _unquote(args[0]), agg_arg))
         else:
@@ -304,9 +345,15 @@ def parse_select(q: str) -> SelectStmt:
             stmt.fill = fm.group(1).lower()
             groupby = groupby.replace(fm.group(0), "")
         rest = groupby
-        gbt = re.search(r"time\s*\(\s*(\S+?)\s*\)", groupby, re.IGNORECASE)
+        gbt = re.search(r"time\s*\(\s*([^,)]+?)\s*(?:,\s*([^)]+?)\s*)?\)", groupby, re.IGNORECASE)
         if gbt:
             stmt.group_by_time_s = max(1, int(_parse_duration(gbt.group(1))))
+            if gbt.group(2):
+                # time(N, offset) — shifted bucket boundaries; a leading
+                # '-' is allowed (InfluxDB accepts negative offsets)
+                off = gbt.group(2).strip()
+                sign = -1.0 if off.startswith("-") else 1.0
+                stmt.group_by_time_offset_s = sign * _parse_duration(off.lstrip("+-"))
             rest = groupby.replace(gbt.group(0), "")
         for tok in rest.split(","):
             tok = tok.strip()
@@ -376,6 +423,19 @@ def _split_statements(q: str) -> list[str]:
     if s:
         out.append(s)
     return out
+
+
+def _bucket_ms(bucket_s: float, offset_s: float = 0.0):
+    """ts_ns → bucket-start epoch-ms column, integer math throughout
+    (double division of ns-scale longs loses precision above 2^53).
+    ``offset_s`` shifts bucket boundaries (GROUP BY time(N, offset))."""
+    bucket_ns = int(bucket_s * 1e9)
+    bucket_ms = int(bucket_s * 1000)
+    off_ns = int(offset_s * 1e9)
+    if off_ns:
+        off_ms = off_ns // 1_000_000
+        return F.expr(f"(ts_ns - ({off_ns})) div {bucket_ns}") * bucket_ms + F.lit(off_ms)
+    return F.expr(f"ts_ns div {bucket_ns}") * bucket_ms
 
 
 class InfluxQLEngine:
@@ -639,6 +699,15 @@ class InfluxQLEngine:
         for spec in stmt.fields:
             fn, fieldname = spec.agg, spec.name
             ff = facts.filter(F.col("field") == fieldname)
+            if fn == "elapsed":
+                series.extend(self._elapsed_series(stmt, spec, ff, gtags, tkeys))
+                continue
+            if fn in _SEL_FNS:
+                series.extend(self._selector_series(stmt, spec, ff, gtags, tkeys))
+                continue
+            if fn == "distinct":
+                series.extend(self._distinct_series(stmt, spec, ff, gtags, tkeys))
+                continue
             if fn is None and stmt.group_by_time_s is None:
                 # raw points, string-over-float per cflux.js:795
                 sel = ff.select(
@@ -666,9 +735,95 @@ class InfluxQLEngine:
             grouped = _apply_slice(grouped, tkeys, stmt)
             rows = grouped.collect()
             base = spec.tx or fn or "mean"
+            base = _DISPLAY.get(base, base)
             colname = f"{base}_{fieldname}" if len(stmt.fields) > 1 else base
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return series
+
+    def _elapsed_series(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """elapsed(f[, unit]) — integer gap between consecutive points
+        of a series, emitted at the later point's timestamp (InfluxDB
+        semantics; default unit 1ns). A raw-point transform, not an
+        aggregate: per-series window over ts_ns."""
+        from pyspark.sql import Window as _W
+
+        unit_ns = max(1, int(round((spec.agg_arg or 1e-9) * 1e9)))
+        w = _W.partitionBy(*tkeys).orderBy("ts_ns") if tkeys else _W.partitionBy(F.lit(1)).orderBy("ts_ns")
+        sel = (
+            ff.withColumn("_dt", F.col("ts_ns") - F.lag("ts_ns").over(w))
+            .filter(F.col("_dt").isNotNull())
+            .select(
+                *tkeys,
+                F.expr("ts_ns div 1000000").alias("ts_ms"),
+                F.expr(f"_dt div {unit_ns}").alias("val"),
+            )
+            .orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+        )
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = sel.collect()
+        colname = f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed"
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _selector_series(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """top(f, N) / bottom(f, N) — the N actual points per series
+        (and per time bucket under GROUP BY time), keeping their own
+        timestamps. Ties break toward the earlier point, as InfluxDB's
+        selectors do. Partitioned rank when there are grouping keys;
+        a global top-N (TakeOrdered, no single-partition window) when
+        there are none."""
+        k = int(spec.agg_arg or 1)
+        if k < 1:
+            raise InfluxQLError(f"{spec.agg}(field, N) requires N >= 1")
+        desc = spec.agg == "top"
+        val_order = F.col("value").desc() if desc else F.col("value").asc()
+        parts = list(tkeys)
+        if stmt.group_by_time_s:
+            ff = ff.withColumn(
+                "_b", _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s)
+            )
+            parts.append("_b")
+        if parts:
+            from pyspark.sql import Window as _W
+
+            rn = F.row_number().over(_W.partitionBy(*parts).orderBy(val_order, F.col("ts_ns").asc()))
+            picked = ff.withColumn("_rn", rn).filter(F.col("_rn") <= k)
+        else:
+            picked = ff.orderBy(val_order, F.col("ts_ns").asc()).limit(k)
+        sel = picked.select(
+            *tkeys,
+            F.expr("ts_ns div 1000000").alias("ts_ms"),
+            F.col("value").alias("val"),
+        ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+        rows = sel.collect()
+        colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _distinct_series(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """distinct(f) — unique field values; under GROUP BY time the
+        uniqueness is per bucket (emitted at bucket start), otherwise
+        InfluxDB stamps epoch 0."""
+        bucket = (
+            _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s)
+            if stmt.group_by_time_s
+            else F.lit(0).cast("long")
+        )
+        sel = (
+            ff.select(*tkeys, bucket.alias("ts_ms"), F.col("value").alias("val"))
+            .distinct()
+            .orderBy(
+                *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"), F.col("val")
+            )
+        )
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = sel.collect()
+        colname = f"distinct_{spec.name}" if len(stmt.fields) > 1 else "distinct"
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _select_subquery(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
         """SELECT agg(col) FROM (SELECT agg(field) FROM m ...) —
@@ -712,10 +867,15 @@ class InfluxQLEngine:
                     f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
                 )
             bucket_ms = int((stmt.group_by_time_s or 60) * 1000)
+            off_ms = int(stmt.group_by_time_offset_s * 1000)
+            if off_ms:
+                obucket = F.expr(f"(ts_ms - ({off_ms})) div {bucket_ms}") * bucket_ms + F.lit(off_ms)
+            else:
+                obucket = F.expr(f"ts_ms div {bucket_ms}") * bucket_ms
             agg = _AGG_FNS[spec.agg]("val", spec.agg_arg)
-            grouped = inner_df.groupBy(
-                *okeys, (F.expr(f"ts_ms div {bucket_ms}") * bucket_ms).alias("ts_ms")
-            ).agg(F.round(agg, 6).alias("val"))
+            grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
+                F.round(agg, 6).alias("val")
+            )
             grouped = grouped.orderBy(
                 *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
@@ -734,17 +894,40 @@ class InfluxQLEngine:
         expression → DataFrame of [*tkeys, ts_ms, val]."""
         fn = spec.agg
         bucket_s = stmt.group_by_time_s or 60
-        agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
-        bucket_ns = int(bucket_s * 1e9)
-        grouped = (
-            # integer div — double division of ns-scale longs loses
-            # precision above 2^53
-            ff.groupBy(
-                *tkeys,
-                (F.expr(f"ts_ns div {bucket_ns}") * int(bucket_s * 1000)).alias("ts_ms"),
+        bucket = _bucket_ms(bucket_s, stmt.group_by_time_offset_s)
+        if fn == "integral":
+            # area under the curve: trapezoid between consecutive
+            # points of a series, divided by the unit. Each trapezoid
+            # is assigned to the bucket of its LATER point (no
+            # boundary clipping — documented simplification; InfluxDB
+            # splits trapezoids at bucket edges).
+            from pyspark.sql import Window as _W
+
+            unit_s = spec.agg_arg or 1.0
+            w = (
+                _W.partitionBy(*tkeys).orderBy("ts_ns")
+                if tkeys
+                else _W.partitionBy(F.lit(1)).orderBy("ts_ns")
             )
-            .agg(F.round(agg, 6).alias("val"))
-        )
+            area = (
+                (F.col("value") + F.lag("value").over(w))
+                / 2.0
+                * ((F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1e9))
+                / F.lit(unit_s)
+            )
+            grouped = (
+                ff.withColumn("_a", area)
+                .filter(F.col("_a").isNotNull())
+                .groupBy(*tkeys, bucket.alias("ts_ms"))
+                .agg(F.round(F.sum("_a"), 6).alias("val"))
+            )
+        else:
+            agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
+            grouped = (
+                # integer div — double division of ns-scale longs loses
+                # precision above 2^53
+                ff.groupBy(*tkeys, bucket.alias("ts_ms")).agg(F.round(agg, 6).alias("val"))
+            )
         if stmt.fill and stmt.fill != "none" and stmt.group_by_time_s:
             # materialize missing buckets per series between its
             # first and last observed bucket, then fill per policy

@@ -561,6 +561,106 @@ def q_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_elapsed",
+    """
+    SELECT event_id, user_id, event_type,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+                                                  ORDER BY ts, event_id) AS elapsed_ms
+    FROM events
+    """,
+)
+def q_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL elapsed(): integer ms between consecutive points of a
+    series (plans/influxql.py _elapsed_series; no reference analog —
+    cFlux delegates all point math to Kapacitor). Exact: epoch-ms longs
+    subtract without float intermediates."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return ev.select(
+        "event_id", "user_id", "event_type", (ms - F.lag(ms).over(w)).alias("elapsed_ms")
+    )
+
+
+@q(
+    "q_integral",
+    """
+    WITH d AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cv,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS pcv,
+             epoch_ms(ts) AS ms, lag(epoch_ms(ts)) OVER w AS pms
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type,
+           CAST(sum((cv + pcv) * (ms - pms)) AS BIGINT) / 200000.0 AS integral
+    FROM d WHERE pcv IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL integral(): trapezoidal area under each series in
+    value-seconds (plans/influxql.py _aggregated_frame integral
+    branch). All-integer trapezoids — (cents_i + cents_{i-1}) ×
+    gap_ms — summed exactly as longs, ONE float division at the end
+    (÷ 2 ÷ 100 cents ÷ 1000 ms = ÷ 200000), so Spark and DuckDB agree
+    bit-for-bit regardless of partitioning or sum order."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    ms = F.unix_millis("ts")
+    area2 = (cents + F.lag(cents).over(w)) * (ms - F.lag(ms).over(w))
+    return (
+        ev.select("user_id", "event_type", area2.alias("_a2"))
+        .filter(F.col("_a2").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg((F.sum("_a2") / F.lit(200000.0)).alias("integral"))
+    )
+
+
+@q(
+    "q_top_per_bucket",
+    """
+    SELECT event_type, hour, event_id, value, rn FROM (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY value DESC, ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL top(f, 3) under GROUP BY time(1h): the 3 actual points
+    per (series-group, bucket), keeping their own identity — a ranked
+    selector, not a folded aggregate (plans/influxql.py
+    _selector_series). Ties break toward the earlier point, then
+    event_id, so ranks are deterministic on both engines."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", "ts")
+    w = Window.partitionBy("event_type", hour).orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            hour.alias("hour"),
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
     "q_count_distinct",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n

@@ -468,3 +468,84 @@ def test_subquery_outer_must_aggregate(engine):
         engine.execute(
             "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s))", db="mydb"
         )
+
+
+# ---------------------------------------------------------------- round 2b fns
+
+
+def test_top_selector_global(engine):
+    # top-2 of user across all hosts: 0.7@t0, 0.5@t0+90s — selectors
+    # keep the points' own timestamps, output ordered by time
+    res = engine.execute("SELECT top(user, 2) FROM cpu", db="mydb")
+    assert res["results"][0]["series"][0]["columns"] == ["time", "top"]
+    assert _values(res) == [[1704067200000, 0.7], [1704067290000, 0.5]]
+
+
+def test_bottom_selector(engine):
+    res = engine.execute("SELECT bottom(user, 1) FROM cpu", db="mydb")
+    assert _values(res) == [[1704067200000, 0.1]]
+
+
+def test_top_per_time_bucket(engine):
+    res = engine.execute(
+        "SELECT top(user, 1) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    assert _values(res) == [[1704067230000, 0.3], [1704067290000, 0.5]]
+
+
+def test_top_requires_integer_n():
+    with pytest.raises(InfluxQLError):
+        parse_select("SELECT top(user) FROM cpu")
+
+
+def test_count_distinct(engine):
+    res = engine.execute("SELECT count(distinct(user)) FROM cpu GROUP BY time(1h)", db="mydb")
+    series = res["results"][0]["series"][0]
+    assert series["columns"] == ["time", "count"]
+    assert series["values"] == [[1704067200000, 4]]
+
+
+def test_distinct_values(engine):
+    # ungrouped distinct() stamps epoch 0 (InfluxDB behavior)
+    res = engine.execute("SELECT distinct(user) FROM cpu WHERE host = 'a'", db="mydb")
+    assert _values(res) == [[0, 0.1], [0, 0.3], [0, 0.5]]
+
+
+def test_elapsed_seconds(engine):
+    # gaps 30s then 60s, emitted at the later point's timestamp
+    res = engine.execute("SELECT elapsed(user, 1s) FROM cpu WHERE host = 'a'", db="mydb")
+    assert _values(res) == [[1704067230000, 30], [1704067290000, 60]]
+
+
+def test_elapsed_default_ns(engine):
+    res = engine.execute("SELECT elapsed(user) FROM cpu WHERE host = 'a'", db="mydb")
+    assert _values(res) == [
+        [1704067230000, 30_000_000_000],
+        [1704067290000, 60_000_000_000],
+    ]
+
+
+def test_integral_trapezoid(engine):
+    # (0.1+0.3)/2*30s + (0.3+0.5)/2*60s = 6 + 24 = 30 value-seconds
+    res = engine.execute(
+        "SELECT integral(user, 1s) FROM cpu WHERE host = 'a' GROUP BY time(1h)", db="mydb"
+    )
+    assert _values(res) == [[1704067200000, 30.0]]
+
+
+def test_group_by_time_offset(engine):
+    # 60s buckets shifted by 30s: each point of host=a lands alone
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s, 30s)", db="mydb"
+    )
+    assert _values(res) == [
+        [1704067170000, 0.1],
+        [1704067230000, 0.3],
+        [1704067290000, 0.5],
+    ]
+
+
+def test_group_by_time_negative_offset_parses():
+    stmt = parse_select("SELECT mean(v) FROM m GROUP BY time(1m, -30s)")
+    assert stmt.group_by_time_s == 60
+    assert stmt.group_by_time_offset_s == -30.0
