@@ -220,6 +220,7 @@ def dedup_clusters(
         df.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node")).cache()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.node)
@@ -247,8 +248,19 @@ def dedup_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # exiting on iteration exhaustion with labels still moving would
+        # silently split long chains into several clusters — fail loudly
+        # so the caller raises max_iter (diameter > max_iter is a data
+        # smell for near-dup graphs, whose components are shallow)
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iter={max_iter} rounds; a component's diameter exceeds "
+            f"the bound — raise max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -79,7 +79,10 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
     vals = value_cols or [c for c in right.columns if c not in (*keys, right_ts)]
-    lcols = [c for c in left.columns if c not in keys]
+    # left_ts is carried as _asof_ts and renamed back at the end — keeping
+    # it in lcols too would emit a duplicate timestamp column and make any
+    # downstream reference to it AMBIGUOUS_REFERENCE
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
     l = left.select(
         *keys,
         F.col(left_ts).alias("_asof_ts"),

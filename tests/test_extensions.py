@@ -255,6 +255,41 @@ def test_asof_join_backward_semantics(spark):
     assert out2[0].v is None
 
 
+def test_asof_join_unique_columns_and_ts_selectable(spark):
+    """The output must carry exactly ONE timestamp column: selecting or
+    re-joining on it used to hit AMBIGUOUS_REFERENCE because the original
+    left ts rode along beside the renamed _asof_ts."""
+    from cflux_spark.operators.joins import asof_join
+    from pyspark.sql import functions as SF
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "k int, t int").select(
+        "k", SF.timestamp_seconds("t").alias("ts"), SF.col("t").alias("lt")
+    )
+    right = spark.createDataFrame([(1, 20, 200.0)], "k int, t int, v double").select(
+        "k", SF.timestamp_seconds("t").alias("ts"), "v"
+    )
+    out = asof_join(left, right, key="k", value_cols=["v"])
+    assert len(out.columns) == len(set(out.columns)), out.columns
+    # downstream select/filter on the ts column must resolve
+    got = {r.lt: r.v for r in out.select("k", "ts", "lt", "v").filter(SF.col("ts").isNotNull()).collect()}
+    assert got == {10: None, 25: 200.0}
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must fail loudly, not
+    return silently-split clusters."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"t{i}") for i in range(1, 8)])
+    # chain 1-2-3-4-5-6-7: min label needs ~6 rounds to reach the tail
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(1, 7)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(docs, pairs=pairs, max_iter=2)
+    # and with enough rounds the same graph converges to one cluster
+    out = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(docs, pairs=pairs).collect()}
+    assert set(out.values()) == {1}
+
+
 def test_tfidf_top_terms_shape(docs):
     out = text.top_terms_tfidf(docs, k=3).collect()
     by_src = {}
