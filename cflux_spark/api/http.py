@@ -34,15 +34,36 @@ from cflux_spark.plans.influxql import InfluxQLEngine, InfluxQLError
 class CFluxApp:
     """WSGI application exposing the reference's HTTP API over the
     engine. One app per store root; databases are lazy, per ``?db=``
-    (cflux.js:304-311)."""
+    (cflux.js:304-311).
 
-    def __init__(self, spark: SparkSession, root: str, forward_timeout_s: float = 5.0):
+    TRUST MODEL: the API is unauthenticated (so is the reference's),
+    and ``CREATE SUBSCRIPTION`` registers a URL that every subsequent
+    ``/write`` body is mirrored to — on an exposed listener that is an
+    SSRF/data-mirroring vector. This app is built for localhost/dev
+    (``serve`` binds 127.0.0.1); a production mount must sit behind
+    authentication, and fan-out targets are restricted by
+    ``allowed_forward_schemes`` (http/https only by default — file:,
+    gopher: etc. are rejected at registration use-time)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        forward_timeout_s: float = 5.0,
+        allowed_forward_schemes: tuple[str, ...] = ("http", "https"),
+    ):
         self.spark = spark
         self.engine = InfluxQLEngine(spark, root)
         self.forward_timeout_s = forward_timeout_s
+        self.allowed_forward_schemes = allowed_forward_schemes
         # mirror targets whose POST failed, for observability (the
         # reference swallows forward errors silently, cflux.js:870-872)
         self.forward_errors: list[str] = []
+        # single-writer rule enforced in-process: concurrent write_batch
+        # calls to one store race on the registry anti-join, so /write
+        # serializes here even under a threaded WSGI server. Cross-
+        # PROCESS deployments still need one writer per store root.
+        self._write_lock = threading.Lock()
 
     # ------------------------------------------------------------- WSGI
 
@@ -81,9 +102,10 @@ class CFluxApp:
         self._forward(db, raw)
         lines = [(l,) for l in body.split("\n") if l.strip()]
         if lines:
-            store = self.engine.store(db)
-            df = self.spark.createDataFrame(lines, "line string")
-            store.write_batch(df, collect_stats=False)
+            with self._write_lock:
+                store = self.engine.store(db)
+                df = self.spark.createDataFrame(lines, "line string")
+                store.write_batch(df, collect_stats=False)
         # 204-before-flush in the reference (cflux.js:351) is
         # at-most-once; here the write completed before the 204 —
         # the durability upgrade documented in SURVEY §2.9 ST2
@@ -91,6 +113,10 @@ class CFluxApp:
 
     def _forward(self, db: str, raw: bytes) -> None:
         for _sid, target in self.engine.subscriptions.get(db, []):
+            scheme = target.split(":", 1)[0].lower() if ":" in target else ""
+            if scheme not in self.allowed_forward_schemes:
+                self.forward_errors.append(f"{target}: scheme {scheme!r} not allowed")
+                continue
             def post(url: str = target) -> None:
                 try:
                     req = urllib.request.Request(url, data=raw, method="POST")

@@ -209,6 +209,12 @@ def parse_select(q: str) -> SelectStmt:
     if not m:
         raise InfluxQLError(f"unparsable SELECT: {q!r}")
 
+    # the minimal grammar has no quote escapes, so an odd quote count is
+    # always an unterminated literal — reject loudly rather than let the
+    # tag-filter regex silently misparse the dangling fragment
+    if q.count("'") % 2 or q.count('"') % 2:
+        raise InfluxQLError(f"unbalanced quote in {q!r}")
+
     fields: list[FieldSpec] = []
     # split the SELECT list on commas outside parens so
     # "derivative(mean(v), 1s), max(v)" yields two expressions
@@ -276,6 +282,11 @@ def parse_select(q: str) -> SelectStmt:
             agg_arg = float(args[1]) if len(args) > 1 else None
             fields.append(FieldSpec(fn, _unquote(args[0]), agg_arg))
         else:
+            if "::" in raw:
+                # InfluxDB ::field/::tag casts — outside the minimal
+                # grammar; a bare pass-through would silently match no
+                # field and return empty (SURVEY §7: reject loudly)
+                raise InfluxQLError(f"::field/::tag casts are not supported: {raw!r}")
             fields.append(FieldSpec(None, _unquote(raw)))
 
     raw_from = m.group("from")
@@ -441,10 +452,46 @@ def _bucket_ms(bucket_s: float, offset_s: float = 0.0):
 class InfluxQLEngine:
     """Executes the statement surface against LPStore-backed databases."""
 
-    def __init__(self, spark, root: str):
+    #: rows the driver-side envelope assembly will materialize before
+    #: failing loudly; None disables the guard.
+    DEFAULT_MAX_RESULT_ROWS = 100_000
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        max_result_rows: int | None = DEFAULT_MAX_RESULT_ROWS,
+        default_window_s: float | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.subscriptions: dict[str, list[tuple[str, str]]] = {}
+        self.max_result_rows = max_result_rows
+        # F4: the reference defaults an un-ranged query to the last 300 s
+        # (cflux.js:719-726). We default to InfluxDB's own all-history
+        # semantics (None) and rely on max_result_rows for safety; pass
+        # default_window_s=300 for reference-faithful behavior.
+        self.default_window_s = default_window_s
+
+    def _bounded_collect(self, df: DataFrame) -> list:
+        """Collect for envelope assembly with a loud cap. The result
+        envelope is driver-assembled (same single-process shape as the
+        reference, which streams every ClickHouse row into one Node
+        process — cflux.js:792-810), so an unbounded raw-point SELECT
+        would materialize the whole cluster-side result on the driver.
+        ``limit(cap+1)`` bounds the scan itself — Spark plans it as
+        TakeOrdered under the existing sort — and one extra row tells
+        us the cap was exceeded (the cosine_pairs guard pattern,
+        extensions/similarity.py)."""
+        if self.max_result_rows is None:
+            return df.collect()
+        rows = df.limit(self.max_result_rows + 1).collect()
+        if len(rows) > self.max_result_rows:
+            raise InfluxQLError(
+                f"result exceeds max_result_rows={self.max_result_rows}; "
+                f"narrow the time range, add LIMIT, or raise max_result_rows"
+            )
+        return rows
 
     def store(self, db: str | None) -> LPStore:
         return LPStore(self.spark, self.root, db=db or "default")
@@ -461,8 +508,15 @@ class InfluxQLEngine:
             return self._execute_one(stmts[0], db)
         results = []
         for i, s in enumerate(stmts):
-            entry = self._execute_one(s, db)["results"][0]
-            entry["statement_id"] = i
+            # a failing statement yields a per-statement error entry and
+            # the others still run (InfluxDB multi-statement semantics),
+            # rather than aborting the whole request
+            try:
+                entry = self._execute_one(s, db)["results"][0]
+            except InfluxQLError as exc:
+                entry = {"statement_id": i, "error": str(exc)}
+            else:
+                entry["statement_id"] = i
             results.append(entry)
         return {"results": results}
 
@@ -633,7 +687,21 @@ class InfluxQLEngine:
         when a tag grouping is requested with no registry."""
         facts = store.read_samples_or_empty().filter(F.col("measurement") == stmt.measurement)
 
-        # time range (F1/F2/F3; default window F4 when nothing parses)
+        # F4: no time constraint at all → optional default window
+        # (reference: last 300 s, cflux.js:719-726)
+        if (
+            self.default_window_s is not None
+            and stmt.relative_s is None
+            and stmt.relative_hi_s is None
+            and stmt.time_lo_ns is None
+            and stmt.time_hi_ns is None
+        ):
+            facts = facts.filter(
+                F.col("ts")
+                >= F.current_timestamp() - F.expr(f"INTERVAL {int(self.default_window_s)} SECONDS")
+            )
+
+        # time range (F1/F2/F3)
         if stmt.relative_s is not None:
             lo_bound = F.current_timestamp() - F.expr(f"INTERVAL {stmt.relative_s} SECONDS")
             facts = facts.filter(
@@ -718,7 +786,7 @@ class InfluxQLEngine:
                     F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
                 ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
                 sel = _apply_slice(sel, tkeys, stmt)
-                rows = sel.collect()
+                rows = self._bounded_collect(sel)
                 series.extend(
                     _tag_series(
                         rows, gtags, tkeys, stmt, fieldname,
@@ -733,7 +801,7 @@ class InfluxQLEngine:
                 *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
             grouped = _apply_slice(grouped, tkeys, stmt)
-            rows = grouped.collect()
+            rows = self._bounded_collect(grouped)
             base = spec.tx or fn or "mean"
             base = _DISPLAY.get(base, base)
             colname = f"{base}_{fieldname}" if len(stmt.fields) > 1 else base
@@ -762,7 +830,7 @@ class InfluxQLEngine:
             .orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
         )
         sel = _apply_slice(sel, tkeys, stmt)
-        rows = sel.collect()
+        rows = self._bounded_collect(sel)
         colname = f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed"
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
@@ -798,7 +866,10 @@ class InfluxQLEngine:
             F.expr("ts_ns div 1000000").alias("ts_ms"),
             F.col("value").alias("val"),
         ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
-        rows = sel.collect()
+        # LIMIT/OFFSET (incl. per-series under GROUP BY <tag>) applies to
+        # selector output points too, like every other series builder
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = self._bounded_collect(sel)
         colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
@@ -821,7 +892,7 @@ class InfluxQLEngine:
             )
         )
         sel = _apply_slice(sel, tkeys, stmt)
-        rows = sel.collect()
+        rows = self._bounded_collect(sel)
         colname = f"distinct_{spec.name}" if len(stmt.fields) > 1 else "distinct"
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
@@ -880,7 +951,7 @@ class InfluxQLEngine:
                 *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
             grouped = _apply_slice(grouped, okeys, stmt)
-            rows = grouped.collect()
+            rows = self._bounded_collect(grouped)
             colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
             series.extend(
                 _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])

@@ -115,3 +115,80 @@ def test_subscription_fanout_posts_raw_body(server):
     assert got.wait(timeout=10), f"mirror never received the body; errors={app.forward_errors}"
     assert received == [body]
     sink.shutdown()
+
+
+def test_concurrent_writes_serialized(spark, tmp_path_factory):
+    """Single-writer rule (SURVEY §7 'registry upsert races'): /write
+    holds an in-process lock, so concurrent POSTs — even through a
+    threaded front — serialize. Every row lands exactly once and the
+    registry has no duplicate fingerprints."""
+    from urllib.parse import quote
+
+    root = str(tmp_path_factory.mktemp("concstore"))
+    srv, app, port = serve(spark, root)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        bodies = [
+            f"m,host=h{i} v={i}.5 17040672{i:02d}000000000".encode() for i in range(6)
+        ]
+
+        errs = []
+
+        def post(b: bytes) -> None:
+            try:
+                req = urllib.request.Request(base + "/write?db=conc", data=b, method="POST")
+                with urllib.request.urlopen(req) as r:
+                    assert r.status == 204
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [threading.Thread(target=post, args=(b,)) for b in bodies]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert not errs
+        q = quote("SELECT v FROM m WHERE time >= 0")
+        status, body = _get(base + f"/query?db=conc&q={q}")
+        assert status == 200
+        series = json.loads(body)["results"][0]["series"]
+        vals = [v for s in series for v in s["values"]]
+        assert len(vals) == 6
+        # registry: one fingerprint per distinct series, no duplicates
+        reg = app.engine._registry("conc")
+        fps = [r.fingerprint for r in reg.select("fingerprint").collect()]
+        assert len(fps) == len(set(fps)) == 6
+    finally:
+        srv.shutdown()
+
+
+def test_subscription_scheme_allowlist(spark, tmp_path_factory):
+    """Non-http(s) fan-out targets are refused at forward time and
+    recorded, not fetched (SSRF fence on the unauthenticated API)."""
+    root = str(tmp_path_factory.mktemp("ssrfstore"))
+    srv, app, port = serve(spark, root)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        from urllib.parse import quote
+
+        q = quote("CREATE SUBSCRIPTION \"bad\" ON evil.autogen DESTINATIONS ANY 'file:///etc/passwd'")
+        status, _ = _get(base + f"/query?db=evil&q={q}")
+        assert status == 200
+        req = urllib.request.Request(
+            base + "/write?db=evil", data=b"m v=1 1704067200000000000", method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 204
+        deadline = 50
+        while not app.forward_errors and deadline:
+            import time
+
+            time.sleep(0.1)
+            deadline -= 1
+        assert any("not allowed" in e for e in app.forward_errors)
+    finally:
+        srv.shutdown()

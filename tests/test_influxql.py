@@ -549,3 +549,86 @@ def test_group_by_time_negative_offset_parses():
     stmt = parse_select("SELECT mean(v) FROM m GROUP BY time(1m, -30s)")
     assert stmt.group_by_time_s == 60
     assert stmt.group_by_time_offset_s == -30.0
+
+
+# ---------------------------------------------------------- round-3 guards
+
+
+def test_max_result_rows_guard_raises(spark, engine):
+    """An over-limit SELECT must fail loudly instead of materializing
+    the result on the driver (scale guard; the reference streams the
+    same data unbounded into one process, cflux.js:792-810)."""
+    capped = InfluxQLEngine(spark, engine.root, max_result_rows=2)
+    with pytest.raises(InfluxQLError, match="max_result_rows"):
+        capped.execute("SELECT user FROM cpu", db="mydb")
+    # within the cap: fine (host=b has exactly one point)
+    res = capped.execute("SELECT user FROM cpu WHERE host = 'b'", db="mydb")
+    assert len(_values(res)) == 1
+    # an explicit LIMIT keeps an otherwise-over-cap query under the cap
+    res = capped.execute("SELECT user FROM cpu LIMIT 2", db="mydb")
+    assert len(_values(res)) == 2
+
+
+def test_default_window_filters_unranged_select(spark, engine):
+    """F4 (opt-in): no time constraint → last default_window_s seconds
+    (cflux.js:719-726 defaults to 300 s). The 2024 fixture points are
+    far outside any recent window, so the result is empty; a query with
+    its own absolute range is untouched."""
+    windowed = InfluxQLEngine(spark, engine.root, default_window_s=300)
+    res = windowed.execute("SELECT user FROM cpu", db="mydb")
+    assert all(s["values"] == [] for s in res["results"][0].get("series", []))
+    res = windowed.execute(
+        "SELECT user FROM cpu WHERE time >= 1704067200000000000 AND time < 1704067300000000000",
+        db="mydb",
+    )
+    assert len(_values(res)) > 0
+
+
+def test_multi_statement_per_statement_errors(engine):
+    """A failing statement produces its own {statement_id, error} entry;
+    the other statements still return results (InfluxDB semantics)."""
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'b'; SELECT frobnicate(user) FROM cpu; SHOW MEASUREMENTS",
+        db="mydb",
+    )
+    entries = res["results"]
+    assert len(entries) == 3
+    assert entries[0]["statement_id"] == 0 and "series" in entries[0]
+    assert entries[1]["statement_id"] == 1 and "error" in entries[1]
+    assert entries[2]["statement_id"] == 2 and "series" in entries[2]
+
+
+def test_selector_respects_limit_offset(engine):
+    """top/bottom output points honor LIMIT/OFFSET like every other
+    series builder (they were silently ignored before round 3)."""
+    res = engine.execute("SELECT top(user, 3) FROM cpu WHERE host = 'a' LIMIT 2", db="mydb")
+    assert len(_values(res)) == 2
+    full = engine.execute("SELECT top(user, 3) FROM cpu WHERE host = 'a'", db="mydb")
+    off = engine.execute(
+        "SELECT top(user, 3) FROM cpu WHERE host = 'a' LIMIT 2 OFFSET 1", db="mydb"
+    )
+    assert _values(off) == _values(full)[1:3]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # grammar we reject LOUDLY (InfluxQLError), never silently
+        # misparse: ::field casts, db.rp.measurement triplets with
+        # quoting edge cases, unknown aggregates, malformed durations
+        "SELECT user::field FROM cpu",
+        "SELECT mean(user) FROM \"db\".\"rp\".\"cpu\" WHERE host = 'a",  # unterminated quote
+        "SELECT frobnicate(user) FROM cpu",
+        "SELECT mean(user) FROM cpu GROUP BY time(10parsecs)",
+        "SELECT mean(user) FROM cpu WHERE time > now() - 10parsecs",
+        "SELECT top(user, 1.5) FROM cpu",
+        "SELECT mean(user) FROM (SELECT mean(user) FROM (SELECT user FROM cpu))",
+        "SELECT FROM cpu",
+    ],
+)
+def test_rejected_grammar_raises_influxql_error(engine, bad):
+    """Conformance fence: unsupported grammar raises InfluxQLError with
+    a message, so regressions to silent misparse/empty results are
+    caught (SURVEY §7 'keep grammar minimal, reject loudly')."""
+    with pytest.raises(InfluxQLError):
+        engine.execute(bad, db="mydb")
