@@ -1,17 +1,38 @@
-"""Multimodal column plumbing (SURVEY.md §2.13 X5).
+"""Multimodal column plumbing + pure-Python media codecs (SURVEY.md §2.13 X5).
 
 Images/audio/video ride as opaque ``binary`` columns with a typed
-metadata struct. The Spark-side contract — schema, batch iteration via
-``mapInPandas`` (Arrow), partition sizing — is real and tested; the
-actual media decode is stubbed behind ``DECODERS`` because the
-image/audio libraries are not in this container (clearly marked; a
-deployment swaps in PIL/librosa/av implementations).
+metadata struct; decode / feature-extract / resize run as Arrow-batched
+``mapInPandas`` transforms.
+
+Decode support, honestly tiered:
+
+- **REAL, no external libs** — BMP (uncompressed 24/32-bit,
+  ``struct`` + numpy), PNG (8-bit gray/RGB/RGBA, all five filter
+  types, ``zlib`` + numpy), WAV (stdlib ``wave``, PCM 8/16-bit).
+  These run in this container and are exact: tests round-trip
+  encode→decode and the ``q_multimodal_decode``/``q_multimodal_audio``
+  catalog queries are driver-oracle-checked end to end.
+- **Import-gated** — JPEG and other compressed images use PIL when
+  present; video frame sampling uses av when present. Absent libs
+  raise ``NotImplementedError`` with a clear message (same gating
+  pattern as the Kafka source).
+
+Scale notes: one Python worker sees a whole Arrow batch; batch size is
+governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` and media
+blobs should be size-capped per row (store object-store pointers for
+large assets — the content column then carries a fetch-on-decode key).
+Decode is embarrassingly parallel: no shuffle, scales with executors.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,31 +61,314 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
 
 
-def _fake_feature(content: bytes | None, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decode→embed step.
+# --------------------------------------------------------------- BMP codec
 
-    STUB: real deployments replace this with actual decode (PIL /
-    librosa / av). Derives a stable pseudo-feature from the bytes so
-    the pipeline shape (binary in → float vector out) is exercised
-    honestly."""
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP from a (H, W, 3) uint8 RGB array."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        rows.append(arr[y, :, ::-1].tobytes() + b"\x00" * pad)  # RGB→BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB from an uncompressed 24/32-bit BMP."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM magic)")
+    off = struct.unpack_from("<I", data, 10)[0]
+    _hsize, w, h = struct.unpack_from("<Iii", data, 14)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: compression={comp} bpp={bpp}")
+    top_down, h = h < 0, abs(h)
+    nb = bpp // 8
+    row = w * nb
+    pad = (4 - row % 4) % 4
+    out = np.empty((h, w, 3), np.uint8)
+    pos = off
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        line = np.frombuffer(data, np.uint8, row, pos).reshape(w, nb)
+        out[y] = line[:, 2::-1]  # BGR(A) → RGB
+        pos += row + pad
+    return out
+
+
+# --------------------------------------------------------------- PNG codec
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """(H, W, C) uint8 from an 8-bit non-interlaced PNG (gray/RGB/RGBA).
+
+    Implements the full filter set (None/Sub/Up/Average/Paeth) over the
+    zlib-inflated scanlines. Pure stdlib+numpy; compressed formats that
+    genuinely need an external codec (JPEG) stay import-gated."""
+    if data[: len(_PNG_MAGIC)] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat, w, h, ct = len(_PNG_MAGIC), [], None, None, None
+    while pos < len(data):
+        ln, typ = struct.unpack_from(">I4s", data, pos)
+        pos += 8
+        chunk = data[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            w, h, bitd, ct, _comp, _filt, inter = struct.unpack(">IIBBBBB", chunk)
+            if bitd != 8 or inter != 0 or ct not in (0, 2, 6):
+                raise ValueError(f"unsupported PNG: bit_depth={bitd} color={ct} interlace={inter}")
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    nch = {0: 1, 2: 3, 6: 4}[ct]
+    stride = w * nch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        if f == 1:  # Sub — sequential in x (carry dependency)
+            for x in range(nch, stride):
+                line[x] = (int(line[x]) + int(line[x - nch])) & 0xFF
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            line += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        prev = line
+        out[y] = line
+    return out.reshape(h, w, nch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit non-interlaced PNG (filter 0 rows) from (H, W, C) uint8."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nch = arr.shape
+    ct = {1: 0, 3: 2, 4: 6}[nch]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------- WAV codec
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 array (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """(sample_rate, (n_samples, n_channels) int16 array) from PCM WAV."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        sr, nch, sw, n = f.getframerate(), f.getnchannels(), f.getsampwidth(), f.getnframes()
+        raw = f.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(raw, "<i2")
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = np.frombuffer(raw, np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return sr, arr.reshape(-1, nch)
+
+
+# ------------------------------------------------------- image dispatch
+
+
+def _decode_image_bytes(data: bytes) -> np.ndarray:
+    """Sniff magic bytes and decode. BMP/PNG run pure-Python; anything
+    else (JPEG, WebP, …) needs PIL and raises without it."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return decode_png(data)
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency gate
+    except ImportError as exc:
+        raise NotImplementedError(
+            "only BMP and PNG decode without PIL; install Pillow for "
+            f"other formats (magic bytes: {data[:4]!r})"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+DECODE_IMAGE_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean_r double, mean_g double, mean_b double, error string"
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Real image decode over the binary column: per-image dimensions +
+    per-channel means. A corrupt/unsupported blob yields an ``error``
+    row instead of failing the job (at 100 TB one bad object must not
+    kill the scan); genuinely-missing codecs still raise loudly via
+    the NotImplementedError path so absent capability is never silent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = _decode_image_bytes(bytes(content))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    ch_means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
+                    m = [float(ch_means[i]) if i < arr.shape[2] else float(ch_means[0]) for i in range(3)]
+                    rows.append((mid, arr.shape[1], arr.shape[0], arr.shape[2], *m, None))
+                except NotImplementedError:
+                    raise  # missing codec is a deployment error, not data
+                except Exception as exc:  # noqa: BLE001 — corrupt data row
+                    rows.append((mid, None, None, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "mean_r", "mean_g", "mean_b", "error",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODE_IMAGE_SCHEMA)
+
+
+DECODE_AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms long, rms double, error string"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real WAV decode over the binary column: rate, length, RMS."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    sr, arr = decode_wav(bytes(content))
+                    n = arr.shape[0]
+                    rms = float(np.sqrt(np.mean(arr.astype(np.float64) ** 2)))
+                    rows.append((mid, sr, n, int(n * 1000 // sr), rms, None))
+                except Exception as exc:  # noqa: BLE001 — corrupt data row
+                    rows.append((mid, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_ms", "rms", "error"],
+            )
+
+    return media.mapInPandas(run, schema=DECODE_AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize (numpy index mapping — real, no libs),
+    re-encoded as BMP. The standard thumbnail step before feature
+    extraction; per-row independent, shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                arr = _decode_image_bytes(bytes(content))
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                if arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                h, w = arr.shape[:2]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                small = arr[ys][:, xs]
+                rows.append((mid, out_w, out_h, encode_bmp(np.ascontiguousarray(small))))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling — requires av/ffmpeg bindings (import-gated;
+    not present in this container, so this raises with a clear message).
+    The decoded-frame downstream (decode_images / resize_images /
+    extract_features) is the real, tested surface."""
+    try:
+        import av  # noqa: F401, PLC0415 — optional dependency gate
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video frame sampling requires the 'av' (ffmpeg) bindings, "
+            "not present in this environment"
+        ) from exc
+    raise NotImplementedError("av present but frame sampling not yet wired")  # pragma: no cover
+
+
+# ------------------------------------------------- feature extraction
+
+
+def _fake_feature(content: bytes | None, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decode→embed step: derives a
+    stable pseudo-feature from the bytes so the pipeline shape (binary
+    in → float vector out) is exercised honestly. A deployment swaps in
+    a model; the Spark plumbing is identical."""
     if content is None:
         return [0.0] * dim
     h = 1469598103934665603  # FNV-1a 64
     out = []
     for i in range(dim):
-        for b in content[i :: dim] or b"\x00":
+        for b in content[i::dim] or b"\x00":
             h = ((h ^ b) * 1099511628211) & ((1 << 64) - 1)
         out.append(((h % 2_000_001) - 1_000_000) / 1_000_000.0)
     return out
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over binary columns.
-
-    The mapInPandas iterator shape means one Python worker sees a
-    whole Arrow batch — at scale, batch size is governed by
-    spark.sql.execution.arrow.maxRecordsPerBatch, and media blobs
-    should be size-capped per row (store pointers for large assets)."""
+    """Arrow-batched feature extraction over binary columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,20 +384,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """STUB — image decode requires PIL/libvips, not in this container."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; extract_features() demonstrates the Spark plumbing"
-    )
-
-
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB — video frame sampling requires av/ffmpeg bindings."""
-    raise NotImplementedError(
-        "video frame sampling requires av/ffmpeg, not present in this "
-        "environment; extract_features() demonstrates the Spark plumbing"
-    )
+# ------------------------------------------------- synthetic media builders
 
 
 def attach_media_stub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -110,3 +401,42 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             F.lit(None).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") -> DataFrame:
+    """Deterministic per-row test images: width 3+id%5, height 2+id%4,
+    constant channels (r,g,b) = (id%256, 2*id%256, 7*id%256). Every
+    derived quantity is a closed-form function of the id, so a SQL
+    oracle can verify a full encode→decode round trip value-exactly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = encode_bmp if fmt == "bmp" else encode_png
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 3 + mid % 5, 2 + mid % 4
+                px = np.empty((h, w, 3), np.uint8)
+                px[:, :] = (mid % 256, (2 * mid) % 256, (7 * mid) % 256)
+                rows.append((mid, "image", enc(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+
+
+def synthetic_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
+    """Deterministic per-row WAV clips: n = 800 + (id%10)*80 samples of
+    constant amplitude id%1000 → duration_ms = 100 + (id%10)*10 and
+    rms = id%1000 exactly (closed-form for the SQL oracle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 800 + (mid % 10) * 80
+                samples = np.full(n, mid % 1000, dtype=np.int16)
+                rows.append((mid, "audio", encode_wav(samples, sample_rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")

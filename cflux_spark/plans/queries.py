@@ -1378,6 +1378,60 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", "kind", "n_bytes", F.to_json("feature").alias("feature_json"))
 
 
+@q(
+    "q_multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+           CAST((2 * doc_id) % 256 AS DOUBLE) AS mean_g,
+           CAST((7 * doc_id) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 image decode, oracle-checked end to end: deterministic BMPs
+    are encoded per doc (width/height/channel colors are closed-form in
+    doc_id), pushed through the REAL pure-Python BMP decoder
+    (multimodal.decode_bmp — struct + numpy, no PIL), and the decoded
+    dimensions/channel means must match the SQL oracle value-exactly.
+    Proves the binary column plumbing AND the decode are correct, not
+    just shaped right."""
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_images(docs)
+    return multimodal.decode_images(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@q(
+    "q_multimodal_audio",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS n_samples,
+           CAST(100 + (doc_id % 10) * 10 AS BIGINT) AS duration_ms,
+           CAST(doc_id % 1000 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio decode, oracle-checked: constant-amplitude PCM WAV per
+    doc (stdlib wave encode), decoded by multimodal.decode_wav; sample
+    rate, length, duration, and RMS (== amplitude for a constant
+    signal, exactly representable) match the closed-form SQL oracle."""
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_audio(docs)
+    return multimodal.decode_audio(media).select(
+        "media_id", "sample_rate", "n_samples", "duration_ms", "rms"
+    )
+
+
 # ---------------------------------------------------------- ingest (rows-only)
 
 _LP_SMOKE = [
@@ -1533,6 +1587,9 @@ _VERIFY_FIRST = [
     "q_lang_id",
     "q_doc_fingerprint",
     "q_ingest_smoke",
+    # new in round 3:
+    "q_multimodal_decode",  # real BMP decode, oracle-checked
+    "q_multimodal_audio",   # real WAV decode, oracle-checked
     # operators changed in round 3 (re-verify the round they change):
     "q_asof_join",      # joins.py: duplicate-ts-column fix
     "q_asof_forward",

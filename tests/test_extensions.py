@@ -5,6 +5,7 @@ approximate algorithms checked against their exact counterparts.
 import os
 import sys
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -144,6 +145,147 @@ def test_multimodal_feature_shape(spark, docs):
     assert {r.media_id: tuple(r.feature) for r in rows} == {
         r.media_id: tuple(r.feature) for r in again
     }
+
+
+def test_bmp_roundtrip_exact():
+    from cflux_spark.extensions import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (4, 7)]:  # odd widths exercise row padding
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(mm.decode_bmp(mm.encode_bmp(arr)), arr)
+
+
+def test_png_roundtrip_and_filters():
+    from cflux_spark.extensions import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for nch in (1, 3, 4):
+        shape = (5, 6, nch) if nch > 1 else (5, 6)
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = mm.decode_png(mm.encode_png(arr))
+        assert np.array_equal(out, arr.reshape(5, 6, nch))
+    # filters 1-4: build scanlines through zlib by hand-filtering a
+    # known image and verify reconstruction matches
+    base = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    import struct as st
+    import zlib as zl
+
+    def chunk(typ, payload):
+        return st.pack(">I", len(payload)) + typ + payload + st.pack(">I", zl.crc32(typ + payload) & 0xFFFFFFFF)
+
+    stride, nch = 12, 3
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y, ftype in zip(range(4), (1, 2, 3, 4)):
+        cur = base[y].reshape(-1).astype(np.int32)
+        filt = np.empty(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) % 256
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+    ihdr = st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zl.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(png), base)
+
+
+def test_wav_roundtrip_exact():
+    from cflux_spark.extensions import multimodal as mm
+
+    samples = (np.sin(np.linspace(0, 20, 1600)) * 12000).astype(np.int16)
+    sr, out = mm.decode_wav(mm.encode_wav(samples, 8000))
+    assert sr == 8000
+    assert np.array_equal(out[:, 0], samples)
+
+
+def test_decode_images_dataframe(spark, docs):
+    from cflux_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_images(docs.limit(25))
+    out = {r.media_id: r for r in mm.decode_images(media).collect()}
+    assert len(out) == 25
+    for mid, r in out.items():
+        assert r.error is None
+        assert (r.width, r.height) == (3 + mid % 5, 2 + mid % 4)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (mid % 256, (2 * mid) % 256, (7 * mid) % 256)
+    # png path produces identical results
+    png_media = mm.synthetic_images(docs.limit(25), fmt="png")
+    out_png = {r.media_id: r for r in mm.decode_images(png_media).collect()}
+    assert {(m, r.width, r.mean_b) for m, r in out.items()} == {
+        (m, r.width, r.mean_b) for m, r in out_png.items()
+    }
+
+
+def test_decode_images_corrupt_row_isolated(spark):
+    from cflux_spark.extensions import multimodal as mm
+    from pyspark.sql import Row
+
+    good = mm.encode_bmp(np.full((2, 2, 3), 9, np.uint8))
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", content=bytearray(good)),
+         Row(media_id=2, kind="image", content=bytearray(b"BMgarbage"))]
+    )
+    out = {r.media_id: r for r in mm.decode_images(media).collect()}
+    assert out[1].error is None and out[1].mean_r == 9
+    assert out[2].error is not None and out[2].width is None
+
+
+def test_decode_audio_dataframe(spark, docs):
+    from cflux_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_audio(docs.limit(25))
+    for r in mm.decode_audio(media).collect():
+        mid = r.media_id
+        assert r.error is None
+        assert r.sample_rate == 8000
+        assert r.n_samples == 800 + (mid % 10) * 80
+        assert r.duration_ms == 100 + (mid % 10) * 10
+        assert r.rms == float(mid % 1000)  # constant signal: rms == amplitude
+
+
+def test_resize_images_nearest(spark, docs):
+    from cflux_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_images(docs.limit(10))
+    small = mm.resize_images(media, 2, 2)
+    # constant-color images stay constant after resize; re-decode proves
+    # the output is itself a valid BMP
+    out = {r.media_id: r for r in mm.decode_images(small.withColumn("kind", F.lit("image"))).collect()}
+    for mid, r in out.items():
+        assert (r.width, r.height) == (2, 2)
+        assert r.mean_r == mid % 256
+
+
+def test_video_sampling_gates_cleanly(spark, docs):
+    from cflux_spark.extensions import multimodal as mm
+
+    media = mm.synthetic_images(docs.limit(1))
+    try:
+        import av  # noqa: F401
+
+        pytest.skip("av present; gating path not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="av"):
+        mm.sample_video_frames(media)
 
 
 def test_series_pivot_envelope(spark):
