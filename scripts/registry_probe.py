@@ -75,7 +75,66 @@ def main(n_series: int = 10_000_000, n_facts: int = 10_000_000) -> None:
     spark.stop()
 
 
+def main_bucketed(n_series: int = 10_000_000, n_facts: int = 10_000_000) -> None:
+    """Bucketed-store variant (VERDICT r2 #4): facts and registry
+    co-bucketed on fingerprint; the >10^5-slice sort-merge regime runs
+    with no Exchange on either side. Prints the plan excerpt that
+    SCALE.md records."""
+    from cflux_spark.sources.bucketed import write_bucketed
+
+    spark = get_spark("registry-probe-bucketed", cpus=16)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ regime
+
+    reg = spark.range(n_series).select(
+        F.xxhash64(F.col("id").cast("string")).alias("fingerprint"),
+        F.concat(F.lit("m"), (F.col("id") % 1000).cast("string")).alias("measurement"),
+    )
+    facts = spark.range(n_facts).select(
+        F.xxhash64((F.col("id") % n_series).cast("string")).alias("fingerprint"),
+        (F.col("id") * 1_000_000_000 % (86400 * 1_000_000_000)).alias("ts_ns"),
+        (F.col("id") % 997 / 10.0).alias("value"),
+    )
+    t0 = time.time()
+    write_bucketed(reg, "probe_reg", n_buckets=32)
+    write_bucketed(facts, "probe_facts", n_buckets=32, sort_cols=("fingerprint", "ts_ns"))
+    print(f"bucketed write ({n_series:,} series, {n_facts:,} facts): {time.time()-t0:.1f} s")
+
+    for n_meas in (100, 1000):
+        ms = [f"m{i}" for i in range(n_meas)]
+        t0 = time.time()
+        slice_ = spark.table("probe_reg").filter(F.col("measurement").isin(ms)).select("fingerprint")
+        out = (
+            spark.table("probe_facts")
+            .join(slice_, "fingerprint")
+            .groupBy(F.expr("ts_ns div 3600000000000").alias("hour"))
+            .agg(F.avg("value").alias("mean"), F.count("*").alias("n"))
+        )
+        rows = out.collect()
+        dt = time.time() - t0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        # the single agg shuffle remains (groupBy hour); the JOIN itself
+        # must contribute zero Exchange
+        join_excerpt = "\n".join(
+            l for l in plan.splitlines() if "SortMergeJoin" in l or "Exchange" in l or "FileScan" in l
+        )
+        n_slice = n_meas * (n_series // 1000)
+        print(
+            f"bucketed slice={n_slice:>10,} series: {dt:6.2f} s  "
+            f"exchanges_in_plan={n_exchange} (agg only)\n{join_excerpt}"
+        )
+
+    spark.sql("DROP TABLE IF EXISTS probe_reg")
+    spark.sql("DROP TABLE IF EXISTS probe_facts")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    ns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    nf = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
-    main(ns, nf)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ns = int(args[0]) if args else 10_000_000
+    nf = int(args[1]) if len(args) > 1 else 10_000_000
+    if "--bucketed" in sys.argv:
+        main_bucketed(ns, nf)
+    else:
+        main(ns, nf)
