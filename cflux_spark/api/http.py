@@ -138,6 +138,14 @@ class CFluxApp:
             db = db or form.get("db", [None])[0]
         if not q:
             return self._respond(start_response, 400, b'{"error":"missing q parameter"}')
+        if params.get("chunked", ["false"])[0].lower() in ("true", "1"):
+            # InfluxDB chunked responses: newline-delimited JSON
+            # envelopes, each ≤ chunk_size rows, streamed as produced —
+            # driver memory stays O(chunk_size) for raw-point SELECTs
+            chunk_size = int(params.get("chunk_size", ["10000"])[0])
+            gen = self.engine.execute_chunked(q, db=db, chunk_size=chunk_size)
+            start_response("200 OK", [("Content-Type", "application/json")])
+            return (json.dumps(env).encode() + b"\n" for env in gen)
         result = self.engine.execute(q, db=db)
         return self._respond(start_response, 200, json.dumps(result).encode())
 

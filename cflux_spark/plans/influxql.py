@@ -644,6 +644,88 @@ class InfluxQLEngine:
         self.subscriptions.setdefault(target_db, []).append((sid, target))
         return _envelope([])
 
+    # ----------------------------------------------------- chunked SELECT
+
+    def execute_chunked(self, q: str, db: str | None = None, chunk_size: int = 10_000):
+        """Generator of result envelopes (InfluxDB ``chunked=true``
+        semantics): raw-point SELECTs stream through
+        ``toLocalIterator()`` in chunks of ``chunk_size`` rows — driver
+        memory is O(chunk_size) no matter how large the result, and the
+        ``max_result_rows`` guard does not apply (streaming IS the
+        unbounded-result path, done safely). Non-chunkable statements
+        (aggregates, SHOW, subqueries — all small by construction) fall
+        back to one ordinary envelope.
+
+        The reference streams ClickHouse rows the same way
+        (row-at-a-time into the response pivot, cflux.js:792-810); this
+        is that behavior with bounded memory and an explicit wire
+        contract: every yielded envelope except the last carries
+        ``partial: true`` (InfluxDB chunked-response shape)."""
+        stmts = _split_statements(q)
+        if len(stmts) == 1 and stmts[0].strip().upper().startswith("SELECT"):
+            try:
+                stmt = parse_select(stmts[0].strip())
+            except InfluxQLError:
+                stmt = None
+            if (
+                stmt is not None
+                and stmt.subquery is None
+                and stmt.measurement_regex is None
+                and stmt.group_by_time_s is None
+                and not stmt.slimit
+                and not stmt.soffset
+                and all(sp.agg is None and sp.tx is None for sp in stmt.fields)
+            ):
+                yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
+                return
+        yield self.execute(q, db)
+
+    def _select_raw_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
+        store = self.store(stmt.db or db)
+        reg = store.read_registry()
+        facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+        if facts is None:
+            yield _envelope([])
+            return
+        emitted = False
+        buf: list = []
+        pending: tuple[list, str] | None = None  # (rows, colname) awaiting more
+        for spec in stmt.fields:
+            ff = facts.filter(F.col("field") == spec.name)
+            sel = ff.select(
+                *tkeys,
+                F.expr("ts_ns div 1000000").alias("ts_ms"),
+                F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
+            ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+            sel = _apply_slice(sel, tkeys, stmt)
+            for row in sel.toLocalIterator():
+                buf.append(row)
+                if len(buf) >= chunk_size:
+                    if pending is not None:
+                        yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=True)
+                    pending = (buf, spec.name)
+                    buf = []
+                    emitted = True
+            if buf:
+                if pending is not None:
+                    yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=True)
+                pending = (buf, spec.name)
+                buf = []
+                emitted = True
+        if pending is not None:
+            yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=False)
+        if not emitted:
+            yield _envelope([])
+
+    def _chunk_envelope(self, rows, colname, stmt, gtags, tkeys, partial: bool) -> dict:
+        series = _tag_series(
+            rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)]
+        )
+        env = _envelope(series)
+        if partial:
+            env["results"][0]["partial"] = True
+        return env
+
     # -------------------------------------------------------------- SELECT
 
     def _select(self, qs: str, db: str | None) -> dict:

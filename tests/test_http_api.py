@@ -192,3 +192,21 @@ def test_subscription_scheme_allowlist(spark, tmp_path_factory):
         assert any("not allowed" in e for e in app.forward_errors)
     finally:
         srv.shutdown()
+
+
+def test_chunked_query_over_the_wire(server):
+    """/query?chunked=true streams newline-delimited JSON envelopes."""
+    from urllib.parse import quote
+
+    url, _ = server
+    req = urllib.request.Request(url + "/write?db=chunkdb", data=LINES.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    q = quote("SELECT user FROM cpu WHERE host = 'a'")
+    status, body = _get(url + f"/query?db=chunkdb&q={q}&chunked=true&chunk_size=1")
+    assert status == 200
+    envs = [json.loads(line) for line in body.decode().strip().split("\n")]
+    assert len(envs) == 2  # host=a has two user points in the corpus
+    assert envs[0]["results"][0].get("partial") is True
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert len(vals) == 2

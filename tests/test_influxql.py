@@ -632,3 +632,45 @@ def test_rejected_grammar_raises_influxql_error(engine, bad):
     caught (SURVEY §7 'keep grammar minimal, reject loudly')."""
     with pytest.raises(InfluxQLError):
         engine.execute(bad, db="mydb")
+
+
+def test_chunked_select_streams_partial_envelopes(spark, engine):
+    """execute_chunked: raw points arrive in <=chunk_size envelopes,
+    all but the last marked partial; concatenation equals the unchunked
+    result; the max_result_rows guard does not apply (streaming is the
+    sanctioned unbounded path)."""
+    capped = InfluxQLEngine(spark, engine.root, max_result_rows=1)
+    envs = list(capped.execute_chunked("SELECT user FROM cpu WHERE host = 'a'", db="mydb", chunk_size=2))
+    assert len(envs) == 2
+    assert envs[0]["results"][0].get("partial") is True
+    assert "partial" not in envs[-1]["results"][0]
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    unchunked = engine.execute("SELECT user FROM cpu WHERE host = 'a'", db="mydb")
+    assert vals == _values(unchunked)
+    assert all(
+        sum(len(s["values"]) for s in e["results"][0]["series"]) <= 2 for e in envs
+    )
+
+
+def test_chunked_fallback_for_aggregates(engine):
+    """Non-chunkable statements (small by construction) come back as a
+    single ordinary envelope through the same generator API."""
+    envs = list(
+        engine.execute_chunked(
+            "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+        )
+    )
+    assert len(envs) == 1
+    assert "partial" not in envs[0]["results"][0]
+    assert envs[0] == engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+
+
+def test_chunked_respects_group_by_tag(engine):
+    envs = list(
+        engine.execute_chunked("SELECT user FROM cpu GROUP BY host", db="mydb", chunk_size=100)
+    )
+    assert len(envs) == 1
+    tags = {s["tags"]["host"] for s in envs[0]["results"][0]["series"]}
+    assert tags == {"a", "b"}
