@@ -84,6 +84,42 @@ def show_tag_values(
     return kv.distinct().orderBy("key", "value")
 
 
+def show_series(registry: DataFrame, measurement: str | None = None) -> DataFrame:
+    """``SHOW SERIES`` — one row per series, keyed the InfluxDB way:
+    ``measurement,tag1=v1,tag2=v2`` with tag keys sorted. Beyond the
+    reference (its dispatch ladder has no SHOW SERIES arm → empty
+    envelope via M11); Grafana's variable editor issues it, so it is
+    first-class here. Distributed: sort the map entries per row with a
+    higher-order function, no explode/regroup shuffle."""
+    df = registry if measurement is None else registry.filter(F.col("measurement") == measurement)
+    kv = F.transform(
+        F.array_sort(F.map_entries("tags")),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+    )
+    key = F.concat_ws(",", F.array(F.col("measurement")), kv)
+    return df.select(key.alias("key")).distinct().orderBy("key")
+
+
+def show_cardinality(registry: DataFrame, what: str, measurement: str | None = None) -> DataFrame:
+    """``SHOW {SERIES|MEASUREMENT|FIELD KEY|TAG KEY} [EXACT] CARDINALITY``
+    — InfluxDB 1.x capacity-planning statements (absent in the
+    reference). All are exact counts over the registry (count-distinct,
+    one small agg); at 100 TB the registry is still the only input."""
+    df = registry if measurement is None else registry.filter(F.col("measurement") == measurement)
+    if what == "series":
+        c = df.select("fingerprint").distinct().count()
+    elif what == "measurement":
+        c = df.select("measurement").distinct().count()
+    elif what == "field key":
+        c = df.select("measurement", "name").distinct().count()
+    elif what == "tag key":
+        c = df.select(F.explode(F.map_keys("tags"))).distinct().count()
+    else:
+        raise ValueError(f"unknown cardinality subject {what!r}")
+    spark = df.sparkSession
+    return spark.createDataFrame([(c,)], "count long")
+
+
 def show_databases(spark) -> DataFrame:
     """M1 — catalog passthrough."""
     return spark.sql("SHOW DATABASES")

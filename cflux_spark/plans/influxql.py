@@ -533,6 +533,11 @@ class InfluxQLEngine:
             return self._show_tag_keys(qs, db)
         if upper.startswith("SHOW TAG VALUES"):
             return self._show_tag_values(qs, db)
+        if re.match(r"SHOW (SERIES|MEASUREMENT|FIELD KEY|TAG KEY)\s+(EXACT\s+)?CARDINALITY", upper):
+            subject = re.match(r"SHOW (SERIES|MEASUREMENT|FIELD KEY|TAG KEY)", upper).group(1).lower()
+            return self._show_cardinality(subject, qs, db)
+        if upper.startswith("SHOW SERIES"):
+            return self._show_series(qs, db)
         if upper.startswith("SHOW RETENTION POLICIES"):
             return _envelope([_series("retention policies", ["name", "duration", "shardGroupDuration", "replicaN", "default"], [["autogen", "0s", "168h0m0s", 1, True]])])
         if upper.startswith("SHOW SUBSCRIPTIONS"):
@@ -566,6 +571,32 @@ class InfluxQLEngine:
         reg = self._registry(db)
         vals = [] if reg is None else [[r.measurement] for r in reg.select("measurement").distinct().orderBy("measurement").collect()]
         return _envelope([_series("measurements", ["name"], vals)])
+
+    def _show_series(self, qs: str, db: str | None) -> dict:
+        """SHOW SERIES [FROM m] — series keys 'measurement,k=v,...'
+        (InfluxDB 1.x; beyond the reference, whose dispatch ladder
+        answers it with the M11 empty envelope — Grafana issues it)."""
+        from cflux_spark.operators import metadata as _md
+
+        reg = self._registry(db)
+        if reg is None:
+            return _envelope([])
+        rows = _md.show_series(reg, _from_clause(qs)).collect()
+        if not rows:
+            return _envelope([])
+        # InfluxDB emits a nameless series with a single `key` column
+        return _envelope([{"columns": ["key"], "values": [[r.key] for r in rows]}])
+
+    def _show_cardinality(self, subject: str, qs: str, db: str | None) -> dict:
+        """SHOW <subject> [EXACT] CARDINALITY [FROM m] — exact counts
+        over the registry (capacity-planning family, InfluxDB 1.x)."""
+        from cflux_spark.operators import metadata as _md
+
+        reg = self._registry(db)
+        n = 0
+        if reg is not None:
+            n = _md.show_cardinality(reg, subject, _from_clause(qs)).collect()[0]["count"]
+        return _envelope([{"columns": ["count"], "values": [[n]]}])
 
     def _show_field_keys(self, qs: str, db: str | None) -> dict:
         meas = _from_clause(qs)

@@ -827,6 +827,41 @@ def q_show_tag_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_show_series",
+    r"""
+    SELECT DISTINCT event_type || ',k=' || regexp_extract(min_props, '"k":\s*(\d+)', 1) AS key
+    FROM (SELECT event_type, min(props) AS min_props FROM events GROUP BY user_id, event_type)
+    """,
+)
+def q_show_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW SERIES (InfluxDB 1.x, beyond the reference): series keys
+    'measurement,tag=value,...' with sorted tag entries, built with a
+    higher-order transform over the tags map — no explode/regroup
+    shuffle. The events fixture carries one tag key ('k'), so the
+    oracle reconstructs the key by JSON regex."""
+    return metadata.show_series(_registry(spark, sf_dir))
+
+
+@q(
+    "q_show_cardinality",
+    """
+    SELECT CAST((SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS BIGINT) AS series_card,
+           CAST((SELECT count(DISTINCT event_type) FROM events) AS BIGINT) AS measurement_card,
+           CAST(1 AS BIGINT) AS tagkey_card
+    """,
+)
+def q_show_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW ... CARDINALITY family (InfluxDB 1.x capacity planning,
+    beyond the reference): exact count-distincts over the registry
+    only — the fact table is never touched."""
+    reg = _registry(spark, sf_dir)
+    a = metadata.show_cardinality(reg, "series").select(F.col("count").alias("series_card"))
+    b = metadata.show_cardinality(reg, "measurement").select(F.col("count").alias("measurement_card"))
+    c = metadata.show_cardinality(reg, "tag key").select(F.col("count").alias("tagkey_card"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+@q(
     "q_show_tag_values",
     r"""
     SELECT DISTINCT 'k' AS tag_key, regexp_extract(props, '"k":\s*(\d+)', 1) AS tag_value
@@ -1590,6 +1625,8 @@ _VERIFY_FIRST = [
     # new in round 3:
     "q_multimodal_decode",  # real BMP decode, oracle-checked
     "q_multimodal_audio",   # real WAV decode, oracle-checked
+    "q_show_series",        # SHOW SERIES keys (beyond reference)
+    "q_show_cardinality",   # SHOW ... CARDINALITY family
     # operators changed in round 3 (re-verify the round they change):
     "q_asof_join",      # joins.py: duplicate-ts-column fix
     "q_asof_forward",
@@ -1614,6 +1651,8 @@ _VERIFY_LAST = [
     "q_show_tag_keys",    # M4: same explode+distinct as q_show_tag_values
     "q_count_distinct",   # A-ext: q_agg_suite covers the agg path
     "q_moving_average",   # W: q_cumulative_sum/q_series_rate cover frames
+    "q_series_difference",  # W: q_series_difference_seg is the same lag + segmentation
+    "q_elapsed",          # W: same per-series lag window; engine-tested too
 ]
 
 

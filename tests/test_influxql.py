@@ -674,3 +674,27 @@ def test_chunked_respects_group_by_tag(engine):
     assert len(envs) == 1
     tags = {s["tags"]["host"] for s in envs[0]["results"][0]["series"]}
     assert tags == {"a", "b"}
+
+
+def test_show_series(engine):
+    res = engine.execute("SHOW SERIES", db="mydb")
+    keys = [v[0] for v in _values(res)]
+    assert "cpu,host=a,region=eu" in keys
+    assert "cpu,host=b,region=us" in keys
+    assert "app,host=a" in keys
+    # FROM narrows to one measurement
+    res = engine.execute("SHOW SERIES FROM app", db="mydb")
+    assert all(v[0].startswith("app,") for v in _values(res))
+
+
+def test_show_cardinality_family(engine):
+    # fingerprint is per (tags+field): cpu host=a {user,sys} → 2,
+    # cpu host=b {user} → 1, app host=a {status} → 1 ⇒ 4 series
+    res = engine.execute("SHOW SERIES CARDINALITY", db="mydb")
+    assert _values(res) == [[4]]
+    res = engine.execute("SHOW SERIES EXACT CARDINALITY FROM cpu", db="mydb")
+    assert _values(res) == [[3]]
+    res = engine.execute("SHOW MEASUREMENT CARDINALITY", db="mydb")
+    assert _values(res) == [[2]]
+    res = engine.execute("SHOW TAG KEY CARDINALITY", db="mydb")
+    assert _values(res) == [[2]]  # host, region
