@@ -138,6 +138,10 @@ class CFluxApp:
             db = db or form.get("db", [None])[0]
         if not q:
             return self._respond(start_response, 400, b'{"error":"missing q parameter"}')
+        # epoch=: InfluxDB's response-precision knob. The reference
+        # ignores it and hard-emits ms (cflux.js:795); we keep ms as the
+        # default for parity and honor the knob when a client sends it.
+        epoch = params.get("epoch", [None])[0]
         if params.get("chunked", ["false"])[0].lower() in ("true", "1"):
             # InfluxDB chunked responses: newline-delimited JSON
             # envelopes, each ≤ chunk_size rows, streamed as produced —
@@ -145,9 +149,32 @@ class CFluxApp:
             chunk_size = int(params.get("chunk_size", ["10000"])[0])
             gen = self.engine.execute_chunked(q, db=db, chunk_size=chunk_size)
             start_response("200 OK", [("Content-Type", "application/json")])
-            return (json.dumps(env).encode() + b"\n" for env in gen)
-        result = self.engine.execute(q, db=db)
+            return (json.dumps(_apply_epoch(env, epoch)).encode() + b"\n" for env in gen)
+        result = _apply_epoch(self.engine.execute(q, db=db), epoch)
         return self._respond(start_response, 200, json.dumps(result).encode())
+
+
+# ms → requested epoch unit (InfluxDB: ns/u/µ/ms/s/m/h). Multipliers
+# are exact ints; divisions truncate like InfluxDB's integer epochs.
+_EPOCH_FROM_MS = {"ns": 1_000_000, "u": 1_000, "µ": 1_000}
+_EPOCH_DIV_MS = {"s": 1_000, "m": 60_000, "h": 3_600_000}
+
+
+def _apply_epoch(envelope: dict, epoch: str | None) -> dict:
+    if epoch is None or epoch == "ms":
+        return envelope
+    mul = _EPOCH_FROM_MS.get(epoch)
+    div = _EPOCH_DIV_MS.get(epoch)
+    if mul is None and div is None:
+        return envelope  # unknown unit: ignore, like other bad params
+    for res in envelope.get("results", []):
+        for series in res.get("series", []):
+            if not series.get("columns", [None])[0] == "time":
+                continue
+            for v in series.get("values", []):
+                if v and isinstance(v[0], int):
+                    v[0] = v[0] * mul if mul else v[0] // div
+    return envelope
 
 
 class _QuietHandler(WSGIRequestHandler):

@@ -210,3 +210,20 @@ def test_chunked_query_over_the_wire(server):
     assert envs[0]["results"][0].get("partial") is True
     vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
     assert len(vals) == 2
+
+
+def test_epoch_param_converts_time_values(server):
+    """epoch= response-precision knob (InfluxDB API; the reference
+    ignores it and hard-emits ms — cflux.js:795). Default stays ms."""
+    from urllib.parse import quote
+
+    url, _ = server
+    q = quote("SELECT user FROM cpu WHERE host = 'b'")
+    _, body_ms = _get(url + f"/query?db=web&q={q}")
+    t_ms = json.loads(body_ms)["results"][0]["series"][0]["values"][0][0]
+    _, body_s = _get(url + f"/query?db=web&q={q}&epoch=s")
+    t_s = json.loads(body_s)["results"][0]["series"][0]["values"][0][0]
+    _, body_ns = _get(url + f"/query?db=web&q={q}&epoch=ns")
+    t_ns = json.loads(body_ns)["results"][0]["series"][0]["values"][0][0]
+    assert t_s == t_ms // 1000
+    assert t_ns == t_ms * 1_000_000
