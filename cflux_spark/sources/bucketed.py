@@ -52,6 +52,64 @@ def write_bucketed(
     )
 
 
+def append_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    key: str = "fingerprint",
+    sort_cols: tuple[str, ...] = ("fingerprint",),
+) -> None:
+    """Append a batch into an existing bucketed table (creates it on
+    first write). Each append adds one sorted file per touched bucket;
+    reads stay Exchange-free — Spark merges the per-file sorted runs
+    with a Sort (cheap, within-partition) but never re-shuffles.
+    Compaction cadence: periodically rewrite with ``write_bucketed``
+    when file counts per bucket grow (same discipline as LPStore's
+    compact()). Bucket spec must match the existing table — Spark
+    rejects mismatches loudly."""
+    (
+        df.write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(*sort_cols)
+        .saveAsTable(table)
+    )
+
+
+def stream_to_bucketed(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    key: str = "fingerprint",
+    sort_cols: tuple[str, ...] = ("fingerprint",),
+    trigger_seconds: float = 2.0,
+):
+    """Structured-Streaming sink into a bucketed table: each micro-batch
+    appends through ``append_bucketed`` inside ``foreachBatch`` (the
+    2 s trigger mirrors the reference's buffer maxAge, cflux.js:109-118).
+    Checkpointing makes it at-least-once; the bucket spec is pinned by
+    the arguments, so restarts keep the table consistent. Returns the
+    started StreamingQuery.
+
+    Reader caveat: Spark caches a data-source table's file listing per
+    session, and micro-batches append through the stream's cloned
+    session — a long-lived READER session must
+    ``spark.catalog.refreshTable(table)`` to see new batches (the sink
+    refreshes its own session after each append)."""
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        append_bucketed(batch, table, n_buckets, key, sort_cols)
+        batch.sparkSession.catalog.refreshTable(table)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def bucketed_join(
     spark: SparkSession,
     facts_table: str,

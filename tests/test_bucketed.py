@@ -81,3 +81,72 @@ def test_filtered_slice_join_still_no_fact_exchange(spark, bucketed_tables):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "Exchange" not in plan, f"slice join shuffles:\n{plan}"
     assert out.count() == 2000
+
+
+def test_append_bucketed_stays_exchange_free(spark):
+    """Incremental appends add sorted runs per bucket; the join remains
+    Exchange-free (a within-partition merge Sort is fine, a shuffle is
+    not)."""
+    from cflux_spark.sources.bucketed import append_bucketed
+
+    reg = spark.range(500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("fingerprint"),
+        F.lit("m").alias("measurement"),
+    )
+    write_bucketed(reg, "t_reg_app", n_buckets=4)
+    for lo in (0, 500, 1000):
+        batch = spark.range(lo, lo + 500).select(
+            F.xxhash64((F.col("id") % 500).cast("string")).alias("fingerprint"),
+            (F.col("id") / 10.0).alias("value"),
+        )
+        append_bucketed(batch, "t_facts_app", n_buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = bucketed_join(spark, "t_facts_app", "t_reg_app")
+        plan = _executed_plan(out)
+        assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+        assert out.count() == 1500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_facts_app")
+        spark.sql("DROP TABLE IF EXISTS t_reg_app")
+
+
+def test_stream_to_bucketed(spark, tmp_path):
+    """Streaming micro-batches land in the bucketed table with the
+    pinned bucket spec; at-least-once via checkpoint."""
+    from cflux_spark.sources.bucketed import stream_to_bucketed
+
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        .select(
+            F.xxhash64((F.col("value") % 100).cast("string")).alias("fingerprint"),
+            F.col("value").cast("double").alias("v"),
+        )
+    )
+    q = stream_to_bucketed(
+        src, "t_stream_bucketed", str(tmp_path / "ckpt"), n_buckets=4, trigger_seconds=1.0
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                # reader sessions cache the table's file listing; appends
+                # land via the stream's cloned session → refresh to see them
+                spark.catalog.refreshTable("t_stream_bucketed")
+                if spark.table("t_stream_bucketed").count() > 0:
+                    break
+            except Exception:
+                pass
+            time.sleep(1)
+        spark.catalog.refreshTable("t_stream_bucketed")
+        assert spark.table("t_stream_bucketed").count() > 0
+        # table carries the bucket spec
+        desc = spark.sql("DESCRIBE EXTENDED t_stream_bucketed").collect()
+        txt = "\n".join(str(r) for r in desc)
+        assert "fingerprint" in txt and ("Num Buckets" in txt or "bucket" in txt.lower())
+    finally:
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS t_stream_bucketed")
