@@ -125,6 +125,7 @@ class SelectStmt:
     limit: int | None = None
     offset: int | None = None
     subquery: "SelectStmt | None" = None  # FROM (SELECT ...) — InfluxDB 1.2+
+    into: str | None = None  # SELECT ... INTO <m> — downsample materialization
 
 
 def _unquote(s: str) -> str:
@@ -161,6 +162,14 @@ def _parse_time_value(v: str) -> int:
 
 
 def parse_select(q: str) -> SelectStmt:
+    # SELECT ... INTO <target> FROM ... — carve the INTO clause out
+    # first (InfluxDB downsample materialization; absent in the
+    # reference). Retention-policy prefixes are ignored like FROM's.
+    into = None
+    minto = re.search(r"\sINTO\s+([\w\".]+)\s+(?=FROM\s)", q, re.IGNORECASE)
+    if minto:
+        into = _unquote(minto.group(1).split(".")[-1])
+        q = q[: minto.start()] + " " + q[minto.end() :]
     # FROM (SELECT ...) — carve out the parenthesized inner statement,
     # parse it recursively, and parse the outer clauses against a
     # placeholder measurement
@@ -387,6 +396,7 @@ def parse_select(q: str) -> SelectStmt:
         stmt.slimit = int(m.group("slimit"))
     if m.group("soffset"):
         stmt.soffset = int(m.group("soffset"))
+    stmt.into = into
     return stmt
 
 
@@ -763,6 +773,8 @@ class InfluxQLEngine:
         stmt = parse_select(qs)
         store = self.store(stmt.db or db)
         reg = store.read_registry()
+        if stmt.into is not None:
+            return self._select_into(stmt, store, reg)
         if stmt.subquery is not None:
             series = self._select_subquery(stmt, store, reg)
         elif stmt.measurement_regex is not None:
@@ -791,6 +803,63 @@ class InfluxQLEngine:
         if stmt.slimit is not None:
             series = series[: stmt.slimit]
         return _envelope(series)
+
+    def _select_into(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> dict:
+        """SELECT ... INTO <m> — run the query and write its points
+        back into the store as measurement <m> (InfluxDB downsample
+        materialization; beyond the reference). The whole thing is ONE
+        distributed plan: aggregated frame → identity attach → parquet
+        append; nothing is collected to the driver except the written
+        count. Written points are indistinguishable from ingested ones
+        for every downstream query path (registry rows included), which
+        is exactly how InfluxDB continuous-query output behaves."""
+        if stmt.subquery is not None or stmt.measurement_regex is not None:
+            raise InfluxQLError("INTO does not support subqueries or regex FROM")
+        facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+        if facts is None:
+            return _envelope([_series("result", ["time", "written"], [[0, 0]])])
+        if gtags:
+            tag_map = F.map_from_arrays(
+                F.array(*[F.lit(t) for t in gtags]), F.array(*[F.col(k) for k in tkeys])
+            )
+        else:
+            tag_map = F.from_json(F.lit("{}"), "map<string,string>")
+        frames = []
+        for spec in stmt.fields:
+            ff = facts.filter(F.col("field") == spec.name)
+            if spec.agg is None and spec.tx is None and stmt.group_by_time_s is None:
+                # raw copy — value/message carried as-is under the
+                # original field name
+                sel = ff.select(
+                    *tkeys, "ts_ns", F.col("value"), F.col("message"),
+                    F.lit(spec.name).alias("field"),
+                )
+            else:
+                base = spec.tx or spec.agg or "mean"
+                colname = _DISPLAY.get(base, base)
+                grouped = self._aggregated_frame(stmt, spec, ff, tkeys)
+                sel = grouped.select(
+                    *tkeys,
+                    (F.col("ts_ms") * 1_000_000).cast("long").alias("ts_ns"),
+                    F.col("val").cast("double").alias("value"),
+                    F.lit(None).cast("string").alias("message"),
+                    F.lit(f"{colname}_{spec.name}" if len(stmt.fields) > 1 else colname).alias("field"),
+                )
+            frames.append(
+                sel.select(
+                    F.lit(stmt.into).alias("measurement"),
+                    tag_map.alias("tags"),
+                    "ts_ns",
+                    "field",
+                    "value",
+                    "message",
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        stats = store.write_samples(out)
+        return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])
 
     def _prepared_facts(
         self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None

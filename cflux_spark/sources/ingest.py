@@ -120,10 +120,17 @@ def explode_fields(parsed: DataFrame) -> DataFrame:
         F.col("fvm.value").alias("value"),
         F.col("fvm.message").alias("message"),
     )
-    # canonical labels json = sorted-key map of tags + __name__:
-    # "<measurement>.<field>" (reference uses the field key as
-    # time_series.name with the measurement as table name; we qualify
-    # with the measurement so names are global, SURVEY §1.1).
+    return attach_identity(both)
+
+
+def attach_identity(both: DataFrame) -> DataFrame:
+    """Derive (name, labels, fingerprint) on a frame of
+    (measurement, tags, ts_ns, ts, field, value, message) rows.
+
+    Canonical labels json = sorted-key map of tags + __name__:
+    "<measurement>.<field>" (reference uses the field key as
+    time_series.name with the measurement as table name; we qualify
+    with the measurement so names are global, SURVEY §1.1)."""
     name = F.concat_ws(".", "measurement", "field")
     labels_map = F.map_concat(
         F.coalesce(F.col("tags"), F.from_json(F.lit("{}"), "map<string,string>")),
@@ -221,34 +228,59 @@ class LPStore:
         # facts and registry consumers.
         parsed = parse_lp_df(lines, default_ts_ns).cache()
         try:
-            exploded = explode_fields(parsed)
-            facts = fact_rows(exploded)
-            # sortWithinPartitions(fingerprint, ts) mirrors the MergeTree
-            # ORDER BY (cflux.js:152): parquet row-group min/max stats then
-            # skip on fingerprint/time predicates at read.
-            if backfill:
-                par = self.spark.sparkContext.defaultParallelism
-                distributed = facts.repartitionByRange(par, "date", "fingerprint")
-            else:
-                distributed = facts.repartition("date")
-            (
-                distributed.sortWithinPartitions("fingerprint", "ts")
-                .write.mode("append")
-                .partitionBy("date")
-                .parquet(self.samples_path)
-            )
-            new_series = registry_rows(exploded)
-            existing = self.read_registry_raw()
-            if existing is not None:
-                new_series = new_series.join(
-                    existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
-                )
-            new_series.write.mode("append").parquet(self.registry_path)
-            if not collect_stats:
-                return {"facts": -1, "new_series": -1}
-            return {"facts": facts.count(), "new_series": new_series.count()}
+            return self._append_exploded(explode_fields(parsed), backfill, collect_stats)
         finally:
             parsed.unpersist()
+
+    def _append_exploded(
+        self, exploded: DataFrame, backfill: bool = False, collect_stats: bool = True
+    ) -> dict[str, int]:
+        """Append facts + new-series registry rows from an identity-
+        attached frame (the shared tail of batch ingest and
+        SELECT INTO)."""
+        facts = fact_rows(exploded)
+        # sortWithinPartitions(fingerprint, ts) mirrors the MergeTree
+        # ORDER BY (cflux.js:152): parquet row-group min/max stats then
+        # skip on fingerprint/time predicates at read.
+        if backfill:
+            par = self.spark.sparkContext.defaultParallelism
+            distributed = facts.repartitionByRange(par, "date", "fingerprint")
+        else:
+            distributed = facts.repartition("date")
+        (
+            distributed.sortWithinPartitions("fingerprint", "ts")
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(self.samples_path)
+        )
+        new_series = registry_rows(exploded)
+        existing = self.read_registry_raw()
+        if existing is not None:
+            new_series = new_series.join(
+                existing.select("fingerprint").distinct(), "fingerprint", "left_anti"
+            )
+        new_series.write.mode("append").parquet(self.registry_path)
+        if not collect_stats:
+            return {"facts": -1, "new_series": -1}
+        return {"facts": facts.count(), "new_series": new_series.count()}
+
+    def write_samples(self, rows: DataFrame, collect_stats: bool = True) -> dict[str, int]:
+        """Append pre-shaped sample rows — columns (measurement,
+        tags map<string,string>, ts_ns long, field, value double,
+        message string) — deriving series identity the same way the LP
+        path does. This is the sink behind ``SELECT ... INTO``
+        (downsample materialization): results written here are
+        indistinguishable from ingested points for every query path."""
+        both = rows.select(
+            "measurement",
+            "tags",
+            "ts_ns",
+            F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+            "field",
+            "value",
+            "message",
+        )
+        return self._append_exploded(attach_identity(both), collect_stats=collect_stats)
 
     def compact(self, target_file_mb: int = 128) -> int:
         """Maintenance: rewrite each date partition of the fact table

@@ -698,3 +698,36 @@ def test_show_cardinality_family(engine):
     assert _values(res) == [[2]]
     res = engine.execute("SHOW TAG KEY CARDINALITY", db="mydb")
     assert _values(res) == [[2]]  # host, region
+
+
+def test_select_into_downsample_roundtrip(engine):
+    """SELECT mean(user) INTO cpu_1m ... GROUP BY time(60s): the
+    aggregated points materialize as a new measurement whose rows are
+    indistinguishable from ingested points for every query path."""
+    res = engine.execute(
+        "SELECT mean(user) INTO cpu_1m FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[0, 2]]  # two 1-minute buckets written
+    back = engine.execute("SELECT mean FROM cpu_1m", db="mydb")
+    assert _values(back) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+    meas = engine.execute("SHOW MEASUREMENTS", db="mydb")
+    assert ["cpu_1m"] in _values(meas)
+
+
+def test_select_into_preserves_group_tags(engine):
+    res = engine.execute(
+        "SELECT max(user) INTO cpu_max FROM cpu GROUP BY time(1h), host", db="mydb"
+    )
+    assert _values(res) == [[0, 2]]  # one bucket per host
+    back = engine.execute("SELECT max FROM cpu_max GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s["values"] for s in back["results"][0]["series"]}
+    assert by_host["a"] == [[1704067200000, 0.5]]
+    assert by_host["b"] == [[1704067200000, 0.7]]
+
+
+def test_select_into_raw_copy_string_field(engine):
+    res = engine.execute("SELECT status INTO app_copy FROM app", db="mydb")
+    assert _values(res) == [[0, 1]]
+    back = engine.execute("SELECT status FROM app_copy", db="mydb")
+    assert _values(back) == [[1704067200000, "ok"]]
