@@ -476,6 +476,9 @@ class InfluxQLEngine:
         self.spark = spark
         self.root = root
         self.subscriptions: dict[str, list[tuple[str, str]]] = {}
+        # continuous queries: db → {name: (select_text, watermark_ns)}.
+        # watermark = exclusive upper bound of data already materialized.
+        self.continuous_queries: dict[str, dict[str, tuple[str, int]]] = {}
         self.max_result_rows = max_result_rows
         # F4: the reference defaults an un-ranged query to the last 300 s
         # (cflux.js:719-726). We default to InfluxDB's own all-history
@@ -558,6 +561,12 @@ class InfluxQLEngine:
             return _envelope([])
         if upper.startswith("CREATE SUBSCRIPTION"):
             return self._create_subscription(qs, db)
+        if upper.startswith("CREATE CONTINUOUS QUERY"):
+            return self._create_cq(qs, db)
+        if upper.startswith("SHOW CONTINUOUS QUERIES"):
+            return self._show_cqs()
+        if upper.startswith("DROP CONTINUOUS QUERY"):
+            return self._drop_cq(qs, db)
         if upper.startswith("SELECT"):
             return self._select(qs, db)
         # M11: unsupported statements return the empty envelope
@@ -803,6 +812,91 @@ class InfluxQLEngine:
         if stmt.slimit is not None:
             series = series[: stmt.slimit]
         return _envelope(series)
+
+    # ------------------------------------------------- continuous queries
+
+    def _create_cq(self, qs: str, db: str | None) -> dict:
+        """CREATE CONTINUOUS QUERY "name" ON db BEGIN SELECT ... INTO
+        ... END (InfluxDB 1.x; beyond the reference). The inner
+        statement is validated at registration; runs happen via
+        ``run_continuous_queries``."""
+        m = re.match(
+            r'CREATE CONTINUOUS QUERY\s+("?[\w-]+"?)\s+ON\s+(\S+)\s+.*?BEGIN\s+(.+?)\s+END\s*$',
+            qs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise InfluxQLError(f"unparsable CREATE CONTINUOUS QUERY: {qs!r}")
+        name, target_db, inner = _unquote(m.group(1)), _unquote(m.group(2).split(".")[0]), m.group(3)
+        stmt = parse_select(inner)  # validates; raises loudly on bad grammar
+        if stmt.into is None:
+            raise InfluxQLError("continuous query must SELECT ... INTO")
+        if stmt.group_by_time_s is None and any(sp.agg for sp in stmt.fields):
+            raise InfluxQLError("aggregated continuous query requires GROUP BY time(N)")
+        self.continuous_queries.setdefault(target_db, {})[name] = (inner, 0)
+        return _envelope([])
+
+    def _show_cqs(self) -> dict:
+        series = []
+        for cq_db in sorted(self.continuous_queries):
+            vals = [[n, q] for n, (q, _wm) in sorted(self.continuous_queries[cq_db].items())]
+            if vals:
+                series.append(_series(cq_db, ["name", "query"], vals))
+        return _envelope(series)
+
+    def _drop_cq(self, qs: str, db: str | None) -> dict:
+        m = re.match(
+            r'DROP CONTINUOUS QUERY\s+("?[\w-]+"?)\s+ON\s+(\S+)', qs, re.IGNORECASE
+        )
+        if not m:
+            raise InfluxQLError(f"unparsable DROP CONTINUOUS QUERY: {qs!r}")
+        name, target_db = _unquote(m.group(1)), _unquote(m.group(2).split(".")[0])
+        self.continuous_queries.get(target_db, {}).pop(name, None)
+        return _envelope([])
+
+    def run_continuous_queries(self, db: str | None = None) -> dict[str, int]:
+        """Execute registered CQs incrementally: each run materializes
+        only COMPLETE buckets in [watermark, floor(max_source_ts+1,
+        bucket)) and advances the watermark to that floor. Complete
+        buckets never change, so reruns append no duplicates and every
+        written row is final — the same append-only watermark discipline
+        Structured Streaming's append mode uses. Points in the still-
+        open bucket wait for the next run (InfluxDB runs CQs at bucket
+        close for the same reason). Returns {cq_name: rows_written}."""
+        from dataclasses import replace as _replace
+
+        out: dict[str, int] = {}
+        dbs = [db] if db is not None else sorted(self.continuous_queries)
+        for cq_db in dbs:
+            for name, (inner, wm) in list(self.continuous_queries.get(cq_db, {}).items()):
+                stmt = parse_select(inner)
+                store = self.store(stmt.db or cq_db)
+                src = store.read_samples_or_empty().filter(
+                    F.col("measurement") == stmt.measurement
+                )
+                row = src.agg(F.max("ts_ns").alias("m")).collect()[0]
+                if row.m is None:
+                    out[name] = 0
+                    continue
+                if stmt.group_by_time_s:
+                    b_ns = int(stmt.group_by_time_s) * 1_000_000_000
+                    off_ns = int(stmt.group_by_time_offset_s * 1e9)
+                    hi = ((row.m - off_ns) // b_ns) * b_ns + off_ns  # start of open bucket
+                else:
+                    hi = row.m + 1  # raw copy: everything seen so far
+                if hi <= wm:
+                    out[name] = 0
+                    continue
+                run_stmt = _replace(
+                    stmt,
+                    time_lo_ns=max(wm, stmt.time_lo_ns or 0),
+                    time_hi_ns=min(hi, stmt.time_hi_ns) if stmt.time_hi_ns else hi,
+                )
+                reg = store.read_registry()
+                res = self._select_into(run_stmt, store, reg)
+                out[name] = res["results"][0]["series"][0]["values"][0][1]
+                self.continuous_queries[cq_db][name] = (inner, hi)
+        return out
 
     def _select_into(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> dict:
         """SELECT ... INTO <m> — run the query and write its points

@@ -731,3 +731,57 @@ def test_select_into_raw_copy_string_field(engine):
     assert _values(res) == [[0, 1]]
     back = engine.execute("SELECT status FROM app_copy", db="mydb")
     assert _values(back) == [[1704067200000, "ok"]]
+
+
+def test_continuous_query_lifecycle(spark, tmp_path_factory):
+    """CQ registration → incremental watermark runs over COMPLETE
+    buckets only → no duplicate rows on rerun → SHOW/DROP."""
+    root = str(tmp_path_factory.mktemp("cqstore"))
+    store = LPStore(spark, root, db="cqdb")
+    lines1 = [
+        "cpu,host=a user=0.10 1704067200000000000",  # 00:00:00
+        "cpu,host=a user=0.30 1704067230000000000",  # 00:00:30
+        "cpu,host=a user=0.50 1704067290000000000",  # 00:01:30 (open bucket)
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines1], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute(
+        'CREATE CONTINUOUS QUERY "cq_1m" ON cqdb BEGIN '
+        "SELECT mean(user) INTO cpu_1m FROM cpu GROUP BY time(60s) END",
+        db="cqdb",
+    )
+    res = eng.execute("SHOW CONTINUOUS QUERIES")
+    assert res["results"][0]["series"][0]["name"] == "cqdb"
+    assert res["results"][0]["series"][0]["values"][0][0] == "cq_1m"
+
+    # run 1: only the complete 00:00 bucket materializes
+    written = eng.run_continuous_queries("cqdb")
+    assert written == {"cq_1m": 1}
+    back = eng.execute("SELECT mean FROM cpu_1m", db="cqdb")
+    assert _values(back) == [[1704067200000, 0.2]]
+
+    # idempotent rerun with no new data
+    assert eng.run_continuous_queries("cqdb") == {"cq_1m": 0}
+
+    # late-arriving next bucket closes 00:01 — rerun writes exactly it
+    lines2 = ["cpu,host=a user=0.90 1704067330000000000"]  # 00:02:10
+    store.write_batch(spark.createDataFrame([(l,) for l in lines2], "line string"))
+    assert eng.run_continuous_queries("cqdb") == {"cq_1m": 1}
+    back = eng.execute("SELECT mean FROM cpu_1m", db="cqdb")
+    assert _values(back) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+
+    eng.execute('DROP CONTINUOUS QUERY "cq_1m" ON cqdb')
+    assert eng.execute("SHOW CONTINUOUS QUERIES")["results"][0].get("series", []) == []
+
+
+def test_continuous_query_rejects_non_into(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cqbad"))
+    eng = InfluxQLEngine(spark, root)
+    with pytest.raises(InfluxQLError, match="INTO"):
+        eng.execute(
+            'CREATE CONTINUOUS QUERY "bad" ON x BEGIN SELECT mean(v) FROM m GROUP BY time(60s) END'
+        )
+    with pytest.raises(InfluxQLError, match="GROUP BY time"):
+        eng.execute(
+            'CREATE CONTINUOUS QUERY "bad2" ON x BEGIN SELECT mean(v) INTO m2 FROM m END'
+        )
