@@ -59,8 +59,11 @@ _AGG_FNS = {
     "count": lambda c, a: F.count(c),
     "median": lambda c, a: F.expr(f"percentile({c}, 0.5)"),
     "stddev": lambda c, a: F.stddev_samp(c),
-    "first": lambda c, a: F.first(c, ignorenulls=True),
-    "last": lambda c, a: F.last(c, ignorenulls=True),
+    # first/last resolve through _agg_expr (time-ordered; need the
+    # frame's time column). Present here so grammar validation sees
+    # them as known aggregates.
+    "first": None,
+    "last": None,
     # InfluxQL percentile(f, N) takes N in 0-100
     "percentile": lambda c, a: F.expr(f"percentile({c}, {(a if a is not None else 50) / 100.0})"),
     "spread": lambda c, a: F.max(c) - F.min(c),
@@ -68,6 +71,19 @@ _AGG_FNS = {
     # count(distinct(f)) — InfluxQL's only nested-aggregate form
     "count_distinct": lambda c, a: F.countDistinct(c),
 }
+
+def _agg_expr(fn: str, c: str, a, ts_col: str = "ts_ns"):
+    """Aggregate expression for `fn` over column `c`. first/last are
+    TIME-ordered in InfluxQL — min_by/max_by on the frame's time column
+    (`ts_ns` raw facts, `ts_ms` bucketed subquery output), NOT Spark's
+    order-of-encounter first()/last(), which are nondeterministic over
+    an unordered groupBy."""
+    if fn == "first":
+        return F.expr(f"min_by({c}, {ts_col})")
+    if fn == "last":
+        return F.expr(f"max_by({c}, {ts_col})")
+    return _AGG_FNS[fn](c, a)
+
 
 # selector functions keep the point's own timestamp (InfluxQL top/
 # bottom return the N actual points, not a folded aggregate)
@@ -1219,7 +1235,7 @@ class InfluxQLEngine:
                 obucket = F.expr(f"(ts_ms - ({off_ms})) div {bucket_ms}") * bucket_ms + F.lit(off_ms)
             else:
                 obucket = F.expr(f"ts_ms div {bucket_ms}") * bucket_ms
-            agg = _AGG_FNS[spec.agg]("val", spec.agg_arg)
+            agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
             grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
                 F.round(agg, 6).alias("val")
             )
@@ -1269,7 +1285,7 @@ class InfluxQLEngine:
                 .agg(F.round(F.sum("_a"), 6).alias("val"))
             )
         else:
-            agg = _AGG_FNS[fn or "mean"]("value", spec.agg_arg)
+            agg = _agg_expr(fn or "mean", "value", spec.agg_arg, ts_col="ts_ns")
             grouped = (
                 # integer div — double division of ns-scale longs loses
                 # precision above 2^53

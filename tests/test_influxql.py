@@ -785,3 +785,23 @@ def test_continuous_query_rejects_non_into(spark, tmp_path_factory):
         eng.execute(
             'CREATE CONTINUOUS QUERY "bad2" ON x BEGIN SELECT mean(v) INTO m2 FROM m END'
         )
+
+
+def test_first_last_are_time_ordered(spark, tmp_path_factory):
+    """InfluxQL first()/last() pick by TIME, not encounter order: the
+    batch is written with timestamps deliberately shuffled so Spark's
+    own first()/last() would be storage-order-dependent."""
+    root = str(tmp_path_factory.mktemp("flstore"))
+    store = LPStore(spark, root, db="fl")
+    shuffled = [
+        "m,host=a v=0.50 1704067290000000000",  # 00:01:30 (latest)
+        "m,host=a v=0.10 1704067200000000000",  # 00:00:00 (earliest)
+        "m,host=a v=0.30 1704067230000000000",  # 00:00:30
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in shuffled], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute("SELECT first(v), last(v) FROM m GROUP BY time(1h)", db="fl")
+    series = res["results"][0]["series"]
+    by_col = {s["columns"][1]: s["values"] for s in series}
+    assert by_col["first_v"] == [[1704067200000, 0.1]]
+    assert by_col["last_v"] == [[1704067290000 // 3600000 * 3600000, 0.5]]
