@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the scale properties SCALE.md claims
+must hold in the actual executed plans, not just in prose —
+predicate pushdown to the parquet scan, column pruning, broadcast
+registry joins, and no Python in relational hot paths.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cflux_spark.sources.ingest import LPStore  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("planstore"))
+    s = LPStore(spark, root, db="plan")
+    lines = [
+        f"cpu,host=h{i % 4} user={i / 10} 17040672{i:02d}000000000" for i in range(60)
+    ]
+    s.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    return s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ns_time_predicate_pushed_to_scan(store):
+    """F2: the raw ts_ns long filter must reach PushedFilters — at
+    100 TB this is row-group skipping vs a full scan."""
+    df = store.read_samples().filter(
+        (F.col("ts_ns") >= 1704067210000000000) & (F.col("ts_ns") < 1704067240000000000)
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(ts_ns" in plan, plan
+
+
+def test_projection_prunes_read_schema(store):
+    """F7: a 2-column projection must not read the full 7-column row."""
+    df = store.read_samples().select("fingerprint", "value")
+    plan = _plan(df)
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m and "message" not in m[0] and "measurement" not in m[0], m
+
+
+def test_registry_slice_join_broadcasts(spark, store):
+    """J1: the filtered registry slice joins facts as a broadcast —
+    zero shuffle on the fact side."""
+    from cflux_spark.operators.joins import any_inner_join
+
+    reg = store.read_registry()
+    facts = store.read_samples()
+    out = any_inner_join(facts, reg.select("fingerprint", "name"), "fingerprint")
+    out.collect()
+    plan = _plan(out)
+    # broadcast join = the fact side never shuffles; the only Exchanges
+    # allowed are on the small build side (dedup + broadcast)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minute_avg_hot_path_is_jvm_only(spark, sf_dir):
+    """A1 flagship: the aggregation pipeline must stay in whole-stage
+    codegen — no BatchEvalPython / ArrowEvalPython / mapInPandas nodes
+    (Python is reserved for the LP parse and extension UDFs)."""
+    from cflux_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_minute_avg"](spark, sf_dir)
+    df.collect()  # finalize the AQE plan so codegen stages are visible
+    plan = _plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert node not in plan, f"{node} in flagship plan:\n{plan}"
+    assert "*(" in plan  # WholeStageCodegen stage markers
