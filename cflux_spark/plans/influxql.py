@@ -86,8 +86,12 @@ def _agg_expr(fn: str, c: str, a, ts_col: str = "ts_ns"):
 
 
 # selector functions keep the point's own timestamp (InfluxQL top/
-# bottom return the N actual points, not a folded aggregate)
-_SEL_FNS = {"top", "bottom"}
+# bottom/sample return actual points, not a folded aggregate).
+# sample(f, N) deviates from InfluxDB deliberately: picks are
+# DETERMINISTIC (md5 of the point identity — the hash_sample
+# discipline from extensions/sampling.py) instead of random, so
+# results are reproducible and repartition-stable.
+_SEL_FNS = {"top", "bottom", "sample"}
 
 # envelope column names where the internal fn name differs
 _DISPLAY = {"count_distinct": "count"}
@@ -1138,8 +1142,12 @@ class InfluxQLEngine:
         k = int(spec.agg_arg or 1)
         if k < 1:
             raise InfluxQLError(f"{spec.agg}(field, N) requires N >= 1")
-        desc = spec.agg == "top"
-        val_order = F.col("value").desc() if desc else F.col("value").asc()
+        if spec.agg == "sample":
+            # deterministic pseudo-random order over the point identity
+            val_order = F.md5(F.concat_ws("|", F.col("fingerprint"), F.col("ts_ns"))).asc()
+        else:
+            desc = spec.agg == "top"
+            val_order = F.col("value").desc() if desc else F.col("value").asc()
         parts = list(tkeys)
         if stmt.group_by_time_s:
             ff = ff.withColumn(

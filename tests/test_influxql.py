@@ -805,3 +805,19 @@ def test_first_last_are_time_ordered(spark, tmp_path_factory):
     by_col = {s["columns"][1]: s["values"] for s in series}
     assert by_col["first_v"] == [[1704067200000, 0.1]]
     assert by_col["last_v"] == [[1704067290000 // 3600000 * 3600000, 0.5]]
+
+
+def test_sample_selector_deterministic(engine):
+    """sample(f, N): N actual points with their own timestamps;
+    deterministic across runs (documented deviation from InfluxDB's
+    random pick — the hash_sample discipline)."""
+    a = engine.execute("SELECT sample(user, 2) FROM cpu WHERE host = 'a'", db="mydb")
+    b = engine.execute("SELECT sample(user, 2) FROM cpu WHERE host = 'a'", db="mydb")
+    assert _values(a) == _values(b)
+    assert len(_values(a)) == 2
+    # sampled values are actual points of the series
+    allv = {tuple(v) for v in _values(engine.execute("SELECT user FROM cpu WHERE host = 'a'", db="mydb"))}
+    assert {tuple(v) for v in _values(a)} <= allv
+    # per-bucket sampling under GROUP BY time
+    res = engine.execute("SELECT sample(user, 1) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb")
+    assert len(_values(res)) == 2  # one pick per populated minute
