@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "q_quality_score",
     "q_doc_fingerprint",
     "q_series_pivot",
+    # round-3 operators
+    "q_asof_join",
+    "q_sample_hash",
+    "q_multimodal_decode",
 ]
 
 
