@@ -147,3 +147,56 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(F.col(text_col)).alias("fp_md5"),
         F.xxhash64(F.col(text_col)).alias("fp_xx64"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram model — the classic perplexity-style quality signal for
+    training-data filtering (high = unusual vocabulary vs the corpus).
+
+    Output: (doc_id, n_tokens, avg_neg_logprob). Scale shape: one
+    explode → vocabulary groupBy (tiny after aggregation, broadcast
+    back) → per-doc agg; the corpus token total is an aggregate scalar,
+    never a data collect. Tokenization is single-space split + lower,
+    chosen for bit-identical cross-engine oracles."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (F.log(F.col("n") / F.col("_t"))).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), round_to).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# Portable PII patterns (valid under both Java regex and RE2, global
+# replace on both engines). Deliberately conservative: redaction is a
+# pipeline hygiene pass, not a compliance guarantee.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Regex redaction of emails / SSN-like / phone-like spans — the
+    standard hygiene pass before training-data export. Pure
+    regexp_replace chain: whole-stage codegen, shuffle-free, linear."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col, col)

@@ -1414,6 +1414,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    total AS (SELECT sum(n) AS t FROM counts)
+    SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(ln(counts.n / total.t)), 4) AS avg_neg_logprob
+    FROM toks JOIN counts USING (tok) CROSS JOIN total
+    GROUP BY toks.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: mean -ln p(token) under the
+    corpus's own unigram distribution (training-data filtering
+    staple). The oracle recomputes the same model in SQL; single-space
+    tokenization keeps both engines bit-identical."""
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact: user' || doc_id || '@example.com or 555-123-4567 ssn 123-45-6789',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction hygiene pass: deterministic synthetic PII is
+    appended per doc (the fixture corpus carries none), then the
+    portable regex chain strips it; the oracle applies the identical
+    patterns with DuckDB's global regexp_replace. Note the SSN pattern
+    runs before the phone pattern in both engines — 123-45-6789 must
+    become <SSN>, not a phone partial."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return text.redact_pii(seeded).select("doc_id", "redacted")
+
+
+@q(
     "q_multimodal_decode",
     """
     SELECT doc_id AS media_id,
@@ -1627,6 +1685,8 @@ _VERIFY_FIRST = [
     "q_multimodal_audio",   # real WAV decode, oracle-checked
     "q_show_series",        # SHOW SERIES keys (beyond reference)
     "q_show_cardinality",   # SHOW ... CARDINALITY family
+    "q_unigram_logprob",    # perplexity-style quality signal
+    "q_redact_pii",         # PII redaction hygiene pass
     # operators changed in round 3 (re-verify the round they change):
     "q_asof_join",      # joins.py: duplicate-ts-column fix
     "q_asof_forward",
@@ -1653,6 +1713,8 @@ _VERIFY_LAST = [
     "q_moving_average",   # W: q_cumulative_sum/q_series_rate cover frames
     "q_series_difference",  # W: q_series_difference_seg is the same lag + segmentation
     "q_elapsed",          # W: same per-series lag window; engine-tested too
+    "q_orders_join",      # J1: same broadcast ANY-join as q_series_join (in window)
+    "q_top_per_bucket",   # rank window: q_series_difference_seg keeps the family
 ]
 
 

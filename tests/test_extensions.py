@@ -505,3 +505,28 @@ def test_kafka_source_gates_cleanly(spark):
         assert "spark-sql-kafka" in str(exc)
     else:  # classpath has the jar after all — contract: one `line` column
         assert df.columns == ["line"]
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b+c@x-corp.io, ssn 123-45-6789, call 555 123 4567 or 555-123-4567")]
+    )
+    out = text.redact_pii(df).collect()[0].redacted
+    assert "<EMAIL>" in out and "@" not in out
+    assert "<SSN>" in out and "123-45-6789" not in out
+    assert out.count("<PHONE>") == 2
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of rare tokens must score higher (more surprising)
+    than docs made of the corpus's most common tokens."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text="common common common") for i in range(10)]
+    rows.append(Row(doc_id=100, text="zebra quark axolotl"))
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.avg_neg_logprob for r in text.unigram_logprob(df).collect()}
+    assert out[100] > out[0]
+    assert all(out[i] == out[0] for i in range(10))
