@@ -1214,6 +1214,52 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb.filter(F.col("vec_id") < 100), emb, threshold=0.3)
 
 
+@q(
+    "q_dedup_semantic",
+    """
+    WITH RECURSIVE idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat AS (
+      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end to end: exact cosine pairs >= 0.5 (the
+    verifier tier; LSH generates candidates at scale) feed the same
+    min-label cluster propagation as text near-dup — every embedding
+    labeled with the min reachable vec_id. Oracle = recursive-CTE
+    transitive closure over SQL-computed cosines. Demonstrates the
+    similarity and clustering operators COMPOSE (the keep-one-per-
+    cluster step of an embedding-dedup pipeline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs(emb, emb, threshold=0.5).select(
+        F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dedup_clusters(nodes, pairs=pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 @q("q_vector_lsh")  # rows-only: ANN recall is probabilistic by design
 def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1687,6 +1733,7 @@ _VERIFY_FIRST = [
     "q_show_cardinality",   # SHOW ... CARDINALITY family
     "q_unigram_logprob",    # perplexity-style quality signal
     "q_redact_pii",         # PII redaction hygiene pass
+    "q_dedup_semantic",     # cosine pairs → cluster composition
     # operators changed in round 3 (re-verify the round they change):
     "q_asof_join",      # joins.py: duplicate-ts-column fix
     "q_asof_forward",
@@ -1715,6 +1762,8 @@ _VERIFY_LAST = [
     "q_elapsed",          # W: same per-series lag window; engine-tested too
     "q_orders_join",      # J1: same broadcast ANY-join as q_series_join (in window)
     "q_top_per_bucket",   # rank window: q_series_difference_seg keeps the family
+    "q_union_fields",     # U1: union-per-field also exercised by every
+                          # multi-field InfluxQL engine test
 ]
 
 
