@@ -499,6 +499,9 @@ class InfluxQLEngine:
         # continuous queries: db → {name: (select_text, watermark_ns)}.
         # watermark = exclusive upper bound of data already materialized.
         self.continuous_queries: dict[str, dict[str, tuple[str, int]]] = {}
+        # retention policies: db → {name: (duration_s, is_default)}.
+        # duration 0 = keep forever (InfluxDB convention).
+        self.retention_policies: dict[str, dict[str, tuple[float, bool]]] = {}
         self.max_result_rows = max_result_rows
         # F4: the reference defaults an un-ranged query to the last 300 s
         # (cflux.js:719-726). We default to InfluxDB's own all-history
@@ -571,8 +574,10 @@ class InfluxQLEngine:
             return self._show_cardinality(subject, qs, db)
         if upper.startswith("SHOW SERIES"):
             return self._show_series(qs, db)
+        if upper.startswith("CREATE RETENTION POLICY"):
+            return self._create_retention_policy(qs, db)
         if upper.startswith("SHOW RETENTION POLICIES"):
-            return _envelope([_series("retention policies", ["name", "duration", "shardGroupDuration", "replicaN", "default"], [["autogen", "0s", "168h0m0s", 1, True]])])
+            return self._show_retention_policies(db)
         if upper.startswith("SHOW SUBSCRIPTIONS"):
             return self._show_subscriptions()
         if upper.startswith("CREATE DATABASE"):
@@ -832,6 +837,54 @@ class InfluxQLEngine:
         if stmt.slimit is not None:
             series = series[: stmt.slimit]
         return _envelope(series)
+
+    # ------------------------------------------------- retention policies
+
+    def _create_retention_policy(self, qs: str, db: str | None) -> dict:
+        """CREATE RETENTION POLICY name ON db DURATION <d> REPLICATION n
+        [DEFAULT] — the reference only fakes SHOW (static autogen row,
+        cflux.js:419-448); here policies register for real and
+        ``enforce_retention_policies`` drops expired date partitions."""
+        m = re.match(
+            r'CREATE RETENTION POLICY\s+("?[\w-]+"?)\s+ON\s+(\S+)\s+DURATION\s+(\S+)'
+            r"\s+REPLICATION\s+\d+(\s+DEFAULT)?",
+            qs,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise InfluxQLError(f"unparsable CREATE RETENTION POLICY: {qs!r}")
+        name, target_db = _unquote(m.group(1)), _unquote(m.group(2))
+        dur = 0.0 if m.group(3) in ("0", "0s", "INF", "inf") else _parse_duration(m.group(3))
+        is_default = m.group(4) is not None
+        pols = self.retention_policies.setdefault(target_db, {})
+        if is_default:
+            pols.update({k: (v, False) for k, (v, _d) in pols.items()})
+        pols[name] = (dur, is_default)
+        return _envelope([])
+
+    def _show_retention_policies(self, db: str | None) -> dict:
+        rows = [["autogen", "0s", "168h0m0s", 1, True]]  # reference fidelity
+        for name, (dur, is_default) in sorted(self.retention_policies.get(db or "default", {}).items()):
+            rows.append([name, f"{int(dur)}s", "168h0m0s", 1, is_default])
+            if is_default:
+                rows[0][4] = False  # a registered default displaces autogen
+        return _envelope(
+            [_series("retention policies", ["name", "duration", "shardGroupDuration", "replicaN", "default"], rows)]
+        )
+
+    def enforce_retention_policies(self, db: str | None = None, now=None) -> dict[str, list[str]]:
+        """Drop expired date partitions per each db's DEFAULT policy
+        (duration 0 = keep forever). Returns {db: dropped partitions}.
+        O(1) per partition — a directory drop, no scan or rewrite."""
+        out: dict[str, list[str]] = {}
+        dbs = [db] if db is not None else sorted(self.retention_policies)
+        for target_db in dbs:
+            for _name, (dur, is_default) in self.retention_policies.get(target_db, {}).items():
+                if is_default and dur > 0:
+                    out[target_db] = self.store(target_db).enforce_retention(
+                        dur / 86400.0, now=now
+                    )
+        return out
 
     # ------------------------------------------------- continuous queries
 

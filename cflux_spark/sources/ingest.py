@@ -339,6 +339,33 @@ class LPStore:
             # incomplete (or superseded) compaction output
             shutil.rmtree(tmp)
 
+    def enforce_retention(self, keep_days: float, now: "date | None" = None) -> list[str]:
+        """Drop whole date partitions older than ``now - keep_days`` —
+        the InfluxDB retention-policy enforcement step, expressed as
+        the O(1)-per-partition directory drop the date partitioning
+        exists for (no scan, no rewrite; the same reason ClickHouse
+        partitions by time, cflux.js:152). Registry rows are kept:
+        series metadata outlives expired points, as in InfluxDB until a
+        DROP SERIES. Returns the dropped partition names."""
+        import shutil
+        from datetime import date, timedelta
+
+        cutoff = (now or date.today()) - timedelta(days=keep_days)
+        dropped: list[str] = []
+        if not os.path.isdir(self.samples_path):
+            return dropped
+        for entry in sorted(os.listdir(self.samples_path)):
+            if not entry.startswith("date="):
+                continue
+            try:
+                d = date.fromisoformat(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d < cutoff:
+                shutil.rmtree(os.path.join(self.samples_path, entry))
+                dropped.append(entry)
+        return dropped
+
     def read_registry_raw(self) -> DataFrame | None:
         try:
             return self.spark.read.parquet(self.registry_path)

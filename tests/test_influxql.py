@@ -821,3 +821,39 @@ def test_sample_selector_deterministic(engine):
     # per-bucket sampling under GROUP BY time
     res = engine.execute("SELECT sample(user, 1) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb")
     assert len(_values(res)) == 2  # one pick per populated minute
+
+
+def test_retention_policy_enforcement(spark, tmp_path_factory):
+    """CREATE RETENTION POLICY ... DEFAULT registers for real (the
+    reference only fakes SHOW) and enforcement drops expired date
+    partitions as O(1) directory drops — no scan, no rewrite."""
+    import os
+    from datetime import date
+
+    root = str(tmp_path_factory.mktemp("rpstore"))
+    store = LPStore(spark, root, db="rp")
+    lines = [
+        "m,host=a v=1.0 1704067200000000000",   # 2024-01-01
+        "m,host=a v=2.0 1704931200000000000",   # 2024-01-11
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    parts = lambda: sorted(e for e in os.listdir(store.samples_path) if e.startswith("date="))
+    assert parts() == ["date=2024-01-01", "date=2024-01-11"]
+
+    eng = InfluxQLEngine(spark, root)
+    eng.execute(
+        'CREATE RETENTION POLICY "week" ON rp DURATION 168h REPLICATION 1 DEFAULT'
+    )
+    res = eng.execute("SHOW RETENTION POLICIES", db="rp")
+    by_name = {v[0]: v for v in _values(res)}
+    assert by_name["week"][1] == "604800s" and by_name["week"][4] is True
+    assert by_name["autogen"][4] is False  # displaced as default
+
+    dropped = eng.enforce_retention_policies("rp", now=date(2024, 1, 12))
+    assert dropped == {"rp": ["date=2024-01-01"]}
+    assert parts() == ["date=2024-01-11"]
+    # queries see only the surviving partition
+    res = eng.execute("SELECT v FROM m WHERE time >= 0", db="rp")
+    assert _values(res) == [[1704931200000, 2.0]]
+    # idempotent
+    assert eng.enforce_retention_policies("rp", now=date(2024, 1, 12)) == {"rp": []}
