@@ -26,14 +26,23 @@ def filter_time_absolute(
     """Epoch-nanosecond bounds (F2; divisor TSDIVIDE=1e9, cflux.js:10,712).
 
     When the frame carries the raw nanosecond long (`ts_ns_col`), the
-    predicate is applied to IT, not the derived TimestampType column:
-    a filter on the derived column cannot be pushed through the
-    conversion expression to the parquet scan, while the bigint
-    comparison reaches PushedFilters and prunes row groups — the
-    difference between a pruned read and a full scan at 100 TB.
+    exact predicate is applied to IT; a widened-by-≤1µs companion bound
+    on `ts_col` is added alongside. Whichever of the two columns is the
+    RAW parquet attribute (nanos-as-long layout → ts_ns; µs-timestamp
+    layout → ts with ts_ns derived) carries its predicate into
+    PushedFilters and prunes row groups — the difference between a
+    pruned read and a full scan at 100 TB. The widened companion is a
+    strict superset of the ns range, so the conjunction stays exact.
     """
     if ts_ns_col is not None and ts_ns_col in df.columns:
-        return df.filter((F.col(ts_ns_col) > F.lit(lo_ns)) & (F.col(ts_ns_col) < F.lit(hi_ns)))
+        wide_lo = F.timestamp_micros(F.lit(lo_ns // 1000))
+        wide_hi = F.timestamp_micros(F.lit(hi_ns // 1000 + 1))
+        return df.filter(
+            (F.col(ts_ns_col) > F.lit(lo_ns))
+            & (F.col(ts_ns_col) < F.lit(hi_ns))
+            & (F.col(ts_col) >= wide_lo)
+            & (F.col(ts_col) < wide_hi)
+        )
     lo = F.timestamp_micros(F.lit(lo_ns // 1000))
     hi = F.timestamp_micros(F.lit(hi_ns // 1000))
     return df.filter((F.col(ts_col) > lo) & (F.col(ts_col) < hi))

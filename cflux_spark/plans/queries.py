@@ -80,11 +80,15 @@ def q(name: str, oracle: str | None = None):
 )
 def q_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    # filter on the raw ns long so the range predicate reaches the
-    # parquet scan (PushedFilters) — see timeops.filter_time_absolute
+    # second-aligned bounds on the raw ts column: exact in both events
+    # layouts and reaches the parquet scan as PushedFilters (in the
+    # nanos-as-long layout ts is derived, and the equivalent ts_ns
+    # predicate below carries the pushdown instead)
     f = ev.filter(
-        (F.col("ts_ns") >= F.lit(1704412800 * 10**9))  # 2024-01-05T00:00:00Z
-        & (F.col("ts_ns") < F.lit(1705017600 * 10**9))  # 2024-01-12T00:00:00Z
+        (F.col("ts") >= F.to_timestamp(F.lit("2024-01-05 00:00:00")))
+        & (F.col("ts") < F.to_timestamp(F.lit("2024-01-12 00:00:00")))
+        & (F.col("ts_ns") >= F.lit(1704412800 * 10**9))
+        & (F.col("ts_ns") < F.lit(1705017600 * 10**9))
     )
     # J1: ANY inner join against the (already unique per composite key)
     # registry — broadcast, so the fact side never shuffles for the join.

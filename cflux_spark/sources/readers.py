@@ -26,19 +26,35 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver table. The events table stores parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it
-    as nanosecond longs (legacy conf, runtime-settable) and convert to
-    TimestampType via integer µs division — `ts div 1000` stays in
-    64-bit integer math (a double round-trip would lose precision above
-    2^53 ns)."""
+    """Read one driver table. The generated events table has shipped
+    with two timestamp layouts across driver rounds, and we accept both:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read
+      as nanosecond longs (legacy conf, runtime-settable) and convert
+      to TimestampType via integer µs division — `ts div 1000` stays in
+      64-bit integer math (a double round-trip would lose precision
+      above 2^53 ns).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as plain
+      TimestampType (inferTimestampNTZ off, so with the UTC session
+      zone the semantics are identical to NTZ) — `ts` stays the RAW
+      parquet attribute, so time predicates written against it reach
+      the scan as PushedFilters. `ts_ns` is derived (µs × 1000).
+
+    Either way callers see the same shape: `ts` TimestampType plus
+    `ts_ns` LongType with ts_ns == unix_micros(ts) * 1000."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        else:
+            if dt == "timestamp_ntz":  # session created before our conf
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
