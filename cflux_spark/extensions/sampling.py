@@ -41,6 +41,54 @@ def hash_sample(
     return df.filter(bucket < F.lit(thr))
 
 
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export:
+    ``shard = int(md5(key)[:8], 16) % n_shards``. Content-keyed like
+    :func:`hash_sample`, so the shard of a row never depends on
+    partitioning, retries, or engine — re-running the export reproduces
+    byte-identical shards, and two engines (Spark writer, downstream
+    loader) agree on placement. To materialize:
+    ``assign_shards(df, N).repartition(N, "shard").write
+    .partitionBy("shard")...`` — one shuffle, each output file a whole
+    shard, readable shard-at-a-time by data loaders."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+    return df.withColumn(shard_col, (h % n_shards).cast("int"))
+
+
+def cap_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain/source cap: keep at most ``k`` rows per group, chosen
+    deterministically by md5(key) rank (crawl pipelines cap documents
+    per domain so one giant site can't dominate the corpus). The pick
+    is content-keyed — stable across runs and partitioning, not
+    "whichever k arrived first".
+
+    One shuffle on the group key; at scale a skewed group (one domain
+    with 10^9 docs) is exactly what the cap removes, and AQE skew-split
+    handles the pre-cap window. For k=1 this degenerates to "one doc
+    per group" — prefer groupBy().agg(min_by) for that case."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -139,6 +139,47 @@ def top_terms_tfidf(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4
+) -> DataFrame:
+    """Gopher-style repetition signals for training-data filtering:
+    documents dominated by repeated fragments (boilerplate, SEO spam,
+    scraper loops) are low-value and skew the loss.
+
+    Output: (id, n_tokens, uniq_token_frac, top_bigram_share) —
+    ``uniq_token_frac`` = distinct/total tokens (per-row higher-order
+    fns, shuffle-free); ``top_bigram_share`` = occurrences of the most
+    common bigram / total bigram occurrences. The bigram mode uses
+    explode + two doc-keyed aggregations rather than a per-row O(L²)
+    array scan, so cost stays linear in corpus tokens and the shuffle
+    key (doc id) is perfectly distributed. Docs with <2 tokens drop
+    (no bigrams), mirrored by the oracle's inner join."""
+    toks = F.filter(F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "), lambda x: x != "")
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), round_to).alias(
+            "uniq_token_frac"
+        ),
+        toks.alias("_toks"),
+    )
+    bigram_arr = F.when(
+        F.col("n_tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - 2),
+            lambda i: F.concat_ws(" ", F.get("_toks", i), F.get("_toks", i + 1)),
+        ),
+    ).otherwise(F.array())
+    bigrams = base.select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+    top = (
+        bigrams.groupBy(id_col, "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg(F.round(F.max("n") / F.sum("n"), round_to).alias("top_bigram_share"))
+    )
+    return base.drop("_toks").join(top, id_col)
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 content hash (portable across engines)
     + xxhash64 rolling hash for in-engine use."""

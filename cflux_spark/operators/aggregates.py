@@ -87,3 +87,43 @@ def distinct_values(df: DataFrame, col: str, where: Column | None = None) -> Dat
     """A3 — distinct via GROUP BY (cflux.js:459,480,645)."""
     out = df.filter(where) if where is not None else df
     return out.select(col).distinct().orderBy(col)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation: events of one key closer than
+    ``gap_seconds`` apart merge into one session (Spark-native
+    ``session_window`` — the streaming-capable sibling of the tumbling
+    windows in A1/A2; the same call works under Structured Streaming
+    with a watermark).
+
+    Output: (key, session_start, n_events, sum_v) with sum_v in exact
+    integer-cents math (see plans/queries docstring). Boundary
+    semantics (verified empirically): an event exactly gap_seconds
+    after its predecessor still MERGES — a new session starts only
+    when the gap is strictly greater. The gaps-and-islands SQL oracle
+    mirrors this with `diff > gap`.
+
+    Scale: one shuffle on the session key; within a key the merge is a
+    sort-based scan. Skewed keys (one user with 10^8 events) sort, not
+    explode — no quadratic path.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        df.groupBy(key_col, F.session_window(F.col(ts_col), f"{gap_seconds} seconds"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("sum_v"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_v",
+        )
+    )

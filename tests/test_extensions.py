@@ -530,3 +530,102 @@ def test_unigram_logprob_orders_rarity(spark):
     out = {r.doc_id: r.avg_neg_logprob for r in text.unigram_logprob(df).collect()}
     assert out[100] > out[0]
     assert all(out[i] == out[0] for i in range(10))
+
+
+def test_contamination_flags_exact_ngram_only(spark):
+    """A doc sharing an 8-gram with the benchmark is flagged; a doc
+    sharing only a 7-token overlap is not."""
+    from cflux_spark.extensions import contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    contaminated = "prefix words " + bench_text + " suffix words"
+    near_miss = "alpha beta gamma delta epsilon zeta eta OTHER"
+    docs = spark.createDataFrame(
+        [(1, contaminated), (2, near_miss), (3, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in contamination.flag_contamination(
+            docs, contamination.benchmark_ngrams(bench, n=8), n=8
+        ).collect()
+    }
+    assert out[1] == (True, 1)
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 0)
+
+
+def test_contamination_counts_repeated_hits(spark):
+    from cflux_spark.extensions import contamination
+
+    gram = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, gram + " filler " + gram)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, gram)], "doc_id long, text string")
+    row = contamination.flag_contamination(
+        docs, contamination.benchmark_ngrams(bench, n=8), n=8
+    ).collect()[0]
+    assert row.contaminated and row.n_hits == 2
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    """'spam spam spam' → one distinct token, one bigram with 100%."""
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens here differ fully")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert out[1].n_tokens == 4
+    assert out[1].uniq_token_frac == 0.25
+    assert out[1].top_bigram_share == 1.0
+    assert out[2].uniq_token_frac == 1.0
+    assert out[2].top_bigram_share == 0.25
+
+
+def test_assign_shards_stable_under_repartition(docs):
+    from cflux_spark.extensions import sampling
+
+    a = sorted(sampling.assign_shards(docs, 16).select("doc_id", "shard").collect())
+    b = sorted(
+        sampling.assign_shards(docs.repartition(13), 16).select("doc_id", "shard").collect()
+    )
+    assert a == b
+    shards = {r.shard for r in a}
+    assert shards <= set(range(16)) and len(shards) > 1
+
+
+def test_cap_per_group_keeps_deterministic_subset(docs):
+    from cflux_spark.extensions import sampling
+
+    capped = sampling.cap_per_group(docs, 3, group_col="source")
+    counts = {r.source: r.n for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in counts.values())
+    again = sampling.cap_per_group(docs.repartition(7), 3, group_col="source")
+    assert sorted(r.doc_id for r in capped.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    """Spark session_window semantics: an event exactly gap_seconds
+    after its predecessor MERGES; strictly-greater gaps split."""
+    from cflux_spark.operators.aggregates import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 1.0),  # exactly 30:00 later -> merges
+        (1, "2024-01-01 01:00:01", 1.0),  # 30:01 later -> new session
+        (2, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string, value double").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    out = sorted(
+        sessionize(df, 1800).collect(), key=lambda r: (r.user_id, r.session_start)
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.n_events for r in u1] == [2, 1]
+    assert len([r for r in out if r.user_id == 2]) == 1
+    assert [r.sum_v for r in out if r.user_id == 2] == [5.0]
