@@ -98,9 +98,41 @@ _DISPLAY = {"count_distinct": "count"}
 
 # InfluxQL transform functions over an aggregated series:
 # derivative(mean(f), 1s), moving_average(mean(f), n),
-# cumulative_sum(sum(f)) — applied per output series after
-# bucketing/fill, as InfluxDB does.
-_TX_FNS = {"derivative", "non_negative_derivative", "moving_average", "cumulative_sum"}
+# cumulative_sum(sum(f)), difference(max(f)) — applied per output
+# series after bucketing/fill, as InfluxDB does.
+_TX_FNS = {
+    "derivative",
+    "non_negative_derivative",
+    "difference",
+    "non_negative_difference",
+    "moving_average",
+    "cumulative_sum",
+}
+
+# InfluxQL math scalar functions — pointwise over a raw field
+# (``SELECT abs(v) FROM m``) or over an aggregate
+# (``SELECT round(mean(v)) FROM m GROUP BY time(1m)``). All JVM
+# built-ins inside whole-stage codegen; the optional second argument
+# is round's decimals, log's base, or pow's exponent.
+_MATH_FNS: dict[str, object] = {
+    "abs": lambda c, a: F.abs(c),
+    "ceil": lambda c, a: F.ceil(c),
+    "floor": lambda c, a: F.floor(c),
+    "round": lambda c, a: F.round(c, int(a) if a is not None else 0),
+    "sqrt": lambda c, a: F.sqrt(c),
+    "exp": lambda c, a: F.exp(c),
+    "ln": lambda c, a: F.log(c),
+    "log": lambda c, a: F.log(float(a), c) if a is not None else F.log(c),
+    "log2": lambda c, a: F.log2(c),
+    "log10": lambda c, a: F.log10(c),
+    "sin": lambda c, a: F.sin(c),
+    "cos": lambda c, a: F.cos(c),
+    "tan": lambda c, a: F.tan(c),
+    "asin": lambda c, a: F.asin(c),
+    "acos": lambda c, a: F.acos(c),
+    "atan": lambda c, a: F.atan(c),
+    "pow": lambda c, a: F.pow(c, float(a) if a is not None else 1.0),
+}
 
 
 class InfluxQLError(ValueError):
@@ -263,7 +295,7 @@ def parse_select(q: str) -> SelectStmt:
         ):
             fields.append(FieldSpec("count_distinct", _unquote(tm2.group(3))))
             continue
-        if tm2 and tm2.group(1).lower() in _TX_FNS:
+        if tm2 and tm2.group(1).lower() in _TX_FNS | set(_MATH_FNS):
             tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
             if inner not in _AGG_FNS:
                 raise InfluxQLError(f"unsupported aggregate {inner!r} under {tx}()")
@@ -305,6 +337,13 @@ def parse_select(q: str) -> SelectStmt:
                 continue
             if fn == "distinct":
                 fields.append(FieldSpec(fn, _unquote(args[0])))
+                continue
+            if fn in _MATH_FNS:
+                # math over a raw field: abs(v), round(v, 2), pow(v, 2)
+                if len(args) > 2 or (len(args) == 2 and not re.fullmatch(r"-?\d+(\.\d+)?", args[1])):
+                    raise InfluxQLError(f"{fn}(field[, number]): {raw!r}")
+                m_arg = float(args[1]) if len(args) == 2 else None
+                fields.append(FieldSpec(None, _unquote(args[0]), None, fn, m_arg))
                 continue
             if fn not in _AGG_FNS:
                 raise InfluxQLError(f"unsupported aggregate {fn!r}")
@@ -1126,19 +1165,36 @@ class InfluxQLEngine:
                 series.extend(self._distinct_series(stmt, spec, ff, gtags, tkeys))
                 continue
             if fn is None and stmt.group_by_time_s is None:
-                # raw points, string-over-float per cflux.js:795
-                sel = ff.select(
-                    *tkeys,
-                    # integer div — double division of epoch-ns longs
-                    # (~1.7e18 > 2^53) can round and shift a ms
-                    F.expr("ts_ns div 1000000").alias("ts_ms"),
-                    F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
-                ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+                if spec.tx in _MATH_FNS:
+                    # pointwise math over a raw float field: string
+                    # rows are skipped (InfluxDB math ignores string
+                    # fields), output column named after the function
+                    sel = ff.filter(F.col("value").isNotNull()).select(
+                        *tkeys,
+                        F.expr("ts_ns div 1000000").alias("ts_ms"),
+                        F.round(_MATH_FNS[spec.tx](F.col("value"), spec.tx_arg), 6)
+                        .cast("string")
+                        .alias("val"),
+                    )
+                    colname = f"{spec.tx}_{fieldname}" if len(stmt.fields) > 1 else spec.tx
+                else:
+                    # raw points, string-over-float per cflux.js:795
+                    sel = ff.select(
+                        *tkeys,
+                        # integer div — double division of epoch-ns longs
+                        # (~1.7e18 > 2^53) can round and shift a ms
+                        F.expr("ts_ns div 1000000").alias("ts_ms"),
+                        F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
+                    )
+                    colname = fieldname
+                sel = sel.orderBy(
+                    *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+                )
                 sel = _apply_slice(sel, tkeys, stmt)
                 rows = self._bounded_collect(sel)
                 series.extend(
                     _tag_series(
-                        rows, gtags, tkeys, stmt, fieldname,
+                        rows, gtags, tkeys, stmt, colname,
                         lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)],
                     )
                 )
@@ -1399,7 +1455,13 @@ class InfluxQLEngine:
                     grouped = grouped.fillna({"val": float(stmt.fill)})
                 except ValueError as exc:
                     raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
-        if spec.tx:
+        if spec.tx in _MATH_FNS:
+            # math scalars are pointwise over the aggregated value —
+            # no window, stays in codegen
+            grouped = grouped.withColumn(
+                "val", F.round(_MATH_FNS[spec.tx](F.col("val"), spec.tx_arg), 6)
+            )
+        elif spec.tx:
             # transforms run per output series, over the bucketed
             # (and filled) values, ordered by time — a per-series
             # window; the partition is one series' buckets, small
@@ -1424,6 +1486,14 @@ class InfluxQLEngine:
                     .withColumn("val", F.col("_ma"))
                     .drop("_ma", "_n")
                 )
+            elif spec.tx in ("difference", "non_negative_difference"):
+                # value delta between consecutive buckets (no time
+                # division — derivative's sibling, InfluxDB semantics)
+                dv = F.round(F.col("val") - F.lag("val").over(wt), 6)
+                grouped = grouped.withColumn("_d", dv).filter(F.col("_d").isNotNull())
+                if spec.tx == "non_negative_difference":
+                    grouped = grouped.filter(F.col("_d") >= 0)
+                grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
             else:  # derivative / non_negative_derivative
                 unit_s = spec.tx_arg if spec.tx_arg is not None else 1.0
                 dv = F.col("val") - F.lag("val").over(wt)

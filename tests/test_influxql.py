@@ -857,3 +857,71 @@ def test_retention_policy_enforcement(spark, tmp_path_factory):
     assert _values(res) == [[1704931200000, 2.0]]
     # idempotent
     assert eng.enforce_retention_policies("rp", now=date(2024, 1, 12)) == {"rp": []}
+
+
+def test_math_on_raw_field(engine):
+    res = engine.execute("SELECT abs(user) FROM cpu WHERE host = 'a'", db="mydb")
+    series = res["results"][0]["series"][0]
+    assert series["columns"][1] == "abs"
+    assert [v[1] for v in series["values"]] == [0.1, 0.3, 0.5]
+
+
+def test_math_round_with_decimals(engine):
+    res = engine.execute("SELECT round(user, 1) FROM cpu WHERE host = 'a'", db="mydb")
+    assert [v[1] for v in _values(res)] == [0.1, 0.3, 0.5]
+
+
+def test_math_pow_on_raw_field(engine):
+    res = engine.execute("SELECT pow(user, 2) FROM cpu WHERE host = 'b'", db="mydb")
+    assert [v[1] for v in _values(res)] == [pytest.approx(0.49)]
+
+
+def test_math_skips_string_fields(engine):
+    res = engine.execute("SELECT sqrt(status) FROM app", db="mydb")
+    # string-typed field -> no float rows -> series with no values
+    assert _values(res) == []
+
+
+def test_math_over_aggregate(engine):
+    res = engine.execute(
+        "SELECT sqrt(mean(user)) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"][1] == "sqrt"
+    # bucket means: 0.2 (00:00) and 0.5 (01:00)
+    assert [v[1] for v in series["values"]] == [
+        pytest.approx(0.447214),
+        pytest.approx(0.707107),
+    ]
+
+
+def test_difference_of_mean(engine):
+    res = engine.execute(
+        "SELECT difference(mean(user)) FROM cpu WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"][1] == "difference"
+    assert series["values"] == [[1704067260000, pytest.approx(0.3)]]
+
+
+def test_non_negative_difference_filters(engine):
+    res = engine.execute(
+        "SELECT non_negative_difference(mean(user)) FROM cpu WHERE host = 'a' "
+        "GROUP BY time(60s) ORDER BY time DESC",
+        db="mydb",
+    )
+    # descending output ordering, but the transform still runs in time
+    # order: one positive delta survives
+    series = res["results"][0]["series"][0]
+    assert [v[1] for v in series["values"]] == [pytest.approx(0.3)]
+
+
+def test_math_bad_second_arg_rejected(engine):
+    import pytest as _pt
+
+    from cflux_spark.plans.influxql import InfluxQLError
+
+    with _pt.raises(InfluxQLError):
+        engine.execute("SELECT round(user, abc) FROM cpu", db="mydb")
