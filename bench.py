@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_sample_hash",
     "q_multimodal_decode",
+    # round-3b training-data pipeline ops
+    "q_contamination",
+    "q_repetition_stats",
+    "q_sessionize",
 ]
 
 

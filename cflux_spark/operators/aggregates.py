@@ -127,3 +127,27 @@ def sessionize(
             "sum_v",
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    value_col: str = "value",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Equal-width histogram of ``value_col`` per key group:
+    ``width_bucket`` semantics (bucket 0 = underflow, n_buckets+1 =
+    overflow), one map-side-combinable groupBy. The distribution
+    profile every data-quality dashboard wants (token-length, score,
+    value distributions) at a cost of one narrow shuffle regardless of
+    data volume.
+    """
+    keys = keys or []
+    b = F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    return (
+        df.groupBy(*keys, b.cast("int").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(*keys, "bucket")
+    )
