@@ -62,6 +62,45 @@ def assign_shards(
     return df.withColumn(shard_col, (h % n_shards).cast("int"))
 
 
+def pack_offsets(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 16,
+    n_tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pretraining export: concatenate documents
+    per shard (deterministic content-keyed shard, doc-id order) and
+    chop the token stream into fixed ``budget_tokens`` windows — the
+    standard "concat and chunk" packing that turns a document corpus
+    into training sequences.
+
+    Output per doc: (key, shard, seq_id, pos_in_seq, spans_boundary) —
+    seq_id is the training-sequence index within the shard, pos_in_seq
+    the doc's start offset inside it, spans_boundary whether the doc
+    crosses a sequence edge (loader must split it).
+
+    All window arithmetic: one shuffle on shard, an exclusive running
+    sum, integer division. No driver state, no iteration — at 100 TB
+    each shard's cumsum is an independent sorted scan, and shard count
+    scales the parallelism."""
+    from pyspark.sql import Window
+
+    sharded = assign_shards(df, n_shards, key_col=key_col)
+    w = Window.partitionBy("shard").orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    offset = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+    end_off = offset + F.col(n_tokens_col) - 1
+    return sharded.select(
+        F.col(key_col),
+        F.col("shard"),
+        F.floor(offset / budget_tokens).cast("int").alias("seq_id"),
+        (offset % budget_tokens).cast("int").alias("pos_in_seq"),
+        (F.floor(end_off / budget_tokens) > F.floor(offset / budget_tokens)).alias(
+            "spans_boundary"
+        ),
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     k: int,

@@ -629,3 +629,28 @@ def test_sessionize_gap_boundary(spark):
     assert [r.n_events for r in u1] == [2, 1]
     assert len([r for r in out if r.user_id == 2]) == 1
     assert [r.sum_v for r in out if r.user_id == 2] == [5.0]
+
+
+def test_pack_offsets_invariants(docs):
+    """Every doc placed once; offsets advance by n_tokens within a
+    shard; pos_in_seq < budget; spans_boundary consistent."""
+    from cflux_spark.extensions import sampling
+
+    budget = 512
+    out = sampling.pack_offsets(docs, budget, n_shards=4, n_tokens_col="n_chars")
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.seq_id, r.pos_in_seq))
+    assert len(rows) == docs.count()
+    assert all(0 <= r.pos_in_seq < budget for r in rows)
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.seq_id == off // budget
+            assert r.pos_in_seq == off % budget
+            end = off + n_chars[r.doc_id] - 1
+            assert r.spans_boundary == (end // budget > off // budget)
+            off += n_chars[r.doc_id]
