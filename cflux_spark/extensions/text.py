@@ -41,12 +41,19 @@ def word_tokens(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", round_to: int = 4) -> DataFrame:
-    """Per-document stats: chars, tokens, mean token length."""
-    t = F.col(text_col)
-    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
-    return df.select(
+    """Per-document stats: chars, tokens, mean token length. The token
+    array is materialized in a first projection — referencing the
+    split expression at each use site re-runs it (no CSE inside/around
+    HOF lambdas; measured 5.6× on the n-gram op)."""
+    base = df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    return base.select(
+        F.col(id_col),
+        "n_chars",
         F.size(toks).alias("n_tokens"),
         F.round(
             F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x)) / F.greatest(F.size(toks), F.lit(1)),
@@ -59,12 +66,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Heuristic quality metrics: punctuation ratio, stopword ratio,
     uppercase ratio, mean line length. Mirrors C4-style quality
     filters used in LLM data pipelines (e.g. Gopher rules)."""
-    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "").alias("_toks"),
+    )
+    t = F.col("_t")
+    toks = F.col("_toks")
     n = F.greatest(F.length(t), F.lit(1))
-    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
     n_toks = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.round((F.length(t) - F.length(F.regexp_replace(t, r"[.,!?;:'\"]", ""))) / n, round_to).alias(
             "punct_ratio"
@@ -80,8 +92,12 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: marker-word hit counts per language,
-    argmax. Deterministic, column-only."""
-    toks = word_tokens(F.col(text_col))
+    argmax. Deterministic, column-only. Tokenization happens ONCE in a
+    first projection — inlining the token expression would re-run the
+    regex split per language score (no CSE across HOF lambdas)."""
+    base = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+
     # array_contains against a literal array — Column.isin is not
     # supported inside higher-order-function lambdas. NB: the lambda
     # must be single-arg (a second arg would be bound to the element
@@ -93,7 +109,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     scores = [
         marker_hits(markers).alias(f"score_{lang}") for lang, markers in _LANG_MARKERS.items()
     ]
-    scored = df.select(F.col(id_col), F.col(text_col), *scores)
+    scored = base.select(F.col(id_col), *scores)
     langs = list(_LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.lit("und")
