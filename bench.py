@@ -98,6 +98,12 @@ def main() -> int:
         .cache()
     )
     n_lines = lines.count()
+    # warm the Python-worker/Arrow path too: the first mapInPandas pays
+    # ~2-3 s of worker-daemon spin-up across 32 cores, which is session
+    # startup, not parse throughput (BASELINE tracks warm throughput)
+    from cflux_spark.sources.ingest import parse_lp_df
+
+    parse_lp_df(lines.limit(5000)).count()
     with tempfile.TemporaryDirectory() as tmp:
         t = time.monotonic()
         LPStore(spark, tmp, db="bench").write_batch(lines, collect_stats=False)
