@@ -53,7 +53,13 @@ def shingles(
     `distinct=False` skips the dedup shuffle — correct for consumers
     whose aggregation is duplicate-idempotent (MinHash: min over a
     multiset equals min over its set)."""
-    toks = tokenize(F.col(text_col))
+    # Each intermediate (token array, gram array) is MATERIALIZED as a
+    # column before re-use: Catalyst does no common-subexpression
+    # elimination across HOF expressions, so referencing the tokenize
+    # expr at every use site re-runs the regex split per reference
+    # (measured 5.6× on the contamination op; same class here).
+    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
     # sliding n-gram via arrays_zip of n shifted views of the token
     # array — one zip + one transform, instead of a slice+concat per
     # position (which is quadratic-ish in interpreted HOF calls).
@@ -61,12 +67,14 @@ def shingles(
     # shifted arrays with null; concat_ws skips nulls).
     shifted = [F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(1))) for i in range(n)]
     zipped = F.arrays_zip(*shifted)
-    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    grams_all = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    staged = base.select(F.col(id_col), F.size(toks).alias("_nt"), grams_all.alias("_g"))
     # drop the trailing (n-1) partial shingles for docs longer than n
-    grams = F.when(F.size(toks) >= n, F.slice(grams, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))).otherwise(
-        F.slice(grams, 1, 1)
-    )
-    out = df.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
+    grams = F.when(
+        F.col("_nt") >= n,
+        F.slice(F.col("_g"), 1, F.greatest(F.col("_nt") - (n - 1), F.lit(1))),
+    ).otherwise(F.slice(F.col("_g"), 1, 1))
+    out = staged.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
         F.col("shingle") != ""
     )
     return out.distinct() if distinct else out
