@@ -39,6 +39,15 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _paired_sim(round_to: int) -> Column:
+    """cosine over pair frames carrying pre-attached norms: the O(d)
+    norm aggregates are per-VECTOR quantities — computing them inside
+    the pair expression (cosine_sim) re-runs both per candidate pair,
+    tripling the per-pair work. Callers attach `_qn`/`_cn` on the
+    query/candidate projections BEFORE the join."""
+    return F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn")), round_to)
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -51,12 +60,16 @@ def brute_force_topk(
 
     The query side is broadcast (assumed small); ties broken by
     neighbor id for determinism."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("_qn")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("_cn")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("sim", _paired_sim(round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -107,17 +120,21 @@ def ivf_topk(
         return pd.Series(list(order.astype(np.int64)))
 
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), cell_of(F.col(vec_col)).alias("cell")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+        cell_of(F.col(vec_col)).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("sim", _paired_sim(round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -283,12 +300,16 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("_qn")
+    )
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("_cn")
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+        .withColumn("sim", _paired_sim(round_to))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -383,6 +404,7 @@ class IVFIndex:
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
             F.explode(probe_cells(F.col(vec_col))).alias("cell"),
         )
         # queries are small by contract: collect the distinct probed
@@ -390,9 +412,10 @@ class IVFIndex:
         probed = sorted({r.cell for r in q.select("cell").distinct().collect()})
         cells = self.spark.read.parquet(f"{self.path}/cells").filter(F.col("cell").isin(probed))
         scored = (
-            cells.join(F.broadcast(q), "cell")
+            cells.withColumn("_cn", _norm(F.col("cv")))
+            .join(F.broadcast(q), "cell")
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), round_to))
+            .withColumn("sim", _paired_sim(round_to))
         )
         w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
         return (
