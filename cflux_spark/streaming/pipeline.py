@@ -43,11 +43,13 @@ class StreamingIngest:
         checkpoint_dir: str,
         subscription_sink: Callable[[DataFrame], None] | None = None,
         default_ts_ns: int = 0,
+        dedupe_window_s: int | None = None,
     ):
         self.store = store
         self.checkpoint_dir = checkpoint_dir
         self.subscription_sink = subscription_sink
         self.default_ts_ns = default_ts_ns
+        self.dedupe_window_s = dedupe_window_s
         self.batches_seen = 0
 
     def _process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -71,7 +73,29 @@ class StreamingIngest:
         """`lines` is a streaming DataFrame with one string column
         `line`. available_now=True drains what exists and stops
         (deterministic for tests); otherwise a 2 s processing trigger
-        mirrors the reference's 2000 ms buffer age."""
+        mirrors the reference's 2000 ms buffer age.
+
+        With ``dedupe_window_s`` set, duplicate LINES (upstream
+        at-least-once retransmits — the reference double-inserts them,
+        cflux.js has no write dedup) are dropped across micro-batches
+        via ``dropDuplicatesWithinWatermark``: state is bounded by the
+        watermark window instead of growing forever, which is what
+        makes streaming dedup viable on an unbounded 100 TB stream.
+        Event time comes from the line's trailing ns timestamp
+        (JVM regexp, no Python); lines without one fall back to
+        processing time."""
+        if self.dedupe_window_s:
+            from pyspark.sql import functions as F
+
+            ev = F.timestamp_micros(
+                F.expr(r"CAST(regexp_extract(line, '(\\d+)\\s*$', 1) AS LONG) div 1000")
+            )
+            lines = (
+                lines.withColumn("_evt", F.coalesce(ev, F.current_timestamp()))
+                .withWatermark("_evt", f"{self.dedupe_window_s} seconds")
+                .dropDuplicatesWithinWatermark(["line"])
+                .drop("_evt")
+            )
         writer = lines.writeStream.foreachBatch(self._process_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

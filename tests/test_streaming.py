@@ -138,3 +138,32 @@ def test_compact_crash_recovery(spark, tmp_path):
     recovered2 = LPStore(spark, root, db="c")
     assert sorted(tuple(r) for r in recovered2.read_samples().collect()) == expect
     assert not pathlib.Path(store.samples_path + "._old").exists()
+
+
+def test_streaming_dedupe_within_watermark(spark, tmp_path):
+    """Retransmitted lines (at-least-once upstream) are dropped across
+    micro-batches when dedupe_window_s is set; state stays bounded by
+    the watermark. The reference double-inserts duplicates (no write
+    dedup in cflux.js) — this is the streaming-upgrade path."""
+    src = str(tmp_path / "in")
+    _write_lines(src, "a.txt", BATCH1)
+    # b.txt retransmits all of BATCH1 (exact duplicates) + one new line
+    _write_lines(src, "b.txt", BATCH1 + ["cpu,host=c user=0.9 1704067205000000000"])
+    store = LPStore(spark, str(tmp_path / "store"), db="db")
+    ingest = StreamingIngest(
+        store, str(tmp_path / "ckpt"), dedupe_window_s=3600
+    )
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select(F.col("value").alias("line"))
+    )
+    q = ingest.start(stream, available_now=True)
+    q.awaitTermination(120)
+    facts = store.read_samples_or_empty()
+    # 3 unique BATCH1 lines + 1 new line = 4 facts (one field each)
+    assert facts.count() == 4
+    assert ingest.batches_seen >= 2  # maxFilesPerTrigger=1 -> 2 batches
