@@ -79,3 +79,32 @@ def test_minute_avg_hot_path_is_jvm_only(spark, sf_dir):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert node not in plan, f"{node} in flagship plan:\n{plan}"
     assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+def test_driver_events_time_filter_pushed_to_scan(spark):
+    """The regenerated driver events table stores µs timestamps: the
+    flagship's time bounds must reach the parquet scan on the RAW ts
+    attribute (the nanos-as-long layout pushed on ts_ns instead; both
+    layouts must end with a pushed time filter — row-group skipping is
+    the whole time-series scale story)."""
+    from cflux_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_minute_avg"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert (
+        "GreaterThanOrEqual(ts," in plan or "GreaterThanOrEqual(ts_ns," in plan
+    ), plan
+
+
+def test_contamination_corpus_side_broadcast_join(spark):
+    """X6: the benchmark gram set must broadcast — the exploded corpus
+    side never shuffles for the contamination join."""
+    from cflux_spark.extensions import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = contamination.benchmark_ngrams(docs.filter(F.col("doc_id") % 37 == 0))
+    out = contamination.flag_contamination(docs, bench)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
