@@ -256,7 +256,7 @@ def parse_select(q: str) -> SelectStmt:
             inner.relative_lo_inclusive = outer.relative_lo_inclusive
         return outer
     m = re.match(
-        r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+)"
+        r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+(?:\s*,\s*\S+)*)"
         r"(?:\s+WHERE\s+(?P<where>.*?))?"
         r"(?:\s+GROUP\s+BY\s+(?P<groupby>.*?))?"
         r"(?:\s+ORDER\s+BY\s+time\s*(?P<order>ASC|DESC)?)?"
@@ -362,6 +362,36 @@ def parse_select(q: str) -> SelectStmt:
         # FROM /regex/ — the reference's ifql-parser accepts it; we
         # resolve matches against the registry at execution time
         stmt = SelectStmt(fields=fields, measurement=raw_from, measurement_regex=raw_from[1:-1])
+    elif "," in raw_from:
+        # FROM m1, m2[, ...] — InfluxDB emits one series set per
+        # measurement; ride the regex-FROM machinery with an anchored
+        # alternation (resolution + per-measurement execution are
+        # identical). db prefixes allowed, must agree across the list.
+        names: list[str] = []
+        dbs: set[str | None] = set()
+        for part in raw_from.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            pieces = [_unquote(p) for p in re.split(r"\.", part)]
+            if len(pieces) == 1:
+                dbs.add(None)
+                names.append(pieces[0])
+            elif len(pieces) in (2, 3):
+                dbs.add(pieces[0])
+                names.append(pieces[-1])
+            else:
+                raise InfluxQLError(f"bad FROM element {part!r}")
+        real_dbs = {d for d in dbs if d is not None}
+        if len(real_dbs) > 1:
+            raise InfluxQLError(f"FROM list spans databases: {sorted(real_dbs)}")
+        rx = "^(?:" + "|".join(re.escape(n) for n in names) + ")$"
+        stmt = SelectStmt(
+            fields=fields,
+            measurement=raw_from,
+            measurement_regex=rx,
+            db=next(iter(real_dbs), None),
+        )
     else:
         parts = [_unquote(p) for p in re.split(r"\.", raw_from)]
         if len(parts) == 1:

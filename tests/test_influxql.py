@@ -925,3 +925,26 @@ def test_math_bad_second_arg_rejected(engine):
 
     with _pt.raises(InfluxQLError):
         engine.execute("SELECT round(user, abc) FROM cpu", db="mydb")
+
+
+def test_multi_measurement_from_list(engine):
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu, app GROUP BY time(60s)", db="mydb"
+    )
+    series = res["results"][0]["series"]
+    # one series set per measurement that has float samples: app's only
+    # field is a string -> cpu contributes, app yields no float rows
+    names = {s["name"] for s in series}
+    assert "cpu" in names
+    # all three cpu buckets present (host a two buckets + host b's)
+    cpu_vals = [v for s in series if s["name"] == "cpu" for v in s["values"]]
+    assert len(cpu_vals) >= 2
+
+
+def test_multi_measurement_from_db_mismatch_rejected(engine):
+    import pytest as _pt
+
+    from cflux_spark.plans.influxql import InfluxQLError
+
+    with _pt.raises(InfluxQLError):
+        engine.execute("SELECT mean(user) FROM db1.cpu, db2.mem", db="mydb")
