@@ -661,11 +661,67 @@ class InfluxQLEngine:
             return self._show_cqs()
         if upper.startswith("DROP CONTINUOUS QUERY"):
             return self._drop_cq(qs, db)
+        if upper.startswith("DROP MEASUREMENT"):
+            return self._drop_measurement(qs, db)
+        if upper.startswith("DELETE"):
+            return self._delete(qs, db)
         if upper.startswith("SELECT"):
             return self._select(qs, db)
         # M11: unsupported statements return the empty envelope
         # (cflux.js:846-852) rather than erroring the client
         return _envelope([])
+
+    # ------------------------------------------------------------ deletion
+
+    def _drop_measurement(self, qs: str, db: str | None) -> dict:
+        """``DROP MEASUREMENT "m"`` — delete the measurement's facts
+        (partition-targeted, LPStore.delete_where) and purge its
+        registry rows. The reference answers this via the M11 empty
+        envelope without acting; a real store must act."""
+        m = re.fullmatch(r'\s*DROP\s+MEASUREMENT\s+(?P<m>"[^"]+"|\S+)\s*', qs, re.IGNORECASE)
+        if not m:
+            raise InfluxQLError(f"bad DROP MEASUREMENT: {qs!r}")
+        store = self.store(db)
+        meas = _unquote(m.group("m"))
+        store.delete_where(measurement=meas)
+        store.purge_registry(meas)
+        return _envelope([])
+
+    def _delete(self, qs: str, db: str | None) -> dict:
+        """``DELETE FROM m [WHERE time >= a AND time < b]`` — InfluxDB
+        1.x point deletion. Time bounds accept the same ns/ISO literals
+        as SELECT; no bounds deletes the whole measurement's points
+        (registry kept — series metadata outlives points until DROP)."""
+        m = re.fullmatch(
+            r"\s*DELETE\s+FROM\s+(?P<m>\"[^\"]+\"|\S+)(?:\s+WHERE\s+(?P<w>.+?))?\s*",
+            qs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise InfluxQLError(f"bad DELETE: {qs!r}")
+        lo_ns = hi_ns = None
+        if m.group("w"):
+            for cond in re.split(r"\s+AND\s+", m.group("w"), flags=re.IGNORECASE):
+                cm = re.fullmatch(
+                    r"\s*time\s*(?P<op>>=|>|<=|<)\s*(?P<v>'[^']*'|\S+)\s*", cond, re.IGNORECASE
+                )
+                if not cm:
+                    raise InfluxQLError(f"DELETE supports only time bounds: {cond!r}")
+                ns = _parse_time_value(cm.group("v"))
+                op = cm.group("op")
+                # canonicalize to half-open [lo, hi) ns like SELECT
+                if op in (">", ">="):
+                    lo_ns = ns + (1 if op == ">" else 0)
+                else:
+                    hi_ns = ns + (1 if op == "<=" else 0)
+        store = self.store(db)
+        stats = store.delete_where(
+            measurement=_unquote(m.group("m")), lo_ns=lo_ns, hi_ns=hi_ns
+        )
+        return _envelope(
+            [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
+                     [[0, stats["partitions_dropped"], stats["partitions_rewritten"]]])]
+        )
 
     # ------------------------------------------------------------ metadata
 

@@ -199,6 +199,7 @@ class LPStore:
         self.root = root
         self.db = db
         self._recover_compact()
+        self._recover_delete()
 
     @property
     def samples_path(self) -> str:
@@ -365,6 +366,105 @@ class LPStore:
                 shutil.rmtree(os.path.join(self.samples_path, entry))
                 dropped.append(entry)
         return dropped
+
+    def delete_where(
+        self,
+        measurement: str | None = None,
+        lo_ns: int | None = None,
+        hi_ns: int | None = None,
+    ) -> dict[str, int]:
+        """Targeted deletion (InfluxDB ``DELETE FROM m WHERE time ...``
+        / ``DROP MEASUREMENT``): per date partition —
+
+        - partitions wholly OUTSIDE the time range: untouched (free);
+        - partitions wholly INSIDE it, with no measurement filter:
+          O(1) directory drop (same machinery as retention);
+        - everything else: filtered rewrite of ONLY the touched
+          partitions, written aside and atomically moved into place.
+
+        At 100 TB a time-ranged delete touches at most two edge
+        partitions plus O(1) drops — never a full-table rewrite.
+        Registry rows are kept for DELETE (series metadata outlives
+        points, as in InfluxDB); DROP MEASUREMENT purges them via
+        ``purge_registry``. Single-writer discipline applies (same rule
+        as write_batch)."""
+        import shutil
+        from datetime import date, timedelta
+
+        DAY_NS = 86_400_000_000_000
+        lo = lo_ns if lo_ns is not None else -(2**62)
+        hi = hi_ns if hi_ns is not None else 2**62
+        dropped = rewritten = 0
+        if not os.path.isdir(self.samples_path):
+            return {"partitions_dropped": 0, "partitions_rewritten": 0}
+        for entry in sorted(os.listdir(self.samples_path)):
+            if not entry.startswith("date="):
+                continue
+            try:
+                d = date.fromisoformat(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            part_lo = int((d - date(1970, 1, 1)).total_seconds()) * 1_000_000_000
+            part_hi = part_lo + DAY_NS
+            if part_hi <= lo or part_lo >= hi:
+                continue  # untouched
+            part_dir = os.path.join(self.samples_path, entry)
+            if measurement is None and lo <= part_lo and part_hi <= hi:
+                shutil.rmtree(part_dir)
+                dropped += 1
+                continue
+            keep_pred = F.lit(False)
+            if measurement is not None:
+                keep_pred = keep_pred | (F.col("measurement") != measurement)
+            keep_pred = keep_pred | (F.col("ts_ns") < F.lit(lo)) | (F.col("ts_ns") >= F.lit(hi))
+            kept = self.spark.read.parquet(part_dir).filter(keep_pred)
+            # rewrite-aside OUTSIDE the partitioned root: a leftover
+            # tmp dir under samples/ would break partition discovery
+            # (compact() follows the same discipline)
+            tmp = os.path.join(self.root, self.db, "_delete_tmp", entry)
+            (
+                kept.sortWithinPartitions("fingerprint", "ts_ns")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            shutil.rmtree(part_dir)
+            os.replace(tmp, part_dir)
+            rewritten += 1
+        tmp_root = os.path.join(self.root, self.db, "_delete_tmp")
+        if os.path.isdir(tmp_root):
+            shutil.rmtree(tmp_root, ignore_errors=True)
+        return {"partitions_dropped": dropped, "partitions_rewritten": rewritten}
+
+    def _recover_delete(self) -> None:
+        """Finish an interrupted delete_where: a tmp rewrite whose
+        partition is already removed is moved into place; stale tmps
+        (partition still present — crash before the swap) are dropped,
+        leaving the pre-delete data intact."""
+        import shutil
+
+        tmp_root = os.path.join(self.root, self.db, "_delete_tmp")
+        if not os.path.isdir(tmp_root):
+            return
+        for entry in os.listdir(tmp_root):
+            src = os.path.join(tmp_root, entry)
+            dst = os.path.join(self.samples_path, entry)
+            if not os.path.exists(dst):
+                os.replace(src, dst)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+
+    def purge_registry(self, measurement: str) -> None:
+        """Remove a measurement's series metadata (DROP MEASUREMENT
+        companion). The registry is orders of magnitude smaller than
+        facts — a filtered rewrite-aside is the honest cost."""
+        import shutil
+
+        raw = self.read_registry_raw()
+        if raw is None:
+            return
+        tmp = self.registry_path + ".rewrite"
+        raw.filter(F.col("measurement") != measurement).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.registry_path)
+        os.replace(tmp, self.registry_path)
 
     def read_registry_raw(self) -> DataFrame | None:
         try:

@@ -948,3 +948,55 @@ def test_multi_measurement_from_db_mismatch_rejected(engine):
 
     with _pt.raises(InfluxQLError):
         engine.execute("SELECT mean(user) FROM db1.cpu, db2.mem", db="mydb")
+
+
+def test_delete_and_drop_measurement(spark, tmp_path):
+    """DELETE prunes time ranges (partition drop for covered dates,
+    rewrite for partial); DROP MEASUREMENT removes facts + registry."""
+    root = str(tmp_path / "delstore")
+    store = LPStore(spark, root, db="ddb")
+    lines = [
+        # two dates for cpu, one for mem
+        "cpu,host=a user=0.1 1704067200000000000",   # 2024-01-01
+        "cpu,host=a user=0.2 1704153600000000000",   # 2024-01-02
+        "mem,host=a used=5 1704067200000000000",     # 2024-01-01
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+
+    # time-ranged DELETE on cpu: only the 01-02 point goes (01-01 kept
+    # because the partition also holds mem -> measurement-filtered
+    # rewrite, not a directory drop)
+    res = eng.execute(
+        "DELETE FROM cpu WHERE time >= 1704153600000000000", db="ddb"
+    )
+    stats = res["results"][0]["series"][0]["values"][0]
+    assert stats[1] + stats[2] >= 1  # at least one partition touched
+    vals = eng.execute("SELECT user FROM cpu", db="ddb")
+    assert _values(vals) == [[1704067200000, 0.1]]
+    # mem untouched
+    assert _values(eng.execute("SELECT used FROM mem", db="ddb")) == [[1704067200000, 5.0]]
+
+    # DROP MEASUREMENT cpu: facts gone, registry purged, mem intact
+    eng.execute("DROP MEASUREMENT cpu", db="ddb")
+    gone = eng.execute("SELECT user FROM cpu", db="ddb")
+    assert not gone["results"][0].get("series") or _values(gone) == []
+    meas = eng.execute("SHOW MEASUREMENTS", db="ddb")
+    assert [v[0] for v in _values(meas)] == ["mem"]
+
+
+def test_delete_whole_day_partition_dropped(spark, tmp_path):
+    """A DELETE whose range covers a whole date with no measurement
+    mix... (single measurement per partition) is an O(1) directory
+    drop, not a rewrite."""
+    root = str(tmp_path / "delstore2")
+    store = LPStore(spark, root, db="ddb")
+    lines = [
+        "cpu,host=a user=0.1 1704067200000000000",  # 2024-01-01
+        "cpu,host=a user=0.2 1704153600000000000",  # 2024-01-02
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    stats = store.delete_where(lo_ns=1704067200 * 10**9, hi_ns=1704153600 * 10**9)
+    assert stats == {"partitions_dropped": 1, "partitions_rewritten": 0}
+    left = store.read_samples_or_empty().select("ts_ns").collect()
+    assert [r.ts_ns for r in left] == [1704153600000000000]
