@@ -663,6 +663,8 @@ class InfluxQLEngine:
             return self._drop_cq(qs, db)
         if upper.startswith("DROP MEASUREMENT"):
             return self._drop_measurement(qs, db)
+        if upper.startswith("DROP DATABASE"):
+            return self._drop_database(qs)
         if upper.startswith("DELETE"):
             return self._delete(qs, db)
         if upper.startswith("SELECT"):
@@ -685,6 +687,23 @@ class InfluxQLEngine:
         meas = _unquote(m.group("m"))
         store.delete_where(measurement=meas)
         store.purge_registry(meas)
+        return _envelope([])
+
+    def _drop_database(self, qs: str) -> dict:
+        """``DROP DATABASE name`` — removes the database directory
+        (facts + registry) and its control-table entries (retention
+        policies, continuous queries, subscriptions)."""
+        import os
+        import shutil
+
+        m = re.fullmatch(r'\s*DROP\s+DATABASE\s+(?P<db>"[^"]+"|\S+)\s*', qs, re.IGNORECASE)
+        if not m:
+            raise InfluxQLError(f"bad DROP DATABASE: {qs!r}")
+        name = _unquote(m.group("db"))
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        self.retention_policies.pop(name, None)
+        self.subscriptions.pop(name, None)
+        self.continuous_queries.pop(name, None)
         return _envelope([])
 
     def _delete(self, qs: str, db: str | None) -> dict:

@@ -1000,3 +1000,17 @@ def test_delete_whole_day_partition_dropped(spark, tmp_path):
     assert stats == {"partitions_dropped": 1, "partitions_rewritten": 0}
     left = store.read_samples_or_empty().select("ts_ns").collect()
     assert [r.ts_ns for r in left] == [1704153600000000000]
+
+
+def test_drop_database(spark, tmp_path):
+    root = str(tmp_path / "dropdb")
+    store = LPStore(spark, root, db="gone")
+    store.write_batch(
+        spark.createDataFrame([("cpu,host=a user=0.1 1704067200000000000",)], "line string")
+    )
+    eng = InfluxQLEngine(spark, root)
+    assert ["gone"] in _values(eng.execute("SHOW DATABASES"))
+    eng.execute("DROP DATABASE gone")
+    res = eng.execute("SHOW DATABASES")
+    names = [v for s in res["results"][0].get("series", []) for v in s.get("values", [])]
+    assert ["gone"] not in names
