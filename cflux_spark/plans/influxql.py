@@ -665,6 +665,8 @@ class InfluxQLEngine:
             return self._drop_measurement(qs, db)
         if upper.startswith("DROP DATABASE"):
             return self._drop_database(qs)
+        if upper.startswith("DROP SERIES"):
+            return self._drop_series(qs, db)
         if upper.startswith("DELETE"):
             return self._delete(qs, db)
         if upper.startswith("SELECT"):
@@ -705,6 +707,47 @@ class InfluxQLEngine:
         self.subscriptions.pop(name, None)
         self.continuous_queries.pop(name, None)
         return _envelope([])
+
+    def _drop_series(self, qs: str, db: str | None) -> dict:
+        """``DROP SERIES FROM m [WHERE tag op 'v' [AND ...]]`` —
+        resolve the doomed fingerprint set from the registry (tag
+        matchers =, !=, =~, !~), then anti-join it out of facts and
+        registry (LPStore.delete_series). The fingerprint set stays a
+        DataFrame end-to-end — no driver materialization, so a drop
+        matching 10^7 series is still a broadcast of longs."""
+        m = re.fullmatch(
+            r"\s*DROP\s+SERIES\s+FROM\s+(?P<m>\"[^\"]+\"|\S+)(?:\s+WHERE\s+(?P<w>.+?))?\s*",
+            qs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise InfluxQLError(f"bad DROP SERIES: {qs!r}")
+        store = self.store(db)
+        reg = store.read_registry()
+        if reg is None:
+            return _envelope([])
+        sel = reg.filter(F.col("measurement") == _unquote(m.group("m")))
+        if m.group("w"):
+            from cflux_spark.functions.scalars import label_matcher
+
+            for cond in re.split(r"\s+AND\s+", m.group("w"), flags=re.IGNORECASE):
+                cm = re.fullmatch(
+                    r"\s*(?P<k>\"[^\"]+\"|\w+)\s*(?P<op>=~|!~|!=|=)\s*(?P<v>'[^']*')\s*",
+                    cond,
+                )
+                if not cm:
+                    raise InfluxQLError(f"DROP SERIES supports only tag matchers: {cond!r}")
+                sel = sel.filter(
+                    label_matcher(
+                        F.element_at(F.col("tags"), _unquote(cm.group("k"))),
+                        cm.group("op"),
+                        _unquote(cm.group("v")),
+                    )
+                )
+        n = store.delete_series(sel.select("fingerprint"))
+        return _envelope(
+            [_series("result", ["time", "partitions_rewritten"], [[0, n]])]
+        )
 
     def _delete(self, qs: str, db: str | None) -> dict:
         """``DELETE FROM m [WHERE time >= a AND time < b]`` — InfluxDB

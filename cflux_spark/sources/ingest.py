@@ -452,6 +452,47 @@ class LPStore:
                 os.replace(src, dst)
         shutil.rmtree(tmp_root, ignore_errors=True)
 
+    def delete_series(self, fingerprints: DataFrame) -> int:
+        """DROP SERIES support: remove all facts and registry rows for
+        the given fingerprint set (a one-column ``fingerprint`` frame).
+
+        Facts: every date partition is rewritten with a broadcast
+        LEFT ANTI join — fingerprints of one series are spread across
+        all partitions, so unlike time-ranged deletes there is no O(1)
+        directory-drop shortcut; the anti-join is the honest cost
+        (InfluxDB pays it as tombstone compactions). The doomed set is
+        broadcast: facts never shuffle. Returns rewritten-partition
+        count."""
+        import shutil
+
+        doomed = F.broadcast(fingerprints.select("fingerprint").distinct())
+        rewritten = 0
+        if os.path.isdir(self.samples_path):
+            for entry in sorted(os.listdir(self.samples_path)):
+                if not entry.startswith("date="):
+                    continue
+                part_dir = os.path.join(self.samples_path, entry)
+                kept = self.spark.read.parquet(part_dir).join(
+                    doomed, "fingerprint", "left_anti"
+                )
+                tmp = os.path.join(self.root, self.db, "_delete_tmp", entry)
+                kept.sortWithinPartitions("fingerprint", "ts_ns").write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                shutil.rmtree(part_dir)
+                os.replace(tmp, part_dir)
+                rewritten += 1
+            tmp_root = os.path.join(self.root, self.db, "_delete_tmp")
+            if os.path.isdir(tmp_root):
+                shutil.rmtree(tmp_root, ignore_errors=True)
+        raw = self.read_registry_raw()
+        if raw is not None:
+            tmp = self.registry_path + ".rewrite"
+            raw.join(doomed, "fingerprint", "left_anti").write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self.registry_path)
+            os.replace(tmp, self.registry_path)
+        return rewritten
+
     def purge_registry(self, measurement: str) -> None:
         """Remove a measurement's series metadata (DROP MEASUREMENT
         companion). The registry is orders of magnitude smaller than

@@ -138,7 +138,9 @@ def test_subscriptions_lifecycle(engine):
 
 
 def test_unsupported_statement_returns_empty_envelope(engine):
-    res = engine.execute("DROP SERIES FROM cpu")
+    # DROP SERIES became a real statement in round 3b; KILL QUERY is
+    # still outside the grammar and must keep the M11 empty envelope
+    res = engine.execute("KILL QUERY 1")
     assert res == {"results": [{"statement_id": 0}]}  # M11 fidelity
 
 
@@ -1014,3 +1016,23 @@ def test_drop_database(spark, tmp_path):
     res = eng.execute("SHOW DATABASES")
     names = [v for s in res["results"][0].get("series", []) for v in s.get("values", [])]
     assert ["gone"] not in names
+
+
+def test_drop_series_by_tag(spark, tmp_path):
+    """DROP SERIES FROM cpu WHERE host='a' removes exactly that
+    series' facts and registry rows; host=b survives."""
+    root = str(tmp_path / "dropseries")
+    store = LPStore(spark, root, db="sdb")
+    lines = [
+        "cpu,host=a user=0.1 1704067200000000000",
+        "cpu,host=a user=0.2 1704153600000000000",
+        "cpu,host=b user=0.7 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute("DROP SERIES FROM cpu WHERE host = 'a'", db="sdb")
+    assert res["results"][0]["series"][0]["values"][0][1] >= 1  # partitions rewritten
+    left = eng.execute("SELECT user FROM cpu", db="sdb")
+    assert _values(left) == [[1704067200000, 0.7]]
+    tags = eng.execute('SHOW TAG VALUES FROM cpu WITH KEY = "host"', db="sdb")
+    assert sorted(v[1] for v in _values(tags)) == ["b"]
