@@ -227,3 +227,36 @@ def test_epoch_param_converts_time_values(server):
     t_ns = json.loads(body_ns)["results"][0]["series"][0]["values"][0][0]
     assert t_s == t_ms // 1000
     assert t_ns == t_ms * 1_000_000
+
+
+def test_delete_and_drop_over_the_wire(server):
+    """The deletion family works through the HTTP /query edge like any
+    other statement (InfluxDB clients issue DROP/DELETE via POST)."""
+    import urllib.parse
+
+    url, _ = server
+    lines = (
+        "tmp_m,host=x v=1 1545424651000000000\n"
+        "tmp_m,host=y v=2 1545424652000000000"
+    )
+    req = urllib.request.Request(url + "/write?db=deldb", data=lines.encode(), method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+
+    q = urllib.parse.quote("DROP SERIES FROM tmp_m WHERE host = 'x'")
+    req = urllib.request.Request(url + f"/query?db=deldb&q={q}", data=b"", method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+
+    status, body = _get(url + "/query?db=deldb&q=" + urllib.parse.quote("SELECT v FROM tmp_m"))
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert vals == [[1545424652000, 2.0]]
+
+    q = urllib.parse.quote("DROP MEASUREMENT tmp_m")
+    req = urllib.request.Request(url + f"/query?db=deldb&q={q}", data=b"", method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    status, body = _get(url + "/query?db=deldb&q=" + urllib.parse.quote("SHOW MEASUREMENTS"))
+    res = json.loads(body)["results"][0]
+    names = [v[0] for s in res.get("series", []) for v in s.get("values", [])]
+    assert "tmp_m" not in names

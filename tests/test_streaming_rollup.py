@@ -89,3 +89,55 @@ def test_stateful_series_diff_across_batches(spark, tmp_path):
         assert got[("s2", 1.0)] is None
     finally:
         q.stop()
+
+
+def test_sessionize_under_structured_streaming(spark, tmp_path):
+    """aggregates.sessionize's session_window groupBy runs under
+    readStream with a watermark (append mode emits a session once the
+    watermark passes its close) — pins the 'streaming-capable' claim.
+    Late data beyond the watermark would be dropped; here all events
+    arrive in order so every session closes."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "sess_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        # user 1: two sessions (gap 45 min > 30 min); user 2: one
+        for row in [
+            "1,2024-01-01 00:00:00,1.0",
+            "1,2024-01-01 00:10:00,2.0",
+            "1,2024-01-01 00:55:00,4.0",
+            "2,2024-01-01 00:00:00,8.0",
+            # a far-future row advances the watermark past all sessions
+            "3,2024-01-02 00:00:00,0.5",
+        ]:
+            f.write(row + "\n")
+    stream = (
+        spark.readStream.schema("user_id long, ts_s string, value string")
+        .format("csv")
+        .load(src)
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), F.col("value").cast("double"))
+        .withWatermark("ts", "1 minute")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "1800 seconds"))
+        .agg(F.count("*").alias("n_events"), (F.sum(cents).cast("double") / 100).alias("sum_v"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events", "sum_v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.sum_v)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert rows[(1, "2024-01-01 00:00:00")] == (2, 3.0)
+    assert rows[(1, "2024-01-01 00:55:00")] == (1, 4.0)
+    assert rows[(2, "2024-01-01 00:00:00")] == (1, 8.0)
