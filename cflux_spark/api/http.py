@@ -94,6 +94,7 @@ class CFluxApp:
 
     def _write(self, environ: dict, params: dict, start_response) -> list[bytes]:
         db = params.get("db", ["default"])[0]
+        precision = params.get("precision", ["ns"])[0]
         length = int(environ.get("CONTENT_LENGTH") or 0)
         raw = environ["wsgi.input"].read(length) if length else b""
         body = raw.decode("utf-8", errors="replace")
@@ -105,7 +106,12 @@ class CFluxApp:
             with self._write_lock:
                 store = self.engine.store(db)
                 df = self.spark.createDataFrame(lines, "line string")
-                store.write_batch(df, collect_stats=False)
+                try:
+                    store.write_batch(df, collect_stats=False, precision=precision)
+                except ValueError as exc:
+                    return self._respond(
+                        start_response, 400, json.dumps({"error": str(exc)}).encode()
+                    )
         # 204-before-flush in the reference (cflux.js:351) is
         # at-most-once; here the write completed before the 204 —
         # the durability upgrade documented in SURVEY §2.9 ST2

@@ -65,19 +65,36 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def parse_lp_df(lines: DataFrame, default_ts_ns: int = 0) -> DataFrame:
+PRECISION_NS: dict[str, int] = {
+    "ns": 1, "n": 1, "u": 1_000, "us": 1_000, "ms": 1_000_000,
+    "s": 1_000_000_000, "m": 60_000_000_000, "h": 3_600_000_000_000,
+}
+
+
+def parse_lp_df(lines: DataFrame, default_ts_ns: int = 0, precision: str = "ns") -> DataFrame:
     """`lines` has a single string column `line`; returns PARSED_LINE_SCHEMA
     rows with missing timestamps filled with `default_ts_ns`.
+
+    ``precision`` is InfluxDB's /write knob (ns default; Telegraf
+    commonly posts ms or s): a line's trailing integer timestamp is in
+    that unit and is scaled to ns BEFORE the missing-timestamp default
+    applies (the default is already ns). The reference ignores the
+    param and misreads non-ns writes — not copied.
 
     The input is fanned out to the session's full parallelism before
     the Python-side parse: sources often arrive as one partition (a
     single HTTP body / one text file), which would otherwise pin the
     whole parse to a single core."""
+    factor = PRECISION_NS.get(precision)
+    if factor is None:
+        raise ValueError(f"bad precision {precision!r} (one of {sorted(PRECISION_NS)})")
     target = lines.sparkSession.sparkContext.defaultParallelism
     if lines.rdd.getNumPartitions() < target:
         lines = lines.repartition(target)
     parsed = lines.mapInPandas(_parse_batches, schema=PARSED_LINE_SCHEMA)
-    return parsed.withColumn("ts_ns", F.coalesce(F.col("ts_ns"), F.lit(default_ts_ns)))
+    return parsed.withColumn(
+        "ts_ns", F.coalesce(F.col("ts_ns") * F.lit(factor), F.lit(default_ts_ns))
+    )
 
 
 def explode_fields(parsed: DataFrame) -> DataFrame:
@@ -215,6 +232,7 @@ class LPStore:
         default_ts_ns: int = 0,
         collect_stats: bool = True,
         backfill: bool = False,
+        precision: str = "ns",
     ) -> dict[str, int]:
         """Ingest a batch of LP lines.
 
@@ -227,7 +245,7 @@ class LPStore:
         # cache the PARSED frame (one Python-parse pass); the JVM-side
         # explode/fingerprint downstream is cheap to recompute for the
         # facts and registry consumers.
-        parsed = parse_lp_df(lines, default_ts_ns).cache()
+        parsed = parse_lp_df(lines, default_ts_ns, precision=precision).cache()
         try:
             return self._append_exploded(explode_fields(parsed), backfill, collect_stats)
         finally:

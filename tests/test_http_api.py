@@ -260,3 +260,37 @@ def test_delete_and_drop_over_the_wire(server):
     res = json.loads(body)["results"][0]
     names = [v[0] for s in res.get("series", []) for v in s.get("values", [])]
     assert "tmp_m" not in names
+
+
+def test_write_precision_ms(server):
+    """/write?precision=ms: Telegraf-style millisecond timestamps are
+    scaled to ns at ingest (the reference ignores the param and
+    misreads them 10^6 too old)."""
+    import urllib.parse
+
+    url, _ = server
+    line = b"prec_m,host=p v=1 1545424651000"  # ms epoch
+    req = urllib.request.Request(
+        url + "/write?db=precdb&precision=ms", data=line, method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    status, body = _get(
+        url + "/query?db=precdb&q=" + urllib.parse.quote("SELECT v FROM prec_m")
+    )
+    vals = json.loads(body)["results"][0]["series"][0]["values"]
+    assert vals == [[1545424651000, 1.0]]  # response epoch-ms matches
+
+
+def test_write_bad_precision_rejected(server):
+    import urllib.error
+
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/write?db=precdb&precision=parsec", data=b"m v=1 1", method="POST"
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected HTTP 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
