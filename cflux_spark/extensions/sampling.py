@@ -149,3 +149,29 @@ def stratified_hash_sample(
     if cond is None:
         raise ValueError("rates must be non-empty")
     return df.filter(cond)
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+) -> None:
+    """Materialize a corpus as sharded JSONL — the lingua franca of
+    training-data interchange: ``<path>/shard=K/part-*.txt`` with one
+    JSON object per line, rows placed by the content-keyed
+    :func:`assign_shards` (re-running the export reproduces identical
+    shard membership) and ordered by ``key_col`` within each shard.
+
+    One shuffle total (the repartition to shards); serialization is
+    ``to_json`` in codegen. Readers stream shard-at-a-time without
+    touching the engine."""
+    out = assign_shards(df, n_shards, key_col=key_col)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions(key_col)
+        .select("shard", F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )

@@ -654,3 +654,28 @@ def test_pack_offsets_invariants(docs):
             end = off + n_chars[r.doc_id] - 1
             assert r.spans_boundary == (end // budget > off // budget)
             off += n_chars[r.doc_id]
+
+
+def test_export_jsonl_roundtrip(spark, docs, tmp_path):
+    import json as _json
+
+    from cflux_spark.extensions import sampling
+
+    path = str(tmp_path / "export")
+    sampling.export_jsonl(docs, path, n_shards=4)
+    back = spark.read.text(path)
+    rows = [_json.loads(r.value) for r in back.collect()]
+    assert len(rows) == docs.count()
+    assert {r["doc_id"] for r in rows} == {r.doc_id for r in docs.select("doc_id").collect()}
+    # shard dirs present and shard membership reproducible
+    import os as _os
+
+    shards = sorted(d for d in _os.listdir(path) if d.startswith("shard="))
+    assert 1 <= len(shards) <= 4
+    expected = {
+        r.doc_id: r.shard for r in sampling.assign_shards(docs, 4).select("doc_id", "shard").collect()
+    }
+    back2 = spark.read.text(path + "/shard=2") if "shard=2" in shards else None
+    if back2 is not None:
+        ids = {_json.loads(r.value)["doc_id"] for r in back2.collect()}
+        assert ids == {k for k, v in expected.items() if v == 2}
