@@ -257,3 +257,44 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     for pat, repl in PII_PATTERNS:
         col = F.regexp_replace(col, pat, repl)
     return df.withColumn(out_col, col)
+
+
+def curation_verdict(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    min_uniq_frac: float = 0.3,
+    max_bigram_share: float = 0.2,
+    max_neg_logprob: float = 7.0,
+) -> DataFrame:
+    """The end-to-end curation gate a training pipeline runs per
+    document: composes the repetition signals, the unigram-model
+    quality score, and exact-dup membership into one deterministic
+    keep/drop with a reason (first failing rule wins, fixed priority).
+
+    Output: (id, keep, reason). All component signals have exact SQL
+    twins, so the composed verdict is oracle-checkable end-to-end.
+    Scale shape: three doc-keyed aggregations reusing the component
+    plans + one groupBy(text) dup check — every shuffle keys on doc id
+    or text hash, uniform by construction."""
+    rep = repetition_stats(df, text_col, id_col)
+    lp = unigram_logprob(df, text_col, id_col).select(id_col, "avg_neg_logprob")
+    dup = (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("_keeper"))
+        .join(df.select(id_col, text_col), text_col)
+        .select(id_col, (F.col(id_col) != F.col("_keeper")).alias("is_dup"))
+    )
+    j = rep.join(lp, id_col).join(dup, id_col)
+    reason = (
+        F.when(F.col("is_dup"), F.lit("exact_dup"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("uniq_token_frac") < min_uniq_frac, F.lit("repetitive_tokens"))
+        .when(F.col("top_bigram_share") > max_bigram_share, F.lit("repetitive_bigrams"))
+        .when(F.col("avg_neg_logprob") > max_neg_logprob, F.lit("low_quality_lm"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        F.col(id_col), (reason == "ok").alias("keep"), reason.alias("reason")
+    )

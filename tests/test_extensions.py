@@ -679,3 +679,26 @@ def test_export_jsonl_roundtrip(spark, docs, tmp_path):
     if back2 is not None:
         ids = {_json.loads(r.value)["doc_id"] for r in back2.collect()}
         assert ids == {k for k, v in expected.items() if v == 2}
+
+
+def test_curation_verdict_rules_and_priority(spark):
+    """exact_dup outranks every other failing rule; thresholds gate as
+    specified; the survivor of a dup pair is judged on its own merits."""
+    long_ok = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, long_ok),          # keeps
+        (2, long_ok),          # exact dup of 1 -> exact_dup (not too_short etc.)
+        (3, "spam " * 30),     # 30 tokens, 1 distinct -> repetitive_tokens
+        (4, "tiny doc here"),  # 3 tokens -> too_short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.keep, r.reason)
+        for r in text.curation_verdict(
+            df, min_tokens=20, min_uniq_frac=0.35, max_bigram_share=0.9, max_neg_logprob=99.0
+        ).collect()
+    }
+    assert out[1] == (True, "ok")
+    assert out[2] == (False, "exact_dup")
+    assert out[3] == (False, "repetitive_tokens")
+    assert out[4] == (False, "too_short")
