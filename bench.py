@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q_contamination",
     "q_repetition_stats",
     "q_sessionize",
+    "q_curation_verdict",
+    "q_pack_sequences",
+    "q_resample_fill",
 ]
 
 

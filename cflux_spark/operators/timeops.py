@@ -99,3 +99,50 @@ def hour_trunc(ts_col: str | Column) -> Column:
     """toRelativeHourNum analogue (C3, cflux.js:152) — partition grain."""
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     return F.date_trunc("hour", c)
+
+
+def resample_dense(
+    df,
+    seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    fill_value: float | None = 0.0,
+):
+    """Resample to a dense per-key time grid: bucket to ``seconds``,
+    aggregate (exact integer-cents mean), then fill EVERY missing
+    bucket between each key's first and last observation — the
+    standalone form of InfluxQL's GROUP BY time(N) fill(...), usable
+    directly on any frame.
+
+    The dense grid is generated distributively: one row per key holds
+    its (min, max) bucket, `sequence()` explodes it to the full grid
+    JVM-side — no driver-side range loop, no cross join against a
+    global calendar (which would grid the union of all keys' spans).
+    ``fill_value=None`` leaves gaps as nulls.
+
+    Scale: grid size is sum over keys of (span/bucket) — the output's
+    own size; the explode is narrow. One shuffle for the agg, one
+    broadcast-ready join grid←agg per key+bucket.
+    """
+    bucket = bucket_start(ts_col, seconds)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    agg = (
+        df.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_s"))
+        .agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean"))
+    )
+    spans = agg.groupBy("key").agg(
+        F.min("bucket_s").alias("_lo"), F.max("bucket_s").alias("_hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(seconds))).alias("bucket_s"),
+    )
+    out = grid.join(agg, ["key", "bucket_s"], "left")
+    if fill_value is not None:
+        out = out.fillna({"mean": fill_value})
+    return out.select(
+        F.col("key").alias(key_col),
+        F.timestamp_seconds(F.col("bucket_s")).alias("bucket"),
+        "mean",
+    )

