@@ -702,3 +702,28 @@ def test_curation_verdict_rules_and_priority(spark):
     assert out[2] == (False, "exact_dup")
     assert out[3] == (False, "repetitive_tokens")
     assert out[4] == (False, "too_short")
+
+
+def test_quantize_embeddings_error_bound_and_zero_guard(spark, emb):
+    """Dequantized vectors stay within scale/2 per component (round's
+    max error); zero vectors quantize to scale 0 + zero codes."""
+    from cflux_spark.extensions import similarity
+
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 4, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.vec_id: r
+        for r in similarity.quantize_embeddings(emb.limit(20).unionByName(zero)).collect()
+    }
+    orig = {r.vec_id: r.embedding for r in emb.limit(20).collect()}
+    for vid, vec in orig.items():
+        r = out[vid]
+        assert len(r.qvec) == len(vec)
+        assert max(abs(q) for q in r.qvec) <= 127
+        for x, qi in zip(vec, r.qvec):
+            # scale is emitted rounded to 6 decimals; codes use the
+            # unrounded scale -> allow |q| * half-ulp-of-rounding slack
+            assert abs(qi * r.scale - x) <= r.scale / 2 + abs(qi) * 5e-7 + 1e-6
+    z = out[999999]
+    assert z.scale == 0.0 and all(q == 0 for q in z.qvec)
