@@ -273,12 +273,25 @@ def curation_verdict(
     quality score, and exact-dup membership into one deterministic
     keep/drop with a reason (first failing rule wins, fixed priority).
 
-    Output: (id, keep, reason). All component signals have exact SQL
-    twins, so the composed verdict is oracle-checkable end-to-end.
-    Scale shape: three doc-keyed aggregations reusing the component
-    plans + one groupBy(text) dup check — every shuffle keys on doc id
-    or text hash, uniform by construction."""
-    rep = repetition_stats(df, text_col, id_col)
+    Output: (id, keep, reason) — exactly ONE row per input document,
+    including degenerate ones. ``repetition_stats`` has no row for
+    <2-token docs (no bigrams) and ``unigram_logprob`` none for
+    empty-text docs, so both are LEFT-joined onto the full id set with
+    the mathematically-neutral fill-ins (1 distinct token out of 1 →
+    uniq_frac 1.0; no bigrams → share 0.0; no tokens → no LM evidence
+    → 0.0); n_tokens is recomputed per-row so the ``too_short`` rule
+    fires for exactly the short/empty docs the components dropped.
+    All component signals have exact SQL twins, so the composed
+    verdict is oracle-checkable end-to-end. Scale shape: three
+    doc-keyed aggregations reusing the component plans + one
+    groupBy(text) dup check — every shuffle keys on doc id or text
+    hash, uniform by construction."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    rep = repetition_stats(df, text_col, id_col).drop("n_tokens")
     lp = unigram_logprob(df, text_col, id_col).select(id_col, "avg_neg_logprob")
     dup = (
         df.groupBy(text_col)
@@ -286,13 +299,13 @@ def curation_verdict(
         .join(df.select(id_col, text_col), text_col)
         .select(id_col, (F.col(id_col) != F.col("_keeper")).alias("is_dup"))
     )
-    j = rep.join(lp, id_col).join(dup, id_col)
+    j = base.join(rep, id_col, "left").join(lp, id_col, "left").join(dup, id_col)
     reason = (
         F.when(F.col("is_dup"), F.lit("exact_dup"))
         .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("uniq_token_frac") < min_uniq_frac, F.lit("repetitive_tokens"))
-        .when(F.col("top_bigram_share") > max_bigram_share, F.lit("repetitive_bigrams"))
-        .when(F.col("avg_neg_logprob") > max_neg_logprob, F.lit("low_quality_lm"))
+        .when(F.coalesce(F.col("uniq_token_frac"), F.lit(1.0)) < min_uniq_frac, F.lit("repetitive_tokens"))
+        .when(F.coalesce(F.col("top_bigram_share"), F.lit(0.0)) > max_bigram_share, F.lit("repetitive_bigrams"))
+        .when(F.coalesce(F.col("avg_neg_logprob"), F.lit(0.0)) > max_neg_logprob, F.lit("low_quality_lm"))
         .otherwise(F.lit("ok"))
     )
     return j.select(

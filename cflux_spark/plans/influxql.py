@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cflux_spark.operators import pivot as pivot_ops
-from cflux_spark.sources.ingest import LPStore
+from cflux_spark.sources.ingest import LPStore, validate_db_name
 
 _DUR_UNITS = {"ns": 1e-9, "u": 1e-6, "µ": 1e-6, "ms": 1e-3, "s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
 
@@ -185,6 +185,26 @@ def _unquote(s: str) -> str:
     if len(s) >= 2 and s[0] == s[-1] and s[0] in "\"'`":
         return s[1:-1]
     return s
+
+
+def _split_outside_quotes(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` only where it is not inside a double-quoted
+    identifier — ``FROM "a,b", "c.d".m`` must not split inside the
+    quotes the way a naive ``str.split`` does."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_quote = False
+    for ch in s:
+        if ch == '"':
+            in_quote = not in_quote
+            buf.append(ch)
+        elif ch == sep and not in_quote:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
 
 
 def _parse_duration(s: str) -> float:
@@ -358,22 +378,25 @@ def parse_select(q: str) -> SelectStmt:
             fields.append(FieldSpec(None, _unquote(raw)))
 
     raw_from = m.group("from")
+    # quote-aware splits: a quoted identifier may contain ',' or '.'
+    # ("a,b", "c.d") — a naive str.split would shred it
+    from_elems = [e.strip() for e in _split_outside_quotes(raw_from, ",") if e.strip()]
     if len(raw_from) >= 2 and raw_from[0] == "/" and raw_from[-1] == "/":
         # FROM /regex/ — the reference's ifql-parser accepts it; we
         # resolve matches against the registry at execution time
         stmt = SelectStmt(fields=fields, measurement=raw_from, measurement_regex=raw_from[1:-1])
-    elif "," in raw_from:
+    elif len(from_elems) > 1:
         # FROM m1, m2[, ...] — InfluxDB emits one series set per
         # measurement; ride the regex-FROM machinery with an anchored
         # alternation (resolution + per-measurement execution are
-        # identical). db prefixes allowed, must agree across the list.
+        # identical). db prefixes allowed, must agree across the list;
+        # a list MIXING bare and qualified names is ambiguous (which
+        # db does the bare one live in?) and is rejected rather than
+        # silently resolving the bare name in the qualified db.
         names: list[str] = []
         dbs: set[str | None] = set()
-        for part in raw_from.split(","):
-            part = part.strip()
-            if not part:
-                continue
-            pieces = [_unquote(p) for p in re.split(r"\.", part)]
+        for part in from_elems:
+            pieces = [_unquote(p) for p in _split_outside_quotes(part, ".")]
             if len(pieces) == 1:
                 dbs.add(None)
                 names.append(pieces[0])
@@ -385,6 +408,10 @@ def parse_select(q: str) -> SelectStmt:
         real_dbs = {d for d in dbs if d is not None}
         if len(real_dbs) > 1:
             raise InfluxQLError(f"FROM list spans databases: {sorted(real_dbs)}")
+        if real_dbs and None in dbs:
+            raise InfluxQLError(
+                f"FROM list mixes db-qualified and bare measurements: {raw_from!r}"
+            )
         rx = "^(?:" + "|".join(re.escape(n) for n in names) + ")$"
         stmt = SelectStmt(
             fields=fields,
@@ -393,7 +420,7 @@ def parse_select(q: str) -> SelectStmt:
             db=next(iter(real_dbs), None),
         )
     else:
-        parts = [_unquote(p) for p in re.split(r"\.", raw_from)]
+        parts = [_unquote(p) for p in _split_outside_quotes(raw_from, ".")]
         if len(parts) == 1:
             db, meas = None, parts[0]
         elif len(parts) == 2:
@@ -599,7 +626,10 @@ class InfluxQLEngine:
         return rows
 
     def store(self, db: str | None) -> LPStore:
-        return LPStore(self.spark, self.root, db=db or "default")
+        try:
+            return LPStore(self.spark, self.root, db=db or "default")
+        except ValueError as exc:  # bad db name → client error, not a 500
+            raise InfluxQLError(str(exc)) from None
 
     # ------------------------------------------------------------ dispatch
 
@@ -702,7 +732,16 @@ class InfluxQLEngine:
         if not m:
             raise InfluxQLError(f"bad DROP DATABASE: {qs!r}")
         name = _unquote(m.group("db"))
-        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        # the name reaches rmtree — refuse separators/'..' so the
+        # unauthenticated /query edge can't delete outside the root
+        try:
+            validate_db_name(name)
+        except ValueError as exc:
+            raise InfluxQLError(str(exc)) from None
+        target = os.path.realpath(os.path.join(self.root, name))
+        if not target.startswith(os.path.realpath(self.root) + os.sep):
+            raise InfluxQLError(f"invalid database name: {name!r}")
+        shutil.rmtree(target, ignore_errors=True)
         self.retention_policies.pop(name, None)
         self.subscriptions.pop(name, None)
         self.continuous_queries.pop(name, None)

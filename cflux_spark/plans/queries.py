@@ -2008,14 +2008,20 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING (text)
     ),
     verdict AS (
-      SELECT r.doc_id,
+      -- LEFT joins: <2-token docs have no rep row, empty docs no lp
+      -- row; they must still get a verdict (too_short), mirroring
+      -- curation_verdict's left-join + neutral-fill composition
+      SELECT t.doc_id,
              CASE WHEN dup.is_dup THEN 'exact_dup'
-                  WHEN r.n_tokens < 20 THEN 'too_short'
-                  WHEN r.uniq_token_frac < 0.35 THEN 'repetitive_tokens'
-                  WHEN r.top_bigram_share > 0.07 THEN 'repetitive_bigrams'
-                  WHEN lp.avg_neg_logprob > 3.41 THEN 'low_quality_lm'
+                  WHEN len(t.t) < 20 THEN 'too_short'
+                  WHEN coalesce(r.uniq_token_frac, 1.0) < 0.35 THEN 'repetitive_tokens'
+                  WHEN coalesce(r.top_bigram_share, 0.0) > 0.07 THEN 'repetitive_bigrams'
+                  WHEN coalesce(lp.avg_neg_logprob, 0.0) > 3.41 THEN 'low_quality_lm'
                   ELSE 'ok' END AS reason
-      FROM rep r JOIN lp USING (doc_id) JOIN dup USING (doc_id)
+      FROM toks t
+      LEFT JOIN rep r USING (doc_id)
+      LEFT JOIN lp USING (doc_id)
+      JOIN dup USING (doc_id)
     )
     SELECT doc_id, reason = 'ok' AS keep, reason FROM verdict
     """,

@@ -204,6 +204,26 @@ def dedup_registry(registry: DataFrame) -> DataFrame:
     )
 
 
+def validate_db_name(name: str) -> str:
+    """Reject database names that could escape the store root.
+
+    Database names come straight off the unauthenticated HTTP edge
+    (``?db=`` and CREATE/DROP DATABASE statements) and are joined onto
+    the store root to form filesystem paths — a name like ``../../etc``
+    would otherwise read or rmtree outside the store. Path separators,
+    NUL, ``.``/``..`` components, and empty names are refused loudly.
+    """
+    if (
+        not name
+        or name in (".", "..")
+        or "/" in name
+        or "\\" in name
+        or "\x00" in name
+    ):
+        raise ValueError(f"invalid database name: {name!r}")
+    return name
+
+
 class LPStore:
     """Filesystem layout + write/read orchestration for one 'database'.
 
@@ -214,9 +234,10 @@ class LPStore:
     def __init__(self, spark: SparkSession, root: str, db: str = "default"):
         self.spark = spark
         self.root = root
-        self.db = db
+        self.db = validate_db_name(db)
         self._recover_compact()
         self._recover_delete()
+        self._recover_registry()
 
     @property
     def samples_path(self) -> str:
@@ -505,25 +526,58 @@ class LPStore:
                 shutil.rmtree(tmp_root, ignore_errors=True)
         raw = self.read_registry_raw()
         if raw is not None:
-            tmp = self.registry_path + ".rewrite"
-            raw.join(doomed, "fingerprint", "left_anti").write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(self.registry_path)
-            os.replace(tmp, self.registry_path)
+            self._rewrite_registry(raw.join(doomed, "fingerprint", "left_anti"))
         return rewritten
 
     def purge_registry(self, measurement: str) -> None:
         """Remove a measurement's series metadata (DROP MEASUREMENT
         companion). The registry is orders of magnitude smaller than
         facts — a filtered rewrite-aside is the honest cost."""
-        import shutil
-
         raw = self.read_registry_raw()
         if raw is None:
             return
+        self._rewrite_registry(raw.filter(F.col("measurement") != measurement))
+
+    def _rewrite_registry(self, kept: DataFrame) -> None:
+        """Crash-safe registry rewrite — the compact() swap discipline:
+        write the new copy aside, move the old registry aside, swap the
+        new one in, THEN delete the old. The original metadata survives
+        on disk until the rewrite is live, so a crash at any point
+        leaves a state ``_recover_registry`` restores (the naive
+        rmtree-then-replace had a window that lost ALL series
+        metadata)."""
+        import shutil
+
         tmp = self.registry_path + ".rewrite"
-        raw.filter(F.col("measurement") != measurement).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.registry_path)
-        os.replace(tmp, self.registry_path)
+        old = self.registry_path + "._old"
+        kept.write.mode("overwrite").parquet(tmp)
+        os.rename(self.registry_path, old)
+        os.rename(tmp, self.registry_path)
+        shutil.rmtree(old)
+
+    def _recover_registry(self) -> None:
+        """Repair a crash mid-``_rewrite_registry``. Mirrors
+        ``_recover_compact``: rewrite-complete states adopt the new
+        copy, earlier crashes keep the original; either way the store
+        comes back with a readable registry."""
+        import shutil
+
+        reg = self.registry_path
+        old, tmp = reg + "._old", reg + ".rewrite"
+        if not os.path.isdir(reg) and os.path.isdir(old):
+            # crashed between move-aside and swap-in: the tmp copy is
+            # complete (we only move aside after its write finishes)
+            if os.path.isdir(tmp):
+                os.rename(tmp, reg)
+            else:
+                os.rename(old, reg)
+        if os.path.isdir(reg) and os.path.isdir(old):
+            # crashed after swap-in, before cleanup: new registry live
+            shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            # crash before move-aside (possibly mid-write): original
+            # registry still live; the tmp is unadopted — discard
+            shutil.rmtree(tmp)
 
     def read_registry_raw(self) -> DataFrame | None:
         try:

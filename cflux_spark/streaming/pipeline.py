@@ -83,12 +83,16 @@ class StreamingIngest:
         makes streaming dedup viable on an unbounded 100 TB stream.
         Event time comes from the line's trailing ns timestamp
         (JVM regexp, no Python); lines without one fall back to
-        processing time."""
+        processing time. The timestamp must be whitespace-separated
+        and a plausible epoch width (10-19 digits): a bare field token
+        like ``v=1`` must NOT match, or its trailing digits would be
+        read as a ~1970 event time and the row silently dropped once
+        other lines advance the watermark."""
         if self.dedupe_window_s:
             from pyspark.sql import functions as F
 
             ev = F.timestamp_micros(
-                F.expr(r"CAST(regexp_extract(line, '(\\d+)\\s*$', 1) AS LONG) div 1000")
+                F.expr(r"TRY_CAST(regexp_extract(line, '\\s(\\d{10,19})\\s*$', 1) AS LONG) div 1000")
             )
             lines = (
                 lines.withColumn("_evt", F.coalesce(ev, F.current_timestamp()))

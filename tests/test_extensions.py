@@ -704,6 +704,34 @@ def test_curation_verdict_rules_and_priority(spark):
     assert out[4] == (False, "too_short")
 
 
+def test_curation_verdict_degenerate_docs_get_rows(spark):
+    """Empty / whitespace-only / one-token docs — exactly the ones the
+    'too_short' rule exists for — must each get a verdict row even
+    though repetition_stats (<2 tokens) and unigram_logprob (no
+    tokens) have no row for them. One row per input doc, always."""
+    long_ok = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, long_ok),    # control: keeps
+        (2, ""),         # empty text
+        (3, "   \t  "),  # whitespace-only
+        (4, "solo"),     # single token: no bigrams
+        (5, ""),         # duplicate empty -> exact_dup outranks too_short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.keep, r.reason)
+        for r in text.curation_verdict(
+            df, min_tokens=20, min_uniq_frac=0.35, max_bigram_share=0.9, max_neg_logprob=99.0
+        ).collect()
+    }
+    assert len(out) == 5, f"expected a verdict for every doc, got {sorted(out)}"
+    assert out[1] == (True, "ok")
+    assert out[2] == (False, "too_short")
+    assert out[3] == (False, "too_short")
+    assert out[4] == (False, "too_short")
+    assert out[5] == (False, "exact_dup")
+
+
 def test_quantize_embeddings_error_bound_and_zero_guard(spark, emb):
     """Dequantized vectors stay within scale/2 per component (round's
     max error); zero vectors quantize to scale 0 + zero codes."""

@@ -952,6 +952,39 @@ def test_multi_measurement_from_db_mismatch_rejected(engine):
         engine.execute("SELECT mean(user) FROM db1.cpu, db2.mem", db="mydb")
 
 
+def test_multi_measurement_mixed_qualification_rejected(engine):
+    """FROM m1, other.autogen.m2 is ambiguous (which db is m1 in?) —
+    rejected loudly instead of silently resolving the bare name in the
+    qualified db."""
+    import pytest as _pt
+
+    from cflux_spark.plans.influxql import InfluxQLError
+
+    with _pt.raises(InfluxQLError, match="mixes"):
+        engine.execute("SELECT mean(user) FROM cpu, other.autogen.mem", db="mydb")
+    with _pt.raises(InfluxQLError, match="mixes"):
+        engine.execute("SELECT mean(user) FROM other.mem, cpu", db="mydb")
+
+
+def test_quoted_from_names_with_separators():
+    """Quoted identifiers containing ',' or '.' must parse as single
+    names, not be shredded by the list/db splits."""
+    from cflux_spark.plans.influxql import parse_select
+
+    s = parse_select('SELECT v FROM "a,b"')
+    assert s.measurement == "a,b" and s.measurement_regex is None and s.db is None
+    s = parse_select('SELECT v FROM "c.d"')
+    assert s.measurement == "c.d" and s.db is None
+    s = parse_select('SELECT v FROM mydb."e.f"')
+    assert s.measurement == "e.f" and s.db == "mydb"
+    s = parse_select('SELECT v FROM "a,b", "c.d"')
+    assert s.measurement_regex is not None
+    import re as _re
+
+    rx = _re.compile(s.measurement_regex)
+    assert rx.match("a,b") and rx.match("c.d") and not rx.match("a")
+
+
 def test_delete_and_drop_measurement(spark, tmp_path):
     """DELETE prunes time ranges (partition drop for covered dates,
     rewrite for partial); DROP MEASUREMENT removes facts + registry."""
@@ -1016,6 +1049,26 @@ def test_drop_database(spark, tmp_path):
     res = eng.execute("SHOW DATABASES")
     names = [v for s in res["results"][0].get("series", []) for v in s.get("values", [])]
     assert ["gone"] not in names
+
+
+def test_drop_database_rejects_path_traversal(spark, tmp_path):
+    """DROP DATABASE with '../'-style names must not escape the store
+    root: the name reaches rmtree, so traversal would delete arbitrary
+    directories via the unauthenticated /query edge."""
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("precious")
+    root = tmp_path / "travroot"
+    root.mkdir()
+    eng = InfluxQLEngine(spark, str(root))
+    for bad in ("../victim", '"../victim"', "..", "a/b", "a\\b", '"nested/../../victim"'):
+        with pytest.raises(InfluxQLError):
+            eng.execute(f"DROP DATABASE {bad}")
+    assert (victim / "keep.txt").read_text() == "precious"
+    # db= request parameter takes the same path via store()
+    with pytest.raises(InfluxQLError):
+        eng.execute("SELECT v FROM m", db="../victim")
+    assert victim.exists()
 
 
 def test_drop_series_by_tag(spark, tmp_path):

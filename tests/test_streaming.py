@@ -140,6 +140,52 @@ def test_compact_crash_recovery(spark, tmp_path):
     assert not pathlib.Path(store.samples_path + "._old").exists()
 
 
+def test_registry_rewrite_crash_recovery(spark, tmp_path):
+    """A crash at any point mid-registry-rewrite (delete_series /
+    purge_registry) leaves a state the next store construction
+    repairs — series metadata is never lost. The naive
+    rmtree-then-replace swap had a window that dropped the whole
+    registry."""
+    import pathlib
+    import shutil
+
+    root = str(tmp_path / "store")
+    store = LPStore(spark, root, db="r")
+    lines = spark.createDataFrame(
+        [(f"m,host=h{j} v=1.{j} 1704067200000000000",) for j in range(4)], "line string"
+    )
+    store.write_batch(lines, collect_stats=False)
+    expect = sorted(tuple(r) for r in store.read_registry().collect())
+    reg = store.registry_path
+
+    # crash before move-aside (tmp possibly mid-write): original live
+    shutil.copytree(reg, reg + ".rewrite")
+    rec = LPStore(spark, root, db="r")
+    assert sorted(tuple(r) for r in rec.read_registry().collect()) == expect
+    assert not pathlib.Path(reg + ".rewrite").exists()
+
+    # crash between move-aside and swap-in: adopt the complete rewrite
+    shutil.copytree(reg, reg + ".rewrite")
+    pathlib.Path(reg).rename(reg + "._old")
+    rec = LPStore(spark, root, db="r")
+    assert sorted(tuple(r) for r in rec.read_registry().collect()) == expect
+    assert not pathlib.Path(reg + "._old").exists()
+    assert not pathlib.Path(reg + ".rewrite").exists()
+
+    # crash between move-aside and swap-in with NO tmp copy (write
+    # finished + tmp adopted is impossible, but belt-and-braces:
+    # restore the original)
+    pathlib.Path(reg).rename(reg + "._old")
+    rec = LPStore(spark, root, db="r")
+    assert sorted(tuple(r) for r in rec.read_registry().collect()) == expect
+
+    # crash after swap-in, before cleanup: new registry is live
+    shutil.copytree(reg, reg + "._old")
+    rec = LPStore(spark, root, db="r")
+    assert sorted(tuple(r) for r in rec.read_registry().collect()) == expect
+    assert not pathlib.Path(reg + "._old").exists()
+
+
 def test_streaming_dedupe_within_watermark(spark, tmp_path):
     """Retransmitted lines (at-least-once upstream) are dropped across
     micro-batches when dedupe_window_s is set; state stays bounded by
@@ -167,3 +213,29 @@ def test_streaming_dedupe_within_watermark(spark, tmp_path):
     # 3 unique BATCH1 lines + 1 new line = 4 facts (one field each)
     assert facts.count() == 4
     assert ingest.batches_seen >= 2  # maxFilesPerTrigger=1 -> 2 batches
+
+
+def test_streaming_dedupe_timestampless_numeric_field(spark, tmp_path):
+    """A timestamp-less line whose LAST FIELD VALUE is numeric
+    ('cpu v=1' / 'm v=1.5') must fall back to processing time, not
+    have its trailing digits misread as a ~1970 event time — that
+    would silently drop the line once other lines advance the
+    watermark past 1970."""
+    src = str(tmp_path / "in")
+    lines = [
+        "cpu,host=a user=1 1704067200000000000",  # 2024, advances watermark
+        "cpu,host=b user=1",       # no ts; last char digit — the trap
+        "mem,host=b free=1.5",     # no ts; trailing '5' after the dot
+    ]
+    _write_lines(src, "a.txt", lines)
+    store = LPStore(spark, str(tmp_path / "store"), db="db")
+    ingest = StreamingIngest(
+        store, str(tmp_path / "ckpt"), dedupe_window_s=60, default_ts_ns=1704067300 * 10**9
+    )
+    stream = file_line_source(spark, src)
+    q = ingest.start(stream, available_now=True)
+    q.awaitTermination(120)
+    facts = store.read_samples_or_empty()
+    # all three lines survive: the timestamp-less ones took the
+    # processing-time fallback instead of a 1970 event time
+    assert facts.count() == 3
