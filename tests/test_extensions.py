@@ -656,6 +656,30 @@ def test_pack_offsets_invariants(docs):
             off += n_chars[r.doc_id]
 
 
+def test_pack_offsets_token_budgets_default(docs):
+    """Default weights are REAL token counts (token_count over text),
+    not characters: identical placements to explicitly precomputing
+    the same token column."""
+    import pyspark.sql.functions as F
+
+    from cflux_spark.extensions import sampling
+    from cflux_spark.extensions.text import token_count
+
+    explicit = docs.withColumn("_nt", token_count(F.col("text")))
+    want = sorted(
+        tuple(r)
+        for r in sampling.pack_offsets(explicit, 64, n_shards=4, n_tokens_col="_nt").collect()
+    )
+    got = sorted(tuple(r) for r in sampling.pack_offsets(docs, 64, n_shards=4).collect())
+    assert got == want
+    # and it genuinely differs from chars-mode (tokens != chars)
+    chars = sorted(
+        tuple(r)
+        for r in sampling.pack_offsets(docs, 64, n_shards=4, n_tokens_col="n_chars").collect()
+    )
+    assert got != chars
+
+
 def test_export_jsonl_roundtrip(spark, docs, tmp_path):
     import json as _json
 

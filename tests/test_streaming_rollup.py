@@ -141,3 +141,78 @@ def test_sessionize_under_structured_streaming(spark, tmp_path):
     assert rows[(1, "2024-01-01 00:00:00")] == (2, 3.0)
     assert rows[(1, "2024-01-01 00:55:00")] == (1, 4.0)
     assert rows[(2, "2024-01-01 00:00:00")] == (1, 8.0)
+
+
+def test_sessionize_streaming_matches_batch_and_drops_late(spark, tmp_path):
+    """Two pins on the streaming path: (1) closed streaming sessions
+    have EXACTLY the boundaries/aggregates batch sessionize computes
+    on the same on-time rows; (2) a row arriving in a later
+    micro-batch with event time far behind the watermark is dropped
+    (bounded state — the price of append-mode sessionization)."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from cflux_spark.operators.aggregates import sessionize
+
+    src = str(tmp_path / "sess2_in")
+    os.makedirs(src)
+    on_time = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 00:55:00", 4.0),
+        (2, "2024-01-01 00:00:00", 8.0),
+        (3, "2024-01-02 00:00:00", 0.5),  # advances watermark past all 2024-01-01 sessions
+    ]
+    spacer = (3, "2024-01-02 00:05:00", 0.25)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        for u, ts, v in on_time:
+            f.write(f"{u},{ts},{v}\n")
+    # Spark's late-event filter uses the PREVIOUS batch's watermark
+    # (eviction uses the updated one — SPARK-24699 semantics), so the
+    # watermark advanced by a.csv governs late filtering from the
+    # SECOND following batch on. b.csv is the spacer batch; the late
+    # row goes in c.csv. mtime ordering fixes the batch order under
+    # maxFilesPerTrigger=1.
+    time.sleep(1.1)
+    with open(os.path.join(src, "b.csv"), "w") as f:
+        f.write(",".join(map(str, spacer)) + "\n")
+    time.sleep(1.1)
+    with open(os.path.join(src, "c.csv"), "w") as f:
+        f.write("4,2024-01-01 00:20:00,9.0\n")  # ~24h behind the watermark: must drop
+    stream = (
+        spark.readStream.schema("user_id long, ts_s string, value string")
+        .format("csv")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select("user_id", F.to_timestamp("ts_s").alias("ts"), F.col("value").cast("double"))
+        .withWatermark("ts", "1 minute")
+    )
+    agg = sessionize(stream, 1800)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess2_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events, r.sum_v)
+        for r in spark.sql("SELECT * FROM sess2_out").collect()
+    }
+    assert not any(u == 4 for (u, *_rest) in got), f"late row leaked into state: {got}"
+    # batch oracle over the on-time rows; the watermark holds back
+    # sessions it hasn't sealed (user 3's far-future one), so closed
+    # streaming sessions must be a subset with identical boundaries
+    batch_df = spark.createDataFrame(
+        on_time + [spacer], "user_id long, ts_s string, value double"
+    ).select("user_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    want = {
+        (r.user_id, str(r.session_start), r.n_events, r.sum_v)
+        for r in sessionize(batch_df, 1800).collect()
+    }
+    assert got <= want
+    closed = {t for t in want if t[0] != 3}  # every 2024-01-01 session is sealed
+    assert closed <= got
