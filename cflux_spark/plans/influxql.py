@@ -20,7 +20,8 @@ Supported statements (reference citation → our handler):
 - SELECT f1[, f2] | agg(f) FROM [db.[rp.]]m | /regex/
     [WHERE time <op> …  [AND tag='v']…]
     [GROUP BY time(Nu) | <tag>,… | *] [FILL(...)] [ORDER BY time DESC]
-    [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]   (cflux.js:687-833)
+    [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
+    [tz('Area/City')]                        (cflux.js:687-833)
 - SELECT agg(col) FROM (SELECT agg(f) FROM m ...) [GROUP BY ...]
     — InfluxDB 1.2+ subqueries (beyond the reference), one level
 - multiple ;-separated statements → one results[] per statement
@@ -34,8 +35,9 @@ percentile/spread/mode/count(distinct())/integral) plus the selector
 functions top/bottom, the point transforms distinct/elapsed, the
 InfluxQL transform functions derivative/non_negative_derivative/
 moving_average/cumulative_sum over an inner aggregate (e.g.
-``derivative(mean(f), 1s)``), and GROUP BY time(N, offset) shifted
-buckets.
+``derivative(mean(f), 1s)``), GROUP BY time(N, offset) shifted
+buckets, and tz('Area/City') local-wall-clock buckets (DST-aware;
+Grafana emits it for non-UTC dashboards).
 """
 
 from __future__ import annotations
@@ -172,6 +174,7 @@ class SelectStmt:
     group_by_time_s: int | None = None
     group_by_tags: list[str] = field(default_factory=list)
     group_by_time_offset_s: float = 0.0  # GROUP BY time(N, offset)
+    tz: str | None = None  # tz('Area/City') — local-wall-clock buckets
     fill: str | None = None  # none|null|previous|<number>
     order_desc: bool = False
     limit: int | None = None
@@ -234,6 +237,23 @@ def _parse_time_value(v: str) -> int:
 
 
 def parse_select(q: str) -> SelectStmt:
+    # tz('Area/City') — InfluxQL's trailing time-zone clause (Grafana
+    # emits it for non-UTC dashboards). Carved off the end before the
+    # main regex; the zone is validated HERE so a typo'd dashboard
+    # zone is a loud client error, not a runtime Java exception.
+    tzname = None
+    mtz = re.search(r"\s+tz\s*\(\s*'([^']*)'\s*\)\s*;?\s*$", q, re.IGNORECASE)
+    if mtz:
+        tzname = mtz.group(1)
+        if not re.fullmatch(r"[A-Za-z0-9_+\-/]+", tzname):
+            raise InfluxQLError(f"bad time zone {tzname!r}")
+        import zoneinfo
+
+        try:
+            zoneinfo.ZoneInfo(tzname)
+        except Exception:
+            raise InfluxQLError(f"unknown time zone {tzname!r}") from None
+        q = q[: mtz.start()]
     # SELECT ... INTO <target> FROM ... — carve the INTO clause out
     # first (InfluxDB downsample materialization; absent in the
     # reference). Retention-policy prefixes are ignored like FROM's.
@@ -263,6 +283,10 @@ def parse_select(q: str) -> SelectStmt:
         inner = parse_select(q[start + 1 : end])
         outer = parse_select(f"SELECT {sub.group('fields')} FROM __sub__ {q[end + 1 :]}")
         outer.subquery = inner
+        # tz() applies to the whole statement: inner buckets shift too
+        outer.tz = tzname
+        if inner.tz is None:
+            inner.tz = tzname
         # the envelope's series name is the innermost measurement
         outer.measurement = inner.measurement
         outer.db = inner.db
@@ -513,6 +537,7 @@ def parse_select(q: str) -> SelectStmt:
     if m.group("soffset"):
         stmt.soffset = int(m.group("soffset"))
     stmt.into = into
+    stmt.tz = tzname
     return stmt
 
 
@@ -562,13 +587,37 @@ def _split_statements(q: str) -> list[str]:
     return out
 
 
-def _bucket_ms(bucket_s: float, offset_s: float = 0.0):
-    """ts_ns → bucket-start epoch-ms column, integer math throughout
-    (double division of ns-scale longs loses precision above 2^53).
-    ``offset_s`` shifts bucket boundaries (GROUP BY time(N, offset))."""
+def _bucket_ms(bucket_s: float, offset_s: float = 0.0, tz: str | None = None, src: str = "ts_ns"):
+    """time column → bucket-start epoch-ms column, integer math
+    throughout (double division of ns-scale longs loses precision
+    above 2^53). ``offset_s`` shifts bucket boundaries (GROUP BY
+    time(N, offset)); ``src`` is the source column: ``ts_ns`` (facts)
+    or ``ts_ms`` (subquery inner results).
+
+    With ``tz`` set (InfluxQL ``tz('Area/City')``), buckets align to
+    LOCAL wall-clock boundaries: the zone's UTC offset is applied
+    per-timestamp (DST-aware — from_utc_timestamp/to_utc_timestamp,
+    JVM-side), flooring happens in local wall time, and the emitted
+    label is the UTC instant of the local bucket start. Across a DST
+    transition a local day bucket is 23/25 h long, matching InfluxDB;
+    in the fall-back ambiguous hour to_utc_timestamp resolves to the
+    zone's standard offset (documented simplification). Integer µs
+    math; tz names are validated against zoneinfo at parse time."""
     bucket_ns = int(bucket_s * 1e9)
     bucket_ms = int(bucket_s * 1000)
     off_ns = int(offset_s * 1e9)
+    if tz is not None:
+        b_us = bucket_ns // 1000
+        off_us = off_ns // 1000
+        to_us = f"({src} div 1000)" if src == "ts_ns" else f"({src} * 1000)"
+        local_us = f"unix_micros(from_utc_timestamp(timestamp_micros({to_us}), '{tz}'))"
+        floored = f"(({local_us}) - ({off_us})) div {b_us} * {b_us} + ({off_us})"
+        return F.expr(f"unix_millis(to_utc_timestamp(timestamp_micros({floored}), '{tz}'))")
+    if src == "ts_ms":
+        off_ms = off_ns // 1_000_000
+        if off_ms:
+            return F.expr(f"(ts_ms - ({off_ms})) div {bucket_ms}") * bucket_ms + F.lit(off_ms)
+        return F.expr(f"ts_ms div {bucket_ms}") * bucket_ms
     if off_ns:
         off_ms = off_ns // 1_000_000
         return F.expr(f"(ts_ns - ({off_ns})) div {bucket_ns}") * bucket_ms + F.lit(off_ms)
@@ -1447,7 +1496,7 @@ class InfluxQLEngine:
         parts = list(tkeys)
         if stmt.group_by_time_s:
             ff = ff.withColumn(
-                "_b", _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s)
+                "_b", _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s, stmt.tz)
             )
             parts.append("_b")
         if parts:
@@ -1476,7 +1525,7 @@ class InfluxQLEngine:
         uniqueness is per bucket (emitted at bucket start), otherwise
         InfluxDB stamps epoch 0."""
         bucket = (
-            _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s)
+            _bucket_ms(stmt.group_by_time_s, stmt.group_by_time_offset_s, stmt.tz)
             if stmt.group_by_time_s
             else F.lit(0).cast("long")
         )
@@ -1533,12 +1582,9 @@ class InfluxQLEngine:
                 raise InfluxQLError(
                     f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
                 )
-            bucket_ms = int((stmt.group_by_time_s or 60) * 1000)
-            off_ms = int(stmt.group_by_time_offset_s * 1000)
-            if off_ms:
-                obucket = F.expr(f"(ts_ms - ({off_ms})) div {bucket_ms}") * bucket_ms + F.lit(off_ms)
-            else:
-                obucket = F.expr(f"ts_ms div {bucket_ms}") * bucket_ms
+            obucket = _bucket_ms(
+                stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
+            )
             agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
             grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
                 F.round(agg, 6).alias("val")
@@ -1561,7 +1607,7 @@ class InfluxQLEngine:
         expression → DataFrame of [*tkeys, ts_ms, val]."""
         fn = spec.agg
         bucket_s = stmt.group_by_time_s or 60
-        bucket = _bucket_ms(bucket_s, stmt.group_by_time_offset_s)
+        bucket = _bucket_ms(bucket_s, stmt.group_by_time_offset_s, stmt.tz)
         if fn == "integral":
             # area under the curve: trapezoid between consecutive
             # points of a series, divided by the unit. Each trapezoid
@@ -1602,9 +1648,22 @@ class InfluxQLEngine:
             bounds = grouped.groupBy(*tkeys).agg(
                 F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
             )
-            allb = bounds.select(
-                *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
-            )
+            if stmt.tz:
+                # under tz() bucket labels are uniform in LOCAL wall
+                # time, not UTC (a local day is 23/25 h across DST) —
+                # step the grid locally, then map each point back to
+                # its UTC instant
+                loc = f"unix_millis(from_utc_timestamp(timestamp_millis({{c}}), '{stmt.tz}'))"
+                grid = (
+                    f"transform(sequence({loc.format(c='_lo')}, {loc.format(c='_hi')}, "
+                    f"{bucket_ms}), x -> "
+                    f"unix_millis(to_utc_timestamp(timestamp_millis(x), '{stmt.tz}')))"
+                )
+                allb = bounds.select(*tkeys, F.explode(F.expr(grid)).alias("ts_ms"))
+            else:
+                allb = bounds.select(
+                    *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
+                )
             grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
             if stmt.fill == "previous":
                 from pyspark.sql import Window as _W

@@ -929,6 +929,70 @@ def test_math_bad_second_arg_rejected(engine):
         engine.execute("SELECT round(user, abc) FROM cpu", db="mydb")
 
 
+def test_group_by_time_tz_dst(spark, tmp_path):
+    """tz('America/Chicago') day buckets across the 2024-03-10 spring-
+    forward: bucket labels are the UTC instants of LOCAL midnights, so
+    the DST-crossing local day is 23 h long (CST -6 -> CDT -5)."""
+    root = str(tmp_path / "tzstore")
+    store = LPStore(spark, root, db="tzdb")
+    lines = [
+        "m,host=a v=1 1709985600000000000",  # 2024-03-09 12:00 UTC -> local Mar 9 (CST)
+        "m,host=a v=2 1710072000000000000",  # 2024-03-10 12:00 UTC -> local Mar 10 (DST day)
+        "m,host=a v=4 1710158400000000000",  # 2024-03-11 12:00 UTC -> local Mar 11 (CDT)
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute(
+        "SELECT mean(v) FROM m GROUP BY time(1d) tz('America/Chicago')", db="tzdb"
+    )
+    vals = _values(res)
+    # local midnights: Mar 9/10 at 06:00 UTC (CST), Mar 11 at 05:00 UTC (CDT)
+    assert vals == [[1709964000000, 1.0], [1710050400000, 2.0], [1710133200000, 4.0]]
+    starts = [v[0] for v in vals]
+    assert starts[1] - starts[0] == 86_400_000  # full local day
+    assert starts[2] - starts[1] == 82_800_000  # 23 h DST-crossing local day
+
+    # fill(0) grid steps in LOCAL days too: drop the middle point and
+    # the gap bucket must appear at the local Mar 10 midnight instant
+    store2 = LPStore(spark, root, db="tzdb2")
+    store2.write_batch(
+        spark.createDataFrame([(lines[0],), (lines[2],)], "line string")
+    )
+    res = eng.execute(
+        "SELECT mean(v) FROM m GROUP BY time(1d) fill(0) tz('America/Chicago')",
+        db="tzdb2",
+    )
+    assert _values(res) == [
+        [1709964000000, 1.0],
+        [1710050400000, 0.0],
+        [1710133200000, 4.0],
+    ]
+
+
+def test_group_by_time_tz_half_hour_zone(spark, tmp_path):
+    """Asia/Kolkata (+5:30): hour buckets align to local :30-offset
+    boundaries — sub-hour zone offsets exercise the wall-clock (not
+    offset-divides-bucket) arithmetic."""
+    root = str(tmp_path / "tzhalf")
+    store = LPStore(spark, root, db="kdb")
+    # 2024-01-01 00:10 UTC = 05:40 IST -> local hour start 05:00 IST
+    # = 2023-12-31 23:30 UTC
+    store.write_batch(
+        spark.createDataFrame([("m v=3 1704068400000000000",)], "line string")
+    )
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute("SELECT mean(v) FROM m GROUP BY time(1h) tz('Asia/Kolkata')", db="kdb")
+    assert _values(res) == [[1704065400000, 3.0]]
+
+
+def test_tz_unknown_zone_rejected(engine):
+    with pytest.raises(InfluxQLError, match="time zone"):
+        engine.execute("SELECT mean(user) FROM cpu GROUP BY time(1h) tz('Not/AZone')", db="mydb")
+    with pytest.raises(InfluxQLError, match="time zone"):
+        # charset fence: no dots/quotes reach the JVM expression string
+        engine.execute("SELECT mean(user) FROM cpu GROUP BY time(1h) tz('../evil')", db="mydb")
+
+
 def test_multi_measurement_from_list(engine):
     res = engine.execute(
         "SELECT mean(user) FROM cpu, app GROUP BY time(60s)", db="mydb"
