@@ -130,11 +130,83 @@ def main_bucketed(n_series: int = 10_000_000, n_facts: int = 10_000_000) -> None
     spark.stop()
 
 
+def main_disk(n_series: int = 100_000_000, n_facts: int = 100_000_000) -> None:
+    """Disk-backed variant (VERDICT r3 #6 / NEXT.md #7): the registry
+    and facts are MATERIALIZED TO PARQUET first and the sweep reads
+    them back, so scan cost (IO, decode, row-group pruning) is real
+    instead of a free codegen'd range(). This is the honest shape of
+    the production query — LPStore reads both sides from parquet."""
+    import shutil
+    import tempfile
+
+    spark = get_spark("registry-probe-disk", cpus=16)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    root = tempfile.mkdtemp(prefix="regprobe_")
+    reg_path, facts_path = f"{root}/registry", f"{root}/facts"
+    t0 = time.time()
+    (
+        spark.range(n_series)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("fingerprint"),
+            F.concat(F.lit("m"), (F.col("id") % 1000).cast("string")).alias("measurement"),
+            F.concat(F.lit("f"), (F.col("id") % 7).cast("string")).alias("name"),
+        )
+        .write.mode("overwrite")
+        .parquet(reg_path)
+    )
+    (
+        spark.range(n_facts)
+        .select(
+            F.xxhash64((F.col("id") % n_series).cast("string")).alias("fingerprint"),
+            (F.col("id") * 1_000_000_000 % (86400 * 1_000_000_000)).alias("ts_ns"),
+            (F.col("id") % 997 / 10.0).alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(facts_path)
+    )
+    sz = sum(f.stat().st_size for f in __import__("pathlib").Path(root).rglob("*.parquet"))
+    print(
+        f"materialized {n_series:,} series + {n_facts:,} facts in "
+        f"{time.time()-t0:.1f} s ({sz/2**30:.2f} GiB parquet)"
+    )
+
+    try:
+        reg = spark.read.parquet(reg_path)
+        facts = spark.read.parquet(facts_path)
+        for n_meas in (1, 10, 100, 1000):
+            ms = [f"m{i}" for i in range(n_meas)]
+            t0 = time.time()
+            slice_ = reg.filter(F.col("measurement").isin(ms)).select("fingerprint")
+            out = (
+                facts.join(slice_, "fingerprint")
+                .groupBy(F.expr("ts_ns div 3600000000000").alias("hour"))
+                .agg(F.avg("value").alias("mean"), F.count("*").alias("n"))
+            )
+            rows = out.collect()
+            dt = time.time() - t0
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            strategy = "broadcast" if "BroadcastHashJoin" in plan else (
+                "sort-merge" if "SortMergeJoin" in plan else
+                "shuffled-hash" if "ShuffledHashJoin" in plan else "?"
+            )
+            n_slice = n_meas * (n_series // 1000)
+            print(
+                f"disk slice={n_slice:>12,} series ({n_meas:>4} measurements): "
+                f"{dt:6.2f} s  join={strategy}  out_rows={len(rows)}"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ns = int(args[0]) if args else 10_000_000
     nf = int(args[1]) if len(args) > 1 else 10_000_000
     if "--bucketed" in sys.argv:
         main_bucketed(ns, nf)
+    elif "--disk" in sys.argv:
+        main_disk(ns, nf)
     else:
         main(ns, nf)
