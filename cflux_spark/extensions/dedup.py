@@ -272,10 +272,30 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    packed: bool = True,
+) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of per-token hash
     bits. Pure column ops: explode tokens → per-bit ±1 votes → sum →
-    sign bits → binary fingerprint."""
+    sign bits → binary fingerprint.
+
+    ``packed=True`` (default) packs 3 bit-counters into 21-bit lanes
+    of one long, so the 64 per-bit vote sums become 22 aggregate
+    buffers — ~3× less aggregation state and shuffle payload (23 vs 65
+    longs per doc). Lane width 21 is chosen so the SUM ACCUMULATOR
+    itself fits a signed long right up to the lane capacity: worst
+    case n·(2^0+2^21+2^42) < 2^63 exactly while n < 2^21 (4×16-bit
+    lanes would hit ANSI long overflow at n·2^48 ≥ 2^63 ≈ 32k tokens,
+    far below their 65k lane cap). A document with ≥ 2^21 ≈ 2M tokens
+    would corrupt its lane neighbors, so the plan RAISES (raise_error
+    folded into the fingerprint expression — it cannot be optimized
+    away) and routes you to ``packed=False``, whose plain per-bit sums
+    have no width limit. Both modes are bit-identical (asserted in
+    tests)."""
     # materialize the token hash ONCE as a projected column — inlining
     # xxhash64 into each of the 64 aggregate expressions would hash
     # every token 64× (no CSE across aggregate buffers)
@@ -283,21 +303,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.col(id_col), F.xxhash64("tok").alias("_h")
     )
     h = F.col("_h")
-    # majority vote per bit via ones-count: vote_i > 0  ⇔  2·ones_i > n.
-    # Plain sums of extracted bits (no conditionals) keep the 64 agg
-    # expressions inside whole-stage codegen; map-side partial agg
-    # shrinks the shuffle to 65 longs per doc.
-    votes = toks.groupBy(id_col).agg(
-        F.count("*").alias("_n"),
-        *[F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(bits)],
-    )
-    # shiftleft (not lit(1 << i)) — 1 << 63 overflows a Python->JVM long
-    fp = sum(
-        F.when(F.col(f"b{i}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
+    if not packed:
+        # majority vote per bit via ones-count: vote_i > 0 ⇔ 2·ones_i > n.
+        # Plain sums of extracted bits (no conditionals) keep the 64 agg
+        # expressions inside whole-stage codegen; map-side partial agg
+        # shrinks the shuffle to 65 longs per doc.
+        votes = toks.groupBy(id_col).agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(bits)],
         )
-        for i in range(bits)
-    )
+        # shiftleft (not lit(1 << i)) — 1 << 63 overflows a Python->JVM long
+        fp = sum(
+            F.when(
+                F.col(f"b{i}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        )
+        return votes.select(F.col(id_col), fp.alias("simhash"))
+
+    lanes = 3
+    lane_w = 21
+    n_aggs = (bits + lanes - 1) // lanes  # 22 packed sums for 64 bits
+    aggs = []
+    for k in range(n_aggs):
+        expr = None
+        for j in range(lanes):
+            bit = k + n_aggs * j  # agg k carries bits k, k+22, k+44
+            if bit >= bits:
+                continue
+            term = F.shiftleft(F.shiftright(h, bit).bitwiseAND(F.lit(1)), lane_w * j)
+            expr = term if expr is None else expr + term
+        aggs.append(F.sum(expr).alias(f"p{k}"))
+    votes = toks.groupBy(id_col).agg(F.count("*").alias("_n"), *aggs)
+    lane_mask = (1 << lane_w) - 1
+    fp = F.when(
+        F.col("_n") >= F.lit(1 << lane_w),
+        F.raise_error(
+            F.lit(
+                f"simhash(packed=True): document exceeds {(1 << lane_w) - 1} tokens "
+                "(21-bit vote lanes would overflow); use packed=False"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    for k in range(n_aggs):
+        for j in range(lanes):
+            bit = k + n_aggs * j
+            if bit >= bits:
+                continue
+            ones = F.shiftright(F.col(f"p{k}"), lane_w * j).bitwiseAND(F.lit(lane_mask))
+            fp = fp + F.when(
+                ones * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), bit)
+            ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 

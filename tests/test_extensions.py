@@ -71,6 +71,34 @@ def test_simhash_similar_docs_close(spark):
     assert hamming(fps[1], fps[2]) <= 16
 
 
+def test_simhash_packed_matches_unpacked(docs):
+    """The 4×16-bit-lane packed vote aggregation is bit-identical to
+    the plain 64-sum path on the real documents table."""
+    sample = docs.limit(200)
+    packed = {r.doc_id: r.simhash for r in dedup.simhash(sample, packed=True).collect()}
+    plain = {r.doc_id: r.simhash for r in dedup.simhash(sample, packed=False).collect()}
+    assert packed == plain and len(packed) == sample.count()
+
+
+def test_simhash_packed_overflow_raises(spark):
+    """A ≥2^21-token doc would silently corrupt its lane neighbors —
+    the packed plan must refuse loudly and name the fallback. A
+    70k-token doc (overflow territory for 16-bit lanes) must work."""
+    import pytest as _pt
+
+    big = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 997}" for i in range(70000)))], "doc_id long, text string"
+    )
+    assert dedup.simhash(big, packed=True).count() == 1
+    huge = spark.createDataFrame(
+        [(1, " ".join(f"t{i % 997}" for i in range(2_097_152)))], "doc_id long, text string"
+    )
+    with _pt.raises(Exception, match="packed=False"):
+        dedup.simhash(huge, packed=True).collect()
+    # and the fallback handles it fine
+    assert dedup.simhash(huge, packed=False).count() == 1
+
+
 def test_lsh_topk_finds_planted_neighbors(spark, emb):
     """LSH retrieves genuinely-similar vectors: plant a lightly
     perturbed copy of each query vector in the corpus and require the
