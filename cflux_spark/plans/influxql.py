@@ -1002,9 +1002,12 @@ class InfluxQLEngine:
         ``toLocalIterator()`` in chunks of ``chunk_size`` rows — driver
         memory is O(chunk_size) no matter how large the result, and the
         ``max_result_rows`` guard does not apply (streaming IS the
-        unbounded-result path, done safely). Non-chunkable statements
-        (aggregates, SHOW, subqueries — all small by construction) fall
-        back to one ordinary envelope.
+        unbounded-result path, done safely). GROUP BY time(N)
+        aggregates stream too (round 4 — a huge-cardinality grouped
+        result is as unbounded as raw points). Non-chunkable
+        statements (selectors/distinct/elapsed, SHOW, subqueries,
+        SLIMIT — small or needing whole-result context) fall back to
+        one ordinary envelope.
 
         The reference streams ClickHouse rows the same way
         (row-at-a-time into the response pivot, cflux.js:792-810); this
@@ -1021,13 +1024,24 @@ class InfluxQLEngine:
                 stmt is not None
                 and stmt.subquery is None
                 and stmt.measurement_regex is None
-                and stmt.group_by_time_s is None
                 and not stmt.slimit
                 and not stmt.soffset
-                and all(sp.agg is None and sp.tx is None for sp in stmt.fields)
             ):
-                yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
-                return
+                if stmt.group_by_time_s is None and all(
+                    sp.agg is None and sp.tx is None for sp in stmt.fields
+                ):
+                    yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
+                    return
+                if stmt.group_by_time_s is not None and all(
+                    sp.agg not in _SEL_FNS and sp.agg not in ("distinct", "elapsed")
+                    for sp in stmt.fields
+                ):
+                    # aggregated results are usually small, but a
+                    # huge-cardinality GROUP BY time(N)[, tag] (years
+                    # of seconds buckets × many series) is not —
+                    # stream the bucketed frame the same way
+                    yield from self._select_agg_chunked(stmt, db, max(1, int(chunk_size)))
+                    return
         yield self.execute(q, db)
 
     def _select_raw_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
@@ -1037,39 +1051,83 @@ class InfluxQLEngine:
         if facts is None:
             yield _envelope([])
             return
+
+        def frames():
+            for spec in stmt.fields:
+                ff = facts.filter(F.col("field") == spec.name)
+                sel = ff.select(
+                    *tkeys,
+                    F.expr("ts_ns div 1000000").alias("ts_ms"),
+                    F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
+                ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+                yield _apply_slice(sel, tkeys, stmt), spec.name
+
+        yield from self._stream_chunked(
+            frames(), stmt, gtags, tkeys, chunk_size,
+            lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)],
+        )
+
+    def _select_agg_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
+        """Chunked GROUP BY time(N) aggregates: the bucketed frame
+        (incl. fill and transforms — all DataFrame-side) streams
+        through toLocalIterator exactly like raw points, so a
+        huge-cardinality grouped result (seconds buckets × 10^6
+        series) never materializes on the driver either."""
+        store = self.store(stmt.db or db)
+        reg = store.read_registry()
+        facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+        if facts is None:
+            yield _envelope([])
+            return
+
+        def frames():
+            for spec in stmt.fields:
+                ff = facts.filter(F.col("field") == spec.name)
+                grouped = self._aggregated_frame(stmt, spec, ff, tkeys)
+                grouped = grouped.orderBy(
+                    *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+                )
+                base = spec.tx or spec.agg or "mean"
+                base = _DISPLAY.get(base, base)
+                colname = f"{base}_{spec.name}" if len(stmt.fields) > 1 else base
+                yield _apply_slice(grouped, tkeys, stmt), colname
+
+        yield from self._stream_chunked(
+            frames(), stmt, gtags, tkeys, chunk_size, lambda r: [r.ts_ms, r.val]
+        )
+
+    def _stream_chunked(self, frames, stmt, gtags, tkeys, chunk_size: int, mapper):
+        """Shared chunk pump: ``frames`` yields (DataFrame, colname);
+        rows stream via toLocalIterator in chunk_size buffers, and
+        every envelope except the final one carries ``partial: true``
+        (one-envelope lookahead so the last chunk is identifiable)."""
         emitted = False
         buf: list = []
         pending: tuple[list, str] | None = None  # (rows, colname) awaiting more
-        for spec in stmt.fields:
-            ff = facts.filter(F.col("field") == spec.name)
-            sel = ff.select(
-                *tkeys,
-                F.expr("ts_ns div 1000000").alias("ts_ms"),
-                F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
-            ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
-            sel = _apply_slice(sel, tkeys, stmt)
+        for sel, colname in frames:
             for row in sel.toLocalIterator():
                 buf.append(row)
                 if len(buf) >= chunk_size:
                     if pending is not None:
-                        yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=True)
-                    pending = (buf, spec.name)
+                        yield self._chunk_envelope(*pending, stmt, gtags, tkeys, True, mapper)
+                    pending = (buf, colname)
                     buf = []
                     emitted = True
             if buf:
                 if pending is not None:
-                    yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=True)
-                pending = (buf, spec.name)
+                    yield self._chunk_envelope(*pending, stmt, gtags, tkeys, True, mapper)
+                pending = (buf, colname)
                 buf = []
                 emitted = True
         if pending is not None:
-            yield self._chunk_envelope(*pending, stmt, gtags, tkeys, partial=False)
+            yield self._chunk_envelope(*pending, stmt, gtags, tkeys, False, mapper)
         if not emitted:
             yield _envelope([])
 
-    def _chunk_envelope(self, rows, colname, stmt, gtags, tkeys, partial: bool) -> dict:
+    def _chunk_envelope(self, rows, colname, stmt, gtags, tkeys, partial: bool, mapper=None) -> dict:
         series = _tag_series(
-            rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)]
+            rows, gtags, tkeys, stmt, colname,
+            mapper or (lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)]),
         )
         env = _envelope(series)
         if partial:

@@ -654,19 +654,33 @@ def test_chunked_select_streams_partial_envelopes(spark, engine):
     )
 
 
-def test_chunked_fallback_for_aggregates(engine):
-    """Non-chunkable statements (small by construction) come back as a
-    single ordinary envelope through the same generator API."""
-    envs = list(
-        engine.execute_chunked(
-            "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
-        )
-    )
+def test_chunked_aggregates_stream(engine):
+    """GROUP BY time(N) aggregates stream through the chunk pump too
+    (round 4): <=chunk_size buckets per envelope, all but the last
+    partial, concatenation equal to the unchunked result."""
+    q = "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)"
+    unchunked = engine.execute(q, db="mydb")
+    n_buckets = len(_values(unchunked))
+    assert n_buckets >= 2
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
+    assert len(envs) == n_buckets
+    assert all(e["results"][0].get("partial") is True for e in envs[:-1])
+    assert "partial" not in envs[-1]["results"][0]
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(unchunked)
+    # one envelope when everything fits — identical to the plain result
+    envs = list(engine.execute_chunked(q, db="mydb"))
+    assert len(envs) == 1 and envs[0] == unchunked
+
+
+def test_chunked_fallback_for_selectors(engine):
+    """Non-chunkable statements (selectors need whole-result context)
+    come back as a single ordinary envelope through the generator API."""
+    q = "SELECT top(user, 2) FROM cpu WHERE host = 'a'"
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
     assert len(envs) == 1
     assert "partial" not in envs[0]["results"][0]
-    assert envs[0] == engine.execute(
-        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
-    )
+    assert envs[0] == engine.execute(q, db="mydb")
 
 
 def test_chunked_respects_group_by_tag(engine):
