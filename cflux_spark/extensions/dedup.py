@@ -277,25 +277,31 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    packed: bool = True,
+    packed: bool = False,
 ) -> DataFrame:
     """SimHash fingerprint per document: sign-sum of per-token hash
     bits. Pure column ops: explode tokens → per-bit ±1 votes → sum →
     sign bits → binary fingerprint.
 
-    ``packed=True`` (default) packs 3 bit-counters into 21-bit lanes
-    of one long, so the 64 per-bit vote sums become 22 aggregate
-    buffers — ~3× less aggregation state and shuffle payload (23 vs 65
-    longs per doc). Lane width 21 is chosen so the SUM ACCUMULATOR
-    itself fits a signed long right up to the lane capacity: worst
-    case n·(2^0+2^21+2^42) < 2^63 exactly while n < 2^21 (4×16-bit
-    lanes would hit ANSI long overflow at n·2^48 ≥ 2^63 ≈ 32k tokens,
-    far below their 65k lane cap). A document with ≥ 2^21 ≈ 2M tokens
-    would corrupt its lane neighbors, so the plan RAISES (raise_error
-    folded into the fingerprint expression — it cannot be optimized
-    away) and routes you to ``packed=False``, whose plain per-bit sums
-    have no width limit. Both modes are bit-identical (asserted in
-    tests)."""
+    ``packed=True`` packs 3 bit-counters into 21-bit lanes of one
+    long, so the 64 per-bit vote sums become 22 aggregate buffers —
+    ~3× less aggregation state and shuffle payload (23 vs 65 longs per
+    doc), which is the term that matters when the agg shuffle is
+    network-bound on a real cluster. It is NOT the default because on
+    local[32] it measures neutral standalone and ~30% SLOWER inside
+    simhash_near_pairs: the fingerprint reconstruction is a deep
+    nested expression, and CollapseProject inlines it once per band
+    consumer (bench-measured round 4; the flat per-bit whens of the
+    unpacked path tolerate that duplication better). Lane width 21 is
+    chosen so the SUM ACCUMULATOR itself fits a signed long right up
+    to the lane capacity: worst case n·(2^0+2^21+2^42) < 2^63 exactly
+    while n < 2^21 (4×16-bit lanes would hit ANSI long overflow at
+    n·2^48 ≥ 2^63 ≈ 32k tokens, far below their 65k lane cap). A
+    document with ≥ 2^21 ≈ 2M tokens would corrupt its lane neighbors,
+    so the plan RAISES (raise_error folded into the fingerprint
+    expression — it cannot be optimized away) and routes you to
+    ``packed=False``, whose plain per-bit sums have no width limit.
+    Both modes are bit-identical (asserted in tests)."""
     # materialize the token hash ONCE as a projected column — inlining
     # xxhash64 into each of the 64 aggregate expressions would hash
     # every token 64× (no CSE across aggregate buffers)
