@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_curation_verdict",
     "q_pack_sequences",
     "q_resample_fill",
+    # round-4 span-level dedup + boilerplate mining
+    "q_dup_spans",
+    "q_frequent_ngrams",
 ]
 
 

@@ -58,6 +58,77 @@ def text_ngrams(
     )
 
 
+def text_ngrams_pos(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional variant of :func:`text_ngrams`: (id, pos, gram) with
+    ``pos`` the 0-based token offset of the window start — the input
+    to span-level dedup, where WHERE the duplicate sits matters."""
+    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"), F.array_join(F.slice(toks, i + 1, n), " ").alias("gram")
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(toks) >= n, grams).otherwise(F.array())).alias("_w"),
+    ).select(F.col(id_col), F.col("_w.pos"), F.col("_w.gram"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate span detection (the suffix-array
+    method of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): every length-
+    ``n`` token window occurring ≥ ``min_count`` times ACROSS THE
+    CORPUS marks its positions, and per document the overlapping/
+    adjacent marked windows merge into maximal spans — the byte ranges
+    a pretraining pipeline cuts out (as opposed to doc-level dedup,
+    which drops whole documents).
+
+    Output: (id, span_start, span_end, n_windows) — token offsets,
+    end exclusive; a doc with no duplicated window emits nothing.
+
+    Scale shape: windows hash to 64-bit longs so the corpus-wide
+    count shuffles 8-byte keys (O(total tokens)); the duplicated-hash
+    set is output-sized and joins back hash-keyed; span merging is one
+    per-doc sort window (gaps-and-islands: a new island starts when
+    the next window start is more than ``n`` past the previous — i.e.
+    the windows no longer overlap or touch). No suffix array needed:
+    the fixed-width window grid finds every duplicated substring of
+    length ≥ n, at the cost of span ends rounding to window
+    granularity. 64-bit hash collisions can mark a false duplicate
+    window (~p²/2^64 for p windows); acceptable for data curation,
+    and the gram text can be carried instead when exactness matters."""
+    from pyspark.sql import Window as _W
+
+    w = text_ngrams_pos(df, n, text_col, id_col).select(
+        F.col(id_col), F.col("pos"), F.xxhash64("gram").alias("_gh")
+    )
+    dup = w.groupBy("_gh").agg(F.count("*").alias("_c")).filter(F.col("_c") >= min_count)
+    hits = w.join(dup.select("_gh"), "_gh").select(id_col, "pos")
+    ww = _W.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(ww).isNull() | (F.col("pos") - F.lag("pos").over(ww) > n), 1
+    ).otherwise(0)
+    spans = hits.withColumn("_brk", brk).withColumn(
+        "_span", F.sum("_brk").over(ww.rowsBetween(_W.unboundedPreceding, 0))
+    )
+    return spans.groupBy(id_col, "_span").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + n).cast("int").alias("span_end"),
+        F.count("*").cast("int").alias("n_windows"),
+    ).drop("_span")
+
+
 def benchmark_ngrams(
     bench: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

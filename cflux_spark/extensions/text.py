@@ -196,6 +196,40 @@ def repetition_stats(
     return base.drop("_toks").join(top, id_col)
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    n: int = 5,
+    k: int = 100,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus boilerplate mining: the ``k`` token n-grams appearing in
+    the most DOCUMENTS (doc frequency, not occurrence count — a single
+    spammy doc repeating a phrase 10^4 times shouldn't rank it).
+    Curation pipelines run this to discover site chrome, cookie
+    banners, and license footers worth stripping before training.
+
+    Output: (gram, doc_freq, rank), ties broken by gram. Scale shape:
+    per-doc DISTINCT grams (doc-keyed dedup shuffle), one gram-keyed
+    count, then a global top-k — which Spark executes as TakeOrdered
+    (per-partition heaps + driver merge of k rows), not a full sort."""
+    from cflux_spark.extensions.contamination import text_ngrams
+
+    from pyspark.sql import Window as _W
+
+    grams = text_ngrams(df, n, text_col, id_col).distinct()
+    counts = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )
+    top = counts.orderBy(F.col("doc_freq").desc(), "gram").limit(k)
+    # single-partition window is fine: it runs over the k-row top frame
+    w = _W.orderBy(F.col("doc_freq").desc(), "gram")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 content hash (portable across engines)
     + xxhash64 rolling hash for in-engine use."""

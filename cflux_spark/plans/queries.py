@@ -1768,6 +1768,83 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_dup_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(g.i - 1 AS INT) AS pos,
+             array_to_string(toks[g.i : g.i + 19], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 20 + 2)) AS g(i)
+      WHERE len(toks) >= 20
+    ),
+    d AS (SELECT gram FROM w GROUP BY 1 HAVING count(*) >= 2),
+    h AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ),
+    s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM b)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 20 AS INT) AS span_end,
+           CAST(count(*) AS INT) AS n_windows
+    FROM s GROUP BY doc_id, span
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate spans (Lee et al. 2021): 20-token
+    windows repeated anywhere in the corpus, merged into maximal
+    per-document [start, end) token ranges — the cut list a span-level
+    dedup pass feeds back into the corpus. Oracle recomputes the
+    window grid, corpus-wide counts, and the gaps-and-islands merge in
+    SQL on gram STRINGS (Spark side joins on xxhash64 longs — 8-byte
+    shuffle keys — and the outputs agree because spans carry no
+    hashes)."""
+    from cflux_spark.extensions import contamination
+
+    return contamination.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), n=20, min_count=2
+    )
+
+
+@q(
+    "q_frequent_ngrams",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i.i : i.i + 4], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 5 + 2)) AS i(i)
+      WHERE len(toks) >= 5
+    ),
+    c AS (SELECT gram, count(*) AS doc_freq FROM g GROUP BY 1 HAVING count(*) >= 2),
+    r AS (SELECT gram, doc_freq,
+                 CAST(row_number() OVER (ORDER BY doc_freq DESC, gram) AS INT) AS rank
+          FROM c)
+    SELECT gram, doc_freq, rank FROM r WHERE rank <= 100
+    """,
+)
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate mining: top-100 5-grams by DOCUMENT
+    frequency (site chrome / cookie banners / license footers a
+    curation pass strips). Per-doc distinct grams, one gram-keyed
+    count, TakeOrdered top-k — no full sort."""
+    return text.frequent_ngrams(load_table(spark, sf_dir, "documents"), n=5, k=100)
+
+
+@q(
     "q_repetition_stats",
     r"""
     WITH toks AS (
@@ -2195,6 +2272,9 @@ _VERIFY_FIRST = [
     "q_vector_ivf",        # NEW recall@k accuracy contract (first oracle)
     "q_pack_sequences",    # token-count budgets replace n_chars proxy
     "q_curation_verdict",  # left-join verdicts for degenerate docs
+    # new in round 4:
+    "q_dup_spans",         # ExactSubstr duplicate spans (Lee et al. 2021)
+    "q_frequent_ngrams",   # boilerplate mining by doc frequency
 ]
 
 _VERIFY_LAST = [
@@ -2202,10 +2282,12 @@ _VERIFY_LAST = [
     # this round, and mechanics kept warm by in-window family anchors
     # (q_lp_parse, q_minute_avg, q_time_absolute, q_tag_filter,
     # q_series_join, q_agg_suite, q_series_difference_seg,
-    # q_show_measurements, q_vector_topk, q_contamination, q_sessionize,
-    # q_approx_distinct, q_multimodal_decode, q_dedup_semantic fill
-    # positions 37-50 in definition order). All of these still
-    # oracle-verify on every CI run via tests/test_oracle_parity.py.
+    # q_show_measurements, q_vector_topk, q_contamination,
+    # q_multimodal_decode, q_dedup_semantic fill positions 39-50 in
+    # definition order; q_sessionize/q_approx_distinct slip to 51-52
+    # this round to make room for the two new round-4 queries — both
+    # r3-green and unchanged). All of these still oracle-verify on
+    # every CI run via tests/test_oracle_parity.py.
     "q_series_pivot",
     "q_multimodal_features",   # rows-only by design
     "q_sample_hash",

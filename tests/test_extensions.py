@@ -733,6 +733,54 @@ def test_export_jsonl_roundtrip(spark, docs, tmp_path):
         assert ids == {k for k, v in expected.items() if v == 2}
 
 
+def test_duplicate_spans_planted(spark):
+    """Cross-doc and within-doc duplicated windows merge into maximal
+    spans; clean docs emit nothing; span ends are exclusive."""
+    from cflux_spark.extensions import contamination
+
+    rows = [
+        (1, "a b c d e f"),          # shares 'a b c d' with doc 2
+        (2, "x x a b c d y"),
+        (3, "unique tokens only here"),
+        (4, "p q r s p q r s"),      # self-repeating
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start): (r.span_end, r.n_windows)
+        for r in contamination.duplicate_spans(df, n=3).collect()
+    }
+    # doc 1: windows 'a b c'(0) 'b c d'(1) duplicated -> one span [0,4)
+    assert spans[(1, 0)] == (4, 2)
+    # doc 2: same grams at pos 2,3 -> span [2,6)
+    assert spans[(2, 2)] == (6, 2)
+    # doc 4: 'p q r' at 0,4 and 'q r s' at 1,5 -> gaps <= n merge to [0,8)
+    assert spans[(4, 0)] == (8, 4)
+    assert not any(doc == 3 for doc, _ in spans)
+
+
+def test_frequent_ngrams_doc_frequency_not_occurrences(spark):
+    """Ranking is by DOCUMENT frequency: one doc repeating a phrase
+    many times cannot outrank a phrase present in more docs."""
+    spammy = "buy now " * 50                       # 1 doc, many occurrences
+    footer = "all rights reserved worldwide"       # 3 docs, once each
+    rows = [
+        (1, "x1 y1 " + footer),
+        (2, "x2 y2 " + footer),
+        (3, "x3 y3 " + footer),
+        (4, spammy),
+        (5, "nothing in common whatsoever there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.frequent_ngrams(df, n=3, k=10).collect()
+    assert out, "expected shared n-grams"
+    by_rank = sorted(out, key=lambda r: r.rank)
+    top = by_rank[0]
+    assert "rights" in top.gram and top.doc_freq == 3
+    assert all(r.doc_freq >= 2 for r in out)  # min_doc_freq filter
+    freqs = [r.doc_freq for r in by_rank]
+    assert freqs == sorted(freqs, reverse=True)
+
+
 def test_curation_verdict_rules_and_priority(spark):
     """exact_dup outranks every other failing rule; thresholds gate as
     specified; the survivor of a dup pair is judged on its own merits."""
