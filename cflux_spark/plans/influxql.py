@@ -35,7 +35,9 @@ percentile/spread/mode/count(distinct())/integral) plus the selector
 functions top/bottom, the point transforms distinct/elapsed, the
 InfluxQL transform functions derivative/non_negative_derivative/
 moving_average/cumulative_sum over an inner aggregate (e.g.
-``derivative(mean(f), 1s)``), GROUP BY time(N, offset) shifted
+``derivative(mean(f), 1s)``) AND over raw points per series
+(``derivative(f)`` — the Grafana rate-panel shape, round 4),
+GROUP BY time(N, offset) shifted
 buckets, and tz('Area/City') local-wall-clock buckets (DST-aware;
 Grafana emits it for non-UTC dashboards).
 """
@@ -357,11 +359,24 @@ def parse_select(q: str) -> SelectStmt:
         fm = re.fullmatch(r"(\w+)\s*\(\s*([^)]+?)\s*\)(?:\s+AS\s+\w+)?", raw, re.IGNORECASE)
         if fm:
             fn = fm.group(1).lower()
-            if fn in _TX_FNS:
-                raise InfluxQLError(
-                    f"{fn}() requires an inner aggregate, e.g. {fn}(mean(field), ...)"
-                )
             args = [a.strip() for a in fm.group(2).split(",")]
+            if fn in _TX_FNS:
+                # transforms over RAW points (no inner aggregate):
+                # derivative(v[, unit]), difference(v), cumulative_sum(v),
+                # moving_average(v, N) — InfluxDB applies them per series
+                # and Grafana emits them for rate panels
+                if len(args) > 2:
+                    raise InfluxQLError(f"{fn}(field[, arg]): {raw!r}")
+                if fn == "moving_average" and len(args) != 2:
+                    raise InfluxQLError(f"moving_average(field, N): {raw!r}")
+                tx_arg = None
+                if len(args) == 2:
+                    a = args[1]
+                    tx_arg = (
+                        float(a) if re.fullmatch(r"\d+(\.\d+)?", a) else _parse_duration(a)
+                    )
+                fields.append(FieldSpec(None, _unquote(args[0]), None, fn, tx_arg))
+                continue
             if fn in _SEL_FNS:
                 # top(f, N) / bottom(f, N) — N actual points
                 if len(args) != 2 or not re.fullmatch(r"\d+", args[1]):
@@ -1458,6 +1473,9 @@ class InfluxQLEngine:
             if fn == "distinct":
                 series.extend(self._distinct_series(stmt, spec, ff, gtags, tkeys))
                 continue
+            if fn is None and spec.tx in _TX_FNS and stmt.group_by_time_s is None:
+                series.extend(self._raw_transform_series(stmt, spec, ff, gtags, tkeys))
+                continue
             if fn is None and stmt.group_by_time_s is None:
                 if spec.tx in _MATH_FNS:
                     # pointwise math over a raw float field: string
@@ -1531,6 +1549,65 @@ class InfluxQLEngine:
         sel = _apply_slice(sel, tkeys, stmt)
         rows = self._bounded_collect(sel)
         colname = f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed"
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _raw_transform_series(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """derivative / non_negative_derivative / difference /
+        non_negative_difference / cumulative_sum / moving_average over
+        RAW points (no inner aggregate, no GROUP BY time) — InfluxDB
+        applies these per series at the points' own timestamps. Same
+        per-series window shape as elapsed(); string fields are
+        skipped (InfluxDB transforms ignore string fields); semantics
+        mirror the bucketed-transform path in _aggregated_frame so
+        ``derivative(v)`` and ``derivative(mean(v)) GROUP BY time``
+        agree on regularly-spaced data."""
+        from pyspark.sql import Window as _W
+
+        w = (
+            _W.partitionBy(*tkeys).orderBy("ts_ns")
+            if tkeys
+            else _W.partitionBy(F.lit(1)).orderBy("ts_ns")
+        )
+        base = ff.filter(F.col("value").isNotNull())
+        v = F.col("value")
+        if spec.tx == "cumulative_sum":
+            sel = base.withColumn(
+                "_v", F.round(F.sum(v).over(w.rowsBetween(_W.unboundedPreceding, 0)), 6)
+            )
+        elif spec.tx == "moving_average":
+            n = int(spec.tx_arg or 2)
+            if n < 1:
+                raise InfluxQLError(f"moving_average window must be >= 1, got {n}")
+            wm = w.rowsBetween(-(n - 1), 0)
+            sel = (
+                base.withColumn("_v", F.round(F.avg(v).over(wm), 6))
+                .withColumn("_c", F.count(v).over(wm))
+                .filter(F.col("_c") >= n)  # emit once the window holds n values
+                .drop("_c")
+            )
+        elif spec.tx in ("difference", "non_negative_difference"):
+            sel = base.withColumn("_v", F.round(v - F.lag(v).over(w), 6)).filter(
+                F.col("_v").isNotNull()
+            )
+            if spec.tx == "non_negative_difference":
+                sel = sel.filter(F.col("_v") >= 0)
+        else:  # derivative / non_negative_derivative
+            unit_s = spec.tx_arg if spec.tx_arg is not None else 1.0
+            dv = v - F.lag(v).over(w)
+            dt_s = (F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1e9)
+            sel = base.withColumn("_v", F.round(dv / dt_s * F.lit(unit_s), 6)).filter(
+                F.col("_v").isNotNull()
+            )
+            if spec.tx == "non_negative_derivative":
+                sel = sel.filter(F.col("_v") >= 0)
+        sel = sel.select(
+            *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), F.col("_v").alias("val")
+        ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = self._bounded_collect(sel)
+        colname = f"{spec.tx}_{spec.name}" if len(stmt.fields) > 1 else spec.tx
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _selector_series(

@@ -408,9 +408,16 @@ def test_cumulative_sum_of_sum(engine):
     assert vals == [[1704067200000, 0.4], [1704067260000, 0.9]]
 
 
-def test_bare_transform_rejected():
+def test_bare_transform_parses_as_raw(tmp_path):
+    """derivative(field) with no inner aggregate is the RAW-point
+    transform (round 4 — it used to be rejected); malformed arg counts
+    still fail loudly."""
+    s = parse_select("SELECT derivative(user) FROM cpu")
+    assert s.fields[0].agg is None and s.fields[0].tx == "derivative"
+    s = parse_select("SELECT derivative(user, 10s) FROM cpu")
+    assert s.fields[0].tx_arg == 10.0
     with pytest.raises(InfluxQLError):
-        parse_select("SELECT derivative(user) FROM cpu")
+        parse_select("SELECT derivative(user, 1s, 2s) FROM cpu")
 
 
 def test_transform_per_tag_group(engine):
@@ -941,6 +948,54 @@ def test_math_bad_second_arg_rejected(engine):
 
     with _pt.raises(InfluxQLError):
         engine.execute("SELECT round(user, abc) FROM cpu", db="mydb")
+
+
+def test_raw_point_transforms(spark, tmp_path):
+    """derivative/difference/cumulative_sum/moving_average over RAW
+    points (no aggregate) — per-series, emitted at the points' own
+    timestamps, InfluxDB semantics (Grafana rate panels emit these)."""
+    root = str(tmp_path / "rawtx")
+    store = LPStore(spark, root, db="rt")
+    # v = 0,1,4,9,16 at 10 s spacing
+    lines = [f"m,host=a v={i*i} {(1704067200 + i*10) * 10**9}" for i in range(5)]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+
+    def vals(q):
+        return _values(eng.execute(q, db="rt"))
+
+    t0 = 1704067200000
+    # derivative: dv/dt per second -> (1-0)/10, (4-1)/10, ...
+    assert vals("SELECT derivative(v) FROM m") == [
+        [t0 + 10_000, 0.1], [t0 + 20_000, 0.3], [t0 + 30_000, 0.5], [t0 + 40_000, 0.7]
+    ]
+    # derivative with a unit: per 10 s
+    assert [v[1] for v in vals("SELECT derivative(v, 10s) FROM m")] == [1.0, 3.0, 5.0, 7.0]
+    assert [v[1] for v in vals("SELECT difference(v) FROM m")] == [1.0, 3.0, 5.0, 7.0]
+    assert [v[1] for v in vals("SELECT cumulative_sum(v) FROM m")] == [0.0, 1.0, 5.0, 14.0, 30.0]
+    # moving_average(v, 2): emitted from the 2nd point
+    assert [v[1] for v in vals("SELECT moving_average(v, 2) FROM m")] == [0.5, 2.5, 6.5, 12.5]
+    # non_negative variants drop the dip
+    store2 = LPStore(spark, root, db="rt2")
+    lines2 = [f"m v={x} {(1704067200 + i*10) * 10**9}" for i, x in enumerate([5, 3, 8])]
+    store2.write_batch(spark.createDataFrame([(l,) for l in lines2], "line string"))
+    assert [v[1] for v in _values(eng.execute("SELECT non_negative_difference(v) FROM m", db="rt2"))] == [5.0]
+    assert [v[1] for v in _values(eng.execute("SELECT non_negative_derivative(v) FROM m", db="rt2"))] == [0.5]
+    # per-series under GROUP BY host: each series differentiates alone
+    store3 = LPStore(spark, root, db="rt3")
+    lines3 = [
+        "m,host=a v=0 1704067200000000000",
+        "m,host=a v=10 1704067210000000000",
+        "m,host=b v=100 1704067200000000000",
+        "m,host=b v=100 1704067210000000000",
+    ]
+    store3.write_batch(spark.createDataFrame([(l,) for l in lines3], "line string"))
+    res = eng.execute("SELECT difference(v) FROM m GROUP BY host", db="rt3")
+    by_tag = {s["tags"]["host"]: [v[1] for v in s["values"]] for s in res["results"][0]["series"]}
+    assert by_tag == {"a": [10.0], "b": [0.0]}
+    # moving_average still requires N
+    with pytest.raises(InfluxQLError, match="moving_average"):
+        eng.execute("SELECT moving_average(v) FROM m", db="rt")
 
 
 def test_group_by_time_tz_dst(spark, tmp_path):
