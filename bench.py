@@ -53,9 +53,10 @@ BENCH_QUERIES = [
     "q_curation_verdict",
     "q_pack_sequences",
     "q_resample_fill",
-    # round-4 span-level dedup + boilerplate mining
+    # round-4 span-level dedup + boilerplate mining + PQ ANN
     "q_dup_spans",
     "q_frequent_ngrams",
+    "q_vector_pq",
 ]
 
 

@@ -319,6 +319,179 @@ def lsh_topk(
     )
 
 
+def pq_train(
+    candidates: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train product-quantization codebooks: the vector splits into
+    ``m`` subspaces and each gets its own ``ksub``-centroid k-means
+    (pyspark.ml, distributed). Vectors are L2-NORMALIZED first so PQ's
+    L2 distances order like cosine similarity (argmin ‖a-b‖² =
+    argmax cos for unit vectors). Returns (m, ksub, dsub) centroids.
+
+    At 100 TB you train on a sample (codebooks need ~100k vectors to
+    converge, not the corpus) — pass ``candidates.sample(...)`` or a
+    ``hash_sample`` slice; encoding is the full-corpus pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = candidates.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"PQ subspaces must divide dim: {dim} % {m} != 0")
+    dsub = dim // m
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / F.greatest(_norm(F.col(vec_col)), F.lit(1e-30))
+    )
+    normed = candidates.select(unit.alias("_u"))
+    books = []
+    for s in range(m):
+        sub = normed.select(array_to_vector(F.slice(F.col("_u"), s * dsub + 1, dsub)).alias("features"))
+        model = KMeans(k=ksub, seed=seed + s, maxIter=20).fit(sub)
+        books.append(np.array([np.asarray(c) for c in model.clusterCenters()]))
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the index of the
+    nearest codebook centroid — ``m`` small ints per vector (8 bytes
+    at m=8/ksub=16 vs 256 bytes of float32 for dim 64: 32×). The
+    numpy argmin runs per Arrow batch against the broadcast
+    codebooks; map-only, no shuffle."""
+    m, ksub, dsub = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        v = v.reshape(len(v), m, dsub)
+        codes = np.empty((len(v), m), dtype=np.int32)
+        for s in range(m):
+            d2 = ((v[:, s, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), enc(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_queries: int = 10_000,
+    rerank: int = 50,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k with exact
+    re-rank: each query precomputes per-subspace distance tables to
+    the codebook; a candidate's approximate distance is ``m`` table
+    lookups on its code — no float vectors touched during the scan.
+    The ADC pass shortlists ``rerank`` candidates per query, which are
+    re-scored with TRUE cosine (Q×rerank vectors — tiny) — the
+    standard PQ refine stage; ``rerank=0`` returns raw ADC order
+    (lossy: 8-byte codes of 64 dims; measured recall@5 ≈ 0.2 on the
+    near-random test embeddings vs ≥0.9 with refine). This is the
+    memory-bound scale path (IVF-PQ's PQ half): the corpus resides as
+    ``m``-byte codes, 32× smaller than raw float32.
+
+    Scale shape: codes stream through ``mapInPandas`` which emits only
+    each batch's per-query shortlist (Q×R rows per batch, never Q×B);
+    a global per-query window merges batch winners; the refine join
+    touches Q×R rows. The query table tensor (Q×m×ksub doubles) is
+    driver-built and broadcast — guarded by ``max_queries`` with a
+    loud failure, same contract as cosine_pairs' small-side guard.
+
+    Output: (query_id, neighbor_id, sim, rank) with ``sim`` true
+    cosine when reranking, else (query_id, neighbor_id, approx_d2,
+    rank) with squared unit-vector L2 (= 2-2·cos), ascending."""
+    books = pq_train(candidates, m, ksub, vec_col, seed)
+    dsub = books.shape[2]
+    codes = pq_encode(candidates, books, vec_col, id_col)
+
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}; "
+            "batch the queries or raise the guard"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+    qv = qv.reshape(len(qrows), m, dsub)
+    tables = np.stack(
+        [((qv[:, s, :, None] - books[s].T[None, :, :]) ** 2).sum(1) for s in range(m)], axis=1
+    )  # (Q, m, ksub)
+
+    out_schema = "query_id long, neighbor_id long, approx_d2 double"
+
+    shortlist = max(k, rerank) if rerank else k
+
+    def search(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)  # (B, m)
+            # ADC: D[q, b] = sum_s tables[q, s, c[b, s]] — m column
+            # gathers of the (Q, ksub) subspace tables
+            d = np.zeros((len(qids), len(ids)))
+            for s in range(m):
+                d += tables[:, s, :][:, c[:, s]]  # (Q, B)
+            kk = min(shortlist + 1, d.shape[1])  # +1 absorbs the self-match
+            top = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            q_idx = np.repeat(np.arange(d.shape[0]), kk)
+            n_idx = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[q_idx],
+                    "neighbor_id": ids[n_idx],
+                    "approx_d2": np.round(d[q_idx, n_idx], 8),
+                }
+            )
+
+    batch_top = codes.mapInPandas(search, out_schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    if not rerank:
+        return (
+            batch_top.withColumn("rank", F.row_number().over(wd))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "approx_d2", "rank")
+        )
+    short = batch_top.withColumn("rank", F.row_number().over(wd)).filter(
+        F.col("rank") <= shortlist
+    )
+    qvdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("_qn")
+    )
+    cvdf = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("_cn")
+    )
+    refined = (
+        short.select("query_id", "neighbor_id")
+        .join(F.broadcast(qvdf), "query_id")
+        .join(cvdf, "neighbor_id")
+        .withColumn("sim", _paired_sim(4))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 class IVFIndex:
     """Persisted IVF index: train once, query many times.
 

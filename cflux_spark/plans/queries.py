@@ -1307,6 +1307,42 @@ def q_vector_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_vector_pq",
+    """
+    SELECT count(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with its accuracy contract as the
+    oracle-verified value (the q_vector_ivf pattern): mean recall@5 of
+    pq_topk (8×16 codebooks = 8-byte codes, ADC scan + exact re-rank
+    of a 100-candidate shortlist) against brute_force_topk over 20
+    queries pinned ≥ 0.6 — measured 0.92 at sf0.01 / ~1.0 at sf0.001;
+    the shortlist FRACTION drives recall, so a production deployment
+    scales rerank with corpus size. A broken codebook/encode/ADC
+    collapses recall toward random."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    approx = similarity.pq_topk(qs, emb, k=5, rerank=100).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_queries",
+            F.lit(5).cast("int").alias("k"),
+            (F.col("_recall") >= 0.6).alias("recall_ok"),
+        )
+    )
+
+
+@q(
     "q_text_tokens",
     r"""
     WITH t AS (
@@ -2275,6 +2311,7 @@ _VERIFY_FIRST = [
     # new in round 4:
     "q_dup_spans",         # ExactSubstr duplicate spans (Lee et al. 2021)
     "q_frequent_ngrams",   # boilerplate mining by doc frequency
+    "q_vector_pq",         # PQ ADC + refine, recall contract
 ]
 
 _VERIFY_LAST = [

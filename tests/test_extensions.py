@@ -832,6 +832,41 @@ def test_curation_verdict_degenerate_docs_get_rows(spark):
     assert out[5] == (False, "exact_dup")
 
 
+def test_pq_roundtrip_and_planted_neighbors(spark, emb):
+    """PQ codes are valid (m ints < ksub); pq_topk with refine finds a
+    planted near-copy of each query at rank 1; the query-side guard
+    fails loudly."""
+    import pytest as _pt
+
+    from cflux_spark.extensions import similarity
+
+    base = emb.limit(50)
+    books = similarity.pq_train(base, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    codes = similarity.pq_encode(base, books).collect()
+    assert len(codes) == 50
+    assert all(len(r.pq_code) == 8 and all(0 <= c < 16 for c in r.pq_code) for r in codes)
+
+    # plant a lightly perturbed copy of each query in the corpus
+    import pyspark.sql.functions as F
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    planted = qs.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + F.lit(1e-4)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.limit(200).unionByName(planted)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.pq_topk(qs, corpus, k=1, rerank=20).collect()
+    }
+    assert top1 == {0: 1_000_000, 1: 1_000_001, 2: 1_000_002}
+
+    with _pt.raises(ValueError, match="max_queries"):
+        similarity.pq_topk(emb, emb, k=1, max_queries=10)
+
+
 def test_quantize_embeddings_error_bound_and_zero_guard(spark, emb):
     """Dequantized vectors stay within scale/2 per component (round's
     max error); zero vectors quantize to scale 0 + zero codes."""
