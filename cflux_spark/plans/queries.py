@@ -2320,11 +2320,11 @@ _VERIFY_LAST = [
     # (q_lp_parse, q_minute_avg, q_time_absolute, q_tag_filter,
     # q_series_join, q_agg_suite, q_series_difference_seg,
     # q_show_measurements, q_vector_topk, q_contamination,
-    # q_multimodal_decode, q_dedup_semantic fill positions 39-50 in
-    # definition order; q_sessionize/q_approx_distinct slip to 51-52
-    # this round to make room for the two new round-4 queries — both
-    # r3-green and unchanged). All of these still oracle-verify on
-    # every CI run via tests/test_oracle_parity.py.
+    # q_multimodal_decode, q_dedup_semantic fill positions 40-50 in
+    # definition order; q_contamination/q_sessionize/q_approx_distinct
+    # slip to 51-53 this round to make room for the three new round-4
+    # queries — all r3-green and unchanged). All of these still
+    # oracle-verify on every CI run via tests/test_oracle_parity.py.
     "q_series_pivot",
     "q_multimodal_features",   # rows-only by design
     "q_sample_hash",
