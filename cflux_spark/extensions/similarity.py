@@ -347,11 +347,22 @@ def pq_train(
         F.col(vec_col), lambda x: x.cast("double") / F.greatest(_norm(F.col(vec_col)), F.lit(1e-30))
     )
     normed = candidates.select(unit.alias("_u"))
-    books = []
-    for s in range(m):
-        sub = normed.select(array_to_vector(F.slice(F.col("_u"), s * dsub + 1, dsub)).alias("features"))
+
+    # the m sub-fits are independent and each is scheduling-overhead-
+    # bound (tiny per-subspace data, several Spark jobs per fit) — run
+    # them from driver threads so their jobs interleave on the
+    # cluster: 8 sequential fits ≈ 30 s wall, threaded ≈ max(fit)
+    def fit(s: int) -> np.ndarray:
+        sub = normed.select(
+            array_to_vector(F.slice(F.col("_u"), s * dsub + 1, dsub)).alias("features")
+        )
         model = KMeans(k=ksub, seed=seed + s, maxIter=20).fit(sub)
-        books.append(np.array([np.asarray(c) for c in model.clusterCenters()]))
+        return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        books = list(pool.map(fit, range(m)))
     return np.stack(books)
 
 
