@@ -177,6 +177,9 @@ class SelectStmt:
     group_by_tags: list[str] = field(default_factory=list)
     group_by_time_offset_s: float = 0.0  # GROUP BY time(N, offset)
     tz: str | None = None  # tz('Area/City') — local-wall-clock buckets
+    #: WHERE field-value predicates: (field, op, value) with value a
+    #: float (numeric compare) or bool ("b = true" on boolean fields)
+    field_filters: list[tuple] = field(default_factory=list)
     fill: str | None = None  # none|null|previous|<number>
     order_desc: bool = False
     limit: int | None = None
@@ -506,6 +509,25 @@ def parse_select(q: str) -> SelectStmt:
                 stmt.time_lo_ns = lo if stmt.time_lo_ns is None else max(stmt.time_lo_ns, lo)
             else:
                 stmt.time_hi_ns = hi if stmt.time_hi_ns is None else min(stmt.time_hi_ns, hi)
+            continue
+        # field-value predicates: ordering ops are always field
+        # comparisons (tags have no order), and =/!= with an UNQUOTED
+        # numeric or boolean literal is a field comparison too —
+        # InfluxQL's quoting rule: 'quoted' RHS → tag, bare number/
+        # bool → field value
+        fv = re.fullmatch(
+            r"([\w\"]+)\s*(>=|<=|>|<|!=|=)\s*(-?\d+(?:\.\d+)?|true|false)",
+            cond,
+            re.IGNORECASE,
+        )
+        if fv:
+            name, op, raw_val = _unquote(fv.group(1)), fv.group(2), fv.group(3)
+            if raw_val.lower() in ("true", "false"):
+                if op not in ("=", "!="):
+                    raise InfluxQLError(f"boolean field supports only =/!=: {cond!r}")
+                stmt.field_filters.append((name, op, raw_val.lower() == "true"))
+            else:
+                stmt.field_filters.append((name, op, float(raw_val)))
             continue
         gm = re.fullmatch(r"([\w\"']+)\s*(=~|!~|!=|=)\s*(.+)", cond)
         if gm:
@@ -1425,6 +1447,47 @@ class InfluxQLEngine:
                 cond = c if cond is None else (cond & c)
             slice_ = reg.filter(cond).select("fingerprint")
             facts = facts.join(F.broadcast(slice_.distinct()), "fingerprint", "left_semi")
+
+        # field-value predicates (WHERE v > 0.5): InfluxDB evaluates
+        # them per POINT (one series + one timestamp). Rows are stored
+        # one-per-field and fingerprints include the FIELD name, so the
+        # cross-field point identity is (tag set, ts): a registry-
+        # derived series key (hash of the sorted tag entries, field-
+        # independent) is broadcast-attached, and each predicate
+        # becomes a semi-join on (series key, ts_ns) against the rows
+        # of THAT field satisfying the comparison — WHERE err > 0 on
+        # SELECT latency restricts latency's same-timestamp points,
+        # and chaining the joins ANDs the conditions. Booleans are
+        # stored as "true"/"false" strings (lineprotocol.py policy),
+        # compared on message.
+        if stmt.field_filters:
+            key = ["fingerprint", "ts_ns"]
+            if reg is not None:
+                skey = F.xxhash64(
+                    F.to_json(
+                        F.array_sort(
+                            F.map_entries(F.coalesce(F.col("tags"), F.create_map()))
+                        )
+                    )
+                )
+                fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
+                facts = facts.join(F.broadcast(fp2s), "fingerprint", "left")
+                key = ["_skey", "ts_ns"]
+            for fname, fop, fval in stmt.field_filters:
+                if isinstance(fval, bool):
+                    c = F.col("message") == ("true" if fval else "false")
+                    if fop == "!=":
+                        c = ~c
+                else:
+                    v = F.col("value")
+                    c = {
+                        ">": v > fval, ">=": v >= fval, "<": v < fval,
+                        "<=": v <= fval, "=": v == fval, "!=": v != fval,
+                    }[fop]
+                sat = facts.filter((F.col("field") == fname) & c).select(*key)
+                facts = facts.join(sat.distinct(), key, "left_semi")
+            if "_skey" in key:
+                facts = facts.drop("_skey")
 
         # GROUP BY <tag> attaches tag values from the registry (J1
         # broadcast) and fans one output series out per tag combination

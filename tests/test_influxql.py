@@ -950,6 +950,44 @@ def test_math_bad_second_arg_rejected(engine):
         engine.execute("SELECT round(user, abc) FROM cpu", db="mydb")
 
 
+def test_field_value_where(spark, tmp_path):
+    """WHERE field-value predicates (InfluxQL: bare numeric/boolean RHS
+    means field comparison, quoted RHS means tag): per-POINT semantics
+    — a condition on one field restricts the same-timestamp points of
+    every selected field."""
+    root = str(tmp_path / "fieldwhere")
+    store = LPStore(spark, root, db="fw")
+    lines = [
+        "m,host=a v=1,err=0,ok=true 1704067200000000000",
+        "m,host=a v=5,err=2,ok=false 1704067210000000000",
+        "m,host=a v=9,err=0,ok=true 1704067220000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+
+    def vals(q):
+        return [v[1] for v in _values(eng.execute(q, db="fw"))]
+
+    assert vals("SELECT v FROM m WHERE v > 1") == [5.0, 9.0]
+    assert vals("SELECT v FROM m WHERE v >= 5") == [5.0, 9.0]
+    assert vals("SELECT v FROM m WHERE v < 5") == [1.0]
+    assert vals("SELECT v FROM m WHERE v = 5") == [5.0]
+    assert vals("SELECT v FROM m WHERE v != 5") == [1.0, 9.0]
+    # cross-field: err > 0 picks the middle POINT of v
+    assert vals("SELECT v FROM m WHERE err > 0") == [5.0]
+    # boolean field comparison rides the message column
+    assert vals("SELECT v FROM m WHERE ok = true") == [1.0, 9.0]
+    assert vals("SELECT v FROM m WHERE ok != true") == [5.0]
+    # AND of field + tag + time conditions composes
+    assert vals(
+        "SELECT v FROM m WHERE host = 'a' AND v > 1 AND time >= 1704067220000000000"
+    ) == [9.0]
+    # aggregates see the restriction too
+    assert vals("SELECT mean(v) FROM m WHERE err = 0 GROUP BY time(60s)") == [5.0]
+    # quoted RHS stays a tag filter (no rows: no tag v='5')
+    assert vals("SELECT v FROM m WHERE v = '5'") == []
+
+
 def test_raw_point_transforms(spark, tmp_path):
     """derivative/difference/cumulative_sum/moving_average over RAW
     points (no aggregate) — per-series, emitted at the points' own
