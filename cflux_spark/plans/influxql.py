@@ -18,7 +18,7 @@ Supported statements (reference citation → our handler):
 - CREATE DATABASE db                   (cflux.js:395)   → store init
 - CREATE SUBSCRIPTION ... DESTINATIONS (cflux.js:676)   → control table
 - SELECT f1[, f2] | agg(f) FROM [db.[rp.]]m | /regex/
-    [WHERE time <op> …  [AND tag='v']…]
+    [WHERE time <op> …  [AND tag='v']… [AND field <op> number|bool]…]
     [GROUP BY time(Nu) | <tag>,… | *] [FILL(...)] [ORDER BY time DESC]
     [LIMIT n] [OFFSET n] [SLIMIT n] [SOFFSET n]
     [tz('Area/City')]                        (cflux.js:687-833)

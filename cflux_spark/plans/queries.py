@@ -1700,15 +1700,17 @@ def q_ingest_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cflux_spark.sources.ingest import LPStore, explode_fields, parse_lp_df
 
     lines = spark.createDataFrame([(l,) for l in _LP_SMOKE], "line string")
-    with tempfile.TemporaryDirectory() as tmp:
-        store = LPStore(spark, tmp, db="smoke")
-        store.write_batch(lines)
-        facts = store.read_samples().select(
-            "fingerprint", "ts", "ts_ns", "value", "message", "field", "measurement"
-        )
-        # materialize before the tempdir vanishes
-        rows = facts.collect()
-    return spark.createDataFrame(rows, facts.schema)
+    # mkdtemp WITHOUT cleanup: the returned DataFrame lazily scans the
+    # store, and the caller (driver / bench) collects after we return —
+    # a context-managed tempdir would force a driver-side collect here,
+    # which is exactly what the real ingest path never does. One tiny
+    # dir per run; /tmp hygiene is the OS's job.
+    tmp = tempfile.mkdtemp(prefix="cflux_smoke_")
+    store = LPStore(spark, tmp, db="smoke")
+    store.write_batch(lines)
+    return store.read_samples().select(
+        "fingerprint", "ts", "ts_ns", "value", "message", "field", "measurement"
+    )
 
 
 @q(
