@@ -97,6 +97,37 @@ def test_driver_events_time_filter_pushed_to_scan(spark):
     ), plan
 
 
+def test_pq_encode_is_map_only(spark):
+    """PQ encoding is a single map-only Arrow pass over the corpus —
+    any Exchange in its plan means the 32×-compression pass acquired a
+    shuffle it must not have at 100 TB."""
+    from cflux_spark.extensions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = similarity.pq_train(emb.limit(100), m=8, ksub=16)
+    codes = similarity.pq_encode(emb, books)
+    codes.collect()
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_duplicate_spans_hash_keyed_join(spark):
+    """The dup-window join must key on the 8-byte gram hash, not gram
+    text: no string n-gram column may ride a shuffle (at 100 TB the
+    shuffle payload difference is ~20×)."""
+    from cflux_spark.extensions import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = contamination.duplicate_spans(docs, n=20)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Exchange partitions on the hash/doc keys — never on 'gram'
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram#" not in line, line
+
+
 def test_contamination_corpus_side_broadcast_join(spark):
     """X6: the benchmark gram set must broadcast — the exploded corpus
     side never shuffles for the contamination join."""
