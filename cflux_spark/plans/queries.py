@@ -1343,6 +1343,40 @@ def q_vector_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_vector_ivfpq",
+    """
+    SELECT count(*) AS n_queries, 5 AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def q_vector_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN stack — IVF cells prune the scan
+    (~nprobe/nlist touched), PQ codes make the scanned fraction
+    8 bytes/vector, exact refine fixes the shortlist — with its
+    accuracy contract as the oracle value: mean recall@5 vs brute
+    force ≥ 0.6 (measured 0.85-0.88 at sf0.001-0.01, 0.67 at
+    sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(qs, emb, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivfpq_topk(qs, emb, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_queries",
+            F.lit(5).cast("int").alias("k"),
+            (F.col("_recall") >= 0.6).alias("recall_ok"),
+        )
+    )
+
+
+@q(
     "q_text_tokens",
     r"""
     WITH t AS (
@@ -2314,6 +2348,7 @@ _VERIFY_FIRST = [
     "q_dup_spans",         # ExactSubstr duplicate spans (Lee et al. 2021)
     "q_frequent_ngrams",   # boilerplate mining by doc frequency
     "q_vector_pq",         # PQ ADC + refine, recall contract
+    "q_vector_ivfpq",      # composed IVF-PQ stack, recall contract
 ]
 
 _VERIFY_LAST = [

@@ -867,6 +867,28 @@ def test_pq_roundtrip_and_planted_neighbors(spark, emb):
         similarity.pq_topk(emb, emb, k=1, max_queries=10)
 
 
+def test_ivfpq_finds_planted_neighbors(spark, emb):
+    """The composed IVF-PQ stack retrieves a planted near-copy at
+    rank 1 — the coarse quantizer routes the copy to the same probed
+    cell and PQ+refine ranks it first."""
+    import pyspark.sql.functions as F
+
+    from cflux_spark.extensions import similarity
+
+    qs = emb.filter(F.col("vec_id") < 3)
+    planted = qs.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.01 + F.lit(1e-4)).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.limit(200).unionByName(planted)
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in similarity.ivfpq_topk(qs, corpus, k=1, rerank=20).collect()
+    }
+    assert top1 == {0: 1_000_000, 1: 1_000_001, 2: 1_000_002}
+
+
 def test_quantize_embeddings_error_bound_and_zero_guard(spark, emb):
     """Dequantized vectors stay within scale/2 per component (round's
     max error); zero vectors quantize to scale 0 + zero codes."""
