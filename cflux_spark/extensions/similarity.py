@@ -264,6 +264,53 @@ def _signature_udf(dim: int, planes: int, tables: int, seed: int):
     return sigs
 
 
+def perturbed_queries(
+    candidates: DataFrame,
+    n_queries: int = 40,
+    eps: float = 0.3,
+    seed: int = 101,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic high-cosine probe set for ANN accuracy contracts.
+
+    Query i is corpus vector i plus scaled unit noise:
+    ``q = x + eps * |x| * u/|u|`` with u drawn from the same splitmix
+    generator as the LSH hyperplanes — so cos(q, x) ≈ 1/sqrt(1+eps²)
+    (≈0.957 at eps=0.3) REGARDLESS of the corpus distribution. The
+    driver's synthetic embeddings are i.i.d. random (max pairwise
+    cosine ≈0.5–0.6, no planted near-dups), so a recall contract
+    against brute-force top-k of *arbitrary* rank is vacuous for any
+    hyperplane LSH: P(collide/table)=(1-θ/π)^planes ≈ a few percent at
+    cos 0.4, by theory, not by bug. This helper manufactures the
+    high-cosine structure LSH is designed for, in-plan: noise vectors
+    are literal arrays (tiny, driver-built), the perturbation is a
+    codegen'd zip_with — no collect, no Python rows.
+
+    Query ids are source ids shifted by ``id_offset`` so self-match
+    filters in the ANN kernels don't knock out the known ground truth
+    (recovering the source = query_id - id_offset)."""
+    noise = []
+    for i in range(n_queries):
+        u = np.array(_hyperplane(dim, seed, 0, i))
+        noise.append((i, (u / np.linalg.norm(u)).tolist()))
+    spark = candidates.sparkSession
+    ndf = spark.createDataFrame(noise, f"{id_col} long, _u array<double>")
+    base = candidates.filter(F.col(id_col) < n_queries)
+    scale = F.lit(eps) * _norm(F.col(vec_col))
+    return (
+        base.join(F.broadcast(ndf), id_col)
+        .select(
+            (F.col(id_col) + id_offset).alias(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("_u"), lambda x, u: x.cast("double") + scale * u
+            ).alias(vec_col),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

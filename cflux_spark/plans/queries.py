@@ -1132,9 +1132,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.2)
 
 
-@q("q_dedup_near")  # rows-only: MinHash LSH est_jaccard is sampling-based
+@q(
+    "q_dedup_near",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_truth,
+           CAST(0.8 AS DOUBLE) AS j_threshold,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash-LSH with its accuracy contract AS the oracle-verified
+    value (the q_vector_ivf pattern): the oracle recomputes the exact
+    n-gram-Jaccard ≥ 0.8 truth-pair count in SQL, and the Spark side
+    must (a) reproduce that count from its own exact jaccard tier and
+    (b) show the banded MinHash candidates (16 bands × 4 rows over 64
+    hashes, S-curve threshold ≈ 0.5) cover ≥ 90% of those truth pairs
+    — measured 1.0 at sf0.001–0.01. A broken signature, banding, or
+    bucket join collapses recall toward 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(docs).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    return (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .agg(
+            F.count("*").alias("n_truth"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_truth",
+            F.lit(0.8).alias("j_threshold"),
+            (F.col("_recall") >= 0.9).alias("recall_ok"),
+        )
+    )
 
 
 @q("q_simhash")  # rows-only: 64-bit fingerprint not portable to the oracle
@@ -1142,11 +1192,63 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@q("q_simhash_near")  # rows-only: fingerprints are xxhash64-derived (no DuckDB twin);
+@q(
+    "q_simhash_near",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_truth,
+           8 AS max_hamming,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.9
+    """,
+)
 def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # candidate recall is EXACT by pigeonhole (tests/test_extensions.py
-    # asserts equality against the brute-force all-pairs popcount)
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup with its accuracy contract as the
+    oracle-verified value: the oracle recomputes the exact
+    jaccard ≥ 0.9 truth-pair count; the Spark side must reproduce it
+    and show hamming ≤ 8 simhash pairs (pigeonhole banding — EXACT
+    for the radius, per tests/test_extensions.py's brute-force
+    equality) cover ≥ 90% of the truth — measured 1.0 at
+    sf0.001–0.01 (hamming ≤ 3 misses 22–40%: 64-bit simhash of
+    heavily-overlapping token multisets routinely lands 4–8 bits
+    apart, so the tight radius is a precision tier, not the recall
+    tier)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.9).select("id_a", "id_b")
+    near = dedup.simhash_near_pairs(docs, max_hamming=8).select(
+        "id_a", "id_b", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(near, ["id_a", "id_b"], "left")
+        .agg(
+            F.count("*").alias("n_truth"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_truth",
+            F.lit(8).cast("int").alias("max_hamming"),
+            (F.col("_recall") >= 0.9).alias("recall_ok"),
+        )
+    )
 
 
 @q(
@@ -1264,10 +1366,45 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_vector_lsh")  # rows-only: ANN recall is probabilistic by design
+@q(
+    "q_vector_lsh",
+    """
+    SELECT count(*) AS n_queries, 1 AS k, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 40
+    """,
+)
 def q_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN with its accuracy contract as the
+    oracle-verified value. The driver's synthetic embeddings are
+    i.i.d. random (max pairwise cosine ≈ 0.5 — no planted near-dups),
+    so recall@k against brute-force top-k of ARBITRARY rank is
+    theory-bounded at a few percent for any hyperplane LSH
+    (P(collide/table) = (1-θ/π)^planes) — a vacuous contract. Instead
+    the probe set is manufactured in-plan: 40 queries, each a
+    deterministic eps=0.3 perturbation of a known corpus vector
+    (cos ≈ 0.957 to its source, `perturbed_queries`), and the
+    contract is recall@1 of retrieving the source, pinned ≥ 0.8 —
+    measured 0.90/1.0/1.0 at sf0.001/0.01/0.1. A broken signature,
+    bucketing, or re-rank collapses it toward 0."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    qs = similarity.perturbed_queries(emb, n_queries=40)
+    res = similarity.lsh_topk(qs, emb, k=1)
+    hits = res.filter(
+        (F.col("rank") == 1) & (F.col("neighbor_id") == F.col("query_id") - 1_000_000)
+    ).select("query_id", F.lit(1).alias("_hit"))
+    return (
+        qs.select("vec_id")
+        .join(hits, qs["vec_id"] == hits["query_id"], "left")
+        .agg(
+            F.count("*").alias("n_queries"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_queries",
+            F.lit(1).cast("int").alias("k"),
+            (F.col("_recall") >= 0.8).alias("recall_ok"),
+        )
+    )
 
 
 @q(
@@ -2307,10 +2444,10 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERIFY_FIRST = [
     # last driver-verified in r2, before the r3 testdata regeneration:
-    "q_dedup_near",     # rows-only by design (MinHash LSH)
+    "q_dedup_near",     # r4: recall contract vs exact-jaccard truth (oracle-checked)
     "q_simhash",        # rows-only; brute-force-equality unit test
-    "q_simhash_near",   # rows-only; pigeonhole banding unit test
-    "q_vector_lsh",     # rows-only ANN; recall asserted in tests
+    "q_simhash_near",   # r4: recall contract vs exact-jaccard truth (oracle-checked)
+    "q_vector_lsh",     # r4: recall@1 contract on perturbed probes (oracle-checked)
     "q_dedup_exact",
     "q_tpch_q1",
     "q_tpch_q5ish",
