@@ -164,6 +164,56 @@ def stratified_hash_sample(
     return df.filter(cond)
 
 
+def weighted_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    hex_chars: int = 4,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Training-mixture construction with EPOCH semantics: per-stratum
+    rate r may exceed 1 (upsample high-quality sources across epochs,
+    e.g. books ×2.5, wiki ×1.2, web ×0.3 — the standard pretraining
+    data-mixing recipe). Every row yields ``floor(r)`` guaranteed
+    copies plus one more iff its content-hash bucket falls under the
+    fractional remainder — so the expected multiplicity is exactly r,
+    realized deterministically per document (no RNG: the same doc gets
+    the same multiplicity on every run, engine, and partitioning, and
+    the fractional pick nests with the :func:`hash_sample` ladder).
+
+    Output: input rows with an ``epoch`` index (0..n_copies-1) so the
+    loader can interleave epochs without re-reading. Unlisted strata
+    drop (rate 0).
+
+    Scale: the copy fan-out is a codegen'd explode(sequence()) — rows
+    widen AFTER the scan and filter, no shuffle at all; downstream
+    shard assignment handles placement. A rate of 2.5 on a 100 TB
+    stratum emits 250 TB of row REFERENCES, not bytes — the text
+    column rides along by reference until the sink serializes."""
+    space = 16**hex_chars
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, hex_chars)
+    n_copies = None
+    for value, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"rate for {value!r} must be >= 0")
+        whole = int(rate)
+        frac = rate - whole
+        thr = format(min(space, max(0, round(frac * space))), f"0{hex_chars}x")
+        n = F.lit(whole) + (bucket < F.lit(thr)).cast("int")
+        cond = F.col(strata_col) == value
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    if n_copies is None:
+        raise ValueError("rates must be non-empty")
+    n_copies = n_copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )
+
+
 def export_jsonl(
     df: DataFrame,
     path: str,

@@ -144,6 +144,53 @@ def ivf_topk(
     )
 
 
+def kmeans_clusters(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Semantic clustering over an embedding column — the
+    topic-binning / mixture-balancing primitive of a training-data
+    pipeline (cluster-then-cap, cluster-proportional sampling, and
+    SemDeDup-style within-cluster dedup all start from this
+    assignment).
+
+    Training is distributed, seeded pyspark.ml KMeans (same trainer as
+    the IVF ANN tier); assignment is one numpy argmin per Arrow batch
+    against the broadcast (k × dim) centroid matrix — map-only, no
+    shuffle, so the assignment pass scales linearly with the corpus.
+    Output: (id, cluster, d2, d2_global) where d2 is squared L2 to the
+    assigned centroid and d2_global to the corpus mean (the k=1
+    baseline, derived exactly as the size-weighted mean of centroids) —
+    the two quality signals a contract can pin without collecting
+    anything."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+    cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+    sizes = np.array(model.summary.clusterSizes, dtype=np.float64)
+    gmean = (cents * sizes[:, None]).sum(axis=0) / sizes.sum()
+
+    @pandas_udf("struct<cluster:long,d2:double,d2_global:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        dg = ((v - gmean[None, :]) ** 2).sum(axis=1)
+        best = d2.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": best, "d2": d2[np.arange(len(v)), best], "d2_global": dg}
+        )
+
+    return df.select(F.col(id_col), assign(F.col(vec_col)).alias("_a")).select(
+        id_col, "_a.cluster", "_a.d2", "_a.d2_global"
+    )
+
+
 def cosine_pairs(
     queries: DataFrame,
     candidates: DataFrame,

@@ -1514,6 +1514,44 @@ def q_vector_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_embed_cluster",
+    """
+    SELECT count(*) AS n_vecs, 8 AS k, TRUE AS all_clusters_used,
+           TRUE AS balance_ok, TRUE AS inertia_ok
+    FROM embeddings
+    """,
+)
+def q_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic k-means clustering of the embedding corpus (the
+    topic-binning primitive behind cluster-capped sampling and
+    SemDeDup) with its quality contract as the oracle value: all 8
+    clusters non-empty, no cluster holding > 50% of the corpus
+    (measured max 16–23%), and total within-cluster inertia ≤ 0.99 of
+    the k=1 global-centroid baseline (measured 0.93–0.95 on the
+    i.i.d. corpus — a broken argmin assigns non-nearest centroids and
+    pushes the ratio above 1). Assignment is a map-only broadcast
+    argmin; the contract aggregates per-cluster partials, so nothing
+    but (k) rows ever leaves the executors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.kmeans_clusters(emb, k=8)
+    per = res.groupBy("cluster").agg(
+        F.count("*").alias("n"), F.sum("d2").alias("sd2"), F.sum("d2_global").alias("sg")
+    )
+    return per.agg(
+        F.sum("n").alias("n_vecs"),
+        F.count("*").alias("_used"),
+        F.max("n").alias("_maxn"),
+        (F.sum("sd2") / F.sum("sg")).alias("_ratio"),
+    ).select(
+        "n_vecs",
+        F.lit(8).cast("int").alias("k"),
+        (F.col("_used") == 8).alias("all_clusters_used"),
+        (F.col("_maxn") <= 0.5 * F.col("n_vecs")).alias("balance_ok"),
+        (F.col("_ratio") <= 0.99).alias("inertia_ok"),
+    )
+
+
+@q(
     "q_text_tokens",
     r"""
     WITH t AS (
@@ -1651,6 +1689,40 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(docs, {"en": 0.10, "de": 0.50}, strata_col="lang").select(
         "doc_id", "lang"
     )
+
+
+@q(
+    "q_sample_weighted",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' THEN 1 ELSE 0 END
+               WHEN 'src1' THEN 1 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333' THEN 1 ELSE 0 END
+               WHEN 'src2' THEN 0 + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccd' THEN 1 ELSE 0 END
+               ELSE 0
+             END AS n_copies
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, g.e AS epoch
+    FROM r, LATERAL (SELECT unnest(range(0, r.n_copies)) AS e) g
+    WHERE r.n_copies > 0
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling with epoch semantics: src0 ×2.5
+    (2 guaranteed epochs + hash-fraction half), src1 ×1.2, src2 ×0.3,
+    everything else dropped — the standard pretraining data-mixing
+    recipe, realized deterministically per document (content-hash
+    fractional pick, no RNG). The oracle replays the exact
+    floor+threshold arithmetic and the per-copy epoch index via a
+    lateral unnest."""
+    from cflux_spark.extensions.sampling import weighted_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_mixture(
+        docs, {"src0": 2.5, "src1": 1.2, "src2": 0.3}, strata_col="source"
+    ).select("doc_id", "source", "epoch")
 
 
 @q(
@@ -2486,6 +2558,8 @@ _VERIFY_FIRST = [
     "q_frequent_ngrams",   # boilerplate mining by doc frequency
     "q_vector_pq",         # PQ ADC + refine, recall contract
     "q_vector_ivfpq",      # composed IVF-PQ stack, recall contract
+    "q_embed_cluster",     # k-means topic binning, quality contract
+    "q_sample_weighted",   # mixture sampling with epoch semantics
 ]
 
 _VERIFY_LAST = [

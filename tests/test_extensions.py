@@ -912,3 +912,44 @@ def test_quantize_embeddings_error_bound_and_zero_guard(spark, emb):
             assert abs(qi * r.scale - x) <= r.scale / 2 + abs(qi) * 5e-7 + 1e-6
     z = out[999999]
     assert z.scale == 0.0 and all(q == 0 for q in z.qvec)
+
+
+def test_kmeans_clusters_separates_planted_blobs(spark):
+    """Two tight blobs around opposite corners must land in different
+    clusters with every member co-assigned, and within-blob inertia
+    must crush the global baseline."""
+    rows = []
+    for i in range(30):
+        base = 5.0 if i % 2 == 0 else -5.0
+        vec = [base + 0.01 * ((i * 7 + j) % 5) for j in range(8)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_clusters(df, k=2).collect()
+    by_parity = {0: set(), 1: set()}
+    for r in out:
+        by_parity[r.vec_id % 2].add(r.cluster)
+    assert len(by_parity[0]) == 1 and len(by_parity[1]) == 1
+    assert by_parity[0] != by_parity[1]
+    assert sum(r.d2 for r in out) < 0.01 * sum(r.d2_global for r in out)
+
+
+def test_weighted_mixture_epoch_multiplicity(docs):
+    """floor(r) guaranteed copies + fractional hash pick: every src0
+    doc appears 2 or 3 times with dense epoch indices; realized mean
+    multiplicity tracks the rate; determinism across calls."""
+    from cflux_spark.extensions.sampling import weighted_mixture
+
+    out = weighted_mixture(docs, {"src0": 2.5, "src2": 0.3}, strata_col="source")
+    rows = out.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n"), F.collect_set("epoch").alias("epochs")
+    ).collect()
+    src0 = [r for r in rows if r.source == "src0"]
+    src2 = [r for r in rows if r.source == "src2"]
+    assert src0 and all(r.n in (2, 3) for r in src0)
+    assert all(sorted(r.epochs) == list(range(r.n)) for r in rows)
+    assert all(r.n == 1 for r in src2)
+    assert not [r for r in rows if r.source not in ("src0", "src2")]
+    mean0 = sum(r.n for r in src0) / len(src0)
+    assert 2.0 <= mean0 <= 3.0
+    again = weighted_mixture(docs, {"src0": 2.5, "src2": 0.3}, strata_col="source")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
