@@ -151,6 +151,7 @@ def kmeans_clusters(
     vec_col: str = "embedding",
     seed: int = 11,
     max_iter: int = 20,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Semantic clustering over an embedding column — the
     topic-binning / mixture-balancing primitive of a training-data
@@ -166,7 +167,9 @@ def kmeans_clusters(
     assigned centroid and d2_global to the corpus mean (the k=1
     baseline, derived exactly as the size-weighted mean of centroids) —
     the two quality signals a contract can pin without collecting
-    anything."""
+    anything. ``keep_vec=True`` passes the vector column through the
+    (map-only) assignment projection, so consumers that need vec +
+    cluster together (semdedup) avoid a full-corpus re-join."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -186,8 +189,78 @@ def kmeans_clusters(
             {"cluster": best, "d2": d2[np.arange(len(v)), best], "d2_global": dg}
         )
 
-    return df.select(F.col(id_col), assign(F.col(vec_col)).alias("_a")).select(
-        id_col, "_a.cluster", "_a.d2", "_a.d2_global"
+    carry = [id_col, vec_col] if keep_vec else [id_col]
+    return df.select(*[F.col(c) for c in carry], assign(F.col(vec_col)).alias("_a")).select(
+        *carry, "_a.cluster", "_a.d2", "_a.d2_global"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 20,
+    block: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication at corpus scale by bounding the quadratic pair
+    search to k-means clusters — cluster the NORMALIZED embeddings
+    (cosine is angular, so clustering happens on the unit sphere),
+    then compare pairs only within a cluster and keep one
+    representative per near-duplicate star.
+
+    Keep rule (the paper's released formulation — per-column max over
+    the strict lower triangle of the within-cluster sim matrix): a row
+    is KEPT iff no smaller-id row in the same cluster has cosine ≥
+    threshold. Deterministic given the assignment: no sequential
+    greedy, no RNG in the drop decision, so retries/repartition cannot
+    change any row's verdict.
+
+    Plan shape: assignment is the map-only broadcast-argmin pass from
+    ``kmeans_clusters``; the pair search is one ``applyInPandas`` per
+    cluster running a BLOCKED unit-vector GEMM (rows [lo,hi) × all
+    earlier rows — O(|c|·block) memory, never the full |c|² matrix).
+    At 100 TB the quadratic term is Σ|c|² — bounded by the largest
+    cluster, which is exactly the knob k controls (the paper uses
+    k ≈ n/100); the shuffle carries one row per vector keyed by
+    cluster id. Cross-cluster duplicates are out of scope by design —
+    that trade is the whole point of the method.
+
+    Returns (id, cluster, keep).
+    """
+    cast = F.col(vec_col).cast("array<double>")
+    # materialize the norm BEFORE the transform lambda (no-CSE rule:
+    # a lambda referencing the aggregate would re-run it per element)
+    unit_df = (
+        df.select(F.col(id_col), cast.alias("_v"))
+        .withColumn("_nrm", F.greatest(_norm(F.col("_v")), F.lit(1e-300)))
+        .withColumn("_unit", F.transform("_v", lambda x: x / F.col("_nrm")))
+        .select(id_col, "_unit")
+    )
+    with_vec = kmeans_clusters(
+        unit_df, k=k, id_col=id_col, vec_col="_unit", seed=seed,
+        max_iter=max_iter, keep_vec=True,
+    ).select(id_col, "_unit", "cluster")
+
+    def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        u = np.asarray(pdf["_unit"].tolist(), dtype=np.float64)
+        n = len(u)
+        keep = np.ones(n, dtype=bool)
+        for lo in range(1, n, block):  # row 0 has no smaller-id neighbor
+            hi = min(lo + block, n)
+            sims = u[lo:hi] @ u[:hi].T  # (hi-lo) rows × all earlier rows
+            earlier = np.arange(hi)[None, :] < np.arange(lo, hi)[:, None]
+            keep[lo:hi] = ~((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {id_col: pdf[id_col], "cluster": pdf["cluster"], "keep": keep}
+        )
+
+    return with_vec.groupBy("cluster").applyInPandas(
+        _dedup, schema=f"{id_col} long, cluster long, keep boolean"
     )
 
 

@@ -1552,6 +1552,105 @@ def q_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_semdedup",
+    """
+    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat AS (
+      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.35
+    )
+    SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+           (SELECT count(*) FROM p) AS n_true_pairs,
+           TRUE AS within_resolved_ok, TRUE AS no_false_drops_ok
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end (Abbas et al. 2023): spherical k-means bins
+    the corpus, near-duplicates are dropped only WITHIN clusters — the
+    published shape that bounds semantic dedup's quadratic term by
+    cluster size instead of corpus size.
+
+    The contract pins the operator's exact functional spec, which is
+    checkable even though k-means assignments are not bit-stable
+    across engines: (1) `n_true_pairs` — the corpus-wide exact cosine
+    pair count at the threshold, computed independently by both
+    engines (Spark: blocked GEMM; DuckDB: unnested dot products);
+    (2) `within_resolved_ok` — every true pair whose endpoints share a
+    cluster has at most one endpoint kept (the keep-rule's guarantee;
+    a broken GEMM or threshold flips it); (3) `no_false_drops_ok` —
+    every dropped row has a real smaller-id same-cluster neighbor at
+    ≥ threshold (catches over-dropping). Together the booleans pin an
+    independent-set + justified-drops spec of the kept set (the exact
+    min-id star rule is additionally pinned by a brute-force-equality
+    unit test); assignment quality itself is pinned by
+    q_embed_cluster's inertia contract.
+    Cross-cluster pairs are out of scope by design — that recall trade
+    is the method."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = similarity.semdedup(emb, threshold=0.35, k=8)
+    truth = similarity.cosine_pairs(emb, emb, threshold=0.35).filter(
+        F.col("query_id") < F.col("neighbor_id")
+    )
+    flags = res.select("vec_id", "cluster", "keep")
+    annotated = (
+        truth.join(
+            F.broadcast(flags.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cluster").alias("cl_a"),
+                F.col("keep").alias("keep_a"),
+            )),
+            "query_id",
+        )
+        .join(
+            F.broadcast(flags.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("cluster").alias("cl_b"),
+                F.col("keep").alias("keep_b"),
+            )),
+            "neighbor_id",
+        )
+    )
+    pair_stats = annotated.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(
+            F.when(
+                (F.col("cl_a") == F.col("cl_b")) & F.col("keep_a") & F.col("keep_b"), 1
+            ).otherwise(0)
+        ).alias("_unresolved"),
+    )
+    justified = annotated.filter(F.col("cl_a") == F.col("cl_b")).select(
+        F.col("neighbor_id").alias("vec_id")
+    )
+    bad_drops = (
+        flags.filter(~F.col("keep"))
+        .join(F.broadcast(justified), "vec_id", "left_anti")
+        .agg(F.count("*").alias("_bad"))
+    )
+    n = flags.agg(F.count("*").alias("n_vecs"))
+    return (
+        n.crossJoin(pair_stats)
+        .crossJoin(bad_drops)
+        .select(
+            "n_vecs",
+            "n_true_pairs",
+            (F.col("_unresolved") == 0).alias("within_resolved_ok"),
+            (F.col("_bad") == 0).alias("no_false_drops_ok"),
+        )
+    )
+
+
+@q(
     "q_text_tokens",
     r"""
     WITH t AS (
@@ -2560,6 +2659,7 @@ _VERIFY_FIRST = [
     "q_vector_ivfpq",      # composed IVF-PQ stack, recall contract
     "q_embed_cluster",     # k-means topic binning, quality contract
     "q_sample_weighted",   # mixture sampling with epoch semantics
+    "q_semdedup",          # SemDeDup: clustered semantic dedup, spec contract
 ]
 
 _VERIFY_LAST = [

@@ -953,3 +953,45 @@ def test_weighted_mixture_epoch_multiplicity(docs):
     assert 2.0 <= mean0 <= 3.0
     again = weighted_mixture(docs, {"src0": 2.5, "src2": 0.3}, strata_col="source")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_semdedup_matches_bruteforce_rule(emb):
+    """Given the assignment semdedup itself produced, the keep flags
+    must EXACTLY equal the star rule (keep iff no smaller-id
+    same-cluster neighbor at >= threshold) recomputed brute-force in
+    numpy — pins the blocked GEMM, the triangle mask, and the
+    normalization."""
+    thr = 0.35
+    out = similarity.semdedup(emb, threshold=thr, k=8).collect()
+    rows = {r.vec_id: r for r in out}
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    assert set(rows) == set(raw)
+    ids = sorted(raw)
+    u = np.array([raw[i] for i in ids])
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    S = u @ u.T
+    cl = np.array([rows[i].cluster for i in ids])
+    dropped = 0
+    for pos, i in enumerate(ids):
+        earlier = np.where((cl[:pos] == cl[pos]) & (S[pos, :pos] >= thr))[0]
+        expect_keep = len(earlier) == 0
+        assert rows[i].keep == expect_keep, f"vec {i}: keep={rows[i].keep} want {expect_keep}"
+        dropped += not expect_keep
+    assert dropped > 0  # the corpus has within-cluster near pairs at 0.35
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Exact copies always share a cluster (identical argmin), so each
+    duplicated group keeps exactly its min id; orthogonal basis
+    vectors (pairwise cosine 0) are never dropped. block=2 exercises
+    the blocked-GEMM path on the same data."""
+    dim, n_base = 16, 12
+    base = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(n_base)]
+    dups = [(100 + i, base[3][1]) for i in range(3)] + [(200, base[7][1])]
+    df = spark.createDataFrame(base + dups, ["vec_id", "embedding"])
+    for block in (4096, 2):
+        out = {r.vec_id: r for r in similarity.semdedup(df, threshold=0.9, k=4, block=block).collect()}
+        assert all(out[i].keep for i, _ in base)  # orthogonal -> kept
+        assert {i for i in (100, 101, 102, 200) if out[i].keep} == set()
+        assert len({out[i].cluster for i in (3, 100, 101, 102)}) == 1
+        assert out[200].cluster == out[7].cluster
