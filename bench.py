@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q_simhash_near",
     "q_vector_topk",
     "q_vector_lsh",
+    "q_vector_pq",
+    "q_semdedup",
     "q_text_tokens",
     "q_quality_score",
     "q_doc_fingerprint",
@@ -53,11 +55,47 @@ BENCH_QUERIES = [
     "q_curation_verdict",
     "q_pack_sequences",
     "q_resample_fill",
-    # round-4 span-level dedup + boilerplate mining + PQ ANN
+    # round-4 span-level dedup + boilerplate mining
     "q_dup_spans",
     "q_frequent_ngrams",
-    "q_vector_pq",
+    # round-4 semantic clustering + mixture sampling + flagship export
+    "q_embed_cluster",
+    "q_sample_weighted",
+    "q_pipeline_export",
 ]
+
+
+def _bench_ops():
+    """Operator-level workloads for catalog entries that became
+    accuracy CONTRACTS in round 4 (q_dedup_near, q_simhash_near,
+    q_vector_lsh, q_vector_pq, q_semdedup wrap the operator together
+    with its exact truth-set recomputation — the quadratic
+    gold-standard tier, run by the correctness gate on purpose). The
+    perf sweep times the OPERATOR alone, under the same keys rounds
+    1-3 reported, so per-round numbers stay comparable and the sweep
+    reflects what a user pays at scale — not the verifier."""
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions import dedup, similarity
+    from cflux_spark.sources.readers import load_table
+
+    def docs(spark, sf_dir):
+        return load_table(spark, sf_dir, "documents")
+
+    def emb(spark, sf_dir):
+        return load_table(spark, sf_dir, "embeddings")
+
+    return {
+        "q_dedup_near": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d)),
+        "q_simhash_near": lambda s, d: dedup.simhash_near_pairs(docs(s, d), max_hamming=8),
+        "q_vector_lsh": lambda s, d: similarity.lsh_topk(
+            similarity.perturbed_queries(emb(s, d), n_queries=40), emb(s, d), k=1
+        ),
+        "q_vector_pq": lambda s, d: similarity.pq_topk(
+            emb(s, d).filter(F.col("vec_id") < 20), emb(s, d), k=5, rerank=100
+        ),
+        "q_semdedup": lambda s, d: similarity.semdedup(emb(s, d), threshold=0.35, k=8),
+    }
 
 
 def main() -> int:
@@ -141,8 +179,9 @@ def main() -> int:
             stream_max_ms = durs[-1]
 
     timings: dict[str, float] = {}
+    ops = _bench_ops()
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+        fn = ops.get(name) or QUERIES[name]
         t = time.monotonic()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,62 @@
+"""End-to-end pretraining-corpus preparation (SURVEY.md §2.13): the
+composition a real training-data export runs — curation gate (quality
++ repetition + exact-dup membership), benchmark decontamination, then
+content-keyed shard assignment for the writer.
+
+Each stage is an already-oracle-checked operator; this module wires
+them so one call answers "give me the cleaned, decontaminated, sharded
+corpus". Plan shape: the gates produce doc-keyed id sets that
+LEFT SEMI-join the corpus (each semi-join prunes before the next
+stage), and the only corpus-wide shuffles are the ones the component
+operators already pay (doc-keyed aggregates; the export's final
+repartition-by-shard). Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cflux_spark.extensions import contamination, sampling, text
+
+
+def curate_corpus(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    contamination_n: int = 8,
+    **gate_kwargs,
+) -> DataFrame:
+    """The full export pipeline: keep documents that pass the curation
+    gate (:func:`text.curation_verdict` — too-short / repetitive /
+    low-LM-quality / exact-dup docs drop) AND share no
+    ``contamination_n``-gram with the benchmark corpus
+    (:func:`contamination.flag_contamination`), then attach the
+    deterministic training shard (:func:`sampling.assign_shards`).
+
+    Returns the kept corpus rows (all original columns) plus
+    ``shard``. ``gate_kwargs`` pass through to ``curation_verdict``
+    (min_tokens, min_uniq_frac, max_bigram_share, max_neg_logprob).
+
+    At 100 TB: the verdict and contamination stages are doc-keyed
+    aggregates over token/gram explosions (their scale shapes are each
+    documented on the component); the composition adds only two
+    doc_id-keyed LEFT SEMI joins — uniform keys, each pruning the
+    corpus before the next stage runs, and AQE broadcasts the id sets
+    when selectivity is high. Re-running the pipeline reproduces
+    byte-identical shard membership (every decision is content-keyed
+    or rule-based — no RNG, no partition-order dependence)."""
+    verdict = text.curation_verdict(docs, text_col=text_col, id_col=id_col, **gate_kwargs)
+    bench = contamination.benchmark_ngrams(
+        bench_docs, n=contamination_n, text_col=text_col, id_col=id_col
+    )
+    flags = contamination.flag_contamination(
+        docs, bench, n=contamination_n, text_col=text_col, id_col=id_col
+    )
+    kept = (
+        docs.join(verdict.filter(F.col("keep")).select(id_col), id_col, "left_semi")
+        .join(flags.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi")
+    )
+    return sampling.assign_shards(kept, n_shards, key_col=id_col)

@@ -2532,6 +2532,113 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_pipeline_export",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS b
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_bigram_share
+            FROM bc GROUP BY 1),
+    rep AS (
+      SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+             round(CAST(len(list_distinct(t.t)) AS DOUBLE) / greatest(len(t.t), 1), 4)
+               AS uniq_token_frac,
+             top.top_bigram_share
+      FROM toks t JOIN top USING (doc_id)
+    ),
+    ltoks AS (
+      SELECT doc_id, t.tok FROM documents,
+             unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM ltoks GROUP BY tok),
+    total AS (SELECT sum(n) AS t FROM counts),
+    lp AS (
+      SELECT ltoks.doc_id, round(-avg(ln(counts.n / total.t)), 4) AS avg_neg_logprob
+      FROM ltoks JOIN counts USING (tok) CROSS JOIN total GROUP BY 1
+    ),
+    dup AS (
+      SELECT d.doc_id, d.doc_id <> m.k AS is_dup
+      FROM documents d JOIN (SELECT text, min(doc_id) AS k FROM documents GROUP BY 1) m
+        USING (text)
+    ),
+    verdict AS (
+      SELECT t.doc_id,
+             CASE WHEN dup.is_dup THEN 'exact_dup'
+                  WHEN len(t.t) < 20 THEN 'too_short'
+                  WHEN coalesce(r.uniq_token_frac, 1.0) < 0.35 THEN 'repetitive_tokens'
+                  WHEN coalesce(r.top_bigram_share, 0.0) > 0.07 THEN 'repetitive_bigrams'
+                  WHEN coalesce(lp.avg_neg_logprob, 0.0) > 3.41 THEN 'low_quality_lm'
+                  ELSE 'ok' END AS reason
+      FROM toks t
+      LEFT JOIN rep r USING (doc_id)
+      LEFT JOIN lp USING (doc_id)
+      JOIN dup USING (doc_id)
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 8
+                         THEN list_transform(range(1, len(t) - 6),
+                                             i -> array_to_string(t[i:i+7], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS gram
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
+    hits AS (SELECT g.doc_id, count(*) AS n_hits
+             FROM grams g JOIN bench USING (gram) GROUP BY 1),
+    kept AS (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d
+      JOIN verdict v USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      WHERE v.reason = 'ok' AND coalesce(h.n_hits, 0) = 0
+    )
+    SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 8 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY 1
+    """,
+)
+def q_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship training-data user story in ONE query: curation
+    gate (quality/repetition/exact-dup rules) → benchmark
+    decontamination (8-gram overlap vs the every-37th-doc 'eval'
+    slice) → content-keyed shard assignment, reported as per-shard
+    document and character counts. Every stage reuses an
+    oracle-checked component, so the END-TO-END composition is itself
+    hash-checked against a single SQL twin — the oracle recomposes the
+    identical verdict, contamination, and md5-shard rules and must
+    agree on every shard's census."""
+    from cflux_spark.extensions import pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = pipeline.curate_corpus(
+        docs,
+        bench_docs=docs.filter(F.col("doc_id") % 37 == 0),
+        n_shards=8,
+        min_tokens=20,
+        min_uniq_frac=0.35,
+        max_bigram_share=0.07,
+        max_neg_logprob=3.41,
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@q(
     "q_resample_fill",
     """
     WITH agg AS (
@@ -2660,6 +2767,7 @@ _VERIFY_FIRST = [
     "q_embed_cluster",     # k-means topic binning, quality contract
     "q_sample_weighted",   # mixture sampling with epoch semantics
     "q_semdedup",          # SemDeDup: clustered semantic dedup, spec contract
+    "q_pipeline_export",   # flagship curate→decontaminate→shard composition
 ]
 
 _VERIFY_LAST = [

@@ -995,3 +995,24 @@ def test_semdedup_planted_duplicates(spark):
         assert {i for i in (100, 101, 102, 200) if out[i].keep} == set()
         assert len({out[i].cluster for i in (3, 100, 101, 102)}) == 1
         assert out[200].cluster == out[7].cluster
+
+
+def test_curate_corpus_composition(spark, docs):
+    """curate_corpus = curation gate ∩ not-contaminated, plus a
+    deterministic shard — verify set algebra against the components
+    run standalone, and that all original columns survive."""
+    from cflux_spark.extensions import contamination, pipeline, text as text_mod
+
+    bench_docs = docs.filter(F.col("doc_id") % 37 == 0)
+    out = pipeline.curate_corpus(docs, bench_docs, n_shards=4, min_tokens=20)
+    got = {r.doc_id: r for r in out.collect()}
+
+    verdict = {r.doc_id: r.keep for r in text_mod.curation_verdict(docs, min_tokens=20).collect()}
+    bg = contamination.benchmark_ngrams(bench_docs)
+    contaminated = {
+        r.doc_id for r in contamination.flag_contamination(docs, bg).collect() if r.contaminated
+    }
+    expect = {d for d, keep in verdict.items() if keep and d not in contaminated}
+    assert set(got) == expect
+    assert set(out.columns) == set(docs.columns) | {"shard"}
+    assert all(0 <= r.shard < 4 for r in got.values())
