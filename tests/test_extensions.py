@@ -1016,3 +1016,12 @@ def test_curate_corpus_composition(spark, docs):
     assert set(got) == expect
     assert set(out.columns) == set(docs.columns) | {"shard"}
     assert all(0 <= r.shard < 4 for r in got.values())
+
+
+def test_pq_train_guards_oversized_collect(emb):
+    """The driver-side trainer must fail loudly (routing to sampling /
+    distributed=True) rather than collect an unbounded corpus."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distributed=True"):
+        similarity.pq_train(emb, max_train_rows=10)

@@ -139,3 +139,23 @@ def test_contamination_corpus_side_broadcast_join(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semdedup_one_shuffle_keyed_by_cluster(spark):
+    """SemDeDup's executed plan must be: map-only normalize+assign →
+    exactly ONE Exchange (keyed by cluster) → grouped pandas dedup.
+    A second Exchange means the keep_vec pass-through regressed to a
+    corpus re-join; a key other than cluster breaks the bounded-
+    quadratic contract."""
+    from cflux_spark.extensions import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = similarity.semdedup(emb, threshold=0.35, k=4)
+    out.collect()
+    # AQE's toString appends the pre-adaptive "Initial Plan" — count
+    # Exchanges only in the final executed section
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 1, plan
+    assert "cluster#" in exchanges[0], exchanges[0]
+    assert "FlatMapGroupsInPandas" in plan, plan
