@@ -144,6 +144,38 @@ def ivf_topk(
     )
 
 
+def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Vectorized driver-side Lloyd's: distances via the GEMM identity
+    ‖a-b‖² = ‖a‖² + ‖b‖² - 2a·b (BLAS does the heavy term), empty
+    cells reseeded at the currently worst-served point. Deterministic
+    given (data, seed). The driver trains because k-means TRAINING
+    sets are sample-sized (~1e5 rows converge the centroids no matter
+    the corpus); the full-corpus pass is always the map-only
+    assignment, never the fit."""
+    if len(x) < k:
+        raise ValueError(f"k-means needs >= k={k} training vectors, got {len(x)}")
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), k, replace=False)].copy()
+    x2 = (x * x).sum(1)
+    for _ in range(max_iter):
+        d2 = x2[:, None] + (cents * cents).sum(1)[None, :] - 2.0 * (x @ cents.T)
+        lab = d2.argmin(1)
+        new = cents.copy()
+        reseeded = False
+        for j in range(k):
+            mask = lab == j
+            if mask.any():
+                new[j] = x[mask].mean(0)
+            else:
+                new[j] = x[d2.min(axis=1).argmax()]
+                reseeded = True
+        if not reseeded and np.allclose(new, cents):
+            cents = new
+            break
+        cents = new
+    return cents
+
+
 def kmeans_clusters(
     df: DataFrame,
     k: int = 8,
@@ -152,6 +184,8 @@ def kmeans_clusters(
     seed: int = 11,
     max_iter: int = 20,
     keep_vec: bool = False,
+    max_train_rows: int = 200_000,
+    distributed: bool = False,
 ) -> DataFrame:
     """Semantic clustering over an embedding column — the
     topic-binning / mixture-balancing primitive of a training-data
@@ -169,15 +203,36 @@ def kmeans_clusters(
     the two quality signals a contract can pin without collecting
     anything. ``keep_vec=True`` passes the vector column through the
     (map-only) assignment projection, so consumers that need vec +
-    cluster together (semdedup) avoid a full-corpus re-join."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    cluster together (semdedup) avoid a full-corpus re-join.
 
-    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
-    cents = np.array([np.asarray(c) for c in model.clusterCenters()])
-    sizes = np.array(model.summary.clusterSizes, dtype=np.float64)
-    gmean = (cents * sizes[:, None]).sum(axis=0) / sizes.sum()
+    Training follows the pq_train split: the default fits a guarded
+    driver-side Lloyd's (training sets are sample-sized by definition
+    — at 100 TB pass a ``hash_sample`` slice); ``distributed=True``
+    keeps the pyspark.ml fit for oversized training sets. Assignment
+    is the full-corpus map-only pass either way."""
+    if distributed:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = df.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
+        cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+        sizes = np.array(model.summary.clusterSizes, dtype=np.float64)
+        gmean = (cents * sizes[:, None]).sum(axis=0) / sizes.sum()
+    else:
+        rows = df.select(F.col(vec_col).cast("array<double>")).limit(max_train_rows + 1).collect()
+        if len(rows) > max_train_rows:
+            raise ValueError(
+                f"kmeans_clusters collects the training set to the driver and "
+                f"got > {max_train_rows} rows; centroids converge on ~1e5 "
+                "vectors — pass a hash_sample/sample slice for training, raise "
+                "max_train_rows, or use distributed=True for a pyspark.ml fit."
+            )
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        cents = _lloyd_kmeans(x, k, seed, max_iter)
+        gmean = x.mean(axis=0)
 
     @pandas_udf("struct<cluster:long,d2:double,d2_global:double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
@@ -554,24 +609,10 @@ def pq_train(
             "distributed=True for a pyspark.ml fit."
         )
     v = np.asarray([r[0] for r in rows], dtype=np.float64)
-    if len(v) < ksub:
-        raise ValueError(f"pq_train needs >= ksub={ksub} training vectors, got {len(v)}")
-    rng = np.random.default_rng(seed)
-    books = []
-    for s in range(m):
-        x = v[:, s * dsub : (s + 1) * dsub]
-        cents = x[rng.choice(len(x), ksub, replace=False)]
-        for _ in range(max_iter):
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            lab = d2.argmin(1)
-            new = np.stack(
-                [x[lab == j].mean(0) if (lab == j).any() else cents[j] for j in range(ksub)]
-            )
-            done = np.allclose(new, cents)
-            cents = new
-            if done:
-                break
-        books.append(cents)
+    books = [
+        _lloyd_kmeans(v[:, s * dsub : (s + 1) * dsub], ksub, seed + s, max_iter)
+        for s in range(m)
+    ]
     return np.stack(books)
 
 
