@@ -94,17 +94,13 @@ def ivf_topk(
     corpus into `nlist` cells; each query probes its `nprobe` nearest
     cells and re-ranks exactly within them.
 
-    Training uses pyspark.ml KMeans (distributed, seeded); per-row cell
-    assignment is one numpy argmin per Arrow batch against the
-    broadcast centroid matrix. Scan fraction ≈ nprobe/nlist — the IVF
-    alternative to the hyperplane-LSH path, better when the corpus has
-    cluster structure (cells adapt to the data; hyperplanes don't)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = candidates.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
-    cents = np.array([np.asarray(c) for c in model.clusterCenters()])  # nlist × dim
+    Training is the guarded driver-side Lloyd's fit (_train_cells —
+    cell training sets are samples); per-row cell assignment is one
+    numpy argmin per Arrow batch against the broadcast centroid
+    matrix. Scan fraction ≈ nprobe/nlist — the IVF alternative to the
+    hyperplane-LSH path, better when the corpus has cluster structure
+    (cells adapt to the data; hyperplanes don't)."""
+    cents = _train_cells(candidates, nlist, vec_col, seed)  # nlist × dim
 
     @pandas_udf("long")
     def cell_of(vecs: pd.Series) -> pd.Series:
@@ -174,6 +170,33 @@ def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray
             break
         cents = new
     return cents
+
+
+def _train_cells(
+    candidates: DataFrame,
+    nlist: int,
+    vec_col: str,
+    seed: int,
+    max_train_rows: int = 200_000,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Coarse-quantizer centroids for the IVF tiers: guarded collect +
+    driver-side Lloyd's (see _lloyd_kmeans). IVF cell training is
+    sample-sized like every k-means fit here — at 100 TB pass a
+    hash_sample slice; the full corpus only ever sees the map-only
+    cell assignment."""
+    rows = (
+        candidates.select(F.col(vec_col).cast("array<double>"))
+        .limit(max_train_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_train_rows:
+        raise ValueError(
+            f"IVF cell training collects the candidate sample to the driver "
+            f"and got > {max_train_rows} rows; cells converge on ~1e5 vectors "
+            "— train on a hash_sample/sample slice or raise max_train_rows."
+        )
+    return _lloyd_kmeans(np.asarray([r[0] for r in rows], dtype=np.float64), nlist, seed, max_iter)
 
 
 def kmeans_clusters(
@@ -782,16 +805,11 @@ def ivfpq_topk(
     query batch, zero float vectors read until refine.
 
     Output: (query_id, neighbor_id, sim, rank) — sim is true cosine."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     books = pq_train(candidates, m, ksub, vec_col, seed)
     dsub = books.shape[2]
 
     # coarse quantizer on the full vectors (ivf_topk's machinery)
-    train = candidates.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    coarse = KMeans(k=nlist, seed=seed + 101, maxIter=20).fit(train)
-    cents = np.array([np.asarray(c) for c in coarse.clusterCenters()])
+    cents = _train_cells(candidates, nlist, vec_col, seed + 101)
 
     @pandas_udf("long")
     def cell_of(vecs: pd.Series) -> pd.Series:
@@ -901,14 +919,7 @@ class IVFIndex:
     # -------------------------------------------------------------- build
 
     def build(self, candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        train = candidates.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        model = KMeans(k=self.nlist, seed=self.seed, maxIter=20).fit(train)
-        cents = np.array([np.asarray(c) for c in model.clusterCenters()])
+        cents = _train_cells(candidates, self.nlist, vec_col, self.seed)
 
         @pandas_udf("long")
         def cell_of(vecs: pd.Series) -> pd.Series:
