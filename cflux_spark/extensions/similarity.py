@@ -273,6 +273,41 @@ def kmeans_clusters(
     )
 
 
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 31,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: y = x·R/√out_dim with
+    a deterministic seeded Gaussian R (in_dim × out_dim) — the
+    dimensionality-reduction pass a vector pipeline runs before ANN
+    indexing when embeddings are wide (4096-dim encoder outputs →
+    ~128 dims cuts every downstream distance computation and index
+    size proportionally, while the JL lemma bounds pairwise-distance
+    distortion).
+
+    Map-only: one numpy GEMM per Arrow batch against the closure-held
+    R (KBs); no shuffle, linear in the corpus — the same
+    train-nothing/apply-everywhere shape as pq_encode. R depends only
+    on (in_dim, out_dim, seed), so retries, repartitioning, and
+    separate runs produce bit-identical projections.
+
+    Output: (id, projected array<double>)."""
+    first = df.select(vec_col).first()
+    in_dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    @pandas_udf("array<double>")
+    def proj(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(list(v @ R))
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("projected"))
+
+
 def semdedup(
     df: DataFrame,
     threshold: float = 0.35,

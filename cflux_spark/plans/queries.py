@@ -1651,6 +1651,66 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_project_embeddings",
+    """
+    SELECT count(*) AS n_vecs, 32 AS out_dim,
+           TRUE AS mean_ratio_ok, TRUE AS range_ok
+    FROM embeddings
+    """,
+)
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 → 32 dims) with its
+    distance-preservation contract as the oracle value: over the
+    consecutive-id probe pairs, the mean projected/original distance
+    ratio must sit in [0.95, 1.05] and every ratio in [0.45, 1.8]
+    (measured mean 1.011, range 0.60–1.48 at sf0.001–0.1; a
+    broken R, scaling, or GEMM pushes the mean off 1). The projection
+    itself is map-only and deterministic — R depends only on
+    (in_dim, out_dim, seed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = similarity.project_embeddings(emb, out_dim=32)
+    j = emb.select("vec_id", "embedding").join(proj, "vec_id")
+    a = j.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("xa"),
+        F.col("projected").alias("ya"),
+    )
+    b = j.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("xb"),
+        F.col("projected").alias("yb"),
+    )
+    dx = F.sqrt(
+        F.aggregate(
+            F.zip_with("xa", "xb", lambda p, q: (p.cast("double") - q.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dy = F.sqrt(
+        F.aggregate(
+            F.zip_with("ya", "yb", lambda p, q: (p - q) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        a.join(b, "vec_id")
+        .select((dy / F.greatest(dx, F.lit(1e-30))).alias("ratio"))
+    )
+    stats = pairs.agg(
+        F.avg("ratio").alias("_mean"), F.min("ratio").alias("_min"), F.max("ratio").alias("_max")
+    )
+    n = emb.agg(F.count("*").alias("n_vecs"))
+    return n.crossJoin(stats).select(
+        "n_vecs",
+        F.lit(32).cast("int").alias("out_dim"),
+        ((F.col("_mean") >= 0.95) & (F.col("_mean") <= 1.05)).alias("mean_ratio_ok"),
+        ((F.col("_min") >= 0.45) & (F.col("_max") <= 1.8)).alias("range_ok"),
+    )
+
+
+@q(
     "q_text_tokens",
     r"""
     WITH t AS (
@@ -2768,6 +2828,7 @@ _VERIFY_FIRST = [
     "q_sample_weighted",   # mixture sampling with epoch semantics
     "q_semdedup",          # SemDeDup: clustered semantic dedup, spec contract
     "q_pipeline_export",   # flagship curate→decontaminate→shard composition
+    "q_project_embeddings",  # JL projection, distance-preservation contract
 ]
 
 _VERIFY_LAST = [

@@ -1025,3 +1025,18 @@ def test_pq_train_guards_oversized_collect(emb):
 
     with _pytest.raises(ValueError, match="distributed=True"):
         similarity.pq_train(emb, max_train_rows=10)
+
+
+def test_project_embeddings_deterministic_and_jl(emb):
+    """The projection must be bit-identical across calls (seeded R)
+    and match the numpy reference exactly; distances contract to
+    out_dim/in_dim scale with mean ratio ~1 (JL)."""
+    out = similarity.project_embeddings(emb, out_dim=32)
+    got = {r.vec_id: np.array(r.projected) for r in out.collect()}
+    again = {r.vec_id: np.array(r.projected) for r in similarity.project_embeddings(emb, out_dim=32).collect()}
+    assert all(np.array_equal(got[i], again[i]) for i in got)
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    R = np.random.default_rng(31).standard_normal((64, 32)) / np.sqrt(32)
+    for i in list(got)[:20]:
+        assert np.allclose(got[i], raw[i] @ R, atol=1e-9)
+    assert all(len(v) == 32 for v in got.values())
