@@ -2777,8 +2777,14 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 33 entries whose last driver record is r2 rotate IN — their data was
 # regenerated at r3 start, so their external hard signal was stale
 # (VERDICT r3 "Next round #1"). Entries whose implementation changed
-# this round join them. 14 family anchors stay in-window so every
-# operator family keeps a fresh driver row each round.
+# this round join them (late round 4 grew that set to 12: the three
+# contract conversions, the trainer-touched ANN/cluster contracts,
+# and the new q_dup_spans/q_frequent_ngrams/q_embed_cluster/
+# q_sample_weighted/q_semdedup/q_pipeline_export/
+# q_project_embeddings), leaving 5 family anchors in positions 46-50
+# (q_minute_avg, q_time_absolute, q_tag_filter, q_series_join,
+# q_agg_suite); the other anchors sit just past the window this round
+# and stay CI-verified by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
     # last driver-verified in r2, before the r3 testdata regeneration:
