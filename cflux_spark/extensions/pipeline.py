@@ -27,6 +27,11 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     contamination_n: int = 8,
+    embeddings: DataFrame | None = None,
+    sem_threshold: float = 0.35,
+    sem_k: int = 8,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
     **gate_kwargs,
 ) -> DataFrame:
     """The full export pipeline: keep documents that pass the curation
@@ -39,6 +44,15 @@ def curate_corpus(
     Returns the kept corpus rows (all original columns) plus
     ``shard``. ``gate_kwargs`` pass through to ``curation_verdict``
     (min_tokens, min_uniq_frac, max_bigram_share, max_neg_logprob).
+
+    ``embeddings`` (optional) adds the SemDeDup semantic-dedup gate:
+    rows whose embedding (joined ``emb_id_col`` = ``id_col``) is a
+    within-cluster near-duplicate of a smaller-id kept representative
+    are dropped via :func:`similarity.semdedup` — the clustered path
+    whose quadratic term is bounded by cluster size. This gate is
+    rule-but-not-engine-deterministic (k-means assignments aren't
+    bit-stable across engines), so q_pipeline_export's exact SQL twin
+    runs WITHOUT it; its own spec contract lives in q_semdedup.
 
     At 100 TB: the verdict and contamination stages are doc-keyed
     aggregates over token/gram explosions (their scale shapes are each
@@ -59,4 +73,15 @@ def curate_corpus(
         docs.join(verdict.filter(F.col("keep")).select(id_col), id_col, "left_semi")
         .join(flags.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi")
     )
+    if embeddings is not None:
+        from cflux_spark.extensions import similarity
+
+        sem = similarity.semdedup(
+            embeddings, threshold=sem_threshold, k=sem_k,
+            id_col=emb_id_col, vec_col=emb_vec_col,
+        )
+        sem_dropped = sem.filter(~F.col("keep")).select(
+            F.col(emb_id_col).alias(id_col)
+        )
+        kept = kept.join(sem_dropped, id_col, "left_anti")
     return sampling.assign_shards(kept, n_shards, key_col=id_col)

@@ -1040,3 +1040,21 @@ def test_project_embeddings_deterministic_and_jl(emb):
     for i in list(got)[:20]:
         assert np.allclose(got[i], raw[i] @ R, atol=1e-9)
     assert all(len(v) == 32 for v in got.values())
+
+
+def test_curate_corpus_semantic_gate(spark, docs, emb):
+    """With embeddings supplied, curate_corpus additionally drops the
+    SemDeDup-dropped ids — set algebra against the standalone gates."""
+    from cflux_spark.extensions import pipeline
+
+    bench_docs = docs.filter(F.col("doc_id") % 37 == 0)
+    base = {r.doc_id for r in pipeline.curate_corpus(docs, bench_docs, min_tokens=20).collect()}
+    out = {
+        r.doc_id
+        for r in pipeline.curate_corpus(docs, bench_docs, min_tokens=20, embeddings=emb).collect()
+    }
+    sem_dropped = {
+        r.vec_id for r in similarity.semdedup(emb, threshold=0.35, k=8).collect() if not r.keep
+    }
+    assert out == base - sem_dropped
+    assert out != base  # the gate actually bites on this corpus
