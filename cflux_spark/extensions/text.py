@@ -230,6 +230,58 @@ def frequent_ngrams(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunker a
+    pretraining/RAG pipeline runs before embedding or packing: chunk i
+    covers whitespace tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens - overlap; the final window is the shorter
+    tail. Empty documents produce zero chunks.
+
+    Pure higher-order functions end to end: tokens materialize once
+    per row, the chunk index range comes from ``sequence``, each
+    chunk re-joins its token slice — codegen'd, zero shuffle, linear
+    in corpus tokens, so at 100 TB this is a map-only pass exactly
+    like the scan that feeds it. Deterministic: chunk boundaries are
+    arithmetic on token positions, never content- or partition-
+    dependent.
+
+    Output: (id, chunk_id, n_tokens, chunk)."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    # materialize the token array before the lambdas (no-CSE rule)
+    with_toks = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        F.floor((F.greatest(F.col("_n") - max_tokens, F.lit(0)) + stride - 1) / stride) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.slice(F.col("_toks"), i * stride + 1, max_tokens).alias("_ct"),
+        ),
+    )
+    return (
+        with_toks.filter(F.col("_n") > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("_c"))
+        .select(
+            id_col,
+            F.col("_c.chunk_id").cast("int").alias("chunk_id"),
+            F.size("_c._ct").alias("n_tokens"),
+            F.array_join("_c._ct", " ").alias("chunk"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 content hash (portable across engines)
     + xxhash64 rolling hash for in-engine use."""

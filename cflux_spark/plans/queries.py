@@ -1752,6 +1752,39 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_chunk_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    nn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    c AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT) + 1))
+               AS chunk_id
+      FROM nn
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           len(t[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS n_tokens,
+           array_to_string(t[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token
+    overlap → stride 24; sized so the driver corpus of 10-100-token
+    docs genuinely splits — median doc yields 2-3 chunks) — the
+    splitter a pretraining/RAG pipeline runs before embedding or
+    packing. Pure HOFs (zero shuffle); the oracle recomputes identical
+    window arithmetic over the same whitespace tokens, so boundaries,
+    tail handling, and chunk text are hash-checked exactly."""
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=32, overlap=8
+    )
+
+
+@q(
     "q_quality_score",
     r"""
     SELECT doc_id,
@@ -2835,6 +2868,7 @@ _VERIFY_FIRST = [
     "q_semdedup",          # SemDeDup: clustered semantic dedup, spec contract
     "q_pipeline_export",   # flagship curate→decontaminate→shard composition
     "q_project_embeddings",  # JL projection, distance-preservation contract
+    "q_chunk_documents",   # overlapping token-window chunking, exact oracle
 ]
 
 _VERIFY_LAST = [

@@ -1058,3 +1058,26 @@ def test_curate_corpus_semantic_gate(spark, docs, emb):
     }
     assert out == base - sem_dropped
     assert out != base  # the gate actually bites on this corpus
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries, overlap, tail handling, and reconstruction
+    against a hand-computed fixture; empty docs yield no chunks."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),   # 10 toks -> 3 chunks @ max4/stride3
+            (2, "a b"),                                   # short -> 1 chunk
+            (3, ""),                                      # empty -> none
+            (4, " ".join(f"x{i}" for i in range(4))),     # exactly max -> 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.chunk_documents(docs, max_tokens=4, overlap=1)
+    rows = sorted(((r.doc_id, r.chunk_id, r.n_tokens, r.chunk) for r in out.collect()))
+    assert [r for r in rows if r[0] == 3] == []
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(c, n) for _, c, n, _ in d1] == [(0, 4), (1, 4), (2, 4)]
+    assert d1[0][3] == "t0 t1 t2 t3" and d1[1][3] == "t3 t4 t5 t6" and d1[2][3] == "t6 t7 t8 t9"
+    assert [r[1:] for r in rows if r[0] == 2] == [(0, 2, "a b")]
+    d4 = [r for r in rows if r[0] == 4]
+    assert [(c, n) for _, c, n, _ in d4] == [(0, 4)]
