@@ -418,3 +418,42 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def edit_similarity_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Edit-distance verification tier for near-duplicate CANDIDATE
+    pairs: normalized Levenshtein similarity
+    ``1 - lev(a, b) / max(len(a), len(b))`` per pair — the
+    character-level confirmation a fuzzy-dedup pipeline runs behind a
+    banded candidate generator (MinHash/SimHash buckets propose,
+    Levenshtein confirms).
+
+    Spark's built-in ``levenshtein`` runs JVM-side in codegen — no
+    Python. Cost is O(len_a × len_b) PER PAIR, which is exactly why
+    this is the verifier tier: `pairs` is candidate-sized (LSH-bucket
+    output), never corpus². The two doc-id joins re-attach text; at
+    scale AQE broadcasts the candidate side. Rounding uses the
+    engine-portable floor(x·10^r + 0.5)/10^r so both engines hash
+    identically.
+
+    Output: (id_a, id_b, edit_sim)."""
+    scale = float(10 ** round_to)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    sim = 1 - F.levenshtein("_ta", "_tb") / F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(sim * scale + F.lit(0.5)) / scale).alias("edit_sim"),
+        )
+    )

@@ -397,3 +397,25 @@ def curation_verdict(
     return j.select(
         F.col(id_col), (reason == "ok").alias("keep"), reason.alias("reason")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "normalized",
+    lower: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the first pass before hashing,
+    fingerprinting, or dedup so that byte-level noise (control
+    characters, whitespace runs, case) doesn't defeat exact matching:
+    strips C0/DEL control characters, collapses all whitespace runs to
+    single spaces, trims, and (by default) lowercases.
+
+    Entirely codegen'd regexp_replace/trim/lower — zero shuffle,
+    map-only at any scale, engine-portable (the SQL twin applies the
+    identical regex chain)."""
+    c = F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    if lower:
+        c = F.lower(c)
+    return df.withColumn(out_col, c)

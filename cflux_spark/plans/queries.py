@@ -1085,6 +1085,78 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_dedup_edit",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    )
+    SELECT p.id_a, p.id_b,
+           floor((1 - levenshtein(da.text, db.text) * 1.0
+                      / greatest(length(da.text), length(db.text))) * 10000 + 0.5)
+             / 10000 AS edit_sim
+    FROM p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    """,
+)
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: normalized Levenshtein
+    similarity for every shingle-Jaccard ≥ 0.2 candidate pair — the
+    fuzzy-dedup confirmation tier (buckets propose, edit distance
+    confirms). Both engines compute the identical integer edit
+    distance and the portable floor-rounding, so the pair set AND the
+    similarity values hash-match exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    return dedup.edit_similarity_pairs(docs, cand)
+
+
+@q(
+    "q_normalize_text",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g'))) AS normalized
+      FROM documents
+    )
+    SELECT doc_id, normalized, length(normalized) AS n_chars_norm FROM n
+    """,
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (strip control chars, collapse
+    whitespace, trim, lowercase) — the pass that runs before hashing
+    or dedup so byte-level noise can't defeat exact matching. Codegen
+    regexp chain, zero shuffle; the oracle applies the identical
+    chain, hash-checking every normalized string."""
+    out = text.normalize_text(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "normalized", F.length("normalized").alias("n_chars_norm")
+    )
+
+
+@q(
     "q_dedup_clusters",
     r"""
     WITH RECURSIVE t AS (
@@ -2869,6 +2941,8 @@ _VERIFY_FIRST = [
     "q_pipeline_export",   # flagship curate→decontaminate→shard composition
     "q_project_embeddings",  # JL projection, distance-preservation contract
     "q_chunk_documents",   # overlapping token-window chunking, exact oracle
+    "q_dedup_edit",        # Levenshtein verification tier, exact oracle
+    "q_normalize_text",    # canonical normalization chain, exact oracle
 ]
 
 _VERIFY_LAST = [

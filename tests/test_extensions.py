@@ -1081,3 +1081,26 @@ def test_chunk_documents_windows(spark):
     assert [r[1:] for r in rows if r[0] == 2] == [(0, 2, "a b")]
     d4 = [r for r in rows if r[0] == 4]
     assert [(c, n) for _, c, n, _ in d4] == [(0, 4)]
+
+
+def test_edit_similarity_pairs_known_values(spark):
+    """Levenshtein sim against hand-computed distances."""
+    docs = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitting"), (3, "kitten")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    out = {(r.id_a, r.id_b): r.edit_sim for r in dedup.edit_similarity_pairs(docs, pairs).collect()}
+    assert out[(1, 3)] == 1.0                       # identical
+    assert out[(1, 2)] == round(1 - 3 / 7, 4)       # classic distance 3, len 7
+
+
+def test_normalize_text_chain(spark):
+    """Control chars stripped, whitespace collapsed, trimmed, lowered."""
+    docs = spark.createDataFrame(
+        [(1, "  Hello\x00\tWorld \x1f  FOO\n\nbar  "), (2, "plain")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.normalized for r in text.normalize_text(docs).collect()}
+    assert out[1] == "hello world foo bar"
+    assert out[2] == "plain"
+    keep_case = {r.doc_id: r.normalized for r in text.normalize_text(docs, lower=False).collect()}
+    assert keep_case[1] == "Hello World FOO bar"
