@@ -2886,10 +2886,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract conversions, the trainer-touched ANN/cluster contracts,
 # and the new q_dup_spans/q_frequent_ngrams/q_embed_cluster/
 # q_sample_weighted/q_semdedup/q_pipeline_export/
-# q_project_embeddings/q_chunk_documents), leaving 4 family anchors
-# in positions 47-50 (q_minute_avg, q_time_absolute, q_tag_filter,
-# q_series_join); the other anchors sit just past the window this
-# round and stay CI-verified by tests/test_oracle_parity.py.
+# q_project_embeddings/q_chunk_documents/q_dedup_edit/
+# q_normalize_text), leaving 2 family anchors in positions 49-50
+# (q_minute_avg, q_time_absolute); the other anchors sit just past
+# the window this round and stay CI-verified by
+# tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
     # last driver-verified in r2, before the r3 testdata regeneration:
