@@ -1025,6 +1025,189 @@ class IVFIndex:
         )
 
 
+class IVFPQIndex:
+    """Persisted IVF-PQ index: build once, search many times — the
+    production counterpart of :func:`ivfpq_topk`, which retrains and
+    re-encodes the whole corpus on every call. Artifacts:
+
+    - ``<path>/centroids``: (cell, center) — KBs.
+    - ``<path>/codebooks``: (sub, code, center) — KBs.
+    - ``<path>/codes``: (neighbor_id, pq_code, cell), parquet
+      PARTITIONED BY cell — the big artifact, at m bytes/vector
+      (32× smaller than float32 at m=8/dim=64); a probe reads only
+      ~nprobe/nlist of it via static partition pruning.
+
+    The index deliberately does NOT store the float vectors — the 32×
+    shrink is the point. Exact cosine refine therefore takes the
+    vector table via ``refine_with=`` at query time (the usual
+    deployment keeps vectors in their own store and the index tiny);
+    without it, results are ADC-ordered with ``approx_d2``.
+    """
+
+    def __init__(self, spark, path: str, nlist: int = 16, m: int = 8, ksub: int = 16, seed: int = 7):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.nlist = nlist
+        self.m = m
+        self.ksub = ksub
+        self.seed = seed
+        self._cents: np.ndarray | None = None
+        self._books: np.ndarray | None = None
+
+    # -------------------------------------------------------------- build
+
+    def build(self, candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFPQIndex":
+        books = pq_train(candidates, self.m, self.ksub, vec_col, self.seed)
+        cents = _train_cells(candidates, self.nlist, vec_col, self.seed + 101)
+
+        @pandas_udf("long")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1))
+
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "cell long, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/centroids")
+        self.spark.createDataFrame(
+            [
+                (s, c, [float(x) for x in books[s][c]])
+                for s in range(self.m)
+                for c in range(self.ksub)
+            ],
+            "sub long, code long, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/codebooks")
+        (
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"), cell_of(F.col(vec_col)).alias("cell")
+            )
+            .join(
+                pq_encode(candidates, books, vec_col, id_col).withColumnRenamed(
+                    id_col, "neighbor_id"
+                ),
+                "neighbor_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/codes")
+        )
+        self._cents, self._books = cents, books
+        return self
+
+    def _load(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._cents is None:
+            rows = self.spark.read.parquet(f"{self.path}/centroids").orderBy("cell").collect()
+            self._cents = np.array([np.asarray(r.center) for r in rows])
+        if self._books is None:
+            rows = self.spark.read.parquet(f"{self.path}/codebooks").orderBy("sub", "code").collect()
+            dsub = len(rows[0].center)
+            self._books = np.array([np.asarray(r.center) for r in rows]).reshape(
+                self.m, self.ksub, dsub
+            )
+        return self._cents, self._books
+
+    # -------------------------------------------------------------- query
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        rerank: int = 100,
+        refine_with: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_queries: int = 10_000,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ADC search against the stored codes: probed cells become a
+        static partition filter on the codes scan (the probe set falls
+        out of the query collect the ADC tables need anyway — no extra
+        job). With ``refine_with`` (the float-vector table), the
+        shortlist gets the exact cosine re-rank and the output matches
+        :func:`ivfpq_topk`'s contract; without it, rows carry
+        ``approx_d2`` in ADC order."""
+        cents, books = self._load()
+        m, ksub, dsub = books.shape
+
+        qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+        if len(qrows) > max_queries:
+            raise ValueError(
+                f"IVFPQIndex.topk: query side exceeds max_queries={max_queries}; "
+                "batch the queries or raise the guard"
+            )
+        qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        qv = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+        probe = np.argsort(((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)[:, :nprobe]
+        qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
+        qsub = qn.reshape(len(qrows), m, dsub)
+        tables = np.stack(
+            [((qsub[:, s, :, None] - books[s].T[None, :, :]) ** 2).sum(1) for s in range(m)],
+            axis=1,
+        )
+        qpos = {int(q): i for i, q in enumerate(qids)}
+
+        probed = sorted({int(c) for row in probe for c in row})
+        codes = self.spark.read.parquet(f"{self.path}/codes").filter(F.col("cell").isin(probed))
+        probes_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(int(qids[i]), int(c)) for i in range(len(qids)) for c in probe[i]],
+                "query_id long, cell long",
+            )
+        )
+        pruned = codes.join(probes_df, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+
+        def search(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                qi = np.array([qpos[q] for q in pdf["query_id"]], dtype=np.int64)
+                c = np.asarray(pdf["pq_code"].tolist(), dtype=np.int64)
+                d = np.zeros(len(pdf))
+                for s in range(m):
+                    d += tables[qi, s, c[:, s]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "approx_d2": np.round(d, 8),
+                    }
+                )
+
+        scored = pruned.mapInPandas(search, "query_id long, neighbor_id long, approx_d2 double")
+        wd = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+        short = scored.withColumn("rank", F.row_number().over(wd)).filter(
+            F.col("rank") <= max(k, rerank)
+        )
+        if refine_with is None:
+            return short.filter(F.col("rank") <= max(k, rerank)).select(
+                "query_id", "neighbor_id", "approx_d2", "rank"
+            )
+        qvdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
+        cvdf = refine_with.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("_cn"),
+        )
+        refined = (
+            short.select("query_id", "neighbor_id")
+            .join(F.broadcast(qvdf), "query_id")
+            .join(cvdf, "neighbor_id")
+            .withColumn("sim", _paired_sim(round_to))
+        )
+        wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+        return (
+            refined.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

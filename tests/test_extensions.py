@@ -1104,3 +1104,37 @@ def test_normalize_text_chain(spark):
     assert out[2] == "plain"
     keep_case = {r.doc_id: r.normalized for r in text.normalize_text(docs, lower=False).collect()}
     assert keep_case[1] == "Hello World FOO bar"
+
+
+def test_ivfpq_index_matches_inline(spark, emb, tmp_path):
+    """Build-once/search-many must equal the inline ivfpq_topk — same
+    trainer and seeds produce identical centroids, codebooks, and
+    codes, so the refined top-k is set-identical."""
+    idx = similarity.IVFPQIndex(spark, str(tmp_path / "pqidx")).build(emb)
+    q = emb.filter(F.col("vec_id") < 10)
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivfpq_topk(q, emb, k=5, nprobe=8).collect()
+    }
+    stored = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.topk(q, k=5, nprobe=8, refine_with=emb).collect()
+    }
+    assert stored == inline
+
+
+def test_ivfpq_index_reload_and_adc_only(spark, emb, tmp_path):
+    """A fresh object reloads centroids+codebooks from parquet; without
+    refine_with the result is ADC-ordered approx distances."""
+    path = str(tmp_path / "pqidx2")
+    similarity.IVFPQIndex(spark, path).build(emb)
+    fresh = similarity.IVFPQIndex(spark, path)
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = fresh.topk(q, k=5, rerank=5).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.approx_d2))
+    for hits in by_q.values():
+        hits.sort()
+        assert [d for _, d in hits] == sorted(d for _, d in hits)
