@@ -1523,6 +1523,24 @@ class InfluxQLEngine:
         if facts is None:
             return []
 
+        if any(s.name == "*" for s in stmt.fields):
+            # SELECT * / agg(*): expand the wildcard to the field keys
+            # actually present in the prepared (measurement+time
+            # filtered) facts — metadata-sized collect, same cardinality
+            # SHOW FIELD KEYS returns. Without this the bare '*' would
+            # match no field and silently return empty (SURVEY §7:
+            # never silently-empty).
+            fks = sorted(r.field for r in facts.select("field").distinct().collect())
+            expanded: list[FieldSpec] = []
+            for s in stmt.fields:
+                if s.name == "*":
+                    expanded.extend(
+                        FieldSpec(s.agg, fk, s.agg_arg, s.tx, s.tx_arg) for fk in fks
+                    )
+                else:
+                    expanded.append(s)
+            stmt.fields = expanded
+
         series: list[dict] = []
         for spec in stmt.fields:
             fn, fieldname = spec.agg, spec.name

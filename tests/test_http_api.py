@@ -294,3 +294,41 @@ def test_write_bad_precision_rejected(server):
         raise AssertionError("expected HTTP 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_module_entrypoint_boots_and_pings(spark, tmp_path_factory):
+    """python -m cflux_spark boots the same edge: main() with
+    run_forever=False returns a bound server; /ping answers 204 and a
+    write/query roundtrip works through the module path."""
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from cflux_spark.__main__ import main
+
+    root = str(tmp_path_factory.mktemp("cliroot"))
+    server, app, port = main(["--root", root, "--port", "0"], run_forever=False)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/ping")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        body = b"cpu,host=cli value=1.5 1704067200000000000"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/write?db=clidb", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 204
+        q = urllib.parse.quote("SELECT * FROM cpu")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/query?db=clidb&q={q}"
+        ) as resp:
+            import json as _json
+
+            payload = _json.loads(resp.read())
+            series = payload["results"][0]["series"]
+            assert series and series[0]["name"] == "cpu"
+    finally:
+        server.shutdown()
+        server.server_close()

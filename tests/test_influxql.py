@@ -1260,3 +1260,25 @@ def test_drop_series_by_tag(spark, tmp_path):
     assert _values(left) == [[1704067200000, 0.7]]
     tags = eng.execute('SHOW TAG VALUES FROM cpu WITH KEY = "host"', db="sdb")
     assert sorted(v[1] for v in _values(tags)) == ["b"]
+
+
+def test_select_star_expands_to_field_keys(engine):
+    """SELECT * must expand to the measurement's field keys (sys, user
+    for cpu) instead of silently matching a field named '*'."""
+    res = engine.execute("SELECT * FROM cpu", db="mydb")
+    series = res["results"][0]["series"]
+    cols = {s["columns"][1] for s in series}
+    assert cols == {"sys", "user"}
+    user_vals = [v for s in series if s["columns"][1] == "user" for v in s["values"]]
+    assert len(user_vals) == 4  # all four cpu user points
+
+
+def test_select_agg_star(engine):
+    """mean(*) aggregates every field key."""
+    res = engine.execute(
+        "SELECT mean(*) FROM cpu WHERE time >= 1704067200000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"]
+    cols = {s["columns"][1] for s in series}
+    assert cols == {"mean_sys", "mean_user"}
