@@ -417,6 +417,11 @@ def parse_select(q: str) -> SelectStmt:
                 # grammar; a bare pass-through would silently match no
                 # field and return empty (SURVEY §7: reject loudly)
                 raise InfluxQLError(f"::field/::tag casts are not supported: {raw!r}")
+            if not re.fullmatch(r"\*|\w+|\"[^\"]+\"|'[^']+'", raw):
+                # anything else (field arithmetic like max(v) - min(v),
+                # stray operators) would silently become a literal
+                # "field" that matches nothing — reject loudly instead
+                raise InfluxQLError(f"unsupported SELECT expression {raw!r}")
             fields.append(FieldSpec(None, _unquote(raw)))
 
     raw_from = m.group("from")
@@ -531,7 +536,21 @@ def parse_select(q: str) -> SelectStmt:
             continue
         gm = re.fullmatch(r"([\w\"']+)\s*(=~|!~|!=|=)\s*(.+)", cond)
         if gm:
-            stmt.tag_filters.append((_unquote(gm.group(1)), gm.group(2), _unquote(gm.group(3))))
+            key, op, rhs = _unquote(gm.group(1)), gm.group(2), gm.group(3).strip()
+            if op in ("=~", "!~"):
+                # InfluxQL's regex RHS is /slash-delimited/ (unanchored,
+                # like rlike); the engine also keeps its original quoted
+                # form ('e.*'). Passing slashes through to rlike would
+                # silently match nothing; a bare RHS is rejected.
+                if len(rhs) >= 2 and rhs.startswith("/") and rhs.endswith("/"):
+                    val = rhs[1:-1]
+                elif len(rhs) >= 2 and rhs[0] == rhs[-1] and rhs[0] in "'\"":
+                    val = _unquote(rhs)
+                else:
+                    raise InfluxQLError(f"{op} requires a /regex/ or quoted RHS: {cond!r}")
+            else:
+                val = _unquote(rhs)
+            stmt.tag_filters.append((key, op, val))
             continue
         raise InfluxQLError(f"unsupported WHERE condition {cond!r}")
 

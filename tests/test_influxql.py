@@ -1282,3 +1282,24 @@ def test_select_agg_star(engine):
     series = res["results"][0]["series"]
     cols = {s["columns"][1] for s in series}
     assert cols == {"mean_sys", "mean_user"}
+
+
+def test_where_tag_regex_matchers(engine):
+    """WHERE tag =~ /re/ (InfluxDB's slash form) must strip the
+    delimiters and match unanchored (region 'eu' =~ /e.*/); !~
+    excludes; a bare unquoted RHS for =~ is rejected loudly."""
+    res = engine.execute("SELECT user FROM cpu WHERE region =~ /e.*/", db="mydb")
+    vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+    assert len(vals) == 3  # the three host=a region=eu user points
+    res2 = engine.execute("SELECT user FROM cpu WHERE region !~ /e.*/", db="mydb")
+    vals2 = [v for s in res2["results"][0]["series"] for v in s["values"]]
+    assert len(vals2) == 1  # host=b region=us
+    with pytest.raises(InfluxQLError, match="regex"):
+        engine.execute("SELECT user FROM cpu WHERE region =~ eu", db="mydb")
+
+
+def test_field_arithmetic_rejected_loudly(engine):
+    """Field arithmetic is outside the grammar — it must error, not
+    silently match a field literally named 'max(user) - min(user)'."""
+    with pytest.raises(InfluxQLError, match="unsupported SELECT expression"):
+        engine.execute("SELECT max(user) - min(user) FROM cpu", db="mydb")
