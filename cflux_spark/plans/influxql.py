@@ -148,13 +148,26 @@ from typing import NamedTuple
 
 
 class FieldSpec(NamedTuple):
-    """One SELECT expression: ``[tx(]agg(name[, agg_arg])[, tx_arg)]``."""
+    """One SELECT expression: ``[tx(]agg(name[, agg_arg])[, tx_arg)] [AS alias]``."""
 
     agg: str | None  # aggregate fn name, None = raw field
     name: str  # field name
     agg_arg: float | None = None  # percentile N
     tx: str | None = None  # transform fn wrapping the aggregate
     tx_arg: float | None = None  # derivative unit (s) | moving_average n
+    alias: str | None = None  # AS name — overrides the output column name
+
+
+def _parens_balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
 
 
 @dataclass
@@ -327,9 +340,19 @@ def parse_select(q: str) -> SelectStmt:
 
     fields: list[FieldSpec] = []
     # split the SELECT list on commas outside parens so
-    # "derivative(mean(v), 1s), max(v)" yields two expressions
+    # "derivative(mean(v), 1s), max(v)" yields two expressions.
+    # Each expression appends EXACTLY ONE FieldSpec; a trailing
+    # "AS alias" is carved off here and re-attached after the loop
+    # (the per-branch parse regexes stay alias-free).
+    field_aliases: list[str | None] = []
     for raw in _split_outside_parens(m.group("fields")):
         raw = raw.strip()
+        am = re.fullmatch(r"(.+?)\s+AS\s+(\w+|\"[^\"]+\")", raw, re.IGNORECASE | re.DOTALL)
+        if am:
+            raw, alias = am.group(1).strip(), _unquote(am.group(2))
+        else:
+            alias = None
+        field_aliases.append(alias)
         # nested transform: tx(agg(field[, agg_arg])[, tx_arg])
         tm2 = re.fullmatch(
             r"(\w+)\s*\(\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*(?:,\s*([^)]+?)\s*)?\)(?:\s+AS\s+\w+)?",
@@ -424,6 +447,11 @@ def parse_select(q: str) -> SelectStmt:
                 raise InfluxQLError(f"unsupported SELECT expression {raw!r}")
             fields.append(FieldSpec(None, _unquote(raw)))
 
+    assert len(fields) == len(field_aliases), "field/alias bookkeeping out of sync"
+    fields = [
+        f._replace(alias=a) if a else f for f, a in zip(fields, field_aliases)
+    ]
+
     raw_from = m.group("from")
     # quote-aware splits: a quoted identifier may contain ',' or '.'
     # ("a,b", "c.d") — a naive str.split would shred it
@@ -481,8 +509,23 @@ def parse_select(q: str) -> SelectStmt:
     where = m.group("where") or ""
     for cond in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
         cond = cond.strip()
+        # Grafana wraps template conditions in parens: ("host" =~ /^a$/)
+        while (
+            cond.startswith("(")
+            and cond.endswith(")")
+            and _parens_balanced(cond[1:-1])
+        ):
+            cond = cond[1:-1].strip()
         if not cond:
             continue
+        if re.search(r"\s+OR\s+", cond, re.IGNORECASE):
+            # a silent pass-through would turn the whole OR expression
+            # into a never-matching literal (SURVEY §7: reject loudly);
+            # Grafana multi-value variables emit the regex form instead
+            raise InfluxQLError(
+                f"OR is not supported in WHERE ({cond!r}); use a regex "
+                "matcher for multi-value tags: tag =~ /a|b/"
+            )
         tm = re.fullmatch(r"time\s*(>=|<=|>|<)\s*(.+)", cond, re.IGNORECASE)
         if tm:
             op, val = tm.group(1), tm.group(2).strip()
@@ -1145,7 +1188,7 @@ class InfluxQLEngine:
                 )
                 base = spec.tx or spec.agg or "mean"
                 base = _DISPLAY.get(base, base)
-                colname = f"{base}_{spec.name}" if len(stmt.fields) > 1 else base
+                colname = spec.alias or (f"{base}_{spec.name}" if len(stmt.fields) > 1 else base)
                 yield _apply_slice(grouped, tkeys, stmt), colname
 
         yield from self._stream_chunked(
@@ -1588,7 +1631,7 @@ class InfluxQLEngine:
                         .cast("string")
                         .alias("val"),
                     )
-                    colname = f"{spec.tx}_{fieldname}" if len(stmt.fields) > 1 else spec.tx
+                    colname = spec.alias or (f"{spec.tx}_{fieldname}" if len(stmt.fields) > 1 else spec.tx)
                 else:
                     # raw points, string-over-float per cflux.js:795
                     sel = ff.select(
@@ -1598,7 +1641,7 @@ class InfluxQLEngine:
                         F.expr("ts_ns div 1000000").alias("ts_ms"),
                         F.coalesce(F.col("message"), F.col("value").cast("string")).alias("val"),
                     )
-                    colname = fieldname
+                    colname = spec.alias or fieldname
                 sel = sel.orderBy(
                     *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
                 )
@@ -1621,7 +1664,7 @@ class InfluxQLEngine:
             rows = self._bounded_collect(grouped)
             base = spec.tx or fn or "mean"
             base = _DISPLAY.get(base, base)
-            colname = f"{base}_{fieldname}" if len(stmt.fields) > 1 else base
+            colname = spec.alias or (f"{base}_{fieldname}" if len(stmt.fields) > 1 else base)
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return series
 
@@ -1648,7 +1691,7 @@ class InfluxQLEngine:
         )
         sel = _apply_slice(sel, tkeys, stmt)
         rows = self._bounded_collect(sel)
-        colname = f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed"
+        colname = spec.alias or (f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed")
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _raw_transform_series(
@@ -1707,7 +1750,7 @@ class InfluxQLEngine:
         ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
         sel = _apply_slice(sel, tkeys, stmt)
         rows = self._bounded_collect(sel)
-        colname = f"{spec.tx}_{spec.name}" if len(stmt.fields) > 1 else spec.tx
+        colname = spec.alias or (f"{spec.tx}_{spec.name}" if len(stmt.fields) > 1 else spec.tx)
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _selector_series(
@@ -1750,7 +1793,7 @@ class InfluxQLEngine:
         # selector output points too, like every other series builder
         sel = _apply_slice(sel, tkeys, stmt)
         rows = self._bounded_collect(sel)
-        colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
+        colname = spec.alias or (f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg)
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _distinct_series(
@@ -1773,7 +1816,7 @@ class InfluxQLEngine:
         )
         sel = _apply_slice(sel, tkeys, stmt)
         rows = self._bounded_collect(sel)
-        colname = f"distinct_{spec.name}" if len(stmt.fields) > 1 else "distinct"
+        colname = spec.alias or (f"distinct_{spec.name}" if len(stmt.fields) > 1 else "distinct")
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
     def _select_subquery(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
@@ -1829,7 +1872,7 @@ class InfluxQLEngine:
             )
             grouped = _apply_slice(grouped, okeys, stmt)
             rows = self._bounded_collect(grouped)
-            colname = f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg
+            colname = spec.alias or (f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg)
             series.extend(
                 _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])
             )

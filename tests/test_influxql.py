@@ -153,7 +153,7 @@ def test_parse_select_rejects_garbage():
 
 def test_parse_select_shapes():
     s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
-    assert s.fields == [("mean", "user", None, None, None)]
+    assert s.fields == [("mean", "user", None, None, None, None)]
     assert s.db == "db" and s.measurement == "cpu"
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
@@ -1303,3 +1303,25 @@ def test_field_arithmetic_rejected_loudly(engine):
     silently match a field literally named 'max(user) - min(user)'."""
     with pytest.raises(InfluxQLError, match="unsupported SELECT expression"):
         engine.execute("SELECT max(user) - min(user) FROM cpu", db="mydb")
+
+
+def test_parenthesized_where_and_or_rejection(engine):
+    """Grafana wraps template conditions in parens — they must parse;
+    OR must be rejected loudly (with the regex workaround named), not
+    silently matched as a literal tag value."""
+    res = engine.execute("SELECT user FROM cpu WHERE (host = 'a')", db="mydb")
+    vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+    assert len(vals) == 3
+    with pytest.raises(InfluxQLError, match="=~ /a\\|b/"):
+        engine.execute("SELECT user FROM cpu WHERE host = 'a' OR host = 'b'", db="mydb")
+
+
+def test_select_as_alias(engine):
+    """AS renames the output column for bare fields and aggregates."""
+    res = engine.execute("SELECT user AS usage FROM cpu", db="mydb")
+    assert res["results"][0]["series"][0]["columns"] == ["time", "usage"]
+    res2 = engine.execute(
+        "SELECT mean(user) AS avg_u FROM cpu WHERE time >= 1704067200000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert res2["results"][0]["series"][0]["columns"] == ["time", "avg_u"]
