@@ -475,6 +475,10 @@ def parse_select(q: str) -> SelectStmt:
             if len(pieces) == 1:
                 dbs.add(None)
                 names.append(pieces[0])
+            elif len(pieces) == 2 and pieces[0] == "autogen":
+                # rp.measurement (same disambiguation as single FROM)
+                dbs.add(None)
+                names.append(pieces[1])
             elif len(pieces) in (2, 3):
                 dbs.add(pieces[0])
                 names.append(pieces[-1])
@@ -499,7 +503,15 @@ def parse_select(q: str) -> SelectStmt:
         if len(parts) == 1:
             db, meas = None, parts[0]
         elif len(parts) == 2:
-            db, meas = parts[0], parts[1]
+            # InfluxQL's grammar reads two-part as policy.measurement;
+            # the engine also keeps its db.measurement reading for
+            # cross-db SELECTs. Disambiguation: 'autogen' (the
+            # universal default RP, and this engine's only static one)
+            # resolves as an RP prefix; any other prefix is a db.
+            if parts[0] == "autogen":
+                db, meas = None, parts[1]
+            else:
+                db, meas = parts[0], parts[1]
         elif len(parts) == 3:  # db.rp.measurement — retention policy ignored (M7 is faked anyway)
             db, meas = parts[0], parts[2]
         else:

@@ -1325,3 +1325,12 @@ def test_select_as_alias(engine):
         db="mydb",
     )
     assert res2["results"][0]["series"][0]["columns"] == ["time", "avg_u"]
+
+
+def test_from_autogen_rp_prefix(engine):
+    """FROM autogen.cpu — InfluxQL's two-part policy.measurement form
+    (the default-RP prefix Grafana's measurement picker emits) — must
+    resolve in the request db, not a db named 'autogen'."""
+    res = engine.execute("SELECT user FROM autogen.cpu", db="mydb")
+    vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+    assert len(vals) == 4
