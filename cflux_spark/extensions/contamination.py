@@ -172,3 +172,50 @@ def flag_contamination(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def apply_span_cuts(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """Apply ExactSubstr cut ranges (:func:`duplicate_spans` output):
+    drop every token whose 0-based offset falls inside a
+    [span_start, span_end) range and reassemble the remainder with
+    single spaces — the text a span-level dedup pass actually feeds to
+    training. Documents with no spans pass through (left join) under
+    the same normalization the span grid tokenized with (lowercase,
+    collapsed whitespace), so offsets always line up.
+
+    Plan shape: ranges aggregate to one row per AFFECTED doc
+    (output-sized), join back doc-keyed, then a single HOF filter with
+    an index lambda — the kept-token array is materialized ONCE before
+    its two consumers (no-CSE rule). No shuffle beyond the doc-keyed
+    join; linear in corpus tokens.
+
+    Output: (id, cleaned, n_tokens_removed)."""
+    ranges = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_cuts")
+    )
+    base = (
+        df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+        .join(ranges, id_col, "left")
+        .withColumn(
+            "_cl",
+            F.coalesce(F.col("_cuts"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")),
+        )
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(F.col("_cl"), lambda c: (i >= c["s"]) & (i < c["e"])),
+    )
+    staged = base.select(F.col(id_col), F.col("_toks"), kept.alias("_kept"))
+    return staged.select(
+        F.col(id_col),
+        F.array_join("_kept", " ").alias(out_col),
+        (F.size("_toks") - F.size("_kept")).cast("int").alias("n_tokens_removed"),
+    )

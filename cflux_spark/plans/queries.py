@@ -2360,6 +2360,59 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_span_cuts",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(g.i - 1 AS INT) AS pos,
+             array_to_string(toks[g.i : g.i + 19], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 20 + 2)) AS g(i)
+      WHERE len(toks) >= 20
+    ),
+    d AS (SELECT gram FROM w GROUP BY 1 HAVING count(*) >= 2),
+    h AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (gram)),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                  THEN 1 ELSE 0 END AS brk
+      FROM h
+    ),
+    s AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM b),
+    sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 20 AS e0 FROM s GROUP BY doc_id, span),
+    idx AS (SELECT doc_id, g.i - 1 AS p, toks[g.i] AS tok
+            FROM t, unnest(range(1, len(toks) + 1)) AS g(i)),
+    keptpos AS (
+      SELECT i.doc_id, i.p, i.tok
+      FROM idx i LEFT JOIN sp ON sp.doc_id = i.doc_id AND i.p >= sp.s0 AND i.p < sp.e0
+      WHERE sp.doc_id IS NULL
+    ),
+    agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned, count(*) AS nk
+            FROM keptpos GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(a.cleaned, '') AS cleaned,
+           CAST(len(t.toks) - coalesce(a.nk, 0) AS INT) AS n_tokens_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr end to end: the duplicate-span cut list applied
+    back to the corpus — duplicated 20-token ranges removed, remainder
+    reassembled. The oracle recomputes the span grid AND the cut
+    application (position-level anti-join + ordered string_agg), so
+    every cleaned string and removal count hash-matches exactly."""
+    from cflux_spark.extensions import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = contamination.duplicate_spans(docs, n=20)
+    return contamination.apply_span_cuts(docs, spans)
+
+
+@q(
     "q_frequent_ngrams",
     r"""
     WITH t AS (
@@ -2944,6 +2997,7 @@ _VERIFY_FIRST = [
     "q_chunk_documents",   # overlapping token-window chunking, exact oracle
     "q_dedup_edit",        # Levenshtein verification tier, exact oracle
     "q_normalize_text",    # canonical normalization chain, exact oracle
+    "q_span_cuts",         # ExactSubstr cuts applied back, exact oracle
 ]
 
 _VERIFY_LAST = [

@@ -1138,3 +1138,24 @@ def test_ivfpq_index_reload_and_adc_only(spark, emb, tmp_path):
     for hits in by_q.values():
         hits.sort()
         assert [d for _, d in hits] == sorted(d for _, d in hits)
+
+
+def test_apply_span_cuts_planted_duplicate(spark):
+    """Two docs sharing a 20-token run: the run is cut from both, the
+    unique prefix/suffix tokens survive, untouched docs pass through."""
+    from cflux_spark.extensions import contamination
+
+    dup = " ".join(f"d{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + dup + " omega"),
+            (2, "beta " + dup),
+            (3, "totally unique words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contamination.duplicate_spans(docs, n=20)
+    out = {r.doc_id: r for r in contamination.apply_span_cuts(docs, spans).collect()}
+    assert out[1].cleaned == "alpha omega" and out[1].n_tokens_removed == 20
+    assert out[2].cleaned == "beta" and out[2].n_tokens_removed == 20
+    assert out[3].cleaned == "totally unique words here" and out[3].n_tokens_removed == 0
