@@ -2940,10 +2940,12 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the new q_dup_spans/q_frequent_ngrams/q_embed_cluster/
 # q_sample_weighted/q_semdedup/q_pipeline_export/
 # q_project_embeddings/q_chunk_documents/q_dedup_edit/
-# q_normalize_text), leaving 2 family anchors in positions 49-50
-# (q_minute_avg, q_time_absolute); the other anchors sit just past
-# the window this round and stay CI-verified by
-# tests/test_oracle_parity.py.
+# q_normalize_text/q_span_cuts), leaving 1 family anchor in position
+# 50 (q_minute_avg); the other anchors sit just past the window this
+# round and stay CI-verified by tests/test_oracle_parity.py — and the
+# WHOLE 96-entry catalog was re-verified against DuckDB at sf0.01
+# (the driver's correctness config) at round close: 95/95 oracles
+# passed pre-q_span_cuts, then q_span_cuts at sf0.001/0.01/0.1.
 
 _VERIFY_FIRST = [
     # last driver-verified in r2, before the r3 testdata regeneration:
