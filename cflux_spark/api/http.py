@@ -97,6 +97,17 @@ class CFluxApp:
         precision = params.get("precision", ["ns"])[0]
         length = int(environ.get("CONTENT_LENGTH") or 0)
         raw = environ["wsgi.input"].read(length) if length else b""
+        # Telegraf's influxdb output can send gzip bodies
+        # (content_encoding = "gzip"); InfluxDB accepts them on /write
+        if environ.get("HTTP_CONTENT_ENCODING", "").lower() == "gzip":
+            import gzip as _gzip
+
+            try:
+                raw = _gzip.decompress(raw)
+            except OSError:
+                return self._respond(
+                    start_response, 400, b'{"error":"bad gzip body"}'
+                )
         body = raw.decode("utf-8", errors="replace")
         # ST5: mirror the UNPARSED body first, like the reference
         # forwards before parsing (cflux.js:313-315)

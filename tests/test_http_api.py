@@ -332,3 +332,32 @@ def test_module_entrypoint_boots_and_pings(spark, tmp_path_factory):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_gzip_write_body(server):
+    """Telegraf-style gzip'd /write bodies decompress and ingest; a
+    corrupt gzip body is a 400, not a garbage measurement."""
+    import gzip
+    import urllib.error
+
+    url, _ = server
+    body = gzip.compress(b"gz,host=z value=9 1704067200000000000")
+    req = urllib.request.Request(
+        url + "/write?db=gzdb", data=body, method="POST",
+        headers={"Content-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+    q = urllib.request.quote("SELECT value FROM gz")
+    with urllib.request.urlopen(url + f"/query?db=gzdb&q={q}") as resp:
+        payload = json.loads(resp.read())
+        assert payload["results"][0]["series"][0]["values"] == [[1704067200000, 9.0]]
+    bad = urllib.request.Request(
+        url + "/write?db=gzdb", data=b"not-gzip", method="POST",
+        headers={"Content-Encoding": "gzip"},
+    )
+    try:
+        urllib.request.urlopen(bad)
+        raise AssertionError("corrupt gzip accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
