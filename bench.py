@@ -57,11 +57,17 @@ BENCH_QUERIES = [
     "q_resample_fill",
     # round-4 span-level dedup + boilerplate mining
     "q_dup_spans",
+    "q_span_cuts",
     "q_frequent_ngrams",
     # round-4 semantic clustering + mixture sampling + flagship export
     "q_embed_cluster",
     "q_sample_weighted",
     "q_pipeline_export",
+    # round-4 chunking / normalization / JL projection / edit verify
+    "q_chunk_documents",
+    "q_normalize_text",
+    "q_project_embeddings",
+    "q_dedup_edit",
 ]
 
 
