@@ -35,6 +35,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
+def _d2_to_centroids(v: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared L2 distances via the GEMM identity — one BLAS product
+    instead of an O(rows × k × dim) broadcast temporary (at k=256,
+    dim=64, a 10k-row Arrow batch would otherwise materialize a
+    ~1.3 GB intermediate)."""
+    d2 = v @ cents.T
+    d2 *= -2.0
+    d2 += (cents * cents).sum(1)[None, :]
+    d2 += (v * v).sum(1)[:, None]
+    return d2
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -105,13 +117,13 @@ def ivf_topk(
     @pandas_udf("long")
     def cell_of(vecs: pd.Series) -> pd.Series:
         v = np.asarray(vecs.tolist(), dtype=np.float64)
-        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_to_centroids(v, cents)
         return pd.Series(d2.argmin(axis=1))
 
     @pandas_udf("array<long>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
         v = np.asarray(vecs.tolist(), dtype=np.float64)
-        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_to_centroids(v, cents)
         order = np.argsort(d2, axis=1)[:, :nprobe]
         return pd.Series(list(order.astype(np.int64)))
 
@@ -152,19 +164,23 @@ def _lloyd_kmeans(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray
         raise ValueError(f"k-means needs >= k={k} training vectors, got {len(x)}")
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), k, replace=False)].copy()
-    x2 = (x * x).sum(1)
+    dim = x.shape[1]
     for _ in range(max_iter):
-        d2 = x2[:, None] + (cents * cents).sum(1)[None, :] - 2.0 * (x @ cents.T)
+        d2 = _d2_to_centroids(x, cents)
         lab = d2.argmin(1)
-        new = cents.copy()
-        reseeded = False
-        for j in range(k):
-            mask = lab == j
-            if mask.any():
-                new[j] = x[mask].mean(0)
-            else:
-                new[j] = x[d2.min(axis=1).argmax()]
-                reseeded = True
+        # vectorized mean update: per-dimension weighted bincounts —
+        # O(n·dim), not the O(k·n) mask loop that dominates at large k
+        counts = np.bincount(lab, minlength=k).astype(np.float64)
+        sums = np.stack(
+            [np.bincount(lab, weights=x[:, j], minlength=k) for j in range(dim)], axis=1
+        )
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1.0)[:, None], cents)
+        empty = counts == 0
+        reseeded = bool(empty.any())
+        if reseeded:
+            # reseed every empty cell at the currently worst-served points
+            worst = np.argsort(-d2.min(axis=1))[: int(empty.sum())]
+            new[np.where(empty)[0]] = x[worst]
         if not reseeded and np.allclose(new, cents):
             cents = new
             break
@@ -209,6 +225,7 @@ def kmeans_clusters(
     keep_vec: bool = False,
     max_train_rows: int = 200_000,
     distributed: bool = False,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic clustering over an embedding column — the
     topic-binning / mixture-balancing primitive of a training-data
@@ -230,14 +247,16 @@ def kmeans_clusters(
 
     Training follows the pq_train split: the default fits a guarded
     driver-side Lloyd's (training sets are sample-sized by definition
-    — at 100 TB pass a ``hash_sample`` slice); ``distributed=True``
+    — at 100 TB pass a ``hash_sample`` slice, or point ``train_df`` at
+    one while ``df`` stays the full corpus); ``distributed=True``
     keeps the pyspark.ml fit for oversized training sets. Assignment
     is the full-corpus map-only pass either way."""
+    tdf = train_df if train_df is not None else df
     if distributed:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        train = df.select(
+        train = tdf.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
@@ -245,7 +264,7 @@ def kmeans_clusters(
         sizes = np.array(model.summary.clusterSizes, dtype=np.float64)
         gmean = (cents * sizes[:, None]).sum(axis=0) / sizes.sum()
     else:
-        rows = df.select(F.col(vec_col).cast("array<double>")).limit(max_train_rows + 1).collect()
+        rows = tdf.select(F.col(vec_col).cast("array<double>")).limit(max_train_rows + 1).collect()
         if len(rows) > max_train_rows:
             raise ValueError(
                 f"kmeans_clusters collects the training set to the driver and "
@@ -260,7 +279,7 @@ def kmeans_clusters(
     @pandas_udf("struct<cluster:long,d2:double,d2_global:double>")
     def assign(vecs: pd.Series) -> pd.DataFrame:
         v = np.asarray(vecs.tolist(), dtype=np.float64)
-        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_to_centroids(v, cents)
         dg = ((v - gmean[None, :]) ** 2).sum(axis=1)
         best = d2.argmin(axis=1)
         return pd.DataFrame(
@@ -317,6 +336,7 @@ def semdedup(
     seed: int = 11,
     max_iter: int = 20,
     block: int = 4096,
+    max_train_rows: int = 200_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication at corpus scale by bounding the quadratic pair
@@ -355,7 +375,7 @@ def semdedup(
     )
     with_vec = kmeans_clusters(
         unit_df, k=k, id_col=id_col, vec_col="_unit", seed=seed,
-        max_iter=max_iter, keep_vec=True,
+        max_iter=max_iter, keep_vec=True, max_train_rows=max_train_rows,
     ).select(id_col, "_unit", "cluster")
 
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -849,7 +869,7 @@ def ivfpq_topk(
     @pandas_udf("long")
     def cell_of(vecs: pd.Series) -> pd.Series:
         v = np.asarray(vecs.tolist(), dtype=np.float64)
-        d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _d2_to_centroids(v, cents)
         return pd.Series(d2.argmin(axis=1))
 
     coded = candidates.select(
@@ -867,7 +887,7 @@ def ivfpq_topk(
         )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qv = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    probe = np.argsort(((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)[:, :nprobe]
+    probe = np.argsort(_d2_to_centroids(qv, cents), axis=1)[:, :nprobe]
     qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
     qsub = qn.reshape(len(qrows), m, dsub)
     tables = np.stack(
@@ -959,7 +979,7 @@ class IVFIndex:
         @pandas_udf("long")
         def cell_of(vecs: pd.Series) -> pd.Series:
             v = np.asarray(vecs.tolist(), dtype=np.float64)
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_to_centroids(v, cents)
             return pd.Series(d2.argmin(axis=1))
 
         cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
@@ -997,7 +1017,7 @@ class IVFIndex:
         @pandas_udf("array<long>")
         def probe_cells(vecs: pd.Series) -> pd.Series:
             v = np.asarray(vecs.tolist(), dtype=np.float64)
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_to_centroids(v, cents)
             order = np.argsort(d2, axis=1)[:, :nprobe]
             return pd.Series(list(order.astype(np.int64)))
 
@@ -1063,7 +1083,7 @@ class IVFPQIndex:
         @pandas_udf("long")
         def cell_of(vecs: pd.Series) -> pd.Series:
             v = np.asarray(vecs.tolist(), dtype=np.float64)
-            d2 = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = _d2_to_centroids(v, cents)
             return pd.Series(d2.argmin(axis=1))
 
         self.spark.createDataFrame(
@@ -1139,7 +1159,7 @@ class IVFPQIndex:
             )
         qids = np.array([r[0] for r in qrows], dtype=np.int64)
         qv = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-        probe = np.argsort(((qv[:, None, :] - cents[None, :, :]) ** 2).sum(-1), axis=1)[:, :nprobe]
+        probe = np.argsort(_d2_to_centroids(qv, cents), axis=1)[:, :nprobe]
         qn = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30)
         qsub = qn.reshape(len(qrows), m, dsub)
         tables = np.stack(
