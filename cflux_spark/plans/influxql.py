@@ -1307,9 +1307,22 @@ class InfluxQLEngine:
         return _envelope([])
 
     def _show_retention_policies(self, db: str | None) -> dict:
+        def fmt(dur_s: int) -> str:
+            # InfluxDB's go-duration rendering: 3600 -> "1h0m0s",
+            # 90 -> "1m30s", 0 -> "0s"
+            if dur_s <= 0:
+                return "0s"
+            h, rem = divmod(dur_s, 3600)
+            m, s = divmod(rem, 60)
+            if h:
+                return f"{h}h{m}m{s}s"
+            if m:
+                return f"{m}m{s}s"
+            return f"{s}s"
+
         rows = [["autogen", "0s", "168h0m0s", 1, True]]  # reference fidelity
         for name, (dur, is_default) in sorted(self.retention_policies.get(db or "default", {}).items()):
-            rows.append([name, f"{int(dur)}s", "168h0m0s", 1, is_default])
+            rows.append([name, fmt(int(dur)), "168h0m0s", 1, is_default])
             if is_default:
                 rows[0][4] = False  # a registered default displaces autogen
         return _envelope(

@@ -869,7 +869,7 @@ def test_retention_policy_enforcement(spark, tmp_path_factory):
     )
     res = eng.execute("SHOW RETENTION POLICIES", db="rp")
     by_name = {v[0]: v for v in _values(res)}
-    assert by_name["week"][1] == "604800s" and by_name["week"][4] is True
+    assert by_name["week"][1] == "168h0m0s" and by_name["week"][4] is True
     assert by_name["autogen"][4] is False  # displaced as default
 
     dropped = eng.enforce_retention_policies("rp", now=date(2024, 1, 12))
@@ -1334,3 +1334,15 @@ def test_from_autogen_rp_prefix(engine):
     res = engine.execute("SELECT user FROM autogen.cpu", db="mydb")
     vals = [v for s in res["results"][0]["series"] for v in s["values"]]
     assert len(vals) == 4
+
+
+def test_retention_policy_duration_format(engine):
+    """SHOW RETENTION POLICIES renders durations InfluxDB-style
+    (1h0m0s), not raw seconds."""
+    engine.execute("CREATE RETENTION POLICY fmt1 ON mydb DURATION 1h REPLICATION 1", db="mydb")
+    engine.execute("CREATE RETENTION POLICY fmt2 ON mydb DURATION 90m REPLICATION 1", db="mydb")
+    res = engine.execute("SHOW RETENTION POLICIES ON mydb", db="mydb")
+    by_name = {v[0]: v[1] for v in res["results"][0]["series"][0]["values"]}
+    assert by_name["fmt1"] == "1h0m0s"
+    assert by_name["fmt2"] == "1h30m0s"
+    assert by_name["autogen"] == "0s"
