@@ -2943,9 +2943,9 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_normalize_text/q_span_cuts), leaving 1 family anchor in position
 # 50 (q_minute_avg); the other anchors sit just past the window this
 # round and stay CI-verified by tests/test_oracle_parity.py — and the
-# WHOLE 96-entry catalog was re-verified against DuckDB at sf0.01
-# (the driver's correctness config) at round close: 95/95 oracles
-# passed pre-q_span_cuts, then q_span_cuts at sf0.001/0.01/0.1.
+# WHOLE 96-entry catalog was re-verified against DuckDB at round
+# close at BOTH sf0.01 (the driver's correctness config) AND sf0.1:
+# 96/96 pass each.
 
 _VERIFY_FIRST = [
     # last driver-verified in r2, before the r3 testdata regeneration:
