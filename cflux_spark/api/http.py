@@ -101,10 +101,14 @@ class CFluxApp:
         # (content_encoding = "gzip"); InfluxDB accepts them on /write
         if environ.get("HTTP_CONTENT_ENCODING", "").lower() == "gzip":
             import gzip as _gzip
+            import zlib as _zlib
 
+            # gzip.decompress raises OSError for bad magic, EOFError for
+            # truncated streams (connection cut mid-body), zlib.error for
+            # corrupt deflate data — all are client errors, all → 400.
             try:
                 raw = _gzip.decompress(raw)
-            except OSError:
+            except (OSError, EOFError, _zlib.error):
                 return self._respond(
                     start_response, 400, b'{"error":"bad gzip body"}'
                 )

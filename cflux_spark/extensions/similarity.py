@@ -1201,7 +1201,9 @@ class IVFPQIndex:
             F.col("rank") <= max(k, rerank)
         )
         if refine_with is None:
-            return short.filter(F.col("rank") <= max(k, rerank)).select(
+            # No exact re-rank: honor k directly (the wider max(k, rerank)
+            # shortlist only exists to feed the refine stage).
+            return short.filter(F.col("rank") <= k).select(
                 "query_id", "neighbor_id", "approx_d2", "rank"
             )
         qvdf = queries.select(

@@ -79,6 +79,132 @@ def series_difference_segmented(
     return out.withColumn("diff", diff).drop("_seg", "_lag_in", "_prev_last")
 
 
+def merged_window_stage(
+    df: DataFrame,
+    order_col: str = "ts_ns",
+    carry_rows: int = 1,
+    segment_span: int = 3600 * 1_000_000_000,
+):
+    """Stage an UNGROUPED row-frame window (`partitionBy()` over the
+    whole frame) without a single-partition WindowExec.
+
+    An ungrouped InfluxQL transform (``SELECT difference(v) FROM m``
+    with no GROUP BY) is semantically one merged series — but
+    ``Window.partitionBy(F.lit(1))`` moves EVERY row to one task, the
+    exact skew `series_difference_segmented` exists to avoid. Same
+    two-phase trick, generalized to any row window that reaches back at
+    most ``carry_rows`` rows:
+
+      1. rows bucket into fixed ``segment_span`` slices of
+         ``order_col``; slices are DENSE-ranked (a tiny
+         distinct-segments frame — the only global window left runs on
+         ~rows/segment_span rows, thousands at most, not the fact set);
+      2. the last ``carry_rows`` rows of each segment are cloned into
+         the NEXT dense segment flagged ``_carry`` — dense ranking
+         makes "next" the next NON-EMPTY segment, so sparse data
+         carries correctly across empty slices;
+      3. the caller's lag/rowsBetween window runs partitioned by the
+         dense segment; carry rows supply the cross-boundary history
+         and are dropped by ``finalize``.
+
+    Returns ``(staged, window, finalize)``: run window expressions over
+    ``staged`` with ``window``, then ``finalize(result)`` to drop carry
+    rows and helper columns. Exact for lag(n<=carry_rows) and
+    ``rowsBetween(-carry_rows, 0)`` frames; NOT for unbounded frames —
+    use :func:`merged_running_sum` for those.
+    """
+    if carry_rows < 0:
+        raise ValueError(f"carry_rows must be >= 0, got {carry_rows}")
+    seg = F.floor(F.col(order_col) / F.lit(segment_span)).cast("long")
+    segs = df.select(seg.alias("_seg")).distinct()
+    w0 = Window.orderBy("_seg")  # tiny frame: one row per non-empty segment
+    dense = segs.withColumn("_dseg", F.row_number().over(w0))
+    base = (
+        df.withColumn("_seg", seg)
+        .join(F.broadcast(dense), "_seg")
+        .withColumn("_carry", F.lit(False))
+    )
+    if carry_rows:
+        # A segment THINNER than carry_rows can't satisfy its
+        # successor's history alone — carries must reach through it.
+        # Per-segment prefix counts (tiny frame) decide, for each
+        # (source, destination) segment pair, how many of the source's
+        # trailing rows the destination still needs: source k feeds
+        # destination d iff fewer than carry_rows rows lie strictly
+        # between them, taking its last carry_rows - gap rows. Each
+        # destination touches at most carry_rows + 1 sources (every
+        # non-empty segment holds >= 1 row), so the pair frame stays
+        # tiny and the row-side fan-out is bounded by carry_rows
+        # clones per destination.
+        wlast = Window.partitionBy("_dseg").orderBy(F.col(order_col).desc())
+        ranked = base.withColumn("_rnd", F.row_number().over(wlast))
+        counts = ranked.groupBy("_dseg").agg(F.count(F.lit(1)).alias("_n"))
+        wc = Window.orderBy("_dseg").rowsBetween(Window.unboundedPreceding, 0)
+        cum = counts.withColumn("_cum", F.sum("_n").over(wc))
+        src = cum.select(F.col("_dseg").alias("_srcseg"), F.col("_cum").alias("_srccum"))
+        dst = cum.select(
+            F.col("_dseg").alias("_dstseg"), (F.col("_cum") - F.col("_n")).alias("_before")
+        )
+        pairs = (
+            src.join(
+                dst,
+                (F.col("_dstseg") > F.col("_srcseg"))
+                & (F.col("_before") - F.col("_srccum") < carry_rows),
+            )
+            .select(
+                "_srcseg",
+                "_dstseg",
+                (F.lit(carry_rows) - (F.col("_before") - F.col("_srccum"))).alias("_take"),
+            )
+        )
+        carries = (
+            ranked.withColumnRenamed("_dseg", "_srcseg")
+            .join(F.broadcast(pairs), "_srcseg")
+            .filter(F.col("_rnd") <= F.col("_take"))
+            .withColumnRenamed("_dstseg", "_dseg")
+            .withColumn("_carry", F.lit(True))
+            .drop("_srcseg", "_rnd", "_take")
+        )
+        staged = base.unionByName(carries)
+    else:
+        staged = base
+    w_in = Window.partitionBy("_dseg").orderBy(order_col)
+
+    def finalize(d: DataFrame) -> DataFrame:
+        return d.filter(~F.col("_carry")).drop("_seg", "_dseg", "_carry")
+
+    return staged, w_in, finalize
+
+
+def merged_running_sum(
+    df: DataFrame,
+    value_col: str,
+    out_col: str,
+    order_col: str = "ts_ns",
+    segment_span: int = 3600 * 1_000_000_000,
+) -> DataFrame:
+    """Running sum over the whole frame ordered by ``order_col``,
+    without a single-partition WindowExec (the unbounded-frame
+    companion of :func:`merged_window_stage`): within-segment running
+    sums plus a prefix of per-segment totals — the prefix window runs
+    on the one-row-per-segment frame only."""
+    seg = F.floor(F.col(order_col) / F.lit(segment_span)).cast("long")
+    df2 = df.withColumn("_seg", seg)
+    w_in = (
+        Window.partitionBy("_seg").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = df2.groupBy("_seg").agg(F.sum(value_col).alias("_segsum"))
+    w_pre = Window.orderBy("_seg").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_seg", F.coalesce(F.sum("_segsum").over(w_pre), F.lit(0.0)).alias("_prefix")
+    )
+    return (
+        df2.join(F.broadcast(prefix), "_seg")
+        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("_prefix"))
+        .drop("_seg", "_prefix")
+    )
+
+
 def moving_average(
     df: DataFrame,
     key_cols: list[str],

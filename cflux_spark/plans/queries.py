@@ -188,6 +188,30 @@ def q_tag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_tag_filter_or",
+    r"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) = 29
+           OR CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) = 31)
+      AND event_type IN ('click', 'view')
+    """,
+)
+def q_tag_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive tag matchers ANDed with the rest of the WHERE — the
+    Grafana multi-value template shape (``("k" = '29' OR "k" = '31')``)
+    the InfluxQL front-end now accepts (plans/influxql.py OR groups;
+    the reference parses OR via ifql-parser, cflux.js:691, then
+    silently walks only ANDed conditions, cflux.js:737-743). One scan,
+    one composite pushable predicate — no union of branch scans."""
+    ev = _events(spark, sf_dir)
+    k = props_tag("props", "k").cast("int")
+    return ev.filter(((k == 29) | (k == 31)) & F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@q(
     "q_name_filter",
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'click'",
 )

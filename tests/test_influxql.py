@@ -1305,15 +1305,57 @@ def test_field_arithmetic_rejected_loudly(engine):
         engine.execute("SELECT max(user) - min(user) FROM cpu", db="mydb")
 
 
-def test_parenthesized_where_and_or_rejection(engine):
+def test_parenthesized_where_and_or_groups(engine):
     """Grafana wraps template conditions in parens — they must parse;
-    OR must be rejected loudly (with the regex workaround named), not
-    silently matched as a literal tag value."""
+    a parenthesized OR of tag matchers (the multi-value template
+    shape) is a disjunction ANDed with the rest of the WHERE. The
+    reference parses OR via ifql-parser (cflux.js:691) then silently
+    walks only ANDed conditions (cflux.js:737-743) — silently-empty;
+    here the supported shapes evaluate and the rest reject loudly."""
     res = engine.execute("SELECT user FROM cpu WHERE (host = 'a')", db="mydb")
     vals = [v for s in res["results"][0]["series"] for v in s["values"]]
     assert len(vals) == 3
-    with pytest.raises(InfluxQLError, match="=~ /a\\|b/"):
-        engine.execute("SELECT user FROM cpu WHERE host = 'a' OR host = 'b'", db="mydb")
+    res2 = engine.execute(
+        "SELECT user FROM cpu WHERE (host = 'a' OR host = 'b')", db="mydb"
+    )
+    vals2 = [v for s in res2["results"][0]["series"] for v in s["values"]]
+    assert len(vals2) == 4
+    # the OR group ANDs with sibling conditions (host IN (a,b) AND region=us)
+    res3 = engine.execute(
+        "SELECT user FROM cpu WHERE (host = 'a' OR host = 'b') AND region = 'us'",
+        db="mydb",
+    )
+    vals3 = [v for s in res3["results"][0]["series"] for v in s["values"]]
+    assert [v[1] for v in vals3] == [0.7]
+    # regex matchers participate in OR groups too
+    res4 = engine.execute(
+        "SELECT user FROM cpu WHERE (region =~ /^e/ OR host = 'b')", db="mydb"
+    )
+    vals4 = [v for s in res4["results"][0]["series"] for v in s["values"]]
+    assert len(vals4) == 4
+
+
+def test_where_or_field_predicates(engine):
+    """OR over field-value predicates unions the satisfying points:
+    user < 0.2 OR user > 0.6 keeps the 0.10 and 0.70 points only."""
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE (user < 0.2 OR user > 0.6)", db="mydb"
+    )
+    vals = sorted(v[1] for s in res["results"][0]["series"] for v in s["values"])
+    assert vals == [0.1, 0.7]
+
+
+def test_where_or_unsupported_shapes_reject_loudly(engine):
+    """Time bounds inside OR, and tag/field mixes, are outside the
+    supported grammar — loud errors, never silently-empty results."""
+    with pytest.raises(InfluxQLError, match="OR over time"):
+        engine.execute(
+            "SELECT user FROM cpu WHERE time > now() - 1h OR host = 'a'", db="mydb"
+        )
+    with pytest.raises(InfluxQLError, match="mix tag and field"):
+        engine.execute(
+            "SELECT user FROM cpu WHERE (host = 'a' OR user > 0.5)", db="mydb"
+        )
 
 
 def test_select_as_alias(engine):
@@ -1336,6 +1378,24 @@ def test_from_autogen_rp_prefix(engine):
     assert len(vals) == 4
 
 
+def test_from_user_rp_prefix_resolves_at_execute_time(engine):
+    """A two-part FROM whose prefix names a USER-created retention
+    policy must resolve in the session db (InfluxQL rp.measurement),
+    not parse as db='week' and silently return empty; a prefix naming
+    neither an RP nor an existing db rejects loudly."""
+    engine.execute(
+        "CREATE RETENTION POLICY week ON mydb DURATION 1w REPLICATION 1", db="mydb"
+    )
+    try:
+        res = engine.execute('SELECT user FROM "week"."cpu"', db="mydb")
+        vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+        assert len(vals) == 4
+        with pytest.raises(InfluxQLError, match="neither an existing database nor a retention policy"):
+            engine.execute('SELECT user FROM "nosuch"."cpu"', db="mydb")
+    finally:
+        engine.retention_policies.get("mydb", {}).pop("week", None)
+
+
 def test_retention_policy_duration_format(engine):
     """SHOW RETENTION POLICIES renders durations InfluxDB-style
     (1h0m0s), not raw seconds."""
@@ -1346,3 +1406,45 @@ def test_retention_policy_duration_format(engine):
     assert by_name["fmt1"] == "1h0m0s"
     assert by_name["fmt2"] == "1h30m0s"
     assert by_name["autogen"] == "0s"
+
+
+def test_ungrouped_transforms_across_segment_boundaries(spark, tmp_path):
+    """Ungrouped raw-point transforms (one merged series) run through
+    the segmented two-phase window (operators/windows.py
+    merged_window_stage, 1h segments) — multi-hour data must produce
+    exactly the merged-series answer across segment boundaries, and
+    cumulative_sum must accumulate across them (segment prefix sums)."""
+    root = str(tmp_path / "seg")
+    store = LPStore(spark, root, db="segdb")
+    base_ns = 1704067200000000000  # 2024-01-01T00:00:00Z
+    # 8 points spaced 40 min apart → spans 5 distinct 1h segments,
+    # with points landing both inside and on either side of boundaries
+    pts = [(base_ns + i * 2400 * 10**9, float(i * i)) for i in range(8)]
+    lines = [f"m v={v} {t}" for t, v in pts]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+
+    def vals(q):
+        res = eng.execute(q, db="segdb")
+        return [v for s in res["results"][0]["series"] for v in s["values"]]
+
+    diffs = vals("SELECT difference(v) FROM m")
+    assert [v[1] for v in diffs] == [
+        round(pts[i][1] - pts[i - 1][1], 6) for i in range(1, 8)
+    ]
+    cs = vals("SELECT cumulative_sum(v) FROM m")
+    expect_cs, acc = [], 0.0
+    for _t, v in pts:
+        acc += v
+        expect_cs.append(round(acc, 6))
+    assert [v[1] for v in cs] == expect_cs
+    ma = vals("SELECT moving_average(v, 3) FROM m")
+    assert [v[1] for v in ma] == [
+        round((pts[i][1] + pts[i - 1][1] + pts[i - 2][1]) / 3, 6) for i in range(2, 8)
+    ]
+    el = vals("SELECT elapsed(v, 1s) FROM m")
+    assert [v[1] for v in el] == [2400] * 7
+    dv = vals("SELECT derivative(v, 1s) FROM m")
+    assert [v[1] for v in dv] == [
+        round((pts[i][1] - pts[i - 1][1]) / 2400, 6) for i in range(1, 8)
+    ]
