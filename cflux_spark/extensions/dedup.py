@@ -363,6 +363,33 @@ def simhash(
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_py(text: str, bits: int = 64) -> int:
+    """Bit-exact pure-Python twin of :func:`simhash` (unpacked path):
+    whitespace-tokenize lowered text, XXH64(seed=42) per token — the
+    same public algorithm Spark's ``xxhash64`` implements, via the
+    `_xxh64` twin that already backs the C8 fingerprint parity
+    (model/fingerprint.py) — majority-vote per bit. Exists so the
+    operator can be ORACLE-checked: DuckDB has no xxhash64, so the
+    q_simhash contract recomputes a sample's fingerprints with this
+    twin and pins Spark-vs-twin equality in-plan."""
+    import re as _re
+
+    from cflux_spark.model.fingerprint import _xxh64
+
+    toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+    n = len(toks)
+    ones = [0] * bits
+    for t in toks:
+        h = _xxh64(t.encode("utf-8"), seed=42)
+        for i in range(bits):
+            ones[i] += (h >> i) & 1
+    fp = 0
+    for i in range(bits):
+        if ones[i] * 2 > n:
+            fp |= 1 << i
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
 def simhash_near_pairs(
     df: DataFrame,
     max_hamming: int = 3,

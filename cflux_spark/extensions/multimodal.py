@@ -333,11 +333,25 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, t_ms long, width int, height int, frame binary, error string"
+)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — requires av/ffmpeg bindings (import-gated;
-    not present in this container, so this raises with a clear message).
-    The decoded-frame downstream (decode_images / resize_images /
-    extract_features) is the real, tested surface."""
+    """Video frame sampling over the binary column: decode each video
+    (av/ffmpeg bindings — import-gated with a loud raise when absent,
+    like the PIL JPEG branch) and emit the first frame at or after
+    each ``every_ms`` grid point, BMP-re-encoded so sampled frames
+    flow straight into the existing image surface (decode_images /
+    resize_images / extract_features).
+
+    Scale shape matches decode_images: ``mapInPandas`` row-independent
+    Arrow batches, per-row corrupt isolation (one truncated video
+    yields an ``error`` row, not a dead 100 TB scan); the only fan-out
+    is frames-per-video ≈ duration/every_ms. The av import happens
+    INSIDE the kernel too, so executors missing the codec fail the
+    task loudly rather than silently emitting nothing."""
     try:
         import av  # noqa: F401, PLC0415 — optional dependency gate
     except ImportError as exc:
@@ -345,7 +359,41 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             "video frame sampling requires the 'av' (ffmpeg) bindings, "
             "not present in this environment"
         ) from exc
-    raise NotImplementedError("av present but frame sampling not yet wired")  # pragma: no cover
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import av  # noqa: PLC0415 — executors gate too
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    with av.open(io.BytesIO(bytes(content))) as container:
+                        stream = container.streams.video[0]
+                        next_ms = 0.0
+                        for frame in container.decode(stream):
+                            t_ms = float(frame.time or 0.0) * 1000.0
+                            if t_ms + 1e-9 < next_ms:
+                                continue
+                            arr = frame.to_ndarray(format="rgb24")
+                            rows.append(
+                                (
+                                    mid,
+                                    int(round(t_ms)),
+                                    arr.shape[1],
+                                    arr.shape[0],
+                                    encode_bmp(np.ascontiguousarray(arr)),
+                                    None,
+                                )
+                            )
+                            next_ms = (t_ms // every_ms + 1) * every_ms
+                except Exception as exc:  # noqa: BLE001 — corrupt data row
+                    rows.append((mid, None, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "t_ms", "width", "height", "frame", "error"],
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
 
 
 # ------------------------------------------------- feature extraction

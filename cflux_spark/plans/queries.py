@@ -1283,9 +1283,43 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_simhash")  # rows-only: 64-bit fingerprint not portable to the oracle
+@q(
+    "q_simhash",
+    "SELECT count(*) AS n_docs, 64 AS bits, TRUE AS twin_match_ok FROM documents",
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+    """SimHash fingerprints, oracle-checked (was rows-only through r4:
+    DuckDB has no xxhash64). The q_lp_parse literal-table pattern
+    can't apply — the documents corpus DIFFERS per scale factor (same
+    doc_ids, different texts), so no static VALUES list is right at
+    every sf. Instead the established contract-as-oracle pattern:
+    every document fingerprints (n_docs, oracle-checked against
+    count(*)), and on a 100-doc sample the Spark fingerprints must
+    EQUAL the bit-exact pure-Python twin (dedup.simhash_py — XXH64
+    seed 42, the fingerprint-parity twin) computed from the collected
+    texts (q_lp_parse-sized fixture collect, not a corpus collect).
+    A tokenizer, hash, vote, or sign drift flips twin_match_ok."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs)
+    sample = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").collect()
+    expected = spark.createDataFrame(
+        [(r.doc_id, dedup.simhash_py(r.text)) for r in sample], "doc_id long, _exp long"
+    )
+    chk = (
+        fp.join(F.broadcast(expected), "doc_id")
+        .agg(
+            F.count("*").alias("_matched"),
+            F.sum(F.when(F.col("simhash") == F.col("_exp"), 0).otherwise(1)).alias("_bad"),
+        )
+        .select(
+            ((F.col("_matched") == len(sample)) & (F.col("_bad") == 0)).alias("twin_match_ok")
+        )
+    )
+    return (
+        fp.agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(chk))
+        .select("n_docs", F.lit(64).cast("int").alias("bits"), "twin_match_ok")
+    )
 
 
 @q(
@@ -2117,16 +2151,55 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(load_table(spark, sf_dir, "documents")).select("doc_id", "fp_md5")
 
 
-@q("q_multimodal_features")  # rows-only: stubbed decode, real Spark plumbing
+@q(
+    "q_multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           TRUE AS twin_match_ok
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction, oracle-checked (was rows-only
+    through r4). Two tiers: (media_id, kind, n_bytes) verify PER ROW
+    against DuckDB (the media payload is the document's utf-8 bytes,
+    so n_bytes = octet_length — a real per-row check of the Arrow
+    plumbing); the deterministic stub feature vector (not
+    SQL-expressible) is pinned by the q_simhash contract pattern —
+    on a 100-doc sample the Spark features must match the pure-Python
+    `_fake_feature` twin recomputed from the collected texts
+    (elementwise |Δ| < 1e-5, float32 storage tolerance)."""
+    import numpy as _np
+
     from cflux_spark.extensions import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     out = multimodal.extract_features(multimodal.attach_media_stub(docs))
-    # feature is array<float>; serialize at the catalog boundary so the
-    # driver comparator (which canonicalizes even rows-only results)
-    # never sees an unhashable column — round-1 crash
-    return out.select("media_id", "kind", "n_bytes", F.to_json("feature").alias("feature_json"))
+    sample = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").collect()
+    expected = spark.createDataFrame(
+        [
+            (r.doc_id, [float(_np.float32(x)) for x in multimodal._fake_feature(r.text.encode("utf-8"))])
+            for r in sample
+        ],
+        "media_id long, _exp array<float>",
+    )
+    bad = F.exists(
+        F.zip_with("feature", "_exp", lambda x, y: F.abs(x - y) > F.lit(1e-5)), lambda b: b
+    )
+    chk = (
+        out.join(F.broadcast(expected), "media_id")
+        .agg(
+            F.count("*").alias("_matched"),
+            F.sum(F.when(bad, 1).otherwise(0)).alias("_bad"),
+        )
+        .select(
+            ((F.col("_matched") == len(sample)) & (F.col("_bad") == 0)).alias("twin_match_ok")
+        )
+    )
+    return out.crossJoin(F.broadcast(chk)).select(
+        "media_id", "kind", "n_bytes", "twin_match_ok"
+    )
 
 
 @q(

@@ -146,10 +146,19 @@ def kafka_line_source(
             "classpath (add org.apache.spark:spark-sql-kafka-0-10 via "
             "spark.jars.packages)"
         ) from exc
+    return kafka_records_to_lines(df)
+
+
+def kafka_records_to_lines(df: DataFrame) -> DataFrame:
+    """The post-source transform of :func:`kafka_line_source`, split
+    out so it is testable WITHOUT a broker (the sandbox has none):
+    the Kafka record schema carries `value` as bytes; one LP line per
+    record (Telegraf's kafka output mode) — batch-of-lines producers
+    should split first. Parse parity with the file source is pinned
+    by tests/test_streaming.py feeding the same corpus through this
+    chain from a binary-value frame."""
     from pyspark.sql import functions as F
 
-    # value is the raw LP line bytes; one line per record (Telegraf's
-    # kafka output mode) — batch-of-lines producers should split first
     return df.select(F.col("value").cast("string").alias("line"))
 
 

@@ -316,6 +316,69 @@ def test_video_sampling_gates_cleanly(spark, docs):
         mm.sample_video_frames(media)
 
 
+def test_video_frame_sampling_with_av(spark, docs):
+    """Runs only where the av/ffmpeg bindings exist: synthesize a tiny
+    2 fps video, sample at 1000 ms, and check the grid frames decode
+    through the existing BMP image surface."""
+    av = pytest.importorskip("av")
+    import io as _io
+
+    from cflux_spark.extensions import multimodal as mm
+
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=2)
+        stream.width, stream.height = 16, 8
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):  # 3 s at 2 fps
+            arr = np.full((8, 16, 3), i * 30, np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    frames = mm.sample_video_frames(media, every_ms=1000).collect()
+    ok = [r for r in frames if r.error is None]
+    assert len(ok) == 3 and [r.t_ms for r in ok] == [0, 1000, 2000]
+    assert all((r.width, r.height) == (16, 8) for r in ok)
+    decoded = mm.decode_images(
+        spark.createDataFrame(
+            [(r.t_ms, bytearray(r.frame)) for r in ok], "media_id long, content binary"
+        )
+    ).collect()
+    assert all(r.error is None and r.channels == 3 for r in decoded)
+    # corrupt payload isolates to an error row, never a dead task
+    bad = mm.sample_video_frames(
+        spark.createDataFrame([(2, bytearray(b"not a video"))], "media_id long, content binary")
+    ).collect()
+    assert len(bad) == 1 and bad[0].error is not None
+
+
+def test_jpeg_decode_with_pil(spark):
+    """Runs only where Pillow exists: a JPEG round-trips through the
+    magic-byte dispatch (uniform color survives lossy compression to
+    within a small tolerance)."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io as _io
+
+    from PIL import Image
+
+    from cflux_spark.extensions import multimodal as mm
+
+    img = Image.new("RGB", (10, 6), (200, 30, 90))
+    buf = _io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    media = spark.createDataFrame(
+        [(7, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    row = mm.decode_images(media).collect()[0]
+    assert row.error is None and (row.width, row.height, row.channels) == (10, 6, 3)
+    assert abs(row.mean_r - 200) < 8 and abs(row.mean_g - 30) < 8 and abs(row.mean_b - 90) < 8
+
+
 def test_series_pivot_envelope(spark):
     from cflux_spark.operators import pivot
 

@@ -239,3 +239,48 @@ def test_streaming_dedupe_timestampless_numeric_field(spark, tmp_path):
     # all three lines survive: the timestamp-less ones took the
     # processing-time fallback instead of a 1970 event time
     assert facts.count() == 3
+
+
+def test_kafka_transform_chain_parse_parity(spark):
+    """The Kafka source itself needs a broker + the kafka jar (neither
+    in this sandbox), but its post-source transform chain
+    (binary value -> cast string -> line -> parse) is pure DataFrame
+    code: feed the LP corpus through kafka_records_to_lines from a
+    Kafka-shaped binary frame and assert row identity with the file
+    source's (already line-shaped) parse."""
+    from pyspark.sql import functions as F
+
+    from cflux_spark.sources.ingest import parse_lp_df
+    from cflux_spark.streaming.pipeline import kafka_records_to_lines
+
+    lines = [
+        "cpu,host=a,region=eu user=0.64,sys=0.11 1545424651000000000",
+        "cpu,host=b user=0.32 1545424652000000000",
+        'app,host=a status="ok",code=200 1545424651000000000',
+        "up,host=a ok=true 1545424651000000000",
+        "weird,host=é väl=1.5 1545424651000000000",  # non-ascii survives the byte round-trip
+        "bad line that should error",
+    ]
+    kafka_shaped = spark.createDataFrame(
+        [(f"key{i}".encode(), l.encode("utf-8"), "lp", 0, i) for i, l in enumerate(lines)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    via_kafka = kafka_records_to_lines(kafka_shaped)
+    assert via_kafka.columns == ["line"]
+    file_shaped = spark.createDataFrame([(l,) for l in lines], "line string")
+
+    def canon(df):
+        parsed = parse_lp_df(df)
+        return sorted(
+            (
+                r.measurement,
+                tuple(sorted((r.tags or {}).items())),
+                tuple(sorted((r.float_fields or {}).items())),
+                tuple(sorted((r.string_fields or {}).items())),
+                r.ts_ns,
+                r.error,
+            )
+            for r in parsed.collect()
+        )
+
+    assert canon(via_kafka) == canon(file_shaped)
