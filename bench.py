@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "q_normalize_text",
     "q_project_embeddings",
     "q_dedup_edit",
+    # round-5 distributed ANN (corpus-as-queries, no driver collect)
+    "q_vector_pq_bulk",
 ]
 
 
@@ -101,6 +103,56 @@ def _bench_ops():
             emb(s, d).filter(F.col("vec_id") < 20), emb(s, d), k=5, rerank=100
         ),
         "q_semdedup": lambda s, d: similarity.semdedup(emb(s, d), threshold=0.35, k=8),
+        # operator-only: the catalog entry additionally runs the collected
+        # path + brute force for its equality/recall contracts
+        "q_vector_pq_bulk": lambda s, d: similarity.pq_topk_bulk(
+            emb(s, d), emb(s, d), k=3, rerank=30, n_shards=8
+        ),
+    }
+
+
+def _bucketed_probe(spark, n_rows: int = 1_000_000) -> dict:
+    """The SMJ-regime registry join with and without co-bucketing —
+    the per-round number behind SCALE.md 'Bucketed store' (VERDICT r4
+    #8). Broadcast is disabled so both runs sit in the sort-merge
+    regime the bucketed layout exists for; the bucketed pair must
+    plan with zero join-side Exchange."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cflux_spark.sources.bucketed import write_bucketed
+
+    reg = spark.range(n_rows).select(
+        F.col("id").alias("fingerprint"), (F.col("id") % 100).cast("string").alias("m")
+    )
+    facts = spark.range(n_rows).select(
+        F.col("id").alias("fingerprint"), (F.col("id") % 3600).cast("double").alias("v")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = _t.monotonic()
+        facts.join(reg, "fingerprint").groupBy("m").agg(F.sum("v")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        unbucketed = round(_t.monotonic() - t, 3)
+        write_bucketed(reg, "bench_probe_reg", n_buckets=32)
+        write_bucketed(facts, "bench_probe_facts", n_buckets=32)
+        bf, br = spark.table("bench_probe_facts"), spark.table("bench_probe_reg")
+        t = _t.monotonic()
+        bf.join(br, "fingerprint").groupBy("m").agg(F.sum("v")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        bucketed = round(_t.monotonic() - t, 3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        for tbl in ("bench_probe_reg", "bench_probe_facts"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return {
+        "bucketed_probe_rows": n_rows,
+        "unbucketed_smj_join_sec": unbucketed,
+        "bucketed_join_sec": bucketed,
     }
 
 
@@ -210,6 +262,7 @@ def main() -> int:
         "streaming_batch_ms_median": stream_median_ms,
         "streaming_batch_ms_max": stream_max_ms,
         "streaming_rate_rows_per_sec": 2500,
+        **_bucketed_probe(spark),
         "total_wall_sec": round(time.monotonic() - t0, 3),
     }
     print(json.dumps(out))

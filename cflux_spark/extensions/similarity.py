@@ -525,6 +525,82 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_bulk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    n_shards: int = 16,
+    q_block: int = 1024,
+) -> DataFrame:
+    """:func:`cosine_pairs` with BOTH sides distributed — exact
+    corpus×corpus threshold pairs, no driver collect, no query cap
+    (the last collected query side in the ANN family after round 5's
+    bulk top-k work). Same semantics: every (query, candidate) pair
+    with cosine ≥ threshold, identical ids excluded, sims rounded
+    with the same floor(x·10^r + 0.5) rule so outputs are bit-equal
+    to the collected path.
+
+    Shape: candidates hash-shard into ``n_shards`` cells; queries
+    replicate to every shard (the scan is exhaustive — this is the
+    EXACT tier; LSH/IVF/SemDeDup are the pruned tiers). The per-shard
+    kernel is the SemDeDup blocked GEMM: q_block query rows × the
+    shard's candidates per matmul, emitting only pairs over the
+    threshold — output-sized, never |Q|×|C|. ``n_shards`` trades
+    parallelism against query replication; set ≈ cluster cores."""
+    qrep = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn(
+        "_shard",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_shards - 1).cast("long"))),
+    )
+    csh = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_shard", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_shards)))
+    scale = 10.0**round_to
+
+    def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []}).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "sim": "float64"}
+        )
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        cv = np.asarray(cpdf["_cv"].tolist(), dtype=np.float64)
+        cn = np.linalg.norm(cv, axis=1)
+        cn[cn == 0] = 1.0
+        cids = cpdf["neighbor_id"].to_numpy()
+        qids_all = qpdf["query_id"].to_numpy()
+        qv_all = np.asarray(qpdf["_qv"].tolist(), dtype=np.float64)
+        qn_all = np.linalg.norm(qv_all, axis=1)
+        qn_all[qn_all == 0] = 1.0
+        frames = []
+        for lo in range(0, len(qpdf), q_block):
+            qv = qv_all[lo : lo + q_block]
+            sims = (qv @ cv.T) / qn_all[lo : lo + q_block, None] / cn[None, :]
+            qi, ci = np.where(
+                (sims >= threshold) & (qids_all[lo : lo + q_block, None] != cids[None, :])
+            )
+            if len(qi):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids_all[lo + qi],
+                            "neighbor_id": cids[ci],
+                            "sim": np.floor(sims[qi, ci] * scale + 0.5) / scale,
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return (
+        qrep.groupBy("_shard")
+        .cogroup(csh.groupBy("_shard"))
+        .applyInPandas(kernel, "query_id long, neighbor_id long, sim double")
+    )
+
+
 def _hyperplane(dim: int, seed: int, table: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (driver-side, tiny).
     Splitmix64-style mixing of (seed, table, plane, i) — no RNG state,

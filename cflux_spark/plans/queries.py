@@ -3096,91 +3096,38 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Two-round rotation schedule (round 4): everything the r3 driver
-# window recorded rotates OUT (r3-green on current testdata), and the
-# 33 entries whose last driver record is r2 rotate IN — their data was
-# regenerated at r3 start, so their external hard signal was stale
-# (VERDICT r3 "Next round #1"). Entries whose implementation changed
-# this round join them (late round 4 grew that set to 12: the three
-# contract conversions, the trainer-touched ANN/cluster contracts,
-# and the new q_dup_spans/q_frequent_ngrams/q_embed_cluster/
-# q_sample_weighted/q_semdedup/q_pipeline_export/
-# q_project_embeddings/q_chunk_documents/q_dedup_edit/
-# q_normalize_text/q_span_cuts), leaving 1 family anchor in position
-# 50 (q_minute_avg); the other anchors sit just past the window this
-# round and stay CI-verified by tests/test_oracle_parity.py — and the
-# WHOLE 96-entry catalog was re-verified against DuckDB at round
-# close at BOTH sf0.01 (the driver's correctness config) AND sf0.1:
-# 96/96 pass each.
+# Round-5 rotation (VERDICT r4 #10): the 48 entries whose last driver
+# record predates r4 (the r04 window recorded the other 50, all green)
+# rotate IN, joined by everything new or changed this round —
+# q_tag_filter_or (new: InfluxQL OR groups), q_vector_pq_bulk (new:
+# distributed corpus-as-queries ANN), q_simhash (rows-only -> python-twin
+# oracle), q_multimodal_features (rows-only -> per-row n_bytes oracle +
+# twin contract), q_semdedup (probe=2 boundary contract added). That is
+# exactly 50: the whole driver window re-verifies stale-or-changed
+# entries this round, and every r04-green unchanged entry sits just
+# past position 50 while remaining CI-verified by
+# tests/test_oracle_parity.py (full catalog, every run).
 
 _VERIFY_FIRST = [
-    # last driver-verified in r2, before the r3 testdata regeneration:
-    "q_dedup_near",     # r4: recall contract vs exact-jaccard truth (oracle-checked)
-    "q_simhash",        # rows-only; brute-force-equality unit test
-    "q_simhash_near",   # r4: recall contract vs exact-jaccard truth (oracle-checked)
-    "q_vector_lsh",     # r4: recall@1 contract on perturbed probes (oracle-checked)
-    "q_dedup_exact",
-    "q_tpch_q1",
-    "q_tpch_q5ish",
-    "q_dedup_jaccard",
-    "q_show_tag_values",
-    "q_fingerprint_stable",
-    "q_integral",
-    "q_rollup",
-    "q_hour_bucket",
-    "q_time_relative",
-    "q_time_iso",
-    "q_label_matchers",
-    "q_explode_tags",
-    "q_labels_json",
-    "q_ts_convert",
-    "q_distinct_groupby",
-    "q_union_sorted",
-    "q_intersect",
-    "q_except",
-    "q_limit",
-    "q_show_field_keys",
-    "q_show_tag_keys",
-    "q_count_distinct",
-    "q_moving_average",
-    "q_series_difference",
-    "q_elapsed",
-    "q_orders_join",
-    "q_top_per_bucket",
-    "q_union_fields",
-    # implementation changed in round 4 (re-verify the round it changes):
-    "q_vector_ivf",        # NEW recall@k accuracy contract (first oracle)
-    "q_pack_sequences",    # token-count budgets replace n_chars proxy
-    "q_curation_verdict",  # left-join verdicts for degenerate docs
-    # new in round 4:
-    "q_dup_spans",         # ExactSubstr duplicate spans (Lee et al. 2021)
-    "q_frequent_ngrams",   # boilerplate mining by doc frequency
-    "q_vector_pq",         # PQ ADC + refine, recall contract
-    "q_vector_ivfpq",      # composed IVF-PQ stack, recall contract
-    "q_embed_cluster",     # k-means topic binning, quality contract
-    "q_sample_weighted",   # mixture sampling with epoch semantics
-    "q_semdedup",          # SemDeDup: clustered semantic dedup, spec contract
-    "q_pipeline_export",   # flagship curate→decontaminate→shard composition
-    "q_project_embeddings",  # JL projection, distance-preservation contract
-    "q_chunk_documents",   # overlapping token-window chunking, exact oracle
-    "q_dedup_edit",        # Levenshtein verification tier, exact oracle
-    "q_normalize_text",    # canonical normalization chain, exact oracle
-    "q_span_cuts",         # ExactSubstr cuts applied back, exact oracle
-]
-
-_VERIFY_LAST = [
-    # r3-driver-green on the CURRENT testdata, implementation untouched
-    # this round, and mechanics kept warm by in-window family anchors
-    # (q_lp_parse, q_minute_avg, q_time_absolute, q_tag_filter,
-    # q_series_join, q_agg_suite, q_series_difference_seg,
-    # q_show_measurements, q_vector_topk, q_contamination,
-    # q_multimodal_decode, q_dedup_semantic fill positions 40-50 in
-    # definition order; q_contamination/q_sessionize/q_approx_distinct
-    # slip to 51-53 this round to make room for the three new round-4
-    # queries — all r3-green and unchanged). All of these still
-    # oracle-verify on every CI run via tests/test_oracle_parity.py.
+    "q_tag_filter_or",
+    "q_vector_pq_bulk",
+    "q_simhash",
+    "q_multimodal_features",
+    "q_semdedup",
+    "q_time_absolute",
+    "q_tag_filter",
+    "q_series_join",
+    "q_agg_suite",
+    "q_series_difference_seg",
+    "q_show_measurements",
+    "q_vector_topk",
+    "q_dedup_semantic",
+    "q_multimodal_decode",
+    "q_lp_parse",
+    "q_contamination",
+    "q_sessionize",
+    "q_approx_distinct",
     "q_series_pivot",
-    "q_multimodal_features",   # rows-only by design
     "q_sample_hash",
     "q_sample_stratified",
     "q_tfidf_top_terms",
@@ -3190,7 +3137,7 @@ _VERIFY_LAST = [
     "q_lang_filter",
     "q_lang_id",
     "q_doc_fingerprint",
-    "q_ingest_smoke",          # rows-only smoke fixture
+    "q_ingest_smoke",
     "q_multimodal_audio",
     "q_show_series",
     "q_show_cardinality",
@@ -3213,6 +3160,9 @@ _VERIFY_LAST = [
     "q_cumulative_sum",
     "q_dedup_embedding",
 ]
+
+# r04-green and unchanged in round 5 - rotate past the window
+_VERIFY_LAST: list[str] = []
 
 
 def _reorder_for_driver_window() -> None:

@@ -1363,3 +1363,35 @@ def test_semdedup_probe2_boundary_mitigation(spark, emb):
         assert cl == base[vid][0]  # primary assignment unchanged
         if keep:
             assert base[vid][1]  # keep-set monotone: probe only drops more
+
+
+def test_cosine_pairs_bulk_matches_collected(spark, emb):
+    """Distributed exact threshold-pairs must equal the collected
+    cosine_pairs bit-for-bit (same rounding rule), including with a
+    query side past the collected path's 10k guard."""
+    from cflux_spark.extensions import similarity
+
+    want = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in similarity.cosine_pairs(emb, emb, threshold=0.35).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in similarity.cosine_pairs_bulk(emb, emb, threshold=0.35, n_shards=4).collect()
+    }
+    assert got == want and len(got) > 0
+    # >10k queries: the collected path refuses, the bulk path runs
+    many = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_rep"), "vec_id", "embedding"
+    ).select((F.col("vec_id") + F.col("_rep") * 100_000).alias("vec_id"), "embedding")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_query_rows"):
+        similarity.cosine_pairs(many, emb.limit(50), threshold=0.35).collect()
+    n = similarity.cosine_pairs_bulk(many, emb.limit(50), threshold=0.35, n_shards=4).count()
+    # each replica reproduces its original's matches; additionally the
+    # 23 non-identity replicas of each candidate hit their own vector
+    # at sim 1.0 (the rep=0 copy keeps the original id and stays
+    # self-excluded)
+    base = similarity.cosine_pairs(emb, emb.limit(50), threshold=0.35).count()
+    assert n == 24 * base + 23 * 50
