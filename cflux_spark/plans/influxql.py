@@ -402,14 +402,19 @@ def parse_select(q: str) -> SelectStmt:
         # the envelope's series name is the innermost measurement
         outer.measurement = inner.measurement
         outer.db = inner.db
-        # InfluxDB propagates the outer time range into the subquery
-        if inner.time_lo_ns is None and outer.time_lo_ns is not None:
-            inner.time_lo_ns = outer.time_lo_ns
-        if inner.time_hi_ns is None and outer.time_hi_ns is not None:
-            inner.time_hi_ns = outer.time_hi_ns
-        if inner.relative_s is None and outer.relative_s is not None:
-            inner.relative_s = outer.relative_s
-            inner.relative_lo_inclusive = outer.relative_lo_inclusive
+        # InfluxDB propagates the outer time range into the subquery —
+        # down the WHOLE chain (each level parsed before the outer
+        # bounds existed, so a one-level copy would strand depth ≥ 3)
+        lvl = inner
+        while lvl is not None:
+            if lvl.time_lo_ns is None and outer.time_lo_ns is not None:
+                lvl.time_lo_ns = outer.time_lo_ns
+            if lvl.time_hi_ns is None and outer.time_hi_ns is not None:
+                lvl.time_hi_ns = outer.time_hi_ns
+            if lvl.relative_s is None and outer.relative_s is not None:
+                lvl.relative_s = outer.relative_s
+                lvl.relative_lo_inclusive = outer.relative_lo_inclusive
+            lvl = lvl.subquery
         return outer
     m = re.match(
         r"\s*SELECT\s+(?P<fields>.+?)\s+FROM\s+(?P<from>\S+(?:\s*,\s*\S+)*)"
@@ -2034,20 +2039,12 @@ class InfluxQLEngine:
         outer agg shuffle). The canonical Grafana shape
         ``SELECT mean(max) FROM (SELECT max(v) FROM m GROUP BY
         time(1m), host) GROUP BY time(1m)`` is one job."""
-        inner = stmt.subquery
-        if inner.subquery is not None:
-            raise InfluxQLError("only one level of subquery nesting is supported")
-        if len(inner.fields) != 1 or inner.fields[0].agg is None:
-            raise InfluxQLError("subquery must contain exactly one aggregated field")
-        if stmt.fill or stmt.tag_filters or stmt.tag_or_groups:
-            raise InfluxQLError("outer fill()/tag filters over a subquery are not supported")
-        ispec = inner.fields[0]
-        facts, igtags, itkeys = self._prepared_facts(inner, store, reg)
-        if facts is None:
+        if stmt.tag_filters or stmt.tag_or_groups:
+            raise InfluxQLError("outer tag filters over a subquery are not supported")
+        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        if prepared is None:
             return []
-        ff = facts.filter(F.col("field") == ispec.name)
-        inner_df = self._aggregated_frame(inner, ispec, ff, itkeys)
-        inner_col = ispec.tx or ispec.agg or "mean"
+        inner_df, igtags, itkeys, inner_col = prepared
 
         ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
         missing = [t for t in ogtags if t not in igtags]
@@ -2072,6 +2069,10 @@ class InfluxQLEngine:
             grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
                 F.round(agg, 6).alias("val")
             )
+            # outer fill() composes onto the outer bucket grid the
+            # same way it does over a base aggregate (round 5;
+            # previously rejected — InfluxDB 1.2 allows it)
+            grouped = self._apply_fill(grouped, stmt, okeys, stmt.group_by_time_s or 60)
             grouped = grouped.orderBy(
                 *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
@@ -2082,6 +2083,126 @@ class InfluxQLEngine:
                 _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])
             )
         return series
+
+    _MAX_SUBQUERY_DEPTH = 8
+
+    def _subquery_frame(
+        self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None, depth: int = 1
+    ) -> tuple[DataFrame, list[str], list[str], str] | None:
+        """Recursively build the bucketed frame of a (possibly nested)
+        subquery level → (frame[*tkeys, ts_ms, val], gtags, tkeys,
+        output column name). Each nesting level composes as one more
+        groupBy on the SAME Catalyst plan — N-deep nesting is scan →
+        N+1 agg shuffles, nothing collected between levels (round 5:
+        previously capped at one level; InfluxDB 1.2+ allows deeper).
+        The depth cap is an anti-footgun, not a semantics limit."""
+        if depth > self._MAX_SUBQUERY_DEPTH:
+            raise InfluxQLError(
+                f"subquery nesting deeper than {self._MAX_SUBQUERY_DEPTH} is not supported"
+            )
+        if len(stmt.fields) != 1 or stmt.fields[0].agg is None:
+            raise InfluxQLError("subquery must contain exactly one aggregated field")
+        spec = stmt.fields[0]
+        if stmt.subquery is None:
+            facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+            if facts is None:
+                return None
+            ff = facts.filter(F.col("field") == spec.name)
+            frame = self._aggregated_frame(stmt, spec, ff, tkeys)
+            return frame, gtags, tkeys, (spec.tx or spec.agg or "mean")
+        if spec.tx:
+            raise InfluxQLError("transform functions over a subquery are not supported")
+        prepared = self._subquery_frame(stmt.subquery, store, reg, depth + 1)
+        if prepared is None:
+            return None
+        inner_df, igtags, itkeys, inner_col = prepared
+        if spec.name != inner_col:
+            raise InfluxQLError(
+                f"subquery field {spec.name!r} does not match inner output {inner_col!r}"
+            )
+        gtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        missing = [t for t in gtags if t not in igtags]
+        if missing:
+            raise InfluxQLError(f"GROUP BY tag(s) {missing} not grouped in the inner subquery")
+        tkeys = [itkeys[igtags.index(t)] for t in gtags]
+        bucket = _bucket_ms(
+            stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
+        )
+        agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
+        frame = inner_df.groupBy(*tkeys, bucket.alias("ts_ms")).agg(
+            F.round(agg, 6).alias("val")
+        )
+        frame = self._apply_fill(frame, stmt, tkeys, stmt.group_by_time_s or 60)
+        return frame, gtags, tkeys, spec.agg
+
+    def _apply_fill(
+        self, grouped: DataFrame, stmt: SelectStmt, tkeys: list[str], bucket_s: float
+    ) -> DataFrame:
+        """fill() over a bucketed [*tkeys, ts_ms, val] frame:
+        materialize missing buckets per series between its first and
+        last observed bucket, then fill per policy. Shared by the
+        base aggregate path and (round 5) the subquery outer level —
+        outer fill() over subqueries was previously rejected."""
+        if not (stmt.fill and stmt.fill != "none" and stmt.group_by_time_s):
+            return grouped
+        bucket_ms = int(bucket_s * 1000)
+        bounds = grouped.groupBy(*tkeys).agg(
+            F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
+        )
+        if stmt.tz:
+            # under tz() bucket labels are uniform in LOCAL wall
+            # time, not UTC (a local day is 23/25 h across DST) —
+            # step the grid locally, then map each point back to
+            # its UTC instant
+            loc = f"unix_millis(from_utc_timestamp(timestamp_millis({{c}}), '{stmt.tz}'))"
+            grid = (
+                f"transform(sequence({loc.format(c='_lo')}, {loc.format(c='_hi')}, "
+                f"{bucket_ms}), x -> "
+                f"unix_millis(to_utc_timestamp(timestamp_millis(x), '{stmt.tz}')))"
+            )
+            allb = bounds.select(*tkeys, F.explode(F.expr(grid)).alias("ts_ms"))
+        else:
+            allb = bounds.select(
+                *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
+            )
+        grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
+        if stmt.fill == "previous":
+            from pyspark.sql import Window as _W
+
+            wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                _W.unboundedPreceding, 0
+            )
+            grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
+        elif stmt.fill == "linear":
+            # interpolate gap buckets between the nearest known
+            # neighbors; leading/trailing nulls stay null
+            # (InfluxDB fill(linear) semantics)
+            from pyspark.sql import Window as _W
+
+            wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                _W.unboundedPreceding, 0
+            )
+            wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                0, _W.unboundedFollowing
+            )
+            known = F.when(
+                F.col("val").isNotNull(),
+                F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
+            )
+            prev = F.last(known, ignorenulls=True).over(wp)
+            nxt = F.first(known, ignorenulls=True).over(wn)
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
+            )
+            grouped = grouped.withColumn(
+                "val", F.coalesce(F.col("val"), F.round(interp, 6))
+            )
+        elif stmt.fill != "null":
+            try:
+                grouped = grouped.fillna({"val": float(stmt.fill)})
+            except ValueError as exc:
+                raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
+        return grouped
 
     def _aggregated_frame(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys: list[str]
@@ -2128,66 +2249,7 @@ class InfluxQLEngine:
                 # precision above 2^53
                 ff.groupBy(*tkeys, bucket.alias("ts_ms")).agg(F.round(agg, 6).alias("val"))
             )
-        if stmt.fill and stmt.fill != "none" and stmt.group_by_time_s:
-            # materialize missing buckets per series between its
-            # first and last observed bucket, then fill per policy
-            bucket_ms = int(bucket_s * 1000)
-            bounds = grouped.groupBy(*tkeys).agg(
-                F.min("ts_ms").alias("_lo"), F.max("ts_ms").alias("_hi")
-            )
-            if stmt.tz:
-                # under tz() bucket labels are uniform in LOCAL wall
-                # time, not UTC (a local day is 23/25 h across DST) —
-                # step the grid locally, then map each point back to
-                # its UTC instant
-                loc = f"unix_millis(from_utc_timestamp(timestamp_millis({{c}}), '{stmt.tz}'))"
-                grid = (
-                    f"transform(sequence({loc.format(c='_lo')}, {loc.format(c='_hi')}, "
-                    f"{bucket_ms}), x -> "
-                    f"unix_millis(to_utc_timestamp(timestamp_millis(x), '{stmt.tz}')))"
-                )
-                allb = bounds.select(*tkeys, F.explode(F.expr(grid)).alias("ts_ms"))
-            else:
-                allb = bounds.select(
-                    *tkeys, F.explode(F.sequence("_lo", "_hi", F.lit(bucket_ms))).alias("ts_ms")
-                )
-            grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
-            if stmt.fill == "previous":
-                from pyspark.sql import Window as _W
-
-                wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                    _W.unboundedPreceding, 0
-                )
-                grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
-            elif stmt.fill == "linear":
-                # interpolate gap buckets between the nearest known
-                # neighbors; leading/trailing nulls stay null
-                # (InfluxDB fill(linear) semantics)
-                from pyspark.sql import Window as _W
-
-                wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                    _W.unboundedPreceding, 0
-                )
-                wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                    0, _W.unboundedFollowing
-                )
-                known = F.when(
-                    F.col("val").isNotNull(),
-                    F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
-                )
-                prev = F.last(known, ignorenulls=True).over(wp)
-                nxt = F.first(known, ignorenulls=True).over(wn)
-                interp = prev["v"] + (nxt["v"] - prev["v"]) * (
-                    (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
-                )
-                grouped = grouped.withColumn(
-                    "val", F.coalesce(F.col("val"), F.round(interp, 6))
-                )
-            elif stmt.fill != "null":
-                try:
-                    grouped = grouped.fillna({"val": float(stmt.fill)})
-                except ValueError as exc:
-                    raise InfluxQLError(f"bad fill value {stmt.fill!r}") from exc
+        grouped = self._apply_fill(grouped, stmt, tkeys, bucket_s)
         if spec.tx in _MATH_FNS:
             # math scalars are pointwise over the aggregated value —
             # no window, stays in codegen

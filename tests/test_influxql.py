@@ -1448,3 +1448,68 @@ def test_ungrouped_transforms_across_segment_boundaries(spark, tmp_path):
     assert [v[1] for v in dv] == [
         round((pts[i][1] - pts[i - 1][1]) / 2400, 6) for i in range(1, 8)
     ]
+
+
+def test_subquery_two_level_nesting(engine):
+    """3-deep: per-(host,30s) max -> per-host-minute mean -> cross-host
+    minute max. Round 5 removed the one-level cap; each level is one
+    more groupBy on the same plan."""
+    res = engine.execute(
+        "SELECT max(mean) FROM ("
+        " SELECT mean(max) FROM ("
+        "  SELECT max(user) FROM cpu GROUP BY time(30s), host"
+        " ) GROUP BY time(60s), host"
+        ") GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["name"] == "cpu" and series["columns"] == ["time", "max"]
+    # inner 30s maxes: a: (0.1@:00, 0.3@:30, 0.5@1:30), b: 0.7@:00
+    # per-host minute means: a min0 = 0.2, a min1 = 0.5, b min0 = 0.7
+    # cross-host minute max: min0 = 0.7, min1 = 0.5
+    assert series["values"] == [[1704067200000, 0.7], [1704067260000, 0.5]]
+
+
+def test_subquery_outer_fill(engine):
+    """Outer fill() over a subquery (previously rejected): make the
+    outer bucket 30s so the grid has a gap to fill."""
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(30s), host) "
+        "GROUP BY time(30s) fill(0)",
+        db="mydb",
+    )
+    vals = _values(res)
+    # buckets :00, :30, 1:00 (empty -> filled 0), 1:30
+    assert vals == [
+        [1704067200000, 0.4],
+        [1704067230000, 0.3],
+        [1704067260000, 0.0],
+        [1704067290000, 0.5],
+    ]
+    res_prev = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(30s), host) "
+        "GROUP BY time(30s) fill(previous)",
+        db="mydb",
+    )
+    assert _values(res_prev)[2] == [1704067260000, 0.3]
+
+
+def test_subquery_depth_cap_rejects_loudly(engine):
+    q = "SELECT max(user) FROM cpu GROUP BY time(60s)"
+    col = "user"
+    for _ in range(9):
+        q = f"SELECT max(max) FROM ({q}) GROUP BY time(60s)"
+    with pytest.raises(InfluxQLError, match="nesting deeper"):
+        engine.execute(q, db="mydb")
+
+
+def test_subquery_time_range_propagates_to_depth3(engine):
+    res = engine.execute(
+        "SELECT max(mean) FROM ("
+        " SELECT mean(max) FROM ("
+        "  SELECT max(user) FROM cpu GROUP BY time(30s), host"
+        " ) GROUP BY time(60s), host"
+        ") WHERE time >= 1704067260000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067260000, 0.5]]
