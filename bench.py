@@ -95,6 +95,10 @@ def _bench_ops():
 
     return {
         "q_dedup_near": lambda s, d: dedup.minhash_lsh_pairs(docs(s, d)),
+        # round 5 converted q_simhash to a python-twin oracle contract;
+        # the twin (pure-Python xxh64 over a 100-doc sample) is
+        # correctness gear — time the fingerprint operator itself
+        "q_simhash": lambda s, d: dedup.simhash(docs(s, d)),
         "q_simhash_near": lambda s, d: dedup.simhash_near_pairs(docs(s, d), max_hamming=8),
         "q_vector_lsh": lambda s, d: similarity.lsh_topk(
             similarity.perturbed_queries(emb(s, d), n_queries=40), emb(s, d), k=1
@@ -111,7 +115,7 @@ def _bench_ops():
     }
 
 
-def _bucketed_probe(spark, n_rows: int = 1_000_000) -> dict:
+def _bucketed_probe(spark, n_rows: int = 10_000_000) -> dict:
     """The SMJ-regime registry join with and without co-bucketing —
     the per-round number behind SCALE.md 'Bucketed store' (VERDICT r4
     #8). Broadcast is disabled so both runs sit in the sort-merge
@@ -137,8 +141,10 @@ def _bucketed_probe(spark, n_rows: int = 1_000_000) -> dict:
             "noop"
         ).mode("overwrite").save()
         unbucketed = round(_t.monotonic() - t, 3)
+        t = _t.monotonic()
         write_bucketed(reg, "bench_probe_reg", n_buckets=32)
         write_bucketed(facts, "bench_probe_facts", n_buckets=32)
+        write_sec = round(_t.monotonic() - t, 3)
         bf, br = spark.table("bench_probe_facts"), spark.table("bench_probe_reg")
         t = _t.monotonic()
         bf.join(br, "fingerprint").groupBy("m").agg(F.sum("v")).write.format(
@@ -153,6 +159,7 @@ def _bucketed_probe(spark, n_rows: int = 1_000_000) -> dict:
         "bucketed_probe_rows": n_rows,
         "unbucketed_smj_join_sec": unbucketed,
         "bucketed_join_sec": bucketed,
+        "bucketed_write_sec": write_sec,
     }
 
 

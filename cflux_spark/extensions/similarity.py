@@ -1421,6 +1421,45 @@ class IVFIndex:
             .select("query_id", "neighbor_id", "sim", "rank")
         )
 
+    def topk_bulk(self, queries: DataFrame, k: int = 5, nprobe: int = 4,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  round_to: int = 4) -> DataFrame:
+        """:meth:`topk` with the query side distributed (round 5, the
+        bulk-family pattern): no query broadcast, no probed-cell
+        collect — (query, cell) probe rows meet the stored cells in a
+        plain equi-join on cell (one shuffle per side; AQE broadcasts
+        whichever side is actually small). Identical output; the only
+        difference vs topk is that pruning happens in the join rather
+        than a static partition filter, the right trade when the
+        query side is corpus-sized."""
+        cents = self._centroids()
+
+        @pandas_udf("array<long>")
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            order = np.argsort(_d2_to_centroids(v, cents), axis=1)[:, :nprobe]
+            return pd.Series(list(order.astype(np.int64)))
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
+            F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        )
+        cells = self.spark.read.parquet(f"{self.path}/cells")
+        scored = (
+            cells.withColumn("_cn", _norm(F.col("cv")))
+            .join(q, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", _paired_sim(round_to))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "sim", "rank")
+        )
+
 
 class IVFPQIndex:
     """Persisted IVF-PQ index: build once, search many times — the

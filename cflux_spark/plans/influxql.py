@@ -2039,12 +2039,38 @@ class InfluxQLEngine:
         outer agg shuffle). The canonical Grafana shape
         ``SELECT mean(max) FROM (SELECT max(v) FROM m GROUP BY
         time(1m), host) GROUP BY time(1m)`` is one job."""
-        if stmt.tag_filters or stmt.tag_or_groups:
-            raise InfluxQLError("outer tag filters over a subquery are not supported")
         prepared = self._subquery_frame(stmt.subquery, store, reg)
         if prepared is None:
             return []
         inner_df, igtags, itkeys, inner_col = prepared
+
+        # outer tag filters apply to the subquery's OUTPUT series —
+        # legal when the tag was grouped in the inner level (its value
+        # is a grouping column of the frame); anything else has no
+        # column to filter on and rejects loudly (round 5; previously
+        # ALL outer tag filters were rejected)
+        if stmt.tag_filters or stmt.tag_or_groups:
+            from cflux_spark.functions.scalars import label_matcher
+
+            def _tagcol(key: str):
+                if key not in igtags:
+                    raise InfluxQLError(
+                        f"outer tag filter on {key!r} requires the subquery to "
+                        f"GROUP BY {key!r} (grouped tags: {igtags or 'none'})"
+                    )
+                return F.col(itkeys[igtags.index(key)])
+
+            cond = None
+            for key, op, val in stmt.tag_filters:
+                c = label_matcher(_tagcol(key), op, val)
+                cond = c if cond is None else (cond & c)
+            for group in stmt.tag_or_groups:
+                gcond = None
+                for key, op, val in group:
+                    c = label_matcher(_tagcol(key), op, val)
+                    gcond = c if gcond is None else (gcond | c)
+                cond = gcond if cond is None else (cond & gcond)
+            inner_df = inner_df.filter(cond)
 
         ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
         missing = [t for t in ogtags if t not in igtags]

@@ -1395,3 +1395,17 @@ def test_cosine_pairs_bulk_matches_collected(spark, emb):
     # self-excluded)
     base = similarity.cosine_pairs(emb, emb.limit(50), threshold=0.35).count()
     assert n == 24 * base + 23 * 50
+
+
+def test_ivf_index_topk_bulk_matches_topk(spark, emb, tmp_path):
+    from cflux_spark.extensions import similarity
+
+    idx = similarity.IVFIndex(spark, str(tmp_path / "ivfbulk")).build(emb)
+    qs = emb.filter(F.col("vec_id") < 20)
+    want = {
+        tuple(r) for r in idx.topk(qs, k=4, nprobe=6).collect()
+    }
+    got = {
+        tuple(r) for r in idx.topk_bulk(qs, k=4, nprobe=6).collect()
+    }
+    assert got == want and len(got) == 20 * 4

@@ -1513,3 +1513,27 @@ def test_subquery_time_range_propagates_to_depth3(engine):
         db="mydb",
     )
     assert _values(res) == [[1704067260000, 0.5]]
+
+
+def test_subquery_outer_tag_filter_on_grouped_tag(engine):
+    """WHERE host='a' outside a subquery that GROUPs BY host filters
+    the inner output series (InfluxDB semantics); a tag the inner
+    level did not group by has no column and rejects loudly."""
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) "
+        "WHERE host = 'a' GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.3], [1704067260000, 0.5]]
+    res_or = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) "
+        "WHERE (host = 'a' OR host = 'b') GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res_or) == [[1704067200000, 0.5], [1704067260000, 0.5]]
+    with pytest.raises(InfluxQLError, match="requires the subquery to GROUP BY"):
+        engine.execute(
+            "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s)) "
+            "WHERE region = 'eu' GROUP BY time(60s)",
+            db="mydb",
+        )
