@@ -47,7 +47,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cflux_spark.operators import pivot as pivot_ops
@@ -156,6 +156,175 @@ class FieldSpec(NamedTuple):
     tx: str | None = None  # transform fn wrapping the aggregate
     tx_arg: float | None = None  # derivative unit (s) | moving_average n
     alias: str | None = None  # AS name — overrides the output column name
+    #: binary-arithmetic AST for SELECT expressions like
+    #: ``max(v) - min(v)`` or ``user * 100`` (round 5); when set, the
+    #: other fields describe only the display name
+    expr: tuple | None = None
+
+
+def _has_top_level_arith(s: str) -> bool:
+    """True when ``s`` contains a binary + - * / outside parens and
+    quotes — the trigger for SELECT-expression arithmetic (round 5:
+    ``max(v) - min(v)``, ``mean(v) * 100``, ``user + sys``)."""
+    depth = 0
+    quote: str | None = None
+    prev_operand = False
+    for c in s:
+        if quote:
+            if c == quote:
+                quote = None
+                prev_operand = True
+            continue
+        if c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+            prev_operand = False
+        elif c == ")":
+            depth -= 1
+            prev_operand = True
+        elif depth == 0 and c in "+-*/":
+            if prev_operand:  # binary, not a leading unary minus
+                return True
+            prev_operand = False
+        elif not c.isspace():
+            prev_operand = True
+    return False
+
+
+def _tokenize_arith(s: str) -> list:
+    tokens: list = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c in "()+-*/":
+            tokens.append(c)
+            i += 1
+            continue
+        if c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                raise InfluxQLError(f"unterminated identifier in {s!r}")
+            tokens.append(("ident", s[i + 1 : j]))
+            i = j + 1
+            continue
+        mnum = re.match(r"\d+(\.\d+)?", s[i:])
+        if mnum:
+            tokens.append(("num", float(mnum.group(0))))
+            i += mnum.end()
+            continue
+        mid = re.match(r"\w+", s[i:])
+        if mid:
+            name = mid.group(0)
+            i += mid.end()
+            j = i
+            while j < n and s[j].isspace():
+                j += 1
+            if j < n and s[j] == "(":
+                depth = 0
+                k = j
+                while k < n:
+                    if s[k] == "(":
+                        depth += 1
+                    elif s[k] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                if depth != 0:
+                    raise InfluxQLError(f"unbalanced parens in {s!r}")
+                tokens.append(("call", name.lower(), s[j + 1 : k].strip()))
+                i = k + 1
+            else:
+                tokens.append(("ident", name))
+            continue
+        raise InfluxQLError(f"unsupported SELECT expression {s!r}")
+    return tokens
+
+
+def _parse_arith(s: str) -> tuple:
+    """Recursive-descent parse of a SELECT arithmetic expression into
+    an AST of ('num', x) | ('field', name) | ('agg', fn, field, arg) |
+    ('neg', node) | ('op', op, left, right). Function leaves must be
+    plain aggregates — transforms/selectors inside arithmetic are out
+    of grammar and reject loudly."""
+    tokens = _tokenize_arith(s)
+    pos = [0]
+
+    def peek():
+        return tokens[pos[0]] if pos[0] < len(tokens) else None
+
+    def eat():
+        t = tokens[pos[0]]
+        pos[0] += 1
+        return t
+
+    def factor() -> tuple:
+        t = peek()
+        if t is None:
+            raise InfluxQLError(f"truncated SELECT expression {s!r}")
+        if t == "-":
+            eat()
+            return ("neg", factor())
+        if t == "(":
+            eat()
+            node = expr()
+            if peek() != ")":
+                raise InfluxQLError(f"unbalanced parens in {s!r}")
+            eat()
+            return node
+        if isinstance(t, tuple):
+            eat()
+            if t[0] == "num":
+                return ("num", t[1])
+            if t[0] == "ident":
+                return ("field", t[1])
+            if t[0] == "call":
+                fn, argstr = t[1], t[2]
+                if fn not in _AGG_FNS:
+                    raise InfluxQLError(
+                        f"only plain aggregates may appear in SELECT arithmetic, "
+                        f"got {fn!r} in {s!r}"
+                    )
+                args = [a.strip() for a in argstr.split(",")] if argstr else []
+                if not args or not args[0]:
+                    raise InfluxQLError(f"missing field in {fn}() in {s!r}")
+                arg = float(args[1]) if len(args) > 1 else None
+                return ("agg", fn, _unquote(args[0]), arg)
+        raise InfluxQLError(f"unsupported SELECT expression {s!r}")
+
+    def term() -> tuple:
+        node = factor()
+        while peek() in ("*", "/"):
+            op = eat()
+            node = ("op", op, node, factor())
+        return node
+
+    def expr() -> tuple:
+        node = term()
+        while peek() in ("+", "-"):
+            op = eat()
+            node = ("op", op, node, term())
+        return node
+
+    node = expr()
+    if pos[0] != len(tokens):
+        raise InfluxQLError(f"unsupported SELECT expression {s!r}")
+    return node
+
+
+def _arith_leaves(node: tuple, kind: str) -> list:
+    """Collect ('agg', ...) or ('field', ...) leaves in source order."""
+    if node[0] == kind:
+        return [node]
+    if node[0] == "neg":
+        return _arith_leaves(node[1], kind)
+    if node[0] == "op":
+        return _arith_leaves(node[2], kind) + _arith_leaves(node[3], kind)
+    return []
 
 
 def _parens_balanced(s: str) -> bool:
@@ -452,6 +621,43 @@ def parse_select(q: str) -> SelectStmt:
         else:
             alias = None
         field_aliases.append(alias)
+        # ::type casts (InfluxDB disambiguation): user::float selects
+        # the FIELD user — strip the suffix and parse normally. ::tag
+        # (a tag as a SELECT column) stays out of grammar, loudly.
+        cm = re.fullmatch(
+            r"(.+?)\s*::\s*(float|integer|string|field|tag)", raw, re.IGNORECASE
+        )
+        if cm:
+            if cm.group(2).lower() == "tag":
+                raise InfluxQLError(f"::tag casts are not supported in SELECT: {raw!r}")
+            raw = cm.group(1).strip()
+        # SELECT arithmetic (round 5): max(v) - min(v), mean(v) * 100,
+        # user + sys, (a + b) / 2 ... — parsed to an AST; execution
+        # composes the leaf aggregates/fields with column arithmetic
+        if _has_top_level_arith(raw):
+            node = _parse_arith(raw)
+            aggs = _arith_leaves(node, "agg")
+            flds = _arith_leaves(node, "field")
+            if aggs and flds:
+                raise InfluxQLError(
+                    f"SELECT arithmetic may not mix aggregates and raw fields: {raw!r}"
+                )
+            if not aggs and not flds:
+                raise InfluxQLError(f"SELECT arithmetic needs a field or aggregate: {raw!r}")
+            if aggs:
+                seen: list[str] = []
+                for a in aggs:
+                    if a[1] not in seen:
+                        seen.append(a[1])
+                default_name = "_".join(seen)
+            else:
+                seen = []
+                for fnode in flds:
+                    if fnode[1] not in seen:
+                        seen.append(fnode[1])
+                default_name = "_".join(seen)
+            fields.append(FieldSpec(None, default_name, expr=node))
+            continue
         # nested transform: tx(agg(field[, agg_arg])[, tx_arg])
         tm2 = re.fullmatch(
             r"(\w+)\s*\(\s*(\w+)\s*\(\s*([^)]*?)\s*\)\s*(?:,\s*([^)]+?)\s*)?\)(?:\s+AS\s+\w+)?",
@@ -1278,12 +1484,15 @@ class InfluxQLEngine:
                 and not stmt.soffset
             ):
                 if stmt.group_by_time_s is None and all(
-                    sp.agg is None and sp.tx is None for sp in stmt.fields
+                    sp.agg is None and sp.tx is None and sp.expr is None
+                    for sp in stmt.fields
                 ):
                     yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
                     return
                 if stmt.group_by_time_s is not None and all(
-                    sp.agg not in _SEL_FNS and sp.agg not in ("distinct", "elapsed")
+                    sp.agg not in _SEL_FNS
+                    and sp.agg not in ("distinct", "elapsed")
+                    and sp.expr is None
                     for sp in stmt.fields
                 ):
                     # aggregated results are usually small, but a
@@ -1789,6 +1998,9 @@ class InfluxQLEngine:
 
         series: list[dict] = []
         for spec in stmt.fields:
+            if spec.expr is not None:
+                series.extend(self._arith_series(stmt, spec, facts, gtags, tkeys, reg))
+                continue
             fn, fieldname = spec.agg, spec.name
             ff = facts.filter(F.col("field") == fieldname)
             if fn == "elapsed":
@@ -1851,6 +2063,159 @@ class InfluxQLEngine:
             colname = spec.alias or (f"{base}_{fieldname}" if len(stmt.fields) > 1 else base)
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
         return series
+
+    @staticmethod
+    def _arith_col(node: tuple, leaf_col) -> Column:
+        """AST → Column. ``/`` uses try_divide so division by zero
+        yields null under ANSI mode (InfluxDB drops the point)."""
+        kind = node[0]
+        if kind == "num":
+            return F.lit(node[1])
+        if kind == "neg":
+            return -InfluxQLEngine._arith_col(node[1], leaf_col)
+        if kind in ("agg", "field"):
+            return leaf_col(node)
+        op = node[1]
+        left = InfluxQLEngine._arith_col(node[2], leaf_col)
+        right = InfluxQLEngine._arith_col(node[3], leaf_col)
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        return F.try_divide(left, right)
+
+    def _arith_series(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg
+    ) -> list[dict]:
+        """SELECT arithmetic (round 5): ``max(v) - min(v)``,
+        ``mean(v) * 100`` (aggregate kind) or ``user + sys``,
+        ``user * 100`` (raw kind)."""
+        if _arith_leaves(spec.expr, "agg"):
+            return self._arith_agg_series(stmt, spec, facts, gtags, tkeys)
+        return self._arith_raw_series(stmt, spec, facts, gtags, tkeys, reg)
+
+    def _arith_agg_series(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """Each distinct aggregate leaf computes its own bucketed
+        frame (the standard _aggregated_frame path, fill deferred);
+        frames full-outer-join on (tkeys, bucket) and the AST combines
+        them with column arithmetic; fill() then applies to the
+        RESULT, matching InfluxDB (fill shapes the output grid, not
+        the operands). Same plan family as multi-field aggregates:
+        scan → one agg shuffle per distinct leaf → k-way bucket join
+        (bucket-keyed, AQE-sized)."""
+        from dataclasses import replace as _replace
+        from functools import reduce
+
+        node = spec.expr
+        leaves: list[tuple] = []
+        for lf in _arith_leaves(node, "agg"):
+            if lf not in leaves:
+                leaves.append(lf)
+        nofill = _replace(stmt, fill=None)
+        frames = []
+        for i, (_, fn, fieldname, arg) in enumerate(leaves):
+            if fn in _SEL_FNS or fn in ("distinct", "elapsed", "sample"):
+                raise InfluxQLError(
+                    f"{fn}() may not appear in SELECT arithmetic (point-emitting selector)"
+                )
+            ff = facts.filter(F.col("field") == fieldname)
+            fr = self._aggregated_frame(nofill, FieldSpec(fn, fieldname, arg), ff, tkeys)
+            frames.append(fr.withColumnRenamed("val", f"_v{i}"))
+        joined = (
+            reduce(lambda a, b: a.join(b, [*tkeys, "ts_ms"], "full_outer"), frames)
+            if len(frames) > 1
+            else frames[0]
+        )
+        idx = {lf: i for i, lf in enumerate(leaves)}
+        val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf]}")), 6)
+        grouped = joined.select(*tkeys, "ts_ms", val.alias("val"))
+        grouped = self._apply_fill(grouped, stmt, tkeys, stmt.group_by_time_s or 60)
+        if stmt.fill is None or stmt.fill == "none":
+            # a bucket missing any operand (or dividing by zero) emits
+            # nothing, matching the absent-bucket convention; fill()
+            # policies above already decided what nulls become —
+            # fill(null) keeps them as explicit null rows
+            grouped = grouped.filter(F.col("val").isNotNull())
+        grouped = grouped.orderBy(
+            *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+        )
+        grouped = _apply_slice(grouped, tkeys, stmt)
+        rows = self._bounded_collect(grouped)
+        colname = spec.alias or spec.name
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _arith_raw_series(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg
+    ) -> list[dict]:
+        """Raw-point arithmetic. One field (``user * 100``) is a
+        pointwise map. Multiple fields (``user + sys``) align on POINT
+        identity — rows are stored one-per-field and fingerprints
+        include the field name, so the cross-field key is (tag-set
+        hash, ts): the same registry-derived series key the WHERE
+        field-predicate machinery uses, broadcast-attached, then an
+        inner join per additional field (a point missing any operand
+        emits nothing, InfluxDB semantics)."""
+        if stmt.group_by_time_s is not None:
+            raise InfluxQLError(
+                "GROUP BY time() requires aggregated SELECT expressions"
+            )
+        node = spec.expr
+        fields_used: list[str] = []
+        for lf in _arith_leaves(node, "field"):
+            if lf[1] not in fields_used:
+                fields_used.append(lf[1])
+        if len(fields_used) == 1:
+            fname = fields_used[0]
+            base = facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
+            val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
+            sel = base.select(
+                *tkeys,
+                F.expr("ts_ns div 1000000").alias("ts_ms"),
+                val.cast("string").alias("val"),
+            )
+        else:
+            if reg is None:
+                return []
+            skey = F.xxhash64(
+                F.to_json(
+                    F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
+                )
+            )
+            fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
+            joined = None
+            for i, fname in enumerate(fields_used):
+                d = (
+                    facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
+                    .join(F.broadcast(fp2s), "fingerprint")
+                    .select(
+                        *(tkeys if i == 0 else []),
+                        "_skey",
+                        "ts_ns",
+                        F.col("value").alias(f"_v{i}"),
+                    )
+                )
+                joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"])
+            idx = {f: i for i, f in enumerate(fields_used)}
+            val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
+            sel = joined.select(
+                *tkeys,
+                F.expr("ts_ns div 1000000").alias("ts_ms"),
+                val.cast("string").alias("val"),
+            )
+        sel = sel.orderBy(
+            *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+        )
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = self._bounded_collect(sel)
+        colname = spec.alias or spec.name
+        return _tag_series(
+            rows, gtags, tkeys, stmt, colname,
+            lambda r: [r.ts_ms, pivot_ops._maybe_float(r.val)],
+        )
 
     def _elapsed_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys

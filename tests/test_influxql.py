@@ -153,7 +153,7 @@ def test_parse_select_rejects_garbage():
 
 def test_parse_select_shapes():
     s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
-    assert s.fields == [("mean", "user", None, None, None, None)]
+    assert s.fields == [("mean", "user", None, None, None, None, None)]
     assert s.db == "db" and s.measurement == "cpu"
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
@@ -625,7 +625,7 @@ def test_selector_respects_limit_offset(engine):
         # grammar we reject LOUDLY (InfluxQLError), never silently
         # misparse: ::field casts, db.rp.measurement triplets with
         # quoting edge cases, unknown aggregates, malformed durations
-        "SELECT user::field FROM cpu",
+        "SELECT user::bananas FROM cpu",
         "SELECT mean(user) FROM \"db\".\"rp\".\"cpu\" WHERE host = 'a",  # unterminated quote
         "SELECT frobnicate(user) FROM cpu",
         "SELECT mean(user) FROM cpu GROUP BY time(10parsecs)",
@@ -1298,11 +1298,16 @@ def test_where_tag_regex_matchers(engine):
         engine.execute("SELECT user FROM cpu WHERE region =~ eu", db="mydb")
 
 
-def test_field_arithmetic_rejected_loudly(engine):
-    """Field arithmetic is outside the grammar — it must error, not
-    silently match a field literally named 'max(user) - min(user)'."""
+def test_field_arithmetic_unsupported_shapes_reject_loudly(engine):
+    """+ - * / over aggregates/fields is in-grammar since round 5;
+    what remains outside (%, selectors inside arithmetic, stray
+    operators) must error, not silently match a literal field name."""
     with pytest.raises(InfluxQLError, match="unsupported SELECT expression"):
-        engine.execute("SELECT max(user) - min(user) FROM cpu", db="mydb")
+        engine.execute("SELECT max(user) % min(user) FROM cpu", db="mydb")
+    with pytest.raises(InfluxQLError, match="only plain aggregates"):
+        engine.execute("SELECT top(user, 2) + 1 FROM cpu", db="mydb")
+    with pytest.raises(InfluxQLError, match="truncated SELECT expression"):
+        engine.execute("SELECT user + FROM cpu", db="mydb")
 
 
 def test_parenthesized_where_and_or_groups(engine):
@@ -1537,3 +1542,58 @@ def test_subquery_outer_tag_filter_on_grouped_tag(engine):
             "WHERE region = 'eu' GROUP BY time(60s)",
             db="mydb",
         )
+
+
+def test_select_arithmetic_aggregates(engine):
+    """SELECT arithmetic over aggregates (round 5): Grafana's
+    percent/spread shapes. Leaves compute their own bucketed frames,
+    joined on bucket, combined with column math."""
+    res = engine.execute("SELECT max(user) - min(user) FROM cpu GROUP BY time(60s)", db="mydb")
+    s0 = res["results"][0]["series"][0]
+    assert s0["columns"] == ["time", "max_min"]
+    # min0: max 0.7 min 0.1 -> 0.6; min1: only 0.5 -> 0.0
+    assert s0["values"] == [[1704067200000, 0.6], [1704067260000, 0.0]]
+    res2 = engine.execute("SELECT mean(user) * 100 AS pct FROM cpu GROUP BY time(60s)", db="mydb")
+    s2 = res2["results"][0]["series"][0]
+    assert s2["columns"] == ["time", "pct"]
+    assert s2["values"][0] == [1704067200000, 36.6667]
+    # grouped by tag too
+    res3 = engine.execute(
+        "SELECT (max(user) + min(user)) / 2 FROM cpu GROUP BY time(60s), host", db="mydb"
+    )
+    by_host = {s["tags"]["host"]: s["values"] for s in res3["results"][0]["series"]}
+    assert by_host["a"][0] == [1704067200000, 0.2]
+    assert by_host["b"] == [[1704067200000, 0.7]]
+
+
+def test_select_arithmetic_division_missing_operand(engine):
+    """A bucket missing one operand emits nothing without fill();
+    fill(0) materializes it. sys exists only at minute 0."""
+    res = engine.execute("SELECT mean(sys) / mean(user) FROM cpu GROUP BY time(60s)", db="mydb")
+    assert _values(res) == [[1704067200000, 0.027273]]  # 0.01 / (1.1/3)
+    res_fill = engine.execute(
+        "SELECT mean(sys) / mean(user) FROM cpu GROUP BY time(60s) fill(0)", db="mydb"
+    )
+    assert _values(res_fill) == [[1704067200000, 0.027273], [1704067260000, 0.0]]
+
+
+def test_select_arithmetic_raw_fields(engine):
+    """Raw pointwise math: single-field scalar ops map per point;
+    multi-field ops align on point identity (tag set + ts) and emit
+    only points where every operand exists."""
+    res = engine.execute("SELECT user * 100 FROM cpu WHERE host = 'a'", db="mydb")
+    assert [v[1] for v in _values(res)] == [10.0, 30.0, 50.0]
+    res2 = engine.execute("SELECT user + sys AS total FROM cpu", db="mydb")
+    s2 = res2["results"][0]["series"][0]
+    assert s2["columns"] == ["time", "total"]
+    assert [v[1] for v in s2["values"]] == [0.11]  # only the :00 a-point has sys
+    with pytest.raises(InfluxQLError, match="may not mix"):
+        engine.execute("SELECT mean(user) + user FROM cpu", db="mydb")
+
+
+def test_select_type_cast_suffixes(engine):
+    """user::float strips to the field; host::tag stays loud."""
+    res = engine.execute("SELECT user::float FROM cpu WHERE host = 'b'", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7]]
+    with pytest.raises(InfluxQLError, match="::tag"):
+        engine.execute("SELECT host::tag FROM cpu", db="mydb")
