@@ -405,8 +405,8 @@ def _split_outside_quotes(s: str, sep: str) -> list[str]:
     return out
 
 
-def _split_on_or(cond: str) -> list[str]:
-    """Split on top-level ``OR`` (word, case-insensitive) outside
+def _split_on_word(cond: str, word: str) -> list[str]:
+    """Split on a top-level keyword (case-insensitive) outside
     single/double quotes and parentheses — ``("host" = 'a' OR
     "host" = 'b OR c')`` must split once, not twice."""
     out: list[str] = []
@@ -431,20 +431,29 @@ def _split_on_or(cond: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
+        wl = len(word)
         if (
             depth == 0
-            and cond[i : i + 2].upper() == "OR"
+            and cond[i : i + wl].upper() == word
             and (i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] in '_"'))
-            and (i + 2 >= n or not (cond[i + 2].isalnum() or cond[i + 2] in '_"'))
+            and (i + wl >= n or not (cond[i + wl].isalnum() or cond[i + wl] in '_"'))
         ):
             out.append("".join(buf))
             buf = []
-            i += 2
+            i += wl
             continue
         buf.append(c)
         i += 1
     out.append("".join(buf))
     return out
+
+
+def _split_on_or(cond: str) -> list[str]:
+    return _split_on_word(cond, "OR")
+
+
+def _split_on_and(cond: str) -> list[str]:
+    return _split_on_word(cond, "AND")
 
 
 _FIELD_PRED_RX = re.compile(
@@ -828,17 +837,29 @@ def parse_select(q: str) -> SelectStmt:
         stmt = SelectStmt(fields=fields, measurement=meas, db=db, from_prefix=prefix)
 
     where = m.group("where") or ""
-    for cond in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
-        cond = cond.strip()
+    # paren-aware AND split: "(a AND b) AND c" first yields the group
+    # and c; a group that unwraps to contain more top-level ANDs is
+    # re-split (worklist), so "(host = 'a' AND region = 'eu')" parses
+    # instead of shredding at the inner AND (round 5)
+    work = [c.strip() for c in _split_on_and(where)]
+    while work:
+        cond = work.pop(0)
         # Grafana wraps template conditions in parens: ("host" =~ /^a$/)
+        stripped = False
         while (
             cond.startswith("(")
             and cond.endswith(")")
             and _parens_balanced(cond[1:-1])
         ):
             cond = cond[1:-1].strip()
+            stripped = True
         if not cond:
             continue
+        if stripped:
+            parts = [c.strip() for c in _split_on_and(cond)]
+            if len(parts) > 1:
+                work = parts + work
+                continue
         disjuncts = [d.strip() for d in _split_on_or(cond)]
         if len(disjuncts) > 1:
             # OR group: Grafana templated multi-tag queries emit

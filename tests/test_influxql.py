@@ -1597,3 +1597,26 @@ def test_select_type_cast_suffixes(engine):
     assert _values(res) == [[1704067200000, 0.7]]
     with pytest.raises(InfluxQLError, match="::tag"):
         engine.execute("SELECT host::tag FROM cpu", db="mydb")
+
+
+def test_where_parenthesized_and_conjunction(engine):
+    """(host = 'a' AND region = 'eu') — a parenthesized AND group must
+    parse as the two conditions (the AND split is paren-aware since
+    round 5), including nested with OR groups alongside."""
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE (host = 'a' AND region = 'eu')", db="mydb"
+    )
+    vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+    assert len(vals) == 3
+    res2 = engine.execute(
+        "SELECT user FROM cpu WHERE (host = 'a' AND region = 'eu') AND time >= 1704067230000000000",
+        db="mydb",
+    )
+    vals2 = [v for s in res2["results"][0]["series"] for v in s["values"]]
+    assert len(vals2) == 2
+    res3 = engine.execute(
+        "SELECT user FROM cpu WHERE ((region = 'eu' OR region = 'us') AND host = 'b')",
+        db="mydb",
+    )
+    vals3 = [v for s in res3["results"][0]["series"] for v in s["values"]]
+    assert [v[1] for v in vals3] == [0.7]
