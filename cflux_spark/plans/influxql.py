@@ -1808,6 +1808,8 @@ class InfluxQLEngine:
         is exactly how InfluxDB continuous-query output behaves."""
         if stmt.subquery is not None or stmt.measurement_regex is not None:
             raise InfluxQLError("INTO does not support subqueries or regex FROM")
+        if any(sp.expr is not None for sp in stmt.fields):
+            raise InfluxQLError("INTO does not support SELECT arithmetic")
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             return _envelope([_series("result", ["time", "written"], [[0, 0]])])

@@ -1620,3 +1620,10 @@ def test_where_parenthesized_and_conjunction(engine):
     )
     vals3 = [v for s in res3["results"][0]["series"] for v in s["values"]]
     assert [v[1] for v in vals3] == [0.7]
+
+
+def test_select_into_rejects_arithmetic(engine):
+    with pytest.raises(InfluxQLError, match="INTO does not support SELECT arithmetic"):
+        engine.execute(
+            "SELECT mean(user) * 100 INTO cpu_pct FROM cpu GROUP BY time(60s)", db="mydb"
+        )
