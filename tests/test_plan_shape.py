@@ -159,3 +159,31 @@ def test_semdedup_one_shuffle_keyed_by_cluster(spark):
     assert len(exchanges) == 1, plan
     assert "cluster#" in exchanges[0], exchanges[0]
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_or_group_filter_is_one_scan_with_pushdown(spark):
+    """q_tag_filter_or's disjunctive predicate must plan as ONE parquet
+    scan with the IN filter pushed (no union of per-branch scans) —
+    the whole point of expressing OR as a composite predicate."""
+    from cflux_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_tag_filter_or"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "In(event_type, [click,view])" in plan, plan
+
+
+def test_merged_window_engine_path_no_unpartitioned_fact_window(spark, tmp_path):
+    """SELECT difference(v) FROM m without GROUP BY must not plan a
+    no-partition WindowExec over the fact rows (VERDICT r4 weak #2) —
+    asserted through the public helper the dispatch routes through."""
+    from cflux_spark.operators.windows import merged_window_stage
+
+    df = spark.range(0, 100000).selectExpr(
+        "id * 45000000000 as ts_ns", "cast(id % 97 as double) as value"
+    )
+    staged, w, fin = merged_window_stage(df)
+    out = fin(staged.withColumn("_v", F.col("value") - F.lag("value").over(w)))
+    plan = _plan(out)
+    fact_windows = [ln for ln in plan.splitlines() if "Window" in ln and "lag(value" in ln]
+    assert fact_windows and all("_dseg" in ln for ln in fact_windows), plan
