@@ -1666,9 +1666,9 @@ def q_vector_pq_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, is the bar; (c) slice recall@3 vs brute force >= 0.6
     (the q_vector_pq threshold)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bulk = similarity.pq_topk_bulk(emb, emb, k=3, rerank=30, n_shards=8)
+    bulk = similarity.pq_topk_bulk(emb, emb, k=3, rerank=100, n_shards=8)
     qs = emb.filter(F.col("vec_id") < 20)
-    collected = similarity.pq_topk(qs, emb, k=3, rerank=30)
+    collected = similarity.pq_topk(qs, emb, k=3, rerank=100)
     slice_bulk = bulk.filter(F.col("query_id") < 20)
     mism = slice_bulk.select("query_id", "neighbor_id", "rank").exceptAll(
         collected.select("query_id", "neighbor_id", "rank")
