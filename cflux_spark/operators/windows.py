@@ -205,6 +205,43 @@ def merged_running_sum(
     )
 
 
+def merged_fill_forward(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    segment_span: int,
+) -> DataFrame:
+    """Forward-fill nulls over the whole frame ordered by ``order_col``
+    without a single-partition WindowExec (the fill(previous)
+    companion of :func:`merged_window_stage`): last-non-null within a
+    fixed segment, plus each segment's predecessor value from a
+    one-row-per-segment prefix frame. Empty segments need no special
+    handling — the prefix's ``last(ignorenulls)`` naturally skips
+    all-null segments."""
+    seg = F.floor(F.col(order_col) / F.lit(segment_span)).cast("long")
+    df2 = df.withColumn("_seg", seg)
+    w_in = (
+        Window.partitionBy("_seg").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg_last = df2.groupBy("_seg").agg(
+        F.max_by(
+            F.col(value_col), F.when(F.col(value_col).isNotNull(), F.col(order_col))
+        ).alias("_sl")
+    )
+    w_pre = Window.orderBy("_seg").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = seg_last.select(
+        "_seg", F.last("_sl", ignorenulls=True).over(w_pre).alias("_prev")
+    )
+    return (
+        df2.join(F.broadcast(prefix), "_seg")
+        .withColumn(
+            value_col,
+            F.coalesce(F.last(value_col, ignorenulls=True).over(w_in), F.col("_prev")),
+        )
+        .drop("_seg", "_prev")
+    )
+
+
 def moving_average(
     df: DataFrame,
     key_cols: list[str],

@@ -2581,16 +2581,30 @@ class InfluxQLEngine:
             )
         grouped = allb.join(grouped, [*tkeys, "ts_ms"], "left")
         if stmt.fill == "previous":
-            from pyspark.sql import Window as _W
+            if tkeys:
+                from pyspark.sql import Window as _W
 
-            wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                _W.unboundedPreceding, 0
-            )
-            grouped = grouped.withColumn("val", F.last("val", ignorenulls=True).over(wprev))
+                wprev = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    _W.unboundedPreceding, 0
+                )
+                grouped = grouped.withColumn(
+                    "val", F.last("val", ignorenulls=True).over(wprev)
+                )
+            else:
+                # ungrouped: the filled grid is one merged series —
+                # segmented forward fill instead of a single-partition
+                # window (years of 1s buckets would be ~3e7 rows in
+                # one task otherwise)
+                from cflux_spark.operators.windows import merged_fill_forward
+
+                grouped = merged_fill_forward(grouped, "val", "ts_ms", 3600 * 1000)
         elif stmt.fill == "linear":
             # interpolate gap buckets between the nearest known
             # neighbors; leading/trailing nulls stay null
-            # (InfluxDB fill(linear) semantics)
+            # (InfluxDB fill(linear) semantics). Ungrouped linear
+            # keeps the global window: it needs BOTH directions'
+            # nearest-known stitch (prev and next), and the frame is
+            # the bucket grid, bounded by time-range / bucket_s
             from pyspark.sql import Window as _W
 
             wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
@@ -2673,23 +2687,45 @@ class InfluxQLEngine:
         elif spec.tx:
             # transforms run per output series, over the bucketed
             # (and filled) values, ordered by time — a per-series
-            # window; the partition is one series' buckets, small
-            # by construction
+            # window when grouped; ungrouped bucket frames route
+            # through the segmented merged-series stage (ts_ms keyed,
+            # 1h segments) for the same reason the raw-point
+            # transforms do: years of fine buckets must not land in
+            # one task
             from pyspark.sql import Window as _W
 
-            wt = _W.partitionBy(*tkeys).orderBy("ts_ms")
-            if spec.tx == "cumulative_sum":
-                wc = wt.rowsBetween(_W.unboundedPreceding, 0)
-                grouped = grouped.withColumn("val", F.round(F.sum("val").over(wc), 6))
-            elif spec.tx == "moving_average":
+            from cflux_spark.operators.windows import (
+                merged_running_sum,
+                merged_window_stage,
+            )
+
+            if spec.tx == "moving_average":
                 n = int(spec.tx_arg or 2)
                 if n < 1:
                     raise InfluxQLError(f"moving_average window must be >= 1, got {n}")
+            if spec.tx == "cumulative_sum" and not tkeys:
+                grouped = merged_running_sum(
+                    grouped, "val", "_cs", order_col="ts_ms", segment_span=3600 * 1000
+                )
+                return grouped.withColumn("val", F.round(F.col("_cs"), 6)).drop("_cs")
+            if tkeys:
+                wt = _W.partitionBy(*tkeys).orderBy("ts_ms")
+                staged, fin = grouped, (lambda d: d)
+            else:
+                carry = (n - 1) if spec.tx == "moving_average" else 1
+                staged, wt, fin = merged_window_stage(
+                    grouped, order_col="ts_ms", carry_rows=max(0, carry),
+                    segment_span=3600 * 1000,
+                )
+            if spec.tx == "cumulative_sum":
+                wc = wt.rowsBetween(_W.unboundedPreceding, 0)
+                grouped = staged.withColumn("val", F.round(F.sum("val").over(wc), 6))
+            elif spec.tx == "moving_average":
                 wm = wt.rowsBetween(-(n - 1), 0)
                 # InfluxDB emits the first point only once the
                 # window holds n values
                 grouped = (
-                    grouped.withColumn("_ma", F.round(F.avg("val").over(wm), 6))
+                    staged.withColumn("_ma", F.round(F.avg("val").over(wm), 6))
                     .withColumn("_n", F.count("val").over(wm))
                     .filter(F.col("_n") >= n)
                     .withColumn("val", F.col("_ma"))
@@ -2699,7 +2735,7 @@ class InfluxQLEngine:
                 # value delta between consecutive buckets (no time
                 # division — derivative's sibling, InfluxDB semantics)
                 dv = F.round(F.col("val") - F.lag("val").over(wt), 6)
-                grouped = grouped.withColumn("_d", dv).filter(F.col("_d").isNotNull())
+                grouped = staged.withColumn("_d", dv).filter(F.col("_d").isNotNull())
                 if spec.tx == "non_negative_difference":
                     grouped = grouped.filter(F.col("_d") >= 0)
                 grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
@@ -2708,10 +2744,11 @@ class InfluxQLEngine:
                 dv = F.col("val") - F.lag("val").over(wt)
                 dt_s = (F.col("ts_ms") - F.lag("ts_ms").over(wt)) / F.lit(1000.0)
                 der = F.round(dv / dt_s * F.lit(unit_s), 6)
-                grouped = grouped.withColumn("_d", der).filter(F.col("_d").isNotNull())
+                grouped = staged.withColumn("_d", der).filter(F.col("_d").isNotNull())
                 if spec.tx == "non_negative_derivative":
                     grouped = grouped.filter(F.col("_d") >= 0)
                 grouped = grouped.withColumn("val", F.col("_d")).drop("_d")
+            grouped = fin(grouped)
         return grouped
 
 

@@ -1627,3 +1627,46 @@ def test_select_into_rejects_arithmetic(engine):
         engine.execute(
             "SELECT mean(user) * 100 INTO cpu_pct FROM cpu GROUP BY time(60s)", db="mydb"
         )
+
+
+def test_ungrouped_bucketed_transforms_across_segments(spark, tmp_path):
+    """Transforms over UNGROUPED GROUP BY time() buckets (and
+    fill(previous)) also route through the segmented merged-series
+    machinery — multi-hour bucket grids must produce the exact
+    merged answer across 1h segment boundaries."""
+    root = str(tmp_path / "segb")
+    store = LPStore(spark, root, db="segdb2")
+    base_ns = 1704067200000000000
+    # one point every 40 min for 6 h -> 10 points; buckets of 20 min
+    pts = [(base_ns + i * 2400 * 10**9, float((i * 3) % 7)) for i in range(10)]
+    lines = [f"m v={v} {t}" for t, v in pts]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+
+    def vals(q):
+        res = eng.execute(q, db="segdb2")
+        return [v for s in res["results"][0]["series"] for v in s["values"]]
+
+    cs = vals("SELECT cumulative_sum(sum(v)) FROM m GROUP BY time(20m)")
+    expect, acc = [], 0.0
+    for _t, v in pts:
+        acc += v
+        expect.append(round(acc, 6))
+    assert [v[1] for v in cs] == expect
+    d = vals("SELECT difference(sum(v)) FROM m GROUP BY time(20m)")
+    assert [v[1] for v in d] == [
+        round(pts[i][1] - pts[i - 1][1], 6) for i in range(1, 10)
+    ]
+    ma = vals("SELECT moving_average(sum(v), 3) FROM m GROUP BY time(20m)")
+    assert [v[1] for v in ma] == [
+        round((pts[i][1] + pts[i - 1][1] + pts[i - 2][1]) / 3, 6) for i in range(2, 10)
+    ]
+    # fill(previous) over the same multi-hour grid: every empty 20m
+    # bucket carries the last seen value, across hour boundaries
+    fp = vals("SELECT sum(v) FROM m GROUP BY time(20m) fill(previous)")
+    assert len(fp) == 19  # 9x40min span / 20m buckets + 1
+    by_t = dict(fp)
+    for i in range(1, 10):
+        t_prev_ms = (pts[i - 1][0]) // 10**6
+        gap_t = t_prev_ms + 20 * 60 * 1000  # first empty bucket after a point
+        assert by_t[gap_t] == pts[i - 1][1]

@@ -169,3 +169,31 @@ def test_merged_window_stage_thin_segments_propagate_carry(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_merged_fill_forward_equals_global(spark):
+    """Segmented forward fill must equal last(ignorenulls) over the
+    single-partition window, including null runs LONGER than a
+    segment and all-null leading segments."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(300):
+        # nulls for long stretches: segments 2-5 entirely null
+        v = None if (i < 5 or 60 <= i < 180 or i % 7 == 0) else float(i)
+        rows.append((i * 120 * 10**9, v))
+    df = spark.createDataFrame(rows, "ts_ns long, value double").repartition(7)
+    wg = Window.partitionBy(F.lit(1)).orderBy("ts_ns").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.ts_ns, r.f)
+        for r in df.withColumn("f", F.last("value", ignorenulls=True).over(wg)).collect()
+    }
+    got = {
+        (r.ts_ns, r.value)
+        for r in windows.merged_fill_forward(
+            df, "value", "ts_ns", 3600 * 10**9
+        ).collect()
+    }
+    assert got == want
