@@ -242,6 +242,62 @@ def merged_fill_forward(
     )
 
 
+def merged_fill_linear(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    segment_span: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Linear interpolation of null gaps over the whole frame ordered
+    by ``order_col`` without a single-partition WindowExec — the
+    fill(linear) companion of :func:`merged_fill_forward`, needing the
+    nearest known neighbor in BOTH directions: within-segment
+    prev/next structs plus per-segment boundary structs stitched
+    through one-row-per-segment prefix/suffix frames. Leading and
+    trailing nulls stay null (InfluxDB fill(linear) semantics)."""
+    seg = F.floor(F.col(order_col) / F.lit(segment_span)).cast("long")
+    df2 = df.withColumn("_seg", seg)
+    known = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(order_col).alias("t"), F.col(value_col).alias("v")),
+    )
+    wp = Window.partitionBy("_seg").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("_seg").orderBy(order_col).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    # per-segment boundary structs (tiny frame): the segment's last
+    # and first KNOWN point; prefix/suffix windows stitch them across
+    # (possibly all-null) intermediate segments
+    bounds = df2.groupBy("_seg").agg(
+        F.max_by(known, F.when(known.isNotNull(), F.col(order_col))).alias("_lastk"),
+        F.min_by(known, F.when(known.isNotNull(), F.col(order_col))).alias("_firstk"),
+    )
+    w_pre = Window.orderBy("_seg").rowsBetween(Window.unboundedPreceding, -1)
+    w_suf = Window.orderBy("_seg").rowsBetween(1, Window.unboundedFollowing)
+    stitch = bounds.select(
+        "_seg",
+        F.last("_lastk", ignorenulls=True).over(w_pre).alias("_prevseg"),
+        F.first("_firstk", ignorenulls=True).over(w_suf).alias("_nextseg"),
+    )
+    out = (
+        df2.join(F.broadcast(stitch), "_seg")
+        .withColumn("_prev", F.coalesce(F.last(known, ignorenulls=True).over(wp), F.col("_prevseg")))
+        .withColumn("_next", F.coalesce(F.first(known, ignorenulls=True).over(wn), F.col("_nextseg")))
+    )
+    interp = F.col("_prev.v") + (F.col("_next.v") - F.col("_prev.v")) * (
+        (F.col(order_col) - F.col("_prev.t")) / (F.col("_next.t") - F.col("_prev.t"))
+    )
+    return (
+        out.withColumn(
+            value_col, F.coalesce(F.col(value_col), F.round(interp, round_to))
+        )
+        .drop("_seg", "_prev", "_next", "_prevseg", "_nextseg")
+    )
+
+
 def moving_average(
     df: DataFrame,
     key_cols: list[str],

@@ -2601,30 +2601,34 @@ class InfluxQLEngine:
         elif stmt.fill == "linear":
             # interpolate gap buckets between the nearest known
             # neighbors; leading/trailing nulls stay null
-            # (InfluxDB fill(linear) semantics). Ungrouped linear
-            # keeps the global window: it needs BOTH directions'
-            # nearest-known stitch (prev and next), and the frame is
-            # the bucket grid, bounded by time-range / bucket_s
-            from pyspark.sql import Window as _W
+            # (InfluxDB fill(linear) semantics)
+            if tkeys:
+                from pyspark.sql import Window as _W
 
-            wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                _W.unboundedPreceding, 0
-            )
-            wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
-                0, _W.unboundedFollowing
-            )
-            known = F.when(
-                F.col("val").isNotNull(),
-                F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
-            )
-            prev = F.last(known, ignorenulls=True).over(wp)
-            nxt = F.first(known, ignorenulls=True).over(wn)
-            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
-                (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
-            )
-            grouped = grouped.withColumn(
-                "val", F.coalesce(F.col("val"), F.round(interp, 6))
-            )
+                wp = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    _W.unboundedPreceding, 0
+                )
+                wn = _W.partitionBy(*tkeys).orderBy("ts_ms").rowsBetween(
+                    0, _W.unboundedFollowing
+                )
+                known = F.when(
+                    F.col("val").isNotNull(),
+                    F.struct(F.col("ts_ms").alias("t"), F.col("val").alias("v")),
+                )
+                prev = F.last(known, ignorenulls=True).over(wp)
+                nxt = F.first(known, ignorenulls=True).over(wn)
+                interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                    (F.col("ts_ms") - prev["t"]) / (nxt["t"] - prev["t"])
+                )
+                grouped = grouped.withColumn(
+                    "val", F.coalesce(F.col("val"), F.round(interp, 6))
+                )
+            else:
+                # ungrouped: bidirectional segment stitch instead of a
+                # single-partition window over the whole bucket grid
+                from cflux_spark.operators.windows import merged_fill_linear
+
+                grouped = merged_fill_linear(grouped, "val", "ts_ms", 3600 * 1000)
         elif stmt.fill != "null":
             try:
                 grouped = grouped.fillna({"val": float(stmt.fill)})

@@ -1670,3 +1670,21 @@ def test_ungrouped_bucketed_transforms_across_segments(spark, tmp_path):
         t_prev_ms = (pts[i - 1][0]) // 10**6
         gap_t = t_prev_ms + 20 * 60 * 1000  # first empty bucket after a point
         assert by_t[gap_t] == pts[i - 1][1]
+
+
+def test_ungrouped_fill_linear_across_segments(spark, tmp_path):
+    """fill(linear) over an ungrouped multi-hour grid routes through
+    the segmented bidirectional stitch — interpolated buckets must be
+    exact across hour boundaries."""
+    root = str(tmp_path / "seglin")
+    store = LPStore(spark, root, db="segdb3")
+    base_ns = 1704067200000000000
+    # two known points 3h apart; 30-min buckets -> 5 interior gaps
+    lines = [f"m v=10 {base_ns}", f"m v=70 {base_ns + 3 * 3600 * 10**9}"]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute(
+        "SELECT sum(v) FROM m GROUP BY time(30m) fill(linear)", db="segdb3"
+    )
+    vals = [v for s in res["results"][0]["series"] for v in s["values"]]
+    assert [v[1] for v in vals] == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]

@@ -197,3 +197,46 @@ def test_merged_fill_forward_equals_global(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_merged_fill_linear_equals_global(spark):
+    """Segmented linear interpolation must equal the single-partition
+    prev/next-struct form, including gaps spanning whole segments and
+    leading/trailing nulls staying null."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(240):
+        # known points sparse: every 50th row; nulls elsewhere, with
+        # leading (i<7) and trailing (i>=220) null runs never filled
+        v = float(i * 2) if (7 <= i < 220 and i % 50 == 0) else None
+        rows.append((i * 600 * 10**9, v))  # 10-min spacing, 1h segments
+    df = spark.createDataFrame(rows, "ts_ns long, value double").repartition(6)
+    wp = Window.partitionBy(F.lit(1)).orderBy("ts_ns").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy(F.lit(1)).orderBy("ts_ns").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known = F.when(
+        F.col("value").isNotNull(),
+        F.struct(F.col("ts_ns").alias("t"), F.col("value").alias("v")),
+    )
+    prev = F.last(known, ignorenulls=True).over(wp)
+    nxt = F.first(known, ignorenulls=True).over(wn)
+    interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+        (F.col("ts_ns") - prev["t"]) / (nxt["t"] - prev["t"])
+    )
+    want = {
+        (r.ts_ns, r.f)
+        for r in df.withColumn(
+            "f", F.coalesce(F.col("value"), F.round(interp, 6))
+        ).collect()
+    }
+    got = {
+        (r.ts_ns, r.value)
+        for r in windows.merged_fill_linear(df, "value", "ts_ns", 3600 * 10**9).collect()
+    }
+    assert got == want
+    nulls = [t for t, v in got if v is None]
+    assert nulls  # leading/trailing runs really stayed null
