@@ -2119,15 +2119,16 @@ class InfluxQLEngine:
             return self._arith_agg_series(stmt, spec, facts, gtags, tkeys)
         return self._arith_raw_series(stmt, spec, facts, gtags, tkeys, reg)
 
-    def _arith_agg_series(
-        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys
-    ) -> list[dict]:
-        """Each distinct aggregate leaf computes its own bucketed
-        frame (the standard _aggregated_frame path, fill deferred);
-        frames full-outer-join on (tkeys, bucket) and the AST combines
-        them with column arithmetic; fill() then applies to the
-        RESULT, matching InfluxDB (fill shapes the output grid, not
-        the operands). Same plan family as multi-field aggregates:
+    def _arith_agg_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, tkeys
+    ) -> DataFrame:
+        """Aggregate-arithmetic frame → [*tkeys, ts_ms, val]. Each
+        distinct aggregate leaf computes its own bucketed frame (the
+        standard _aggregated_frame path, fill deferred); frames
+        full-outer-join on (tkeys, bucket) and the AST combines them
+        with column arithmetic; fill() then applies to the RESULT,
+        matching InfluxDB (fill shapes the output grid, not the
+        operands). Same plan family as multi-field aggregates:
         scan → one agg shuffle per distinct leaf → k-way bucket join
         (bucket-keyed, AQE-sized)."""
         from dataclasses import replace as _replace
@@ -2163,6 +2164,13 @@ class InfluxQLEngine:
             # policies above already decided what nulls become —
             # fill(null) keeps them as explicit null rows
             grouped = grouped.filter(F.col("val").isNotNull())
+        return grouped
+
+    def _arith_agg_series(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys
+    ) -> list[dict]:
+        """Envelope form of :meth:`_arith_agg_frame`."""
+        grouped = self._arith_agg_frame(stmt, spec, facts, tkeys)
         grouped = grouped.orderBy(
             *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
         )
@@ -2171,21 +2179,18 @@ class InfluxQLEngine:
         colname = spec.alias or spec.name
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
-    def _arith_raw_series(
-        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg
-    ) -> list[dict]:
-        """Raw-point arithmetic. One field (``user * 100``) is a
-        pointwise map. Multiple fields (``user + sys``) align on POINT
-        identity — rows are stored one-per-field and fingerprints
-        include the field name, so the cross-field key is (tag-set
-        hash, ts): the same registry-derived series key the WHERE
-        field-predicate machinery uses, broadcast-attached, then an
-        inner join per additional field (a point missing any operand
-        emits nothing, InfluxDB semantics)."""
-        if stmt.group_by_time_s is not None:
-            raise InfluxQLError(
-                "GROUP BY time() requires aggregated SELECT expressions"
-            )
+    def _arith_raw_frame(
+        self, spec: FieldSpec, facts: DataFrame, tkeys, reg
+    ) -> DataFrame | None:
+        """Raw-point arithmetic frame → [*tkeys, ts_ms, val double].
+        One field (``user * 100``) is a pointwise map. Multiple fields
+        (``user + sys``) align on POINT identity — rows are stored
+        one-per-field and fingerprints include the field name, so the
+        cross-field key is (tag-set hash, ts): the same
+        registry-derived series key the WHERE field-predicate
+        machinery uses, broadcast-attached, then an inner join per
+        additional field (a point missing any operand emits nothing,
+        InfluxDB semantics)."""
         node = spec.expr
         fields_used: list[str] = []
         for lf in _arith_leaves(node, "field"):
@@ -2195,40 +2200,48 @@ class InfluxQLEngine:
             fname = fields_used[0]
             base = facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
             val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
-            sel = base.select(
-                *tkeys,
-                F.expr("ts_ns div 1000000").alias("ts_ms"),
-                val.cast("string").alias("val"),
+            return base.select(
+                *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), val.alias("val")
             )
-        else:
-            if reg is None:
-                return []
-            skey = F.xxhash64(
-                F.to_json(
-                    F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
+        if reg is None:
+            return None
+        skey = F.xxhash64(
+            F.to_json(
+                F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
+            )
+        )
+        fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
+        joined = None
+        for i, fname in enumerate(fields_used):
+            d = (
+                facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
+                .join(F.broadcast(fp2s), "fingerprint")
+                .select(
+                    *(tkeys if i == 0 else []),
+                    "_skey",
+                    "ts_ns",
+                    F.col("value").alias(f"_v{i}"),
                 )
             )
-            fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
-            joined = None
-            for i, fname in enumerate(fields_used):
-                d = (
-                    facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
-                    .join(F.broadcast(fp2s), "fingerprint")
-                    .select(
-                        *(tkeys if i == 0 else []),
-                        "_skey",
-                        "ts_ns",
-                        F.col("value").alias(f"_v{i}"),
-                    )
-                )
-                joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"])
-            idx = {f: i for i, f in enumerate(fields_used)}
-            val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
-            sel = joined.select(
-                *tkeys,
-                F.expr("ts_ns div 1000000").alias("ts_ms"),
-                val.cast("string").alias("val"),
+            joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"])
+        idx = {f: i for i, f in enumerate(fields_used)}
+        val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
+        return joined.select(
+            *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), val.alias("val")
+        )
+
+    def _arith_raw_series(
+        self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg
+    ) -> list[dict]:
+        """Envelope form of :meth:`_arith_raw_frame`."""
+        if stmt.group_by_time_s is not None:
+            raise InfluxQLError(
+                "GROUP BY time() requires aggregated SELECT expressions"
             )
+        frame = self._arith_raw_frame(spec, facts, tkeys, reg)
+        if frame is None:
+            return []
+        sel = frame.withColumn("val", F.col("val").cast("string"))
         sel = sel.orderBy(
             *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
         )
@@ -2514,13 +2527,35 @@ class InfluxQLEngine:
             raise InfluxQLError(
                 f"subquery nesting deeper than {self._MAX_SUBQUERY_DEPTH} is not supported"
             )
-        if len(stmt.fields) != 1 or stmt.fields[0].agg is None:
+        if len(stmt.fields) != 1 or (
+            stmt.fields[0].agg is None and stmt.fields[0].expr is None
+        ):
             raise InfluxQLError("subquery must contain exactly one aggregated field")
         spec = stmt.fields[0]
         if stmt.subquery is None:
             facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
             if facts is None:
                 return None
+            if spec.expr is not None:
+                # arithmetic subqueries (round 5): the Grafana idiom
+                # SELECT mean(usage) FROM (SELECT user + sys AS usage
+                # FROM cpu) — raw arithmetic yields a point frame the
+                # outer buckets; aggregate arithmetic yields its own
+                # bucketed frame
+                name = spec.alias or spec.name
+                if _arith_leaves(spec.expr, "agg"):
+                    return (
+                        self._arith_agg_frame(stmt, spec, facts, tkeys),
+                        gtags, tkeys, name,
+                    )
+                if stmt.group_by_time_s is not None:
+                    raise InfluxQLError(
+                        "GROUP BY time() requires aggregated SELECT expressions"
+                    )
+                frame = self._arith_raw_frame(spec, facts, tkeys, reg)
+                if frame is None:
+                    return None
+                return frame, gtags, tkeys, name
             ff = facts.filter(F.col("field") == spec.name)
             frame = self._aggregated_frame(stmt, spec, ff, tkeys)
             return frame, gtags, tkeys, (spec.tx or spec.agg or "mean")

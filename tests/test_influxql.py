@@ -1688,3 +1688,29 @@ def test_ungrouped_fill_linear_across_segments(spark, tmp_path):
     )
     vals = [v for s in res["results"][0]["series"] for v in s["values"]]
     assert [v[1] for v in vals] == [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+
+
+def test_subquery_over_raw_arithmetic(engine):
+    """The Grafana idiom: aggregate over a raw-arithmetic subquery.
+    Only host a's :00 point carries both user and sys, so usage =
+    user + sys has exactly one point; the outer mean buckets it."""
+    res = engine.execute(
+        "SELECT mean(usage) FROM (SELECT user + sys AS usage FROM cpu) GROUP BY time(60s)",
+        db="mydb",
+    )
+    s0 = res["results"][0]["series"][0]
+    assert s0["columns"] == ["time", "mean"]
+    assert s0["values"] == [[1704067200000, 0.11]]
+
+
+def test_subquery_over_aggregate_arithmetic(engine):
+    """max(v)-min(v) as a subquery level, re-aggregated outside."""
+    res = engine.execute(
+        "SELECT max(spreadish) FROM ("
+        " SELECT max(user) - min(user) AS spreadish FROM cpu GROUP BY time(60s), host"
+        ") GROUP BY time(60s)",
+        db="mydb",
+    )
+    vals = _values(res)
+    # per-host minute spreads: a min0 = 0.2, b min0 = 0.0, a min1 = 0.0
+    assert vals == [[1704067200000, 0.2], [1704067260000, 0.0]]
