@@ -1643,6 +1643,10 @@ class InfluxQLEngine:
                     series.extend(self._select_series(sub, store, reg))
         else:
             series = self._select_series(stmt, store, reg)
+        # multi-field SELECTs merge into one series per (name, tags)
+        # with aligned columns — the InfluxDB 1.x envelope shape
+        if len(stmt.fields) > 1:
+            series = _merge_series_columns(series, stmt.order_desc, stmt.limit)
         # SLIMIT/SOFFSET slice the series list (driver-side: one entry
         # per series, already aggregated — small by construction)
         if stmt.soffset:
@@ -2838,6 +2842,54 @@ def _from_clause(qs: str) -> str | None:
         return None
     parts = [_unquote(p) for p in m.group(1).split(".")]
     return parts[-1]
+
+
+def _merge_series_columns(series: list[dict], order_desc: bool, limit: int | None) -> list[dict]:
+    """InfluxDB 1.x merges a multi-field SELECT into ONE series per
+    (measurement, tag set) with columns [time, f1, f2, ...] aligned on
+    timestamp (null where a field has no point) — the engine builds
+    per-field series internally, so this driver-side pass merges them
+    at the envelope boundary (round 5; previously the envelope carried
+    one series per field, which Grafana table panels render as
+    separate frames). Only 2-column (time, value) series merge;
+    duplicate timestamps within a field occupy successive row slots so
+    no point is lost. LIMIT re-applies to the merged rows — InfluxDB
+    counts merged points, not per-field points."""
+    groups: dict[tuple, list[dict]] = {}
+    order: list[tuple] = []
+    for se in series:
+        key = (se.get("name"), tuple(sorted((se.get("tags") or {}).items())))
+        if key not in groups:
+            order.append(key)
+        groups.setdefault(key, []).append(se)
+    out: list[dict] = []
+    for key in order:
+        ses = groups[key]
+        if len(ses) == 1 or any(len(se.get("columns", [])) != 2 for se in ses):
+            out.extend(ses)
+            continue
+        cols = ["time"] + [se["columns"][1] for se in ses]
+        slots: dict = {}
+        for ci, se in enumerate(ses):
+            seen: dict = {}
+            for ts, v in se["values"]:
+                k = seen.get(ts, 0)
+                seen[ts] = k + 1
+                rows = slots.setdefault(ts, [])
+                while len(rows) <= k:
+                    rows.append([None] * len(ses))
+                rows[k][ci] = v
+        values: list[list] = []
+        for ts in sorted(slots, reverse=order_desc):
+            for row in slots[ts]:
+                values.append([ts, *row])
+        if limit is not None:
+            values = values[:limit]
+        merged = dict(ses[0])
+        merged["columns"] = cols
+        merged["values"] = values
+        out.append(merged)
+    return out
 
 
 def _series(name: str, columns: list[str], values: list[list]) -> dict:

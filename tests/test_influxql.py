@@ -113,13 +113,14 @@ def test_select_string_field(engine):
 
 
 def test_select_multi_aggregates(engine):
+    """Multi-field SELECTs merge into ONE series with aligned columns
+    (InfluxDB 1.x envelope shape, round 5 — previously one series per
+    field)."""
     res = engine.execute("SELECT max(user), count(user) FROM cpu GROUP BY time(1h)", db="mydb")
     series = res["results"][0]["series"]
-    assert len(series) == 2
-    maxs = {tuple(v) for v in series[0]["values"]}
-    assert (1704067200000, 0.7) in maxs
-    counts = series[1]["values"]
-    assert counts == [[1704067200000, 4.0]]
+    assert len(series) == 1
+    assert series[0]["columns"] == ["time", "max_user", "count_user"]
+    assert series[0]["values"] == [[1704067200000, 0.7, 4.0]]
 
 
 def test_regex_tag_matcher(engine):
@@ -825,9 +826,8 @@ def test_first_last_are_time_ordered(spark, tmp_path_factory):
     eng = InfluxQLEngine(spark, root)
     res = eng.execute("SELECT first(v), last(v) FROM m GROUP BY time(1h)", db="fl")
     series = res["results"][0]["series"]
-    by_col = {s["columns"][1]: s["values"] for s in series}
-    assert by_col["first_v"] == [[1704067200000, 0.1]]
-    assert by_col["last_v"] == [[1704067290000 // 3600000 * 3600000, 0.5]]
+    assert len(series) == 1 and series[0]["columns"] == ["time", "first_v", "last_v"]
+    assert series[0]["values"] == [[1704067200000, 0.1, 0.5]]
 
 
 def test_sample_selector_deterministic(engine):
@@ -1267,10 +1267,9 @@ def test_select_star_expands_to_field_keys(engine):
     for cpu) instead of silently matching a field named '*'."""
     res = engine.execute("SELECT * FROM cpu", db="mydb")
     series = res["results"][0]["series"]
-    cols = {s["columns"][1] for s in series}
-    assert cols == {"sys", "user"}
-    user_vals = [v for s in series if s["columns"][1] == "user" for v in s["values"]]
-    assert len(user_vals) == 4  # all four cpu user points
+    assert len(series) == 1 and series[0]["columns"] == ["time", "sys", "user"]
+    user_vals = [v[2] for v in series[0]["values"] if v[2] is not None]
+    assert len(user_vals) == 4  # all four cpu user points survive the merge
 
 
 def test_select_agg_star(engine):
@@ -1280,8 +1279,8 @@ def test_select_agg_star(engine):
         db="mydb",
     )
     series = res["results"][0]["series"]
-    cols = {s["columns"][1] for s in series}
-    assert cols == {"mean_sys", "mean_user"}
+    assert len(series) == 1
+    assert series[0]["columns"] == ["time", "mean_sys", "mean_user"]
 
 
 def test_where_tag_regex_matchers(engine):
@@ -1714,3 +1713,17 @@ def test_subquery_over_aggregate_arithmetic(engine):
     vals = _values(res)
     # per-host minute spreads: a min0 = 0.2, b min0 = 0.0, a min1 = 0.0
     assert vals == [[1704067200000, 0.2], [1704067260000, 0.0]]
+
+
+def test_multi_field_raw_merges_with_null_alignment(engine):
+    """SELECT user, sys merges on timestamp: points lacking sys carry
+    null in that column (InfluxDB 1.x multi-field envelope)."""
+    res = engine.execute("SELECT user, sys FROM cpu WHERE host = 'a'", db="mydb")
+    series = res["results"][0]["series"]
+    assert len(series) == 1
+    assert series[0]["columns"] == ["time", "user", "sys"]
+    assert series[0]["values"] == [
+        [1704067200000, 0.1, 0.01],
+        [1704067230000, 0.3, None],
+        [1704067290000, 0.5, None],
+    ]
