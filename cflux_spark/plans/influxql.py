@@ -2023,6 +2023,19 @@ class InfluxQLEngine:
                     expanded.append(s)
             stmt.fields = expanded
 
+        if (
+            len(stmt.fields) > 1
+            and stmt.group_by_time_s is None
+            and all(s.agg is None and s.tx is None and s.expr is None for s in stmt.fields)
+            and reg is not None
+        ):
+            # raw multi-field: align columns on POINT identity
+            # (series key + ts) at the engine level — merging
+            # per-field series by timestamp alone would mispair
+            # same-timestamp points of DIFFERENT series (two hosts
+            # sharing :00) nondeterministically
+            return self._raw_multi_series(stmt, facts, gtags, tkeys, reg)
+
         series: list[dict] = []
         for spec in stmt.fields:
             if spec.expr is not None:
@@ -2182,6 +2195,63 @@ class InfluxQLEngine:
         rows = self._bounded_collect(grouped)
         colname = spec.alias or spec.name
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _raw_multi_series(
+        self, stmt: SelectStmt, facts: DataFrame, gtags, tkeys, reg
+    ) -> list[dict]:
+        """Raw multi-field SELECT as ONE series with point-aligned
+        columns: each field's rows key on (series key, ts) — the
+        registry-derived tag-set hash, field-independent — and
+        full-outer-join so a point missing a field carries null in
+        that column (InfluxDB's storage model reads back the whole
+        point). GROUP BY tags re-attach from the registry by series
+        key. String fields ride as strings (string-over-float,
+        cflux.js:795)."""
+        skey = F.xxhash64(
+            F.to_json(
+                F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
+            )
+        )
+        fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
+        joined = None
+        for i, spec in enumerate(stmt.fields):
+            d = (
+                facts.filter(F.col("field") == spec.name)
+                .join(F.broadcast(fp2s), "fingerprint")
+                .select(
+                    "_skey",
+                    "ts_ns",
+                    F.coalesce(F.col("message"), F.col("value").cast("string")).alias(
+                        f"_v{i}"
+                    ),
+                )
+            )
+            joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"], "full_outer")
+        if gtags:
+            tagvals = reg.select(
+                skey.alias("_skey"),
+                *[
+                    F.coalesce(F.element_at(F.col("tags"), t), F.lit("")).alias(f"_t{i}")
+                    for i, t in enumerate(gtags)
+                ],
+            ).distinct()
+            joined = joined.join(F.broadcast(tagvals), "_skey", "left")
+        sel = joined.select(
+            *tkeys,
+            F.expr("ts_ns div 1000000").alias("ts_ms"),
+            *[F.col(f"_v{i}") for i in range(len(stmt.fields))],
+        ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = self._bounded_collect(sel)
+        colnames = [sp.alias or sp.name for sp in stmt.fields]
+        n = len(colnames)
+        return _tag_series(
+            rows, gtags, tkeys, stmt, colnames,
+            lambda r: [
+                r.ts_ms,
+                *[pivot_ops._maybe_float(getattr(r, f"_v{i}")) for i in range(n)],
+            ],
+        )
 
     def _arith_raw_frame(
         self, spec: FieldSpec, facts: DataFrame, tkeys, reg
@@ -2821,16 +2891,18 @@ def _apply_slice(df: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame
 
 def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:
     """Partition collected rows into one series per tag combination
-    (InfluxDB GROUP BY <tag> emits a tagged series each)."""
+    (InfluxDB GROUP BY <tag> emits a tagged series each). ``colname``
+    may be a list for multi-column rows (raw multi-field selects)."""
+    cols = ["time"] + (colname if isinstance(colname, list) else [colname])
     if not gtags:
-        return [_series(stmt.measurement, ["time", colname], [to_value(r) for r in rows])]
+        return [_series(stmt.measurement, cols, [to_value(r) for r in rows])]
     buckets: dict[tuple, list] = {}
     for r in rows:
         key = tuple(getattr(r, k) for k in tkeys)
         buckets.setdefault(key, []).append(to_value(r))
     out = []
     for key in sorted(buckets, key=lambda k: tuple(str(x) for x in k)):
-        s = _series(stmt.measurement, ["time", colname], buckets[key])
+        s = _series(stmt.measurement, cols, buckets[key])
         s["tags"] = {t: key[i] for i, t in enumerate(gtags)}
         out.append(s)
     return out

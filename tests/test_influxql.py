@@ -1727,3 +1727,26 @@ def test_multi_field_raw_merges_with_null_alignment(engine):
         [1704067230000, 0.3, None],
         [1704067290000, 0.5, None],
     ]
+
+
+def test_multi_field_raw_point_identity_across_series(engine):
+    """Two series sharing a timestamp (host a and b both at :00) must
+    pair each point's OWN fields — the point-identity join, not a
+    timestamp-only merge that could pair host a's user with host b's
+    sys."""
+    res = engine.execute("SELECT user, sys FROM cpu", db="mydb")
+    series = res["results"][0]["series"]
+    assert len(series) == 1 and series[0]["columns"] == ["time", "user", "sys"]
+    at_zero = [v for v in series[0]["values"] if v[0] == 1704067200000]
+    assert sorted(at_zero) == [
+        [1704067200000, 0.1, 0.01],  # host a: user 0.1 WITH sys 0.01
+        [1704067200000, 0.7, None],  # host b: user 0.7, no sys
+    ]
+
+
+def test_multi_field_raw_group_by_tag(engine):
+    res = engine.execute("SELECT user, sys FROM cpu GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s for s in res["results"][0]["series"]}
+    assert by_host["a"]["columns"] == ["time", "user", "sys"]
+    assert by_host["a"]["values"][0] == [1704067200000, 0.1, 0.01]
+    assert by_host["b"]["values"] == [[1704067200000, 0.7, None]]
