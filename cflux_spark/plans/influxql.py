@@ -160,6 +160,9 @@ class FieldSpec(NamedTuple):
     #: ``max(v) - min(v)`` or ``user * 100`` (round 5); when set, the
     #: other fields describe only the display name
     expr: tuple | None = None
+    #: ``host::tag`` — a tag selected as a per-point column (round 5);
+    #: legal only alongside raw fields
+    tag: bool = False
 
 
 def _has_top_level_arith(s: str) -> bool:
@@ -638,7 +641,10 @@ def parse_select(q: str) -> SelectStmt:
         )
         if cm:
             if cm.group(2).lower() == "tag":
-                raise InfluxQLError(f"::tag casts are not supported in SELECT: {raw!r}")
+                # host::tag — the tag as a per-point column; validated
+                # against aggregation at execute time
+                fields.append(FieldSpec(None, _unquote(cm.group(1).strip()), tag=True))
+                continue
             raw = cm.group(1).strip()
         # SELECT arithmetic (round 5): max(v) - min(v), mean(v) * 100,
         # user + sys, (a + b) / 2 ... — parsed to an AST; execution
@@ -2023,6 +2029,19 @@ class InfluxQLEngine:
                     expanded.append(s)
             stmt.fields = expanded
 
+        if any(sp.tag for sp in stmt.fields):
+            if stmt.group_by_time_s is not None or any(
+                sp.agg or sp.tx or sp.expr is not None for sp in stmt.fields
+            ):
+                raise InfluxQLError(
+                    "::tag columns require a raw (non-aggregated) SELECT — "
+                    "use GROUP BY <tag> with aggregates instead"
+                )
+            if all(sp.tag for sp in stmt.fields):
+                raise InfluxQLError(
+                    "SELECT must include at least one FIELD alongside ::tag columns"
+                )
+
         if (
             len(stmt.fields) > 1
             and stmt.group_by_time_s is None
@@ -2215,6 +2234,8 @@ class InfluxQLEngine:
         fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
         joined = None
         for i, spec in enumerate(stmt.fields):
+            if spec.tag:
+                continue
             d = (
                 facts.filter(F.col("field") == spec.name)
                 .join(F.broadcast(fp2s), "fingerprint")
@@ -2227,6 +2248,18 @@ class InfluxQLEngine:
                 )
             )
             joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"], "full_outer")
+        tag_specs = [(i, sp) for i, sp in enumerate(stmt.fields) if sp.tag]
+        if tag_specs:
+            # ::tag columns are series-level attributes: one registry
+            # join per point on the series key attaches them all
+            tcols = reg.select(
+                skey.alias("_skey"),
+                *[
+                    F.element_at(F.col("tags"), sp.name).alias(f"_v{i}")
+                    for i, sp in tag_specs
+                ],
+            ).distinct()
+            joined = joined.join(F.broadcast(tcols), "_skey", "left")
         if gtags:
             tagvals = reg.select(
                 skey.alias("_skey"),

@@ -154,7 +154,7 @@ def test_parse_select_rejects_garbage():
 
 def test_parse_select_shapes():
     s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
-    assert s.fields == [("mean", "user", None, None, None, None, None)]
+    assert s.fields == [("mean", "user", None, None, None, None, None, False)]
     assert s.db == "db" and s.measurement == "cpu"
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
@@ -1591,11 +1591,22 @@ def test_select_arithmetic_raw_fields(engine):
 
 
 def test_select_type_cast_suffixes(engine):
-    """user::float strips to the field; host::tag stays loud."""
+    """user::float strips to the field; host::tag attaches the tag as
+    a per-point column alongside fields (tag-only and aggregated
+    shapes reject loudly)."""
     res = engine.execute("SELECT user::float FROM cpu WHERE host = 'b'", db="mydb")
     assert _values(res) == [[1704067200000, 0.7]]
-    with pytest.raises(InfluxQLError, match="::tag"):
+    res2 = engine.execute("SELECT user, host::tag FROM cpu", db="mydb")
+    s2 = res2["results"][0]["series"][0]
+    assert s2["columns"] == ["time", "user", "host"]
+    hosts = {(v[0], v[1]): v[2] for v in s2["values"]}
+    assert hosts[(1704067200000, 0.7)] == "b"
+    assert hosts[(1704067200000, 0.1)] == "a"
+    assert hosts[(1704067290000, 0.5)] == "a"
+    with pytest.raises(InfluxQLError, match="at least one FIELD"):
         engine.execute("SELECT host::tag FROM cpu", db="mydb")
+    with pytest.raises(InfluxQLError, match="raw"):
+        engine.execute("SELECT mean(user), host::tag FROM cpu", db="mydb")
 
 
 def test_where_parenthesized_and_conjunction(engine):
