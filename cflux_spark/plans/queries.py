@@ -1451,6 +1451,38 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_cosine_pairs_bulk",
+    """
+    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat AS (
+      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+           floor(dot / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS sim
+    FROM dots
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+    WHERE dot / (nq.nrm * nc.nrm) >= 0.3
+    """,
+)
+def q_cosine_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus exact threshold pairs with BOTH sides distributed
+    (round 5: cosine_pairs_bulk — hash-sharded candidates, replicated
+    queries, per-shard blocked GEMM; no driver collect, no query cap).
+    EVERY pair value-checks against DuckDB's unnested dot products —
+    the strongest check the bulk ANN family gets, complementing
+    q_vector_pq_bulk's equality/recall contracts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_bulk(emb, emb, threshold=0.3, n_shards=8)
+
+
+@q(
     "q_dedup_semantic",
     """
     WITH RECURSIVE idx AS (SELECT unnest(range(1, 65)) AS ord),
@@ -3109,6 +3141,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py (full catalog, every run).
 
 _VERIFY_FIRST = [
+    "q_cosine_pairs_bulk",
     "q_tag_filter_or",
     "q_vector_pq_bulk",
     "q_simhash",
