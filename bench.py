@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_dedup_edit",
     # round-5 distributed ANN (corpus-as-queries, no driver collect)
     "q_vector_pq_bulk",
+    "q_cosine_pairs_bulk",
 ]
 
 
