@@ -111,7 +111,7 @@ def _bench_ops():
         # operator-only: the catalog entry additionally runs the collected
         # path + brute force for its equality/recall contracts
         "q_vector_pq_bulk": lambda s, d: similarity.pq_topk_bulk(
-            emb(s, d), emb(s, d), k=3, rerank=30, n_shards=8
+            emb(s, d), emb(s, d), k=3, rerank=100, n_shards=8
         ),
     }
 
