@@ -2029,6 +2029,27 @@ class InfluxQLEngine:
                     expanded.append(s)
             stmt.fields = expanded
 
+        def _is_plain_raw(sp: FieldSpec) -> bool:
+            return (
+                not sp.tag
+                and sp.agg is None
+                and sp.tx is None
+                and (sp.expr is None or not _arith_leaves(sp.expr, "agg"))
+            )
+
+        def _is_aggregated(sp: FieldSpec) -> bool:
+            return not sp.tag and not _is_plain_raw(sp)
+
+        if any(_is_plain_raw(sp) for sp in stmt.fields) and any(
+            _is_aggregated(sp) for sp in stmt.fields
+        ):
+            # InfluxDB 1.x: "mixing aggregate and non-aggregate queries
+            # is not supported" — a silent ts-merge of a raw point
+            # stream with a bucketed aggregate would misalign shapes
+            raise InfluxQLError(
+                "mixing aggregate and non-aggregate SELECT fields is not supported"
+            )
+
         if any(sp.tag for sp in stmt.fields):
             if stmt.group_by_time_s is not None or any(
                 sp.agg or sp.tx or sp.expr is not None for sp in stmt.fields

@@ -1761,3 +1761,13 @@ def test_multi_field_raw_group_by_tag(engine):
     assert by_host["a"]["columns"] == ["time", "user", "sys"]
     assert by_host["a"]["values"][0] == [1704067200000, 0.1, 0.01]
     assert by_host["b"]["values"] == [[1704067200000, 0.7, None]]
+
+
+def test_mixing_aggregate_and_raw_fields_rejects_loudly(engine):
+    """InfluxDB 1.x refuses 'mixing aggregate and non-aggregate
+    queries'; a silent timestamp-merge of a raw point stream with a
+    bucketed aggregate would misalign shapes."""
+    with pytest.raises(InfluxQLError, match="mixing aggregate and non-aggregate"):
+        engine.execute("SELECT user, mean(sys) FROM cpu", db="mydb")
+    with pytest.raises(InfluxQLError, match="mixing aggregate and non-aggregate"):
+        engine.execute("SELECT mean(user), sys FROM cpu GROUP BY time(60s)", db="mydb")
