@@ -31,6 +31,7 @@ def curate_corpus(
     sem_threshold: float = 0.35,
     sem_k: int = 8,
     sem_train_fraction: float | None = None,
+    sem_probe: int = 1,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
     **gate_kwargs,
@@ -80,7 +81,7 @@ def curate_corpus(
         sem = similarity.semdedup(
             embeddings, threshold=sem_threshold, k=sem_k,
             id_col=emb_id_col, vec_col=emb_vec_col,
-            train_fraction=sem_train_fraction,
+            train_fraction=sem_train_fraction, probe=sem_probe,
         )
         sem_dropped = sem.filter(~F.col("keep")).select(
             F.col(emb_id_col).alias(id_col)
