@@ -1193,7 +1193,7 @@ class InfluxQLEngine:
         if upper.startswith("SHOW DATABASES"):
             return self._show_databases()
         if upper.startswith("SHOW MEASUREMENTS"):
-            return self._show_measurements(db)
+            return self._show_measurements(qs, db)
         if upper.startswith("SHOW FIELD KEYS"):
             return self._show_field_keys(qs, db)
         if upper.startswith("SHOW TAG KEYS"):
@@ -1369,9 +1369,64 @@ class InfluxQLEngine:
         )
         return _envelope([_series("databases", ["name"], [[d] for d in dbs])])
 
-    def _show_measurements(self, db: str | None) -> dict:
+    def _show_where_filter(self, reg: DataFrame, qs: str) -> DataFrame:
+        """WHERE clause on SHOW statements: tag matchers ANDed, applied
+        to the registry (InfluxDB meta queries filter by series tags).
+        Time/field conditions are out of grammar — loud, never the
+        silently-unfiltered results this replaced (round 5)."""
+        m = re.search(
+            r"\sWHERE\s+(.*?)(?:\s+LIMIT\s+\d+.*|\s+OFFSET\s+\d+.*|$)",
+            qs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            return reg
+        from cflux_spark.functions.scalars import label_matcher
+
+        cond = None
+        for c in _split_on_and(m.group(1)):
+            c = c.strip()
+            while c.startswith("(") and c.endswith(")") and _parens_balanced(c[1:-1]):
+                c = c[1:-1].strip()
+            if not c:
+                continue
+            tm = _parse_tag_matcher(c)
+            if tm is None or re.match(r"time\b", c, re.IGNORECASE):
+                raise InfluxQLError(
+                    f"SHOW ... WHERE supports tag matchers only, got {c!r}"
+                )
+            key, op, val = tm
+            e = label_matcher(F.element_at(F.col("tags"), key), op, val)
+            cond = e if cond is None else (cond & e)
+        return reg.filter(cond) if cond is not None else reg
+
+    def _show_measurements(self, qs: str, db: str | None) -> dict:
+        """SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = name]
+        [WHERE tag matchers] [LIMIT n] [OFFSET n] — all four clauses
+        were previously ignored silently (round-5 conformance fix)."""
         reg = self._registry(db)
-        vals = [] if reg is None else [[r.measurement] for r in reg.select("measurement").distinct().orderBy("measurement").collect()]
+        if reg is None:
+            return _envelope([_series("measurements", ["name"], [])])
+        reg = self._show_where_filter(reg, qs)
+        wm = re.search(r"WITH\s+MEASUREMENT\s*(=~|=)\s*(\S+)", qs, re.IGNORECASE)
+        names = reg.select("measurement").distinct()
+        if wm:
+            op, rhs = wm.group(1), wm.group(2).strip()
+            if op == "=~":
+                if not (len(rhs) >= 2 and rhs.startswith("/") and rhs.endswith("/")):
+                    raise InfluxQLError(
+                        f"WITH MEASUREMENT =~ requires a /regex/: {rhs!r}"
+                    )
+                names = names.filter(F.col("measurement").rlike(rhs[1:-1]))
+            else:
+                names = names.filter(F.col("measurement") == _unquote(rhs))
+        vals = [[r.measurement] for r in names.orderBy("measurement").collect()]
+        om = re.search(r"\bOFFSET\s+(\d+)", qs, re.IGNORECASE)
+        lm = re.search(r"\bLIMIT\s+(\d+)", qs, re.IGNORECASE)
+        if om:
+            vals = vals[int(om.group(1)) :]
+        if lm:
+            vals = vals[: int(lm.group(1))]
         return _envelope([_series("measurements", ["name"], vals)])
 
     def _show_series(self, qs: str, db: str | None) -> dict:
@@ -1383,6 +1438,7 @@ class InfluxQLEngine:
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
+        reg = self._show_where_filter(reg, qs)
         rows = _md.show_series(reg, _from_clause(qs)).collect()
         if not rows:
             return _envelope([])
@@ -1420,6 +1476,7 @@ class InfluxQLEngine:
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
+        reg = self._show_where_filter(reg, qs)
         if meas:
             reg = reg.filter(F.col("measurement") == meas)
         rows = (
@@ -1435,21 +1492,32 @@ class InfluxQLEngine:
 
     def _show_tag_values(self, qs: str, db: str | None) -> dict:
         meas = _from_clause(qs)
-        keys_in = re.search(r"WITH\s+KEY\s+(?:IN\s*\(([^)]*)\)|=\s*(\S+))", qs, re.IGNORECASE)
+        keys_in = re.search(
+            r"WITH\s+KEY\s+(?:IN\s*\(([^)]*)\)|=~\s*(\S+)|=\s*(\S+))", qs, re.IGNORECASE
+        )
         keys: list[str] | None = None
+        key_rx: str | None = None
         if keys_in:
             if keys_in.group(1) is not None:
                 keys = [_unquote(k) for k in keys_in.group(1).split(",") if k.strip()]
+            elif keys_in.group(2) is not None:
+                rhs = keys_in.group(2).strip()
+                if not (len(rhs) >= 2 and rhs.startswith("/") and rhs.endswith("/")):
+                    raise InfluxQLError(f"WITH KEY =~ requires a /regex/: {rhs!r}")
+                key_rx = rhs[1:-1]
             else:
-                keys = [_unquote(keys_in.group(2))]
+                keys = [_unquote(keys_in.group(3))]
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
+        reg = self._show_where_filter(reg, qs)
         if meas:
             reg = reg.filter(F.col("measurement") == meas)
         kv = reg.select("measurement", F.explode("tags").alias("key", "value"))
         if keys is not None:
             kv = kv.filter(F.col("key").isin(keys))
+        if key_rx is not None:
+            kv = kv.filter(F.col("key").rlike(key_rx))
         rows = kv.distinct().orderBy("measurement", "key", "value").collect()
         out: dict[str, list] = {}
         for r in rows:

@@ -1771,3 +1771,38 @@ def test_mixing_aggregate_and_raw_fields_rejects_loudly(engine):
         engine.execute("SELECT user, mean(sys) FROM cpu", db="mydb")
     with pytest.raises(InfluxQLError, match="mixing aggregate and non-aggregate"):
         engine.execute("SELECT mean(user), sys FROM cpu GROUP BY time(60s)", db="mydb")
+
+
+def test_show_family_where_with_limit(engine):
+    """SHOW MEASUREMENTS/SERIES/TAG KEYS/TAG VALUES honor WHERE tag
+    matchers, WITH MEASUREMENT regex/equality, WITH KEY =~, and
+    LIMIT/OFFSET — all previously ignored silently (round-5
+    conformance fix); time conditions reject loudly."""
+    # NB: module-order-robust — earlier INTO/CQ tests may have
+    # materialized extra measurements (cpu_1m, cpu_max) in this store
+    allm = [v[0] for v in _values(engine.execute("SHOW MEASUREMENTS", db="mydb"))]
+    r = engine.execute("SHOW MEASUREMENTS WITH MEASUREMENT =~ /^c/", db="mydb")
+    got = [v[0] for v in _values(r)]
+    assert got == [m for m in allm if m.startswith("c")] and "app" not in got
+    r = engine.execute("SHOW MEASUREMENTS WHERE host = 'b'", db="mydb")
+    got = [v[0] for v in _values(r)]
+    assert "cpu" in got and "app" not in got  # app has no host=b series
+    r = engine.execute("SHOW MEASUREMENTS LIMIT 1 OFFSET 1", db="mydb")
+    assert [v[0] for v in _values(r)] == allm[1:2]
+    r = engine.execute("SHOW SERIES WHERE region = 'us'", db="mydb")
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert vals == [["cpu,host=b,region=us"]]
+    r = engine.execute("SHOW TAG VALUES WITH KEY =~ /^ho/", db="mydb")
+    vals = {tuple(v) for s in r["results"][0]["series"] for v in s["values"]}
+    assert ("host", "a") in vals and ("host", "b") in vals
+    assert not any(k == "region" for k, _v in vals)
+    r = engine.execute(
+        "SHOW TAG VALUES FROM cpu WITH KEY = region WHERE host = 'b'", db="mydb"
+    )
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert vals == [["region", "us"]]
+    r = engine.execute("SHOW TAG KEYS WHERE region = 'us'", db="mydb")
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert sorted(v[0] for v in vals) == ["host", "region"]
+    with pytest.raises(InfluxQLError, match="tag matchers only"):
+        engine.execute("SHOW MEASUREMENTS WHERE time > now() - 1h", db="mydb")
