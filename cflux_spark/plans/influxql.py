@@ -1333,23 +1333,54 @@ class InfluxQLEngine:
         if not m:
             raise InfluxQLError(f"bad DELETE: {qs!r}")
         lo_ns = hi_ns = None
+        tag_conds: list[tuple[str, str, str]] = []
         if m.group("w"):
-            for cond in re.split(r"\s+AND\s+", m.group("w"), flags=re.IGNORECASE):
+            for cond in _split_on_and(m.group("w")):
+                cond = cond.strip()
+                while cond.startswith("(") and cond.endswith(")") and _parens_balanced(cond[1:-1]):
+                    cond = cond[1:-1].strip()
+                if not cond:
+                    continue
                 cm = re.fullmatch(
                     r"\s*time\s*(?P<op>>=|>|<=|<)\s*(?P<v>'[^']*'|\S+)\s*", cond, re.IGNORECASE
                 )
-                if not cm:
-                    raise InfluxQLError(f"DELETE supports only time bounds: {cond!r}")
-                ns = _parse_time_value(cm.group("v"))
-                op = cm.group("op")
-                # canonicalize to half-open [lo, hi) ns like SELECT
-                if op in (">", ">="):
-                    lo_ns = ns + (1 if op == ">" else 0)
-                else:
-                    hi_ns = ns + (1 if op == "<=" else 0)
+                if cm:
+                    ns = _parse_time_value(cm.group("v"))
+                    op = cm.group("op")
+                    # canonicalize to half-open [lo, hi) ns like SELECT
+                    if op in (">", ">="):
+                        lo_ns = ns + (1 if op == ">" else 0)
+                    else:
+                        hi_ns = ns + (1 if op == "<=" else 0)
+                    continue
+                tm = _parse_tag_matcher(cond)
+                if tm is None:
+                    raise InfluxQLError(
+                        f"DELETE supports time bounds and tag matchers: {cond!r}"
+                    )
+                tag_conds.append(tm)
         store = self.store(db)
+        meas = _unquote(m.group("m"))
+        fps = None
+        if tag_conds:
+            # tag-conditioned delete (round 5; previously rejected):
+            # resolve the doomed series set from the registry, then
+            # rewrite only the touched partitions with the broadcast
+            # fingerprint set (registry rows kept — DELETE semantics)
+            from cflux_spark.functions.scalars import label_matcher
+
+            reg = store.read_registry()
+            if reg is None:
+                return _envelope(
+                    [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
+                             [[0, 0, 0]])]
+                )
+            cond = F.col("measurement") == meas
+            for key, op, val in tag_conds:
+                cond = cond & label_matcher(F.element_at(F.col("tags"), key), op, val)
+            fps = reg.filter(cond).select("fingerprint")
         stats = store.delete_where(
-            measurement=_unquote(m.group("m")), lo_ns=lo_ns, hi_ns=hi_ns
+            measurement=meas, lo_ns=lo_ns, hi_ns=hi_ns, fingerprints=fps
         )
         return _envelope(
             [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],

@@ -411,6 +411,7 @@ class LPStore:
         measurement: str | None = None,
         lo_ns: int | None = None,
         hi_ns: int | None = None,
+        fingerprints: "DataFrame | None" = None,
     ) -> dict[str, int]:
         """Targeted deletion (InfluxDB ``DELETE FROM m WHERE time ...``
         / ``DROP MEASUREMENT``): per date partition —
@@ -426,7 +427,13 @@ class LPStore:
         Registry rows are kept for DELETE (series metadata outlives
         points, as in InfluxDB); DROP MEASUREMENT purges them via
         ``purge_registry``. Single-writer discipline applies (same rule
-        as write_batch)."""
+        as write_batch).
+
+        ``fingerprints`` (round 5) narrows the deletion to a series
+        set (``DELETE FROM m WHERE host = 'a' [AND time ...]``): the
+        doomed set is broadcast into each touched partition's rewrite
+        — no O(1) drop shortcut (one series' rows spread across every
+        partition), same honest cost as delete_series."""
         import shutil
         from datetime import date, timedelta
 
@@ -448,15 +455,25 @@ class LPStore:
             if part_hi <= lo or part_lo >= hi:
                 continue  # untouched
             part_dir = os.path.join(self.samples_path, entry)
-            if measurement is None and lo <= part_lo and part_hi <= hi:
+            if measurement is None and fingerprints is None and lo <= part_lo and part_hi <= hi:
                 shutil.rmtree(part_dir)
                 dropped += 1
                 continue
-            keep_pred = F.lit(False)
+            dcond = (F.col("ts_ns") >= F.lit(lo)) & (F.col("ts_ns") < F.lit(hi))
             if measurement is not None:
-                keep_pred = keep_pred | (F.col("measurement") != measurement)
-            keep_pred = keep_pred | (F.col("ts_ns") < F.lit(lo)) | (F.col("ts_ns") >= F.lit(hi))
-            kept = self.spark.read.parquet(part_dir).filter(keep_pred)
+                dcond = dcond & (F.col("measurement") == measurement)
+            part = self.spark.read.parquet(part_dir)
+            if fingerprints is not None:
+                doomed = F.broadcast(
+                    fingerprints.select("fingerprint")
+                    .distinct()
+                    .withColumn("_doom", F.lit(True))
+                )
+                part = part.join(doomed, "fingerprint", "left")
+                dcond = dcond & F.col("_doom").isNotNull()
+            kept = part.filter(~dcond)
+            if fingerprints is not None:
+                kept = kept.drop("_doom")
             # rewrite-aside OUTSIDE the partitioned root: a leftover
             # tmp dir under samples/ would break partition discovery
             # (compact() follows the same discipline)

@@ -1806,3 +1806,36 @@ def test_show_family_where_with_limit(engine):
     assert sorted(v[0] for v in vals) == ["host", "region"]
     with pytest.raises(InfluxQLError, match="tag matchers only"):
         engine.execute("SHOW MEASUREMENTS WHERE time > now() - 1h", db="mydb")
+
+
+def test_delete_with_tag_condition(spark, tmp_path):
+    """DELETE FROM m WHERE host = 'a' [AND time ...] — tag-conditioned
+    point deletion (round 5; previously rejected): the doomed series
+    resolve from the registry and only their rows in range are
+    removed; registry rows survive (DELETE semantics)."""
+    root = str(tmp_path / "tagdel")
+    store = LPStore(spark, root, db="tdb")
+    lines = [
+        "cpu,host=a user=0.1 1704067200000000000",
+        "cpu,host=a user=0.2 1704153600000000000",  # next day
+        "cpu,host=b user=0.3 1704067200000000000",
+        "mem,host=a free=9 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    # time-bounded tag delete: only host=a's first-day point goes
+    eng.execute(
+        "DELETE FROM cpu WHERE host = 'a' AND time < 1704100000000000000", db="tdb"
+    )
+    left = eng.execute("SELECT user FROM cpu", db="tdb")
+    vals = sorted(v[1] for s in left["results"][0]["series"] for v in s["values"])
+    assert vals == [0.2, 0.3]
+    # mem untouched; registry keeps the host=a cpu series metadata
+    mem = eng.execute("SELECT free FROM mem", db="tdb")
+    assert [v[1] for s in mem["results"][0]["series"] for v in s["values"]] == [9.0]
+    tags = eng.execute('SHOW TAG VALUES FROM cpu WITH KEY = "host"', db="tdb")
+    assert sorted(v[1] for v in _values(tags)) == ["a", "b"]
+    # unbounded tag delete removes the remaining host=a point
+    eng.execute("DELETE FROM cpu WHERE host = 'a'", db="tdb")
+    left2 = eng.execute("SELECT user FROM cpu", db="tdb")
+    assert [v[1] for s in left2["results"][0]["series"] for v in s["values"]] == [0.3]
