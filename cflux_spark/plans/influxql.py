@@ -479,6 +479,77 @@ def _parse_field_pred(cond: str) -> tuple | None:
     return (name, op, float(raw_val))
 
 
+class _ShowClauses(NamedTuple):
+    """Quote-aware decomposition of a SHOW statement's tail:
+    ``SHOW ... [FROM m] [WITH ...] [WHERE ...] [LIMIT n] [OFFSET n]``.
+    Round-5's bare ``re.search`` over the whole statement truncated
+    matchers on quoted values containing ' LIMIT 5' and misparsed
+    ``WITH MEASUREMENT = "name with spaces"`` via ``(\\S+)`` (round-6
+    ADVICE); this tokenizes with the same quote/paren-aware splitter
+    the SELECT grammar uses."""
+
+    head: str  # verb + FROM/WITH clauses, WHERE/LIMIT/OFFSET stripped
+    where: str | None  # raw WHERE condition text (quotes intact)
+    limit: int | None
+    offset: int | None
+
+    @property
+    def from_name(self) -> str | None:
+        parts = _split_on_word(self.head, "WITH")
+        m = re.search(r"\bFROM\s+(.+)$", parts[0], re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        segs = _split_outside_quotes(m.group(1).strip(), ".")
+        return _unquote(segs[-1])
+
+    def with_clause(self, kind: str) -> str | None:
+        """Raw text after ``WITH MEASUREMENT``/``WITH KEY`` (quotes
+        intact, runs to end of head — WHERE/LIMIT/OFFSET are already
+        stripped, so spaces in quoted names survive)."""
+        parts = _split_on_word(self.head, "WITH")
+        if len(parts) == 1:
+            return None
+        if len(parts) > 2:
+            raise InfluxQLError(f"multiple WITH clauses: {self.head!r}")
+        body = parts[1].strip()
+        m = re.match(rf"{kind}\b\s*(.*)$", body, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise InfluxQLError(f"expected WITH {kind} ..., got WITH {body!r}")
+        return m.group(1).strip()
+
+
+def _parse_show(qs: str) -> _ShowClauses:
+    def _carve_int(rest: str, word: str) -> tuple[str, int | None]:
+        parts = _split_on_word(rest, word)
+        if len(parts) == 1:
+            return rest, None
+        if len(parts) > 2:
+            raise InfluxQLError(f"multiple {word} clauses: {qs!r}")
+        m = re.fullmatch(r"\s*(\d+)\s*", parts[1])
+        if not m:
+            raise InfluxQLError(f"{word} requires a bare integer: {parts[1]!r}")
+        return parts[0], int(m.group(1))
+
+    rest, offset = _carve_int(qs, "OFFSET")
+    rest, limit = _carve_int(rest, "LIMIT")
+    parts = _split_on_word(rest, "WHERE")
+    if len(parts) > 2:
+        raise InfluxQLError(f"multiple WHERE clauses: {qs!r}")
+    where = parts[1].strip() if len(parts) == 2 else None
+    return _ShowClauses(parts[0].strip(), where, limit, offset)
+
+
+def _slice_values(vals: list, limit: int | None, offset: int | None) -> list:
+    """LIMIT/OFFSET over a SHOW result's value rows (metadata-sized —
+    driver-side slicing is the right altitude; InfluxDB applies them
+    per series for the tag-key/value families)."""
+    if offset:
+        vals = vals[offset:]
+    if limit is not None:
+        vals = vals[:limit]
+    return vals
+
+
 def _parse_tag_matcher(cond: str) -> tuple[str, str, str] | None:
     """``"host" = 'a'`` / ``host =~ /web.*/`` → (key, op, value) or
     None; the four matcher ops are the labelParser table
@@ -1400,22 +1471,20 @@ class InfluxQLEngine:
         )
         return _envelope([_series("databases", ["name"], [[d] for d in dbs])])
 
-    def _show_where_filter(self, reg: DataFrame, qs: str) -> DataFrame:
+    def _show_where_filter(self, reg: DataFrame, where: str | None) -> DataFrame:
         """WHERE clause on SHOW statements: tag matchers ANDed, applied
         to the registry (InfluxDB meta queries filter by series tags).
         Time/field conditions are out of grammar — loud, never the
-        silently-unfiltered results this replaced (round 5)."""
-        m = re.search(
-            r"\sWHERE\s+(.*?)(?:\s+LIMIT\s+\d+.*|\s+OFFSET\s+\d+.*|$)",
-            qs,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
+        silently-unfiltered results this replaced (round 5). The
+        condition text arrives pre-carved by the quote-aware
+        ``_parse_show`` (round 6 — the old non-greedy regex truncated
+        matchers whose quoted value contained ' LIMIT 5')."""
+        if where is None:
             return reg
         from cflux_spark.functions.scalars import label_matcher
 
         cond = None
-        for c in _split_on_and(m.group(1)):
+        for c in _split_on_and(where):
             c = c.strip()
             while c.startswith("(") and c.endswith(")") and _parens_balanced(c[1:-1]):
                 c = c[1:-1].strip()
@@ -1435,14 +1504,18 @@ class InfluxQLEngine:
         """SHOW MEASUREMENTS [WITH MEASUREMENT =~ /re/ | = name]
         [WHERE tag matchers] [LIMIT n] [OFFSET n] — all four clauses
         were previously ignored silently (round-5 conformance fix)."""
+        sc = _parse_show(qs)
         reg = self._registry(db)
         if reg is None:
             return _envelope([_series("measurements", ["name"], [])])
-        reg = self._show_where_filter(reg, qs)
-        wm = re.search(r"WITH\s+MEASUREMENT\s*(=~|=)\s*(\S+)", qs, re.IGNORECASE)
+        reg = self._show_where_filter(reg, sc.where)
+        wm = sc.with_clause("MEASUREMENT") if "WITH" in sc.head.upper() else None
         names = reg.select("measurement").distinct()
-        if wm:
-            op, rhs = wm.group(1), wm.group(2).strip()
+        if wm is not None:
+            m = re.match(r"(=~|=)\s*(.+)$", wm, re.DOTALL)
+            if not m:
+                raise InfluxQLError(f"unparsable WITH MEASUREMENT {wm!r}")
+            op, rhs = m.group(1), m.group(2).strip()
             if op == "=~":
                 if not (len(rhs) >= 2 and rhs.startswith("/") and rhs.endswith("/")):
                     raise InfluxQLError(
@@ -1452,12 +1525,7 @@ class InfluxQLEngine:
             else:
                 names = names.filter(F.col("measurement") == _unquote(rhs))
         vals = [[r.measurement] for r in names.orderBy("measurement").collect()]
-        om = re.search(r"\bOFFSET\s+(\d+)", qs, re.IGNORECASE)
-        lm = re.search(r"\bLIMIT\s+(\d+)", qs, re.IGNORECASE)
-        if om:
-            vals = vals[int(om.group(1)) :]
-        if lm:
-            vals = vals[: int(lm.group(1))]
+        vals = _slice_values(vals, sc.limit, sc.offset)
         return _envelope([_series("measurements", ["name"], vals)])
 
     def _show_series(self, qs: str, db: str | None) -> dict:
@@ -1466,29 +1534,34 @@ class InfluxQLEngine:
         answers it with the M11 empty envelope — Grafana issues it)."""
         from cflux_spark.operators import metadata as _md
 
+        sc = _parse_show(qs)
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
-        reg = self._show_where_filter(reg, qs)
-        rows = _md.show_series(reg, _from_clause(qs)).collect()
+        reg = self._show_where_filter(reg, sc.where)
+        rows = _md.show_series(reg, sc.from_name).collect()
         if not rows:
             return _envelope([])
+        vals = _slice_values([[r.key] for r in rows], sc.limit, sc.offset)
         # InfluxDB emits a nameless series with a single `key` column
-        return _envelope([{"columns": ["key"], "values": [[r.key] for r in rows]}])
+        return _envelope([{"columns": ["key"], "values": vals}])
 
     def _show_cardinality(self, subject: str, qs: str, db: str | None) -> dict:
         """SHOW <subject> [EXACT] CARDINALITY [FROM m] — exact counts
         over the registry (capacity-planning family, InfluxDB 1.x)."""
         from cflux_spark.operators import metadata as _md
 
+        sc = _parse_show(qs)
         reg = self._registry(db)
         n = 0
         if reg is not None:
-            n = _md.show_cardinality(reg, subject, _from_clause(qs)).collect()[0]["count"]
+            reg = self._show_where_filter(reg, sc.where)
+            n = _md.show_cardinality(reg, subject, sc.from_name).collect()[0]["count"]
         return _envelope([{"columns": ["count"], "values": [[n]]}])
 
     def _show_field_keys(self, qs: str, db: str | None) -> dict:
-        meas = _from_clause(qs)
+        sc = _parse_show(qs)
+        meas = sc.from_name
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
@@ -1503,11 +1576,12 @@ class InfluxQLEngine:
         return _envelope([_series(m, ["fieldKey", "fieldType"], v) for m, v in out.items()])
 
     def _show_tag_keys(self, qs: str, db: str | None) -> dict:
-        meas = _from_clause(qs)
+        sc = _parse_show(qs)
+        meas = sc.from_name
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
-        reg = self._show_where_filter(reg, qs)
+        reg = self._show_where_filter(reg, sc.where)
         if meas:
             reg = reg.filter(F.col("measurement") == meas)
         rows = (
@@ -1519,29 +1593,35 @@ class InfluxQLEngine:
         out: dict[str, list] = {}
         for r in rows:
             out.setdefault(r.measurement, []).append([r.tagKey])
-        return _envelope([_series(m, ["tagKey"], v) for m, v in out.items()])
+        return _envelope(
+            [_series(m, ["tagKey"], _slice_values(v, sc.limit, sc.offset))
+             for m, v in out.items()]
+        )
 
     def _show_tag_values(self, qs: str, db: str | None) -> dict:
-        meas = _from_clause(qs)
-        keys_in = re.search(
-            r"WITH\s+KEY\s+(?:IN\s*\(([^)]*)\)|=~\s*(\S+)|=\s*(\S+))", qs, re.IGNORECASE
-        )
+        sc = _parse_show(qs)
+        meas = sc.from_name
+        wk = sc.with_clause("KEY") if "WITH" in sc.head.upper() else None
         keys: list[str] | None = None
         key_rx: str | None = None
-        if keys_in:
-            if keys_in.group(1) is not None:
-                keys = [_unquote(k) for k in keys_in.group(1).split(",") if k.strip()]
-            elif keys_in.group(2) is not None:
-                rhs = keys_in.group(2).strip()
+        if wk is not None:
+            km = re.match(r"(?:IN\s*\(([^)]*)\)|=~\s*(.+)|=\s*(.+))$", wk,
+                          re.IGNORECASE | re.DOTALL)
+            if not km:
+                raise InfluxQLError(f"unparsable WITH KEY {wk!r}")
+            if km.group(1) is not None:
+                keys = [_unquote(k) for k in km.group(1).split(",") if k.strip()]
+            elif km.group(2) is not None:
+                rhs = km.group(2).strip()
                 if not (len(rhs) >= 2 and rhs.startswith("/") and rhs.endswith("/")):
                     raise InfluxQLError(f"WITH KEY =~ requires a /regex/: {rhs!r}")
                 key_rx = rhs[1:-1]
             else:
-                keys = [_unquote(keys_in.group(3))]
+                keys = [_unquote(km.group(3))]
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
-        reg = self._show_where_filter(reg, qs)
+        reg = self._show_where_filter(reg, sc.where)
         if meas:
             reg = reg.filter(F.col("measurement") == meas)
         kv = reg.select("measurement", F.explode("tags").alias("key", "value"))
@@ -1553,7 +1633,10 @@ class InfluxQLEngine:
         out: dict[str, list] = {}
         for r in rows:
             out.setdefault(r.measurement, []).append([r.key, r.value])
-        return _envelope([_series(m, ["key", "value"], v) for m, v in out.items()])
+        return _envelope(
+            [_series(m, ["key", "value"], _slice_values(v, sc.limit, sc.offset))
+             for m, v in out.items()]
+        )
 
     def _show_subscriptions(self) -> dict:
         series = []
@@ -1635,6 +1718,36 @@ class InfluxQLEngine:
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             yield _envelope([])
+            return
+        # round-6 ADVICE: the chunked dispatch must match the
+        # unchunked one — expand wildcards (SELECT * used to stream
+        # nothing), validate ::tag specs, and route multi-field /
+        # ::tag selects through the point-aligned merged frame
+        # instead of per-field unmerged series
+        self._expand_wildcard(stmt, facts)
+        self._validate_tag_specs(stmt)
+        if len(stmt.fields) > 1 or any(sp.tag for sp in stmt.fields):
+            if reg is None:
+                # no registry to derive the series key from: fall back
+                # to the unchunked merged envelope (same result, one
+                # chunk) rather than emitting misaligned series
+                series = self._select_series(stmt, store, reg)
+                if len(stmt.fields) > 1:
+                    series = _merge_series_columns(
+                        series, stmt.order_desc, stmt.limit, stmt.offset,
+                        slice_unmerged=True,
+                    )
+                yield _envelope(series)
+                return
+            sel, colnames = self._raw_multi_frame(stmt, facts, gtags, tkeys, reg)
+            n = len(colnames)
+            yield from self._stream_chunked(
+                iter([(sel, colnames)]), stmt, gtags, tkeys, chunk_size,
+                lambda r: [
+                    r.ts_ms,
+                    *[pivot_ops._maybe_float(getattr(r, f"_v{i}")) for i in range(n)],
+                ],
+            )
             return
 
         def frames():
@@ -1749,9 +1862,16 @@ class InfluxQLEngine:
         else:
             series = self._select_series(stmt, store, reg)
         # multi-field SELECTs merge into one series per (name, tags)
-        # with aligned columns — the InfluxDB 1.x envelope shape
+        # with aligned columns — the InfluxDB 1.x envelope shape.
+        # Slicing was deferred by _select_series (InfluxDB counts
+        # merged points); the subquery path slices internally, so
+        # only LIMIT re-caps there (idempotent).
         if len(stmt.fields) > 1:
-            series = _merge_series_columns(series, stmt.order_desc, stmt.limit)
+            deferred = stmt.subquery is None
+            series = _merge_series_columns(
+                series, stmt.order_desc, stmt.limit,
+                stmt.offset if deferred else None, slice_unmerged=deferred,
+            )
         # SLIMIT/SOFFSET slice the series list (driver-side: one entry
         # per series, already aggregated — small by construction)
         if stmt.soffset:
@@ -1917,8 +2037,6 @@ class InfluxQLEngine:
         is exactly how InfluxDB continuous-query output behaves."""
         if stmt.subquery is not None or stmt.measurement_regex is not None:
             raise InfluxQLError("INTO does not support subqueries or regex FROM")
-        if any(sp.expr is not None for sp in stmt.fields):
-            raise InfluxQLError("INTO does not support SELECT arithmetic")
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             return _envelope([_series("result", ["time", "written"], [[0, 0]])])
@@ -1930,6 +2048,50 @@ class InfluxQLEngine:
             tag_map = F.from_json(F.lit("{}"), "map<string,string>")
         frames = []
         for spec in stmt.fields:
+            if spec.expr is not None:
+                # SELECT arithmetic INTO (round 6; rejected in round 5):
+                # the existing arith frame builders produce
+                # [*tkeys, ts_ms|ts_ns, val]; the result writes back
+                # under the alias (or the expression's display name) as
+                # the field key — InfluxDB CQ downsample-with-math shape
+                colname = spec.alias or spec.name
+                if _arith_leaves(spec.expr, "agg"):
+                    grouped = self._arith_agg_frame(stmt, spec, facts, tkeys)
+                    sel = grouped.select(
+                        *tkeys,
+                        (F.col("ts_ms") * 1_000_000).cast("long").alias("ts_ns"),
+                        F.col("val").cast("double").alias("value"),
+                        F.lit(None).cast("string").alias("message"),
+                        F.lit(colname).alias("field"),
+                    )
+                else:
+                    if stmt.group_by_time_s is not None:
+                        raise InfluxQLError(
+                            "GROUP BY time() requires aggregated SELECT expressions"
+                        )
+                    frame = self._arith_raw_frame(spec, facts, tkeys, reg, ns=True)
+                    if frame is None:
+                        raise InfluxQLError(
+                            "multi-field raw arithmetic INTO requires a series registry"
+                        )
+                    sel = frame.select(
+                        *tkeys,
+                        "ts_ns",
+                        F.col("val").cast("double").alias("value"),
+                        F.lit(None).cast("string").alias("message"),
+                        F.lit(colname).alias("field"),
+                    )
+                frames.append(
+                    sel.select(
+                        F.lit(stmt.into).alias("measurement"),
+                        tag_map.alias("tags"),
+                        "ts_ns",
+                        "field",
+                        "value",
+                        "message",
+                    )
+                )
+                continue
             ff = facts.filter(F.col("field") == spec.name)
             if spec.agg is None and spec.tx is None and stmt.group_by_time_s is None:
                 # raw copy — value/message carried as-is under the
@@ -2105,28 +2267,52 @@ class InfluxQLEngine:
         tkeys = [f"_t{i}" for i in range(len(gtags))]
         return facts, gtags, tkeys
 
+    @staticmethod
+    def _expand_wildcard(stmt: SelectStmt, facts: DataFrame) -> None:
+        """SELECT * / agg(*): expand the wildcard to the field keys
+        actually present in the prepared (measurement+time filtered)
+        facts — metadata-sized collect, same cardinality SHOW FIELD
+        KEYS returns. Without this the bare '*' would match no field
+        and silently return empty (SURVEY §7: never silently-empty)."""
+        if not any(s.name == "*" for s in stmt.fields):
+            return
+        fks = sorted(r.field for r in facts.select("field").distinct().collect())
+        expanded: list[FieldSpec] = []
+        for s in stmt.fields:
+            if s.name == "*":
+                expanded.extend(
+                    FieldSpec(s.agg, fk, s.agg_arg, s.tx, s.tx_arg) for fk in fks
+                )
+            else:
+                expanded.append(s)
+        stmt.fields = expanded
+
+    @staticmethod
+    def _validate_tag_specs(stmt: SelectStmt) -> None:
+        """``host::tag`` columns are legal only alongside raw fields —
+        shared by the collected and chunked paths (round-6 ADVICE: the
+        chunked dispatch used to skip this and silently drop the tag
+        column)."""
+        if not any(sp.tag for sp in stmt.fields):
+            return
+        if stmt.group_by_time_s is not None or any(
+            sp.agg or sp.tx or sp.expr is not None for sp in stmt.fields
+        ):
+            raise InfluxQLError(
+                "::tag columns require a raw (non-aggregated) SELECT — "
+                "use GROUP BY <tag> with aggregates instead"
+            )
+        if all(sp.tag for sp in stmt.fields):
+            raise InfluxQLError(
+                "SELECT must include at least one FIELD alongside ::tag columns"
+            )
+
     def _select_series(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             return []
 
-        if any(s.name == "*" for s in stmt.fields):
-            # SELECT * / agg(*): expand the wildcard to the field keys
-            # actually present in the prepared (measurement+time
-            # filtered) facts — metadata-sized collect, same cardinality
-            # SHOW FIELD KEYS returns. Without this the bare '*' would
-            # match no field and silently return empty (SURVEY §7:
-            # never silently-empty).
-            fks = sorted(r.field for r in facts.select("field").distinct().collect())
-            expanded: list[FieldSpec] = []
-            for s in stmt.fields:
-                if s.name == "*":
-                    expanded.extend(
-                        FieldSpec(s.agg, fk, s.agg_arg, s.tx, s.tx_arg) for fk in fks
-                    )
-                else:
-                    expanded.append(s)
-            stmt.fields = expanded
+        self._expand_wildcard(stmt, facts)
 
         def _is_plain_raw(sp: FieldSpec) -> bool:
             return (
@@ -2149,18 +2335,7 @@ class InfluxQLEngine:
                 "mixing aggregate and non-aggregate SELECT fields is not supported"
             )
 
-        if any(sp.tag for sp in stmt.fields):
-            if stmt.group_by_time_s is not None or any(
-                sp.agg or sp.tx or sp.expr is not None for sp in stmt.fields
-            ):
-                raise InfluxQLError(
-                    "::tag columns require a raw (non-aggregated) SELECT — "
-                    "use GROUP BY <tag> with aggregates instead"
-                )
-            if all(sp.tag for sp in stmt.fields):
-                raise InfluxQLError(
-                    "SELECT must include at least one FIELD alongside ::tag columns"
-                )
+        self._validate_tag_specs(stmt)
 
         if (
             len(stmt.fields) > 1
@@ -2174,6 +2349,20 @@ class InfluxQLEngine:
             # same-timestamp points of DIFFERENT series (two hosts
             # sharing :00) nondeterministically
             return self._raw_multi_series(stmt, facts, gtags, tkeys, reg)
+
+        if len(stmt.fields) > 1 and (stmt.limit or stmt.offset):
+            # Defer LIMIT/OFFSET to the merged envelope: InfluxDB
+            # counts MERGED points, not per-field points (round-6
+            # ADVICE — per-field _apply_slice returned the wrong
+            # window when fields had disjoint timestamps). Per-field
+            # frames run unsliced; _merge_series_columns applies
+            # values[offset:offset+limit] per output series. These
+            # frames are aggregate/transform-sized (raw multi-field
+            # took the _raw_multi_series branch above, which keeps
+            # its distributed slice on the already-merged frame).
+            from dataclasses import replace as _stmt_replace
+
+            stmt = _stmt_replace(stmt, limit=None, offset=None)
 
         series: list[dict] = []
         for spec in stmt.fields:
@@ -2335,11 +2524,17 @@ class InfluxQLEngine:
         colname = spec.alias or spec.name
         return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
 
-    def _raw_multi_series(
+    def _raw_multi_frame(
         self, stmt: SelectStmt, facts: DataFrame, gtags, tkeys, reg
-    ) -> list[dict]:
-        """Raw multi-field SELECT as ONE series with point-aligned
-        columns: each field's rows key on (series key, ts) — the
+    ) -> tuple[DataFrame, list[str]]:
+        """Point-aligned frame for a raw multi-field SELECT →
+        (ordered+sliced DataFrame [*tkeys, ts_ms, _v0.._vN], output
+        column names). Shared by the collected (_raw_multi_series) and
+        chunked (_select_raw_multi_chunked) paths so both emit the
+        same merged series (round-6 ADVICE: chunked used to emit
+        per-field unmerged series for the same query).
+
+        Each field's rows key on (series key, ts) — the
         registry-derived tag-set hash, field-independent — and
         full-outer-join so a point missing a field carries null in
         that column (InfluxDB's storage model reads back the whole
@@ -2395,8 +2590,13 @@ class InfluxQLEngine:
             *[F.col(f"_v{i}") for i in range(len(stmt.fields))],
         ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
         sel = _apply_slice(sel, tkeys, stmt)
+        return sel, [sp.alias or sp.name for sp in stmt.fields]
+
+    def _raw_multi_series(
+        self, stmt: SelectStmt, facts: DataFrame, gtags, tkeys, reg
+    ) -> list[dict]:
+        sel, colnames = self._raw_multi_frame(stmt, facts, gtags, tkeys, reg)
         rows = self._bounded_collect(sel)
-        colnames = [sp.alias or sp.name for sp in stmt.fields]
         n = len(colnames)
         return _tag_series(
             rows, gtags, tkeys, stmt, colnames,
@@ -2407,9 +2607,11 @@ class InfluxQLEngine:
         )
 
     def _arith_raw_frame(
-        self, spec: FieldSpec, facts: DataFrame, tkeys, reg
+        self, spec: FieldSpec, facts: DataFrame, tkeys, reg, ns: bool = False
     ) -> DataFrame | None:
-        """Raw-point arithmetic frame → [*tkeys, ts_ms, val double].
+        """Raw-point arithmetic frame → [*tkeys, ts_ms, val double]
+        (``ns=True`` keeps the exact epoch-ns timestamp instead — the
+        INTO writer stores full precision, round 6).
         One field (``user * 100``) is a pointwise map. Multiple fields
         (``user + sys``) align on POINT identity — rows are stored
         one-per-field and fingerprints include the field name, so the
@@ -2423,13 +2625,12 @@ class InfluxQLEngine:
         for lf in _arith_leaves(node, "field"):
             if lf[1] not in fields_used:
                 fields_used.append(lf[1])
+        tcol = F.col("ts_ns") if ns else F.expr("ts_ns div 1000000").alias("ts_ms")
         if len(fields_used) == 1:
             fname = fields_used[0]
             base = facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
             val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
-            return base.select(
-                *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), val.alias("val")
-            )
+            return base.select(*tkeys, tcol, val.alias("val"))
         if reg is None:
             return None
         skey = F.xxhash64(
@@ -2453,9 +2654,7 @@ class InfluxQLEngine:
             joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"])
         idx = {f: i for i, f in enumerate(fields_used)}
         val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
-        return joined.select(
-            *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), val.alias("val")
-        )
+        return joined.select(*tkeys, tcol, val.alias("val"))
 
     def _arith_raw_series(
         self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg
@@ -3069,7 +3268,13 @@ def _from_clause(qs: str) -> str | None:
     return parts[-1]
 
 
-def _merge_series_columns(series: list[dict], order_desc: bool, limit: int | None) -> list[dict]:
+def _merge_series_columns(
+    series: list[dict],
+    order_desc: bool,
+    limit: int | None,
+    offset: int | None = None,
+    slice_unmerged: bool = False,
+) -> list[dict]:
     """InfluxDB 1.x merges a multi-field SELECT into ONE series per
     (measurement, tag set) with columns [time, f1, f2, ...] aligned on
     timestamp (null where a field has no point) — the engine builds
@@ -3078,8 +3283,13 @@ def _merge_series_columns(series: list[dict], order_desc: bool, limit: int | Non
     one series per field, which Grafana table panels render as
     separate frames). Only 2-column (time, value) series merge;
     duplicate timestamps within a field occupy successive row slots so
-    no point is lost. LIMIT re-applies to the merged rows — InfluxDB
-    counts merged points, not per-field points."""
+    no point is lost. LIMIT/OFFSET apply to the MERGED rows (round-6
+    ADVICE: InfluxDB counts merged points, not per-field points —
+    _select_series defers its per-field slice here). When
+    ``slice_unmerged``, deferred slicing also applies to pass-through
+    2-column series (a field present in only one tag combination);
+    wider series (raw multi-field, already merged and sliced in the
+    distributed plan) pass through untouched."""
     groups: dict[tuple, list[dict]] = {}
     order: list[tuple] = []
     for se in series:
@@ -3091,6 +3301,15 @@ def _merge_series_columns(series: list[dict], order_desc: bool, limit: int | Non
     for key in order:
         ses = groups[key]
         if len(ses) == 1 or any(len(se.get("columns", [])) != 2 for se in ses):
+            if slice_unmerged:
+                for se in ses:
+                    if len(se.get("columns", [])) == 2:
+                        se = dict(se)
+                        se["values"] = _slice_values(se["values"], limit, offset)
+                        out.append(se)
+                    else:
+                        out.append(se)
+                continue
             out.extend(ses)
             continue
         cols = ["time"] + [se["columns"][1] for se in ses]
@@ -3108,8 +3327,7 @@ def _merge_series_columns(series: list[dict], order_desc: bool, limit: int | Non
         for ts in sorted(slots, reverse=order_desc):
             for row in slots[ts]:
                 values.append([ts, *row])
-        if limit is not None:
-            values = values[:limit]
+        values = _slice_values(values, limit, offset)
         merged = dict(ses[0])
         merged["columns"] = cols
         merged["values"] = values

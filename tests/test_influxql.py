@@ -700,6 +700,48 @@ def test_chunked_respects_group_by_tag(engine):
     assert tags == {"a", "b"}
 
 
+def test_chunked_multi_field_matches_unchunked_merged_series(engine):
+    """Round-6 ADVICE: chunked multi-field raw SELECTs must emit the
+    same point-aligned MERGED series the unchunked path returns —
+    previously they streamed per-field unmerged series (silently
+    inconsistent output for the same query depending on chunking)."""
+    q = "SELECT user, sys FROM cpu WHERE host = 'a'"
+    unchunked = engine.execute(q, db="mydb")
+    ucols = unchunked["results"][0]["series"][0]["columns"]
+    assert ucols == ["time", "user", "sys"]
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
+    assert all(e["results"][0].get("partial") is True for e in envs[:-1])
+    for e in envs:
+        for s in e["results"][0]["series"]:
+            assert s["columns"] == ucols
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(unchunked)
+
+
+def test_chunked_tag_column_matches_unchunked(engine):
+    """Round-6 ADVICE: chunked 'SELECT user, host::tag' used to
+    silently omit the tag column (and skip ::tag validation)."""
+    q = "SELECT user, host::tag FROM cpu"
+    unchunked = engine.execute(q, db="mydb")
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=2))
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(unchunked)
+    assert envs[0]["results"][0]["series"][0]["columns"] == ["time", "user", "host"]
+    # validation fires in chunked mode too
+    with pytest.raises(InfluxQLError, match="at least one FIELD"):
+        list(engine.execute_chunked("SELECT host::tag FROM cpu", db="mydb"))
+
+
+def test_chunked_select_star_expands_wildcard(engine):
+    """Chunked SELECT * used to filter on the literal field '*' and
+    stream nothing (round-6 fix): it must expand like unchunked."""
+    q = "SELECT * FROM app"
+    unchunked = engine.execute(q, db="mydb")
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(unchunked) and len(vals) > 0
+
+
 def test_show_series(engine):
     res = engine.execute("SHOW SERIES", db="mydb")
     keys = [v[0] for v in _values(res)]
@@ -1632,11 +1674,42 @@ def test_where_parenthesized_and_conjunction(engine):
     assert [v[1] for v in vals3] == [0.7]
 
 
-def test_select_into_rejects_arithmetic(engine):
-    with pytest.raises(InfluxQLError, match="INTO does not support SELECT arithmetic"):
-        engine.execute(
-            "SELECT mean(user) * 100 INTO cpu_pct FROM cpu GROUP BY time(60s)", db="mydb"
-        )
+def test_select_into_arithmetic(spark, tmp_path):
+    """SELECT arithmetic INTO (round 6; rejected loudly in round 5):
+    aggregate arithmetic writes bucketed results, raw arithmetic
+    writes point-aligned results (inner-join operand semantics — a
+    point missing any operand emits nothing), both re-queryable."""
+    root = str(tmp_path / "intoarith")
+    store = LPStore(spark, root, db="adb")
+    lines = [
+        "cpu,host=a user=0.1,sys=0.2 1704067200000000000",
+        "cpu,host=a user=0.3,sys=0.4 1704067230000000000",
+        "cpu,host=a user=0.5 1704067260000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    r = eng.execute(
+        "SELECT mean(user) * 100 INTO cpu_pct FROM cpu GROUP BY time(60s)", db="adb"
+    )
+    assert _values(r) == [[0, 2]]
+    back = eng.execute("SELECT * FROM cpu_pct", db="adb")
+    se = back["results"][0]["series"][0]
+    # InfluxDB names arithmetic columns after the first function
+    assert se["columns"] == ["time", "mean"]
+    assert se["values"] == [[1704067200000, 20.0], [1704067260000, 50.0]]
+    r = eng.execute("SELECT user + sys AS total INTO cpu_tot FROM cpu", db="adb")
+    assert _values(r) == [[0, 2]]
+    back = eng.execute("SELECT total FROM cpu_tot", db="adb")
+    se = back["results"][0]["series"][0]
+    # the third point has no sys operand and must not be written
+    assert se["values"] == [[1704067200000, 0.3], [1704067230000, 0.7]]
+    # continuous queries accept arithmetic too (same INTO machinery)
+    eng.execute(
+        'CREATE CONTINUOUS QUERY "pct" ON adb BEGIN '
+        "SELECT mean(user) * 100 INTO cq_pct FROM cpu GROUP BY time(60s) END",
+        db="adb",
+    )
+    assert "pct" in str(eng.execute("SHOW CONTINUOUS QUERIES", db="adb"))
 
 
 def test_ungrouped_bucketed_transforms_across_segments(spark, tmp_path):
@@ -1806,6 +1879,70 @@ def test_show_family_where_with_limit(engine):
     assert sorted(v[0] for v in vals) == ["host", "region"]
     with pytest.raises(InfluxQLError, match="tag matchers only"):
         engine.execute("SHOW MEASUREMENTS WHERE time > now() - 1h", db="mydb")
+
+
+def test_show_family_quote_aware_clause_parsing(spark, tmp_path):
+    """Round-6 ADVICE: SHOW clause carving must be quote-aware — a tag
+    value containing ' LIMIT 5' must neither truncate the matcher nor
+    apply a bogus limit, and WITH MEASUREMENT = "name with spaces"
+    must filter (the old (\\S+) regex silently matched nothing)."""
+    root = str(tmp_path / "showq")
+    store = LPStore(spark, root, db="qdb")
+    lines = [
+        r"disk\ usage,host=a used=1 1704067200000000000",
+        r"cpu,label=x\ LIMIT\ 5 user=0.1 1704067200000000000",
+        "cpu,label=plain user=0.2 1704067200000000000",
+        "mem,host=b free=3 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    # quoted WHERE value containing ' LIMIT 5': full-value match, no limit
+    r = eng.execute("SHOW MEASUREMENTS WHERE label = 'x LIMIT 5'", db="qdb")
+    assert [v[0] for v in _values(r)] == ["cpu"]
+    # ...and the matcher must not match the 'plain' series either
+    r = eng.execute("SHOW TAG VALUES FROM cpu WITH KEY = label WHERE label = 'x LIMIT 5'", db="qdb")
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert vals == [["label", "x LIMIT 5"]]
+    # measurement name with spaces: quoted equality works end-to-end
+    r = eng.execute('SHOW MEASUREMENTS WITH MEASUREMENT = "disk usage"', db="qdb")
+    assert [v[0] for v in _values(r)] == ["disk usage"]
+    # LIMIT/OFFSET now honored on SHOW TAG VALUES (per-series slice)
+    r = eng.execute("SHOW TAG VALUES FROM cpu WITH KEY = label LIMIT 1 OFFSET 1", db="qdb")
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert vals == [["label", "x LIMIT 5"]]
+    # malformed tails reject loudly instead of silently ignoring
+    with pytest.raises(InfluxQLError, match="bare integer"):
+        eng.execute("SHOW MEASUREMENTS LIMIT abc", db="qdb")
+
+
+def test_multi_field_limit_offset_counts_merged_rows(spark, tmp_path):
+    """Round-6 ADVICE: LIMIT/OFFSET on a multi-field SELECT count
+    MERGED rows (InfluxDB semantics), not per-field points — with
+    disjoint timestamps the old per-field slice skipped the wrong
+    points entirely."""
+    root = str(tmp_path / "mfl")
+    store = LPStore(spark, root, db="mdb")
+    lines = [
+        "cpu,host=a user=1 1704067200000000000",
+        "cpu,host=a sys=2 1704067260000000000",
+        "cpu,host=a user=3 1704067320000000000",
+        "cpu,host=a sys=4 1704067380000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    r = eng.execute(
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) LIMIT 2 OFFSET 1",
+        db="mdb",
+    )
+    se = r["results"][0]["series"][0]
+    assert se["columns"] == ["time", "mean_user", "mean_sys"]
+    # merged rows are [m0:(1,null), m1:(null,2), m2:(3,null), m3:(null,4)];
+    # OFFSET 1 LIMIT 2 must take the middle two MERGED rows
+    assert se["values"] == [[1704067260000, None, 2.0], [1704067320000, 3.0, None]]
+    r = eng.execute(
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) OFFSET 3", db="mdb"
+    )
+    assert r["results"][0]["series"][0]["values"] == [[1704067380000, None, 4.0]]
 
 
 def test_delete_with_tag_condition(spark, tmp_path):
