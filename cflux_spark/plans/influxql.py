@@ -1358,33 +1358,37 @@ class InfluxQLEngine:
         DataFrame end-to-end — no driver materialization, so a drop
         matching 10^7 series is still a broadcast of longs."""
         m = re.fullmatch(
-            r"\s*DROP\s+SERIES\s+FROM\s+(?P<m>\"[^\"]+\"|\S+)(?:\s+WHERE\s+(?P<w>.+?))?\s*",
+            r"\s*DROP\s+SERIES(?:\s+FROM\s+(?P<m>\"[^\"]+\"|\S+))?(?:\s+WHERE\s+(?P<w>.+?))?\s*",
             qs,
             re.IGNORECASE | re.DOTALL,
         )
-        if not m:
-            raise InfluxQLError(f"bad DROP SERIES: {qs!r}")
+        if not m or (m.group("m") is None and m.group("w") is None):
+            # InfluxDB requires at least one of FROM/WHERE — a bare
+            # DROP SERIES would silently nuke every series
+            raise InfluxQLError(f"bad DROP SERIES (need FROM and/or WHERE): {qs!r}")
         store = self.store(db)
         reg = store.read_registry()
         if reg is None:
             return _envelope([])
-        sel = reg.filter(F.col("measurement") == _unquote(m.group("m")))
+        sel = reg
+        if m.group("m") is not None:
+            sel = sel.filter(F.col("measurement") == _unquote(m.group("m")))
         if m.group("w"):
             from cflux_spark.functions.scalars import label_matcher
 
-            for cond in re.split(r"\s+AND\s+", m.group("w"), flags=re.IGNORECASE):
-                cm = re.fullmatch(
-                    r"\s*(?P<k>\"[^\"]+\"|\w+)\s*(?P<op>=~|!~|!=|=)\s*(?P<v>'[^']*')\s*",
-                    cond,
-                )
-                if not cm:
+            # quote/paren-aware AND split + the shared matcher grammar:
+            # accepts '=~ /regex/' (round 6 — the old RHS pattern only
+            # took quoted strings, so slash regexes rejected loudly)
+            for cond in _split_on_and(m.group("w")):
+                cond = cond.strip()
+                while cond.startswith("(") and cond.endswith(")") and _parens_balanced(cond[1:-1]):
+                    cond = cond[1:-1].strip()
+                tm = _parse_tag_matcher(cond)
+                if tm is None or re.match(r"time\b", cond, re.IGNORECASE):
                     raise InfluxQLError(f"DROP SERIES supports only tag matchers: {cond!r}")
+                key, op, val = tm
                 sel = sel.filter(
-                    label_matcher(
-                        F.element_at(F.col("tags"), _unquote(cm.group("k"))),
-                        cm.group("op"),
-                        _unquote(cm.group("v")),
-                    )
+                    label_matcher(F.element_at(F.col("tags"), key), op, val)
                 )
         n = store.delete_series(sel.select("fingerprint"))
         return _envelope(

@@ -1304,6 +1304,34 @@ def test_drop_series_by_tag(spark, tmp_path):
     assert sorted(v[1] for v in _values(tags)) == ["b"]
 
 
+def test_drop_series_regex_and_where_only(spark, tmp_path):
+    """Round 6: DROP SERIES accepts '=~ /regex/' matchers (previously
+    only quoted RHS parsed) and a WHERE-only form without FROM;
+    a bare DROP SERIES rejects loudly instead of nuking everything."""
+    root = str(tmp_path / "dropre")
+    store = LPStore(spark, root, db="rdb")
+    lines = [
+        "cpu,host=web1 user=0.1 1704067200000000000",
+        "cpu,host=web2 user=0.2 1704067200000000000",
+        "cpu,host=db1 user=0.3 1704067200000000000",
+        "mem,host=web1 free=5 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute("DROP SERIES FROM cpu WHERE host =~ /^web/", db="rdb")
+    left = eng.execute("SELECT user FROM cpu", db="rdb")
+    assert [v[1] for v in _values(left)] == [0.3]
+    # mem's web1 series survived (FROM scoped the drop)
+    mem = eng.execute("SELECT free FROM mem", db="rdb")
+    assert [v[1] for v in _values(mem)] == [5.0]
+    # WHERE-only form drops across measurements
+    eng.execute("DROP SERIES WHERE host =~ /web/", db="rdb")
+    mem = eng.execute("SELECT free FROM mem", db="rdb")
+    assert _values(mem) == []
+    with pytest.raises(InfluxQLError, match="FROM and/or WHERE"):
+        eng.execute("DROP SERIES", db="rdb")
+
+
 def test_select_star_expands_to_field_keys(engine):
     """SELECT * must expand to the measurement's field keys (sys, user
     for cpu) instead of silently matching a field named '*'."""
