@@ -71,6 +71,13 @@ BENCH_QUERIES = [
     # round-5 distributed ANN (corpus-as-queries, no driver collect)
     "q_vector_pq_bulk",
     "q_cosine_pairs_bulk",
+    # round-6 cluster-composing curation (keep-longest per near-dup
+    # cluster; q_split_leakage_safe is the same clustering plus a
+    # zero-shuffle projection, so one family representative suffices)
+    "q_dedup_canonical",
+    # round-6 embedding-level decontamination (corpus-vs-benchmark
+    # cosine gate via the distributed exact-pair kernel)
+    "q_decontam_semantic",
 ]
 
 

@@ -219,3 +219,56 @@ def apply_span_cuts(
         F.array_join("_kept", " ").alias(out_col),
         (F.size("_toks") - F.size("_kept")).cast("int").alias("n_tokens_removed"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Embedding-level decontamination — the semantic tier of X6:
+    flag every corpus item whose cosine similarity to ANY benchmark
+    vector is ≥ ``threshold``. This catches the paraphrased-eval
+    leakage that :func:`flag_contamination`'s exact n-gram overlap
+    cannot see (a reworded benchmark answer shares no 8-gram but sits
+    next to it in embedding space); run both — they are complementary
+    gates over the same corpus.
+
+    Output: one row per corpus item — (id, contaminated bool,
+    max_sim double) with max_sim null for clean items (below-threshold
+    similarities are never materialized).
+
+    Scale shape: exact tier via :func:`~cflux_spark.extensions.
+    similarity.cosine_pairs_bulk` with ``exclude_same_id=False`` (the
+    two id spaces are unrelated) — benchmark hash-sharded, corpus
+    replicated per shard, blocked GEMM, output-sized results. At
+    100 TB the benchmark side is small (10^4–10^6 rows), so each
+    shard's candidate matrix is broadcast-sized and the whole pass is
+    effectively one map over the corpus; if the benchmark side itself
+    is huge, swap the pair generator for ivfpq_topk_bulk and keep the
+    same flag/aggregate tail. The final LEFT join is id-keyed and
+    AQE-broadcast (hits ≤ contaminated fraction of the corpus)."""
+    from cflux_spark.extensions.similarity import cosine_pairs_bulk
+
+    pairs = cosine_pairs_bulk(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        benchmark.select(F.col(id_col), F.col(vec_col)),
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_shards=n_shards,
+        exclude_same_id=False,
+    )
+    hits = pairs.groupBy("query_id").agg(F.max("sim").alias("max_sim"))
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, F.col(id_col) == F.col("query_id"), "left")
+        .select(
+            F.col(id_col),
+            F.col("max_sim").isNotNull().alias("contaminated"),
+            "max_sim",
+        )
+    )

@@ -272,6 +272,38 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One representative document per near-duplicate cluster — the
+    "keep longest" curation policy (max ``order_col``, min doc id on
+    ties, both deterministic): dedup pipelines keep the richest copy
+    of a near-dup family rather than an arbitrary member. Input:
+    the corpus plus any (doc_id, cluster_id) labeling
+    (:func:`dedup_clusters`; MinHash/SimHash clusters at scale).
+    Output: the kept rows, cluster_id attached.
+
+    Scale: one shuffle keyed on cluster_id for the rank window;
+    near-dup clusters are shallow (dozens of docs), so no partition
+    holds more than one cluster's worth of contention — skew would
+    require a single cluster of ~10^8 near-identical docs, which the
+    upstream pair threshold makes structurally impossible."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(clusters, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

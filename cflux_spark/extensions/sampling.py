@@ -62,6 +62,44 @@ def assign_shards(
     return df.withColumn(shard_col, (h % n_shards).cast("int"))
 
 
+def leakage_safe_split(
+    clusters: DataFrame,
+    boundaries: tuple[float, float] = (0.9, 0.95),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+    cluster_col: str = "cluster_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the near-duplicate CLUSTER,
+    not the document: every member of a cluster hashes to the same
+    split, so near-duplicates can never straddle train and eval — the
+    split-leakage mode that survives doc-level hashing (a paraphrased
+    eval answer landing in train inflates benchmarks silently).
+    Input is any (doc, cluster) frame — :func:`~cflux_spark.extensions.
+    dedup.dedup_clusters` output here; MinHash-LSH or SimHash cluster
+    labels feed the same shape at scale.
+
+    Buckets are deterministic content-keyed md5 (the
+    :func:`assign_shards` idiom) over a 10_000-wide space:
+    ``boundaries=(0.9, 0.95)`` → hash < 9000 is train, < 9500 val,
+    else test. No RNG, repartition/retry-stable, engine-portable
+    (DuckDB computes the identical bucket — oracle-checked).
+
+    Scale: pure map over the cluster frame — zero additional shuffles
+    beyond whatever produced the clusters; a 10^11-doc corpus splits
+    in one codegen'd projection."""
+    lo, hi = (int(b * 10_000) for b in boundaries)
+    if not 0 < lo <= hi <= 10_000:
+        raise ValueError(f"boundaries must be ascending fractions in (0, 1]: {boundaries}")
+    h = (
+        F.conv(F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10_000
+    )
+    return clusters.withColumn(
+        split_col,
+        F.when(h < lo, names[0]).when(h < hi, names[1]).otherwise(names[2]),
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     budget_tokens: int,

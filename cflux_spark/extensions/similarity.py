@@ -534,6 +534,7 @@ def cosine_pairs_bulk(
     round_to: int = 4,
     n_shards: int = 16,
     q_block: int = 1024,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """:func:`cosine_pairs` with BOTH sides distributed — exact
     corpus×corpus threshold pairs, no driver collect, no query cap
@@ -549,7 +550,13 @@ def cosine_pairs_bulk(
     kernel is the SemDeDup blocked GEMM: q_block query rows × the
     shard's candidates per matmul, emitting only pairs over the
     threshold — output-sized, never |Q|×|C|. ``n_shards`` trades
-    parallelism against query replication; set ≈ cluster cores."""
+    parallelism against query replication; set ≈ cluster cores.
+
+    ``exclude_same_id=False`` keeps identical-id pairs — required when
+    queries and candidates come from DIFFERENT tables whose id spaces
+    overlap (corpus-vs-benchmark decontamination: corpus doc 5 and
+    benchmark item 5 are unrelated objects; the default exclusion is
+    for the self-join shape where id equality means "the same row")."""
     qrep = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn(
@@ -579,9 +586,10 @@ def cosine_pairs_bulk(
         for lo in range(0, len(qpdf), q_block):
             qv = qv_all[lo : lo + q_block]
             sims = (qv @ cv.T) / qn_all[lo : lo + q_block, None] / cn[None, :]
-            qi, ci = np.where(
-                (sims >= threshold) & (qids_all[lo : lo + q_block, None] != cids[None, :])
-            )
+            mask = sims >= threshold
+            if exclude_same_id:
+                mask &= qids_all[lo : lo + q_block, None] != cids[None, :]
+            qi, ci = np.where(mask)
             if len(qi):
                 frames.append(
                     pd.DataFrame(

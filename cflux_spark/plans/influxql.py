@@ -1774,12 +1774,47 @@ class InfluxQLEngine:
         (incl. fill and transforms — all DataFrame-side) streams
         through toLocalIterator exactly like raw points, so a
         huge-cardinality grouped result (seconds buckets × 10^6
-        series) never materializes on the driver either."""
+        series) never materializes on the driver either.
+
+        Multi-field aggregates stream as ONE merged series with
+        bucket-aligned columns (round 6 — matching the unchunked
+        envelope; previously chunked emitted per-field unmerged
+        series): per-field bucketed frames full-outer-join on
+        (series key, bucket), still fully distributed."""
         store = self._stmt_store(stmt, db)
         reg = store.read_registry()
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             yield _envelope([])
+            return
+        self._expand_wildcard(stmt, facts)
+
+        def colname_for(spec: FieldSpec) -> str:
+            base = spec.tx or spec.agg or "mean"
+            base = _DISPLAY.get(base, base)
+            return spec.alias or (f"{base}_{spec.name}" if len(stmt.fields) > 1 else base)
+
+        if len(stmt.fields) > 1:
+            from functools import reduce
+
+            frames_ = []
+            for i, spec in enumerate(stmt.fields):
+                ff = facts.filter(F.col("field") == spec.name)
+                grouped = self._aggregated_frame(stmt, spec, ff, tkeys)
+                frames_.append(grouped.withColumnRenamed("val", f"_v{i}"))
+            joined = reduce(
+                lambda a, b: a.join(b, [*tkeys, "ts_ms"], "full_outer"), frames_
+            )
+            sel = joined.orderBy(
+                *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            sel = _apply_slice(sel, tkeys, stmt)
+            n = len(stmt.fields)
+            yield from self._stream_chunked(
+                iter([(sel, [colname_for(sp) for sp in stmt.fields])]),
+                stmt, gtags, tkeys, chunk_size,
+                lambda r: [r.ts_ms, *[getattr(r, f"_v{i}") for i in range(n)]],
+            )
             return
 
         def frames():
@@ -1789,10 +1824,7 @@ class InfluxQLEngine:
                 grouped = grouped.orderBy(
                     *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
                 )
-                base = spec.tx or spec.agg or "mean"
-                base = _DISPLAY.get(base, base)
-                colname = spec.alias or (f"{base}_{spec.name}" if len(stmt.fields) > 1 else base)
-                yield _apply_slice(grouped, tkeys, stmt), colname
+                yield _apply_slice(grouped, tkeys, stmt), colname_for(spec)
 
         yield from self._stream_chunked(
             frames(), stmt, gtags, tkeys, chunk_size, lambda r: [r.ts_ms, r.val]

@@ -1180,9 +1180,12 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "q_dedup_clusters",
-    r"""
+# Shared recursive-CTE transitive closure over the exact-Jaccard pair
+# graph (threshold 0.2, 3-gram shingles) ending in a `clusters`
+# (doc_id, cluster_id) CTE — the oracle counterpart of
+# dedup.dedup_clusters, reused by every cluster-composing oracle
+# (q_dedup_clusters, q_split_leakage_safe, q_dedup_canonical).
+_CLUSTER_CTE_SQL = r"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
@@ -1214,9 +1217,16 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
     )
-    SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY 1
-    """,
+"""
+
+
+@q(
+    "q_dedup_clusters",
+    f"{_CLUSTER_CTE_SQL} SELECT doc_id, cluster_id FROM clusters",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact-Jaccard pair graph: every
@@ -1226,6 +1236,57 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales (closure materializes O(cluster²) rows; propagation stays
     linear per round)."""
     return dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+@q(
+    "q_split_leakage_safe",
+    f"""{_CLUSTER_CTE_SQL}
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 9000 THEN 'train'
+                WHEN h < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 CAST(CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 10000 AS BIGINT) AS h
+          FROM clusters)
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the 90/5/5 assignment hashes
+    the near-dup CLUSTER id, not the document id, so paraphrased
+    near-duplicates can never land on both sides of the train/eval
+    boundary (the eval-contamination mode doc-level hashing misses).
+    Cluster labeling is the oracle-checked min-label propagation;
+    the split itself adds zero shuffles (content-keyed md5 bucket,
+    identical arithmetic on the DuckDB side)."""
+    from cflux_spark.extensions import sampling
+
+    clusters = dedup.dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.2)
+    return sampling.leakage_safe_split(clusters)
+
+
+@q(
+    "q_dedup_canonical",
+    f"""{_CLUSTER_CTE_SQL},
+    ranked AS (
+      SELECT d.doc_id, c.cluster_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+      FROM documents d JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster curation: the canonical member of every
+    near-dup family is the LONGEST copy (max n_chars, min doc_id tie),
+    the standard 'keep richest' policy — downstream of any pair
+    generator. One rank-window shuffle on cluster_id on top of the
+    cluster labeling; the oracle ranks the recursive-CTE closure with
+    the identical ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup.dedup_clusters(docs, threshold=0.2)
+    return dedup.keep_canonical(docs, clusters).select("doc_id", "cluster_id", "n_chars")
 
 
 @q(
@@ -2511,6 +2572,55 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_decontam_semantic",
+    """
+    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
+    flat AS (
+      SELECT vec_id, label, ord, CAST(embedding[ord] AS DOUBLE) AS x
+      FROM embeddings, idx
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+    dots AS (
+      SELECT a.vec_id AS cid, b.vec_id AS bid, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.ord = b.ord
+      WHERE a.label <> 0 AND b.label = 0
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT cid, dot / (nc.nrm * nb.nrm) AS sim
+      FROM dots
+      JOIN norms nc ON nc.vec_id = cid
+      JOIN norms nb ON nb.vec_id = bid
+    ),
+    hits AS (
+      SELECT cid, max(floor(sim * 10000 + 0.5) / 10000) AS max_sim
+      FROM sims WHERE sim >= 0.3 GROUP BY 1
+    )
+    SELECT e.vec_id, h.cid IS NOT NULL AS contaminated, h.max_sim
+    FROM embeddings e LEFT JOIN hits h ON h.cid = e.vec_id
+    WHERE e.label <> 0
+    """,
+)
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) decontamination — the X6 companion
+    gate: corpus vectors (label <> 0) flagged when cosine to ANY
+    benchmark vector (label = 0 stands in for an eval suite) is
+    ≥ 0.3; catches paraphrased leakage n-gram overlap misses. Both
+    sides stay distributed (cosine_pairs_bulk with same-id exclusion
+    off — the id spaces are unrelated); every max_sim value-checks
+    against DuckDB's unnested dot products."""
+    from cflux_spark.extensions import contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contamination.semantic_decontaminate(
+        emb.filter(F.col("label") != 0),
+        emb.filter(F.col("label") == 0),
+        threshold=0.3,
+        n_shards=8,
+    )
+
+
+@q(
     "q_dup_spans",
     r"""
     WITH t AS (
@@ -3128,74 +3238,77 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-5 rotation (VERDICT r4 #10): the 48 entries whose last driver
-# record predates r4 (the r04 window recorded the other 50, all green)
-# rotate IN, joined by everything new or changed this round —
-# q_tag_filter_or (new: InfluxQL OR groups), q_vector_pq_bulk (new:
-# distributed corpus-as-queries ANN), q_simhash (rows-only -> python-twin
-# oracle), q_multimodal_features (rows-only -> per-row n_bytes oracle +
-# twin contract), q_semdedup (probe=2 boundary contract added). That is
-# exactly 50: the whole driver window re-verifies stale-or-changed
-# entries this round, and every r04-green unchanged entry sits just
-# past position 50 while remaining CI-verified by
-# tests/test_oracle_parity.py (full catalog, every run).
+# Round-6 rotation (policy above): the r05 window recorded its first
+# 50 entries (all green; q_dedup_embedding sat at position 51 and
+# missed the cut — it leads the stale set now). This round's window =
+# the 3 NEW entries (q_split_leakage_safe, q_dedup_canonical,
+# q_decontam_semantic), q_dedup_clusters (oracle refactored onto the
+# shared cluster CTE — re-verify), then every entry whose last driver
+# record predates r05. That is exactly 50 after rotating three
+# mechanically-duplicated stale entries past the window (see
+# _VERIFY_LAST) — all three stay oracle-verified every CI run by
+# tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    "q_cosine_pairs_bulk",
-    "q_tag_filter_or",
-    "q_vector_pq_bulk",
-    "q_simhash",
-    "q_multimodal_features",
-    "q_semdedup",
-    "q_time_absolute",
-    "q_tag_filter",
-    "q_series_join",
-    "q_agg_suite",
-    "q_series_difference_seg",
-    "q_show_measurements",
-    "q_vector_topk",
-    "q_dedup_semantic",
-    "q_multimodal_decode",
-    "q_lp_parse",
-    "q_contamination",
-    "q_sessionize",
-    "q_approx_distinct",
-    "q_series_pivot",
-    "q_sample_hash",
-    "q_sample_stratified",
-    "q_tfidf_top_terms",
-    "q_text_tokens",
-    "q_token_bpe",
-    "q_quality_score",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_doc_fingerprint",
-    "q_ingest_smoke",
-    "q_multimodal_audio",
-    "q_show_series",
-    "q_show_cardinality",
-    "q_unigram_logprob",
-    "q_redact_pii",
-    "q_repetition_stats",
-    "q_shard_assign",
-    "q_domain_cap",
-    "q_histogram",
-    "q_approx_quantile",
-    "q_resample_fill",
-    "q_quantize_embeddings",
-    "q_asof_join",
-    "q_asof_forward",
+    "q_split_leakage_safe",
+    "q_dedup_canonical",
+    "q_decontam_semantic",
     "q_dedup_clusters",
-    "q_name_filter",
-    "q_series_semijoin",
-    "q_time_bucket_param",
-    "q_series_rate",
-    "q_cumulative_sum",
     "q_dedup_embedding",
+    "q_minute_avg",
+    "q_time_relative",
+    "q_time_iso",
+    "q_label_matchers",
+    "q_orders_join",
+    "q_series_difference",
+    "q_moving_average",
+    "q_elapsed",
+    "q_integral",
+    "q_top_per_bucket",
+    "q_count_distinct",
+    "q_union_fields",
+    "q_union_sorted",
+    "q_rollup",
+    "q_intersect",
+    "q_except",
+    "q_limit",
+    "q_show_field_keys",
+    "q_show_tag_keys",
+    "q_show_tag_values",
+    "q_explode_tags",
+    "q_fingerprint_stable",
+    "q_ts_convert",
+    "q_tpch_q1",
+    "q_tpch_q5ish",
+    "q_dedup_exact",
+    "q_dedup_jaccard",
+    "q_dedup_edit",
+    "q_normalize_text",
+    "q_dedup_near",
+    "q_simhash_near",
+    "q_vector_lsh",
+    "q_vector_ivf",
+    "q_vector_pq",
+    "q_vector_ivfpq",
+    "q_embed_cluster",
+    "q_project_embeddings",
+    "q_chunk_documents",
+    "q_sample_weighted",
+    "q_dup_spans",
+    "q_span_cuts",
+    "q_frequent_ngrams",
+    "q_pack_sequences",
+    "q_curation_verdict",
+    "q_pipeline_export",
 ]
 
-# r04-green and unchanged in round 5 - rotate past the window
-_VERIFY_LAST: list[str] = []
+# Mechanics duplicated by in-window entries — rotate past position 50
+# (still CI-verified on the full catalog every run): q_hour_bucket =
+# q_time_bucket_param's date_trunc path; q_distinct_groupby =
+# q_count_distinct's distinct-via-groupBy; q_labels_json =
+# q_fingerprint_stable's canonical-sorted labels (the fingerprint IS
+# the xxhash64 of that JSON).
+_VERIFY_LAST: list[str] = ["q_hour_bucket", "q_distinct_groupby", "q_labels_json"]
 
 
 def _reorder_for_driver_window() -> None:

@@ -463,6 +463,88 @@ def test_dedup_clusters_synthetic_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Leakage-safe split: every member of a cluster lands in the SAME
+    split (the whole point — near-dups never straddle train/eval),
+    fractions track the 90/5/5 boundaries, assignment is deterministic,
+    and the projection adds no shuffle."""
+    from pyspark.sql import Row
+
+    from cflux_spark.extensions.sampling import leakage_safe_split
+
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=i % 200) for i in range(1000)]
+    )
+    out = leakage_safe_split(clusters)
+    rows = out.collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    frac_train = sum(1 for r in rows if r.split == "train") / len(rows)
+    assert 0.8 < frac_train < 0.97  # 200 clusters of binomial tolerance
+    assert {r.split for r in rows} == {"train", "val", "test"}
+    again = {(r.doc_id, r.split) for r in leakage_safe_split(clusters).collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
+    # pure map: no Exchange introduced by the split itself
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="ascending fractions"):
+        leakage_safe_split(clusters, boundaries=(0.95, 0.9))
+
+
+def test_semantic_decontaminate_planted_vectors(spark):
+    """Planted geometry: a corpus vector parallel to a benchmark
+    vector flags (max_sim 1.0), an orthogonal one stays clean with
+    null max_sim; identical ids across the two UNRELATED id spaces do
+    not suppress a hit (exclude_same_id=False plumbing)."""
+    from pyspark.sql import Row
+
+    from cflux_spark.extensions.contamination import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),   # parallel to bench 1
+            Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal to all bench
+            Row(vec_id=3, embedding=[2.0, 0.0, 0.002]), # near-parallel, scaled
+        ]
+    )
+    bench = spark.createDataFrame(
+        # id 1 also exists in the corpus — must still count as a hit
+        [Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+         Row(vec_id=9, embedding=[0.0, 0.0, 1.0])]
+    )
+    out = {r.vec_id: (r.contaminated, r.max_sim)
+           for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert out[1] == (True, 1.0)
+    assert out[2] == (False, None)
+    assert out[3][0] is True and out[3][1] > 0.999
+
+
+def test_keep_canonical_longest_wins(spark):
+    """keep_canonical: max n_chars wins, min doc_id breaks ties,
+    singletons keep themselves."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10),
+            Row(doc_id=2, n_chars=30),
+            Row(doc_id=3, n_chars=30),
+            Row(doc_id=4, n_chars=5),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=1, cluster_id=1),
+            Row(doc_id=2, cluster_id=1),
+            Row(doc_id=3, cluster_id=1),
+            Row(doc_id=4, cluster_id=4),
+        ]
+    )
+    kept = {r.doc_id for r in dedup.keep_canonical(docs, clusters).collect()}
+    assert kept == {2, 4}
+
+
 def test_asof_join_backward_semantics(spark):
     """Inclusive at equal ts; null before any right row; latest wins."""
     from cflux_spark.operators.joins import asof_join_backward

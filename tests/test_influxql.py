@@ -742,6 +742,54 @@ def test_chunked_select_star_expands_wildcard(engine):
     assert vals == _values(unchunked) and len(vals) > 0
 
 
+@pytest.mark.parametrize(
+    "q",
+    [
+        "SELECT user FROM cpu",
+        "SELECT user FROM cpu ORDER BY time DESC",
+        "SELECT user FROM cpu LIMIT 2 OFFSET 1",
+        "SELECT user, sys FROM cpu",
+        "SELECT user, sys FROM cpu LIMIT 3",
+        "SELECT user, host::tag FROM cpu WHERE host = 'a'",
+        "SELECT * FROM cpu",
+        "SELECT mean(user) FROM cpu GROUP BY time(60s)",
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s)",
+        "SELECT mean(user), max(user) FROM cpu GROUP BY time(60s) fill(previous)",
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) LIMIT 2 OFFSET 1",
+        "SELECT mean(user) FROM cpu GROUP BY time(60s), host",
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) ORDER BY time DESC",
+    ],
+)
+def test_chunked_equals_unchunked_sweep(engine, q):
+    """Conformance sweep (round 6): for every chunkable statement
+    shape, the concatenation of chunked envelopes must equal the
+    unchunked result — same columns, same merged series, same values.
+    This is the property the round-6 ADVICE finding violated (chunked
+    multi-field emitted per-field series) generalized into a fence."""
+    unchunked = engine.execute(q, db="mydb")
+    envs = list(engine.execute_chunked(q, db="mydb", chunk_size=2))
+    useries = unchunked["results"][0].get("series", [])
+    # group chunked series by (name, tags) and concatenate values
+    merged: dict = {}
+    order: list = []
+    for e in envs:
+        for s in e["results"][0].get("series", []):
+            key = (s.get("name"), tuple(sorted((s.get("tags") or {}).items())))
+            if key not in merged:
+                merged[key] = {"columns": s["columns"], "values": []}
+                order.append(key)
+            assert merged[key]["columns"] == s["columns"]
+            merged[key]["values"].extend(s["values"])
+    ukeys = [
+        (s.get("name"), tuple(sorted((s.get("tags") or {}).items()))) for s in useries
+    ]
+    assert order == ukeys, f"series set differs for {q!r}"
+    for s in useries:
+        key = (s.get("name"), tuple(sorted((s.get("tags") or {}).items())))
+        assert merged[key]["columns"] == s["columns"], f"columns differ for {q!r}"
+        assert merged[key]["values"] == s["values"], f"values differ for {q!r}"
+
+
 def test_show_series(engine):
     res = engine.execute("SHOW SERIES", db="mydb")
     keys = [v[0] for v in _values(res)]

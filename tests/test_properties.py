@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cflux_spark.plans.influxql import (  # noqa: E402
     InfluxQLError,
     _parse_arith,
+    _parse_show,
     _split_on_word,
 )
 
@@ -126,6 +127,49 @@ def test_split_on_word_partitions_without_loss(parts):
     joined = " AND ".join(parts)
     got = _split_on_word(joined, "AND")
     assert [g.strip() for g in got] == [p.strip() for p in parts], joined
+
+
+# ---------------------------------------------------------- SHOW clauses
+
+# quoted tag values: anything printable except the quote itself —
+# including the clause keywords the old regex carver choked on
+_SHOW_VALUE = st.text(
+    alphabet="abcWHERELIMITOFSshow ()=~.0123456789", min_size=1, max_size=20
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    val=_SHOW_VALUE,
+    limit=st.one_of(st.none(), st.integers(0, 99)),
+    offset=st.one_of(st.none(), st.integers(0, 99)),
+)
+def test_parse_show_carves_clauses_exactly(val, limit, offset):
+    """Round-trip property for the quote-aware SHOW tokenizer: a
+    statement assembled from a quoted WHERE value (which may contain
+    keyword lookalikes like ' LIMIT 5') plus optional LIMIT/OFFSET
+    tails decomposes into exactly those pieces — the WHERE text keeps
+    its quotes intact and keyword text inside quotes never becomes a
+    clause."""
+    qs = f"SHOW MEASUREMENTS WHERE label = '{val}'"
+    if limit is not None:
+        qs += f" LIMIT {limit}"
+    if offset is not None:
+        qs += f" OFFSET {offset}"
+    sc = _parse_show(qs)
+    assert sc.where == f"label = '{val}'"
+    assert sc.limit == limit and sc.offset == offset
+    assert sc.head == "SHOW MEASUREMENTS"
+
+
+@settings(max_examples=200, deadline=None)
+@given(name=st.text(alphabet="ab c.d-0", min_size=1, max_size=15))
+def test_parse_show_from_name_survives_quoting(name):
+    """FROM "any name" round-trips through from_name verbatim —
+    spaces, dots and dashes included (quoted identifiers must not be
+    split on '.')."""
+    sc = _parse_show(f'SHOW TAG KEYS FROM "{name}" LIMIT 3')
+    assert sc.from_name == name and sc.limit == 3
 
 
 @settings(max_examples=200, deadline=None)
