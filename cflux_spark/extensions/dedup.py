@@ -202,6 +202,7 @@ def dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Cluster assignment over near-duplicate pairs: connected
     components, every document labeled with the MIN doc id reachable
@@ -217,7 +218,13 @@ def dedup_clusters(
     edge list; the driver-side loop does one tiny `limit(1).count()`
     convergence probe per round — the standard Spark shape for an
     iterative fixpoint (this is the one operator family where a driver
-    loop is the design, not an accident)."""
+    loop is the design, not an accident). Every ``checkpoint_every``
+    rounds the label frame localCheckpoints (round 6): caching reuses
+    computed partitions but the LOGICAL plan still nests one
+    join-per-round, so planning time and lineage depth grow linearly
+    — at 20 rounds on a large graph the analyzer becomes the
+    bottleneck and executor loss recomputes the whole chain;
+    truncating lineage bounds both."""
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, n, threshold, text_col, id_col)
     half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -229,7 +236,7 @@ def dedup_clusters(
     )
     labels.count()
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst")
@@ -258,6 +265,13 @@ def dedup_clusters(
         if changed == 0:
             converged = True
             break
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # truncate lineage: the cached plan still nests one join
+            # per round logically; localCheckpoint materializes the
+            # current labels and resets the plan tree
+            ck = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = ck
     edges.unpersist()
     if not converged:
         # exiting on iteration exhaustion with labels still moving would

@@ -379,6 +379,9 @@ class SelectStmt:
     offset: int | None = None
     subquery: "SelectStmt | None" = None  # FROM (SELECT ...) — InfluxDB 1.2+
     into: str | None = None  # SELECT ... INTO <m> — downsample materialization
+    #: three-part INTO prefix ("db"."rp".m) — cross-db target for the
+    #: :MEASUREMENT backreference (round 6); None = session db
+    into_db: str | None = None
 
 
 def _unquote(s: str) -> str:
@@ -622,9 +625,15 @@ def parse_select(q: str) -> SelectStmt:
     # first (InfluxDB downsample materialization; absent in the
     # reference). Retention-policy prefixes are ignored like FROM's.
     into = None
-    minto = re.search(r"\sINTO\s+([\w\".]+)\s+(?=FROM\s)", q, re.IGNORECASE)
+    into_db = None
+    minto = re.search(r"\sINTO\s+([\w\".:]+)\s+(?=FROM\s)", q, re.IGNORECASE)
     if minto:
-        into = _unquote(minto.group(1).split(".")[-1])
+        parts = [_unquote(p) for p in _split_outside_quotes(minto.group(1), ".")]
+        into = parts[-1]
+        # "db"."rp".m carries a cross-db target; "rp".m is an
+        # RP prefix, ignored like FROM's (data is not RP-partitioned)
+        if len(parts) == 3 and parts[0]:
+            into_db = parts[0]
         q = q[: minto.start()] + " " + q[minto.end() :]
     # FROM (SELECT ...) — carve out the parenthesized inner statement,
     # parse it recursively, and parse the outer clauses against a
@@ -1061,6 +1070,7 @@ def parse_select(q: str) -> SelectStmt:
     if m.group("soffset"):
         stmt.soffset = int(m.group("soffset"))
     stmt.into = into
+    stmt.into_db = into_db
     stmt.tz = tzname
     return stmt
 
@@ -1875,7 +1885,7 @@ class InfluxQLEngine:
         store = self._stmt_store(stmt, db)
         reg = store.read_registry()
         if stmt.into is not None:
-            return self._select_into(stmt, store, reg)
+            return self._select_into(stmt, store, reg, db)
         if stmt.subquery is not None:
             series = self._select_subquery(stmt, store, reg)
         elif stmt.measurement_regex is not None:
@@ -1997,6 +2007,16 @@ class InfluxQLEngine:
             raise InfluxQLError("continuous query must SELECT ... INTO")
         if stmt.group_by_time_s is None and any(sp.agg for sp in stmt.fields):
             raise InfluxQLError("aggregated continuous query requires GROUP BY time(N)")
+        if stmt.into == ":MEASUREMENT" and (
+            stmt.into_db is None or stmt.into_db == target_db
+        ):
+            # fail at registration, not first run (same guard as
+            # _select_into): a backreference into its own db would
+            # append aggregates back into the source measurement
+            raise InfluxQLError(
+                "INTO :MEASUREMENT in a continuous query requires a distinct "
+                'target database (INTO "tgtdb"."rp".:MEASUREMENT)'
+            )
         self.continuous_queries.setdefault(target_db, {})[name] = (inner, 0)
         return _envelope([])
 
@@ -2035,9 +2055,18 @@ class InfluxQLEngine:
             for name, (inner, wm) in list(self.continuous_queries.get(cq_db, {}).items()):
                 stmt = parse_select(inner)
                 store = self._stmt_store(stmt, cq_db)
-                src = store.read_samples_or_empty().filter(
-                    F.col("measurement") == stmt.measurement
-                )
+                src = store.read_samples_or_empty()
+                if stmt.measurement_regex is not None:
+                    # regex-FROM CQ (round 6, the :MEASUREMENT fan-out):
+                    # one shared watermark over the GLOBAL max ts of all
+                    # matches — a measurement lagging behind the fastest
+                    # one has its open bucket finalized early (the same
+                    # late-data tradeoff InfluxDB RESAMPLE accepts)
+                    src = src.filter(
+                        F.col("measurement").rlike(stmt.measurement_regex)
+                    )
+                else:
+                    src = src.filter(F.col("measurement") == stmt.measurement)
                 row = src.agg(F.max("ts_ns").alias("m")).collect()[0]
                 if row.m is None:
                     out[name] = 0
@@ -2057,12 +2086,14 @@ class InfluxQLEngine:
                     time_hi_ns=min(hi, stmt.time_hi_ns) if stmt.time_hi_ns else hi,
                 )
                 reg = store.read_registry()
-                res = self._select_into(run_stmt, store, reg)
+                res = self._select_into(run_stmt, store, reg, cq_db)
                 out[name] = res["results"][0]["series"][0]["values"][0][1]
                 self.continuous_queries[cq_db][name] = (inner, hi)
         return out
 
-    def _select_into(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> dict:
+    def _select_into(
+        self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None, db: str | None = None
+    ) -> dict:
         """SELECT ... INTO <m> — run the query and write its points
         back into the store as measurement <m> (InfluxDB downsample
         materialization; beyond the reference). The whole thing is ONE
@@ -2070,12 +2101,58 @@ class InfluxQLEngine:
         append; nothing is collected to the driver except the written
         count. Written points are indistinguishable from ingested ones
         for every downstream query path (registry rows included), which
-        is exactly how InfluxDB continuous-query output behaves."""
-        if stmt.subquery is not None or stmt.measurement_regex is not None:
-            raise InfluxQLError("INTO does not support subqueries or regex FROM")
+        is exactly how InfluxDB continuous-query output behaves.
+
+        Round 6: ``FROM /regex/`` fans out over matching measurements
+        (one write per match), and the ``:MEASUREMENT`` backreference
+        writes each source into a SAME-NAMED measurement of a distinct
+        target database (``INTO "tgt"."rp".:MEASUREMENT`` — the
+        InfluxDB bulk-downsample idiom). A backreference without a
+        distinct target db rejects loudly: with RP prefixes ignored it
+        would append aggregates back into its own source measurement."""
+        if stmt.subquery is not None:
+            raise InfluxQLError("INTO does not support subqueries")
+        backref = stmt.into == ":MEASUREMENT"
+        if backref:
+            src_db = stmt.db or db or "default"
+            if stmt.into_db is None or stmt.into_db == src_db:
+                raise InfluxQLError(
+                    'INTO :MEASUREMENT requires a distinct target database '
+                    '(INTO "tgtdb"."rp".:MEASUREMENT) — without one the '
+                    "downsample would append into its own source measurement"
+                )
+        if stmt.measurement_regex is not None:
+            from dataclasses import replace as _replace
+
+            names: list[str] = []
+            if reg is not None:
+                pat = re.compile(stmt.measurement_regex)
+                names = sorted(
+                    r.measurement
+                    for r in reg.select("measurement").distinct().collect()
+                    if pat.search(r.measurement)
+                )
+            total = 0
+            for meas in names:
+                sub = _replace(
+                    stmt,
+                    measurement=meas,
+                    measurement_regex=None,
+                    into=(meas if backref else stmt.into),
+                )
+                env = self._select_into(sub, store, reg, db)
+                total += env["results"][0]["series"][0]["values"][0][1]
+            return _envelope([_series("result", ["time", "written"], [[0, total]])])
+        if backref:
+            from dataclasses import replace as _replace
+
+            stmt = _replace(stmt, into=stmt.measurement)
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             return _envelope([_series("result", ["time", "written"], [[0, 0]])])
+        # agg(*) / SELECT * INTO expands to the measurement's field
+        # keys like the envelope path (round 6)
+        self._expand_wildcard(stmt, facts)
         if gtags:
             tag_map = F.map_from_arrays(
                 F.array(*[F.lit(t) for t in gtags]), F.array(*[F.col(k) for k in tkeys])
@@ -2160,7 +2237,10 @@ class InfluxQLEngine:
         out = frames[0]
         for fr in frames[1:]:
             out = out.unionByName(fr)
-        stats = store.write_samples(out)
+        # three-part INTO prefix targets another database's store
+        # (lazily created, S5); plain INTO stays in the source store
+        target = self.store(stmt.into_db) if stmt.into_db else store
+        stats = target.write_samples(out)
         return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])
 
     def _prepared_facts(

@@ -1788,6 +1788,70 @@ def test_select_into_arithmetic(spark, tmp_path):
     assert "pct" in str(eng.execute("SHOW CONTINUOUS QUERIES", db="adb"))
 
 
+def test_select_into_measurement_backreference(spark, tmp_path):
+    """INTO "tgt"."rp".:MEASUREMENT FROM /regex/ (round 6): each
+    matched measurement downsampled into a SAME-NAMED measurement of
+    the target database — the InfluxDB bulk-downsample idiom. A
+    backreference without a distinct target db rejects loudly (RP
+    prefixes are ignored, so it would append into its own source)."""
+    root = str(tmp_path / "backref")
+    store = LPStore(spark, root, db="srcdb")
+    lines = [
+        "cpu1,host=a v=2 1704067200000000000",
+        "cpu1,host=a v=4 1704067230000000000",
+        "cpu2,host=a v=10 1704067200000000000",
+        "disk,host=a v=99 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    r = eng.execute(
+        'SELECT mean(v) INTO "arch"."autogen".:MEASUREMENT FROM /^cpu/ GROUP BY time(60s)',
+        db="srcdb",
+    )
+    assert _values(r) == [[0, 2]]  # one bucket row per cpu measurement
+    # targets live in db 'arch' under the SAME names; disk untouched
+    got1 = eng.execute("SELECT mean FROM cpu1", db="arch")
+    assert [v[1] for v in _values(got1)] == [3.0]
+    got2 = eng.execute("SELECT mean FROM cpu2", db="arch")
+    assert [v[1] for v in _values(got2)] == [10.0]
+    assert _values(eng.execute("SELECT mean FROM disk", db="arch")) == []
+    # source measurements carry no appended aggregate rows
+    src = eng.execute("SELECT v FROM cpu1", db="srcdb")
+    assert len(_values(src)) == 2
+    with pytest.raises(InfluxQLError, match="distinct target database"):
+        eng.execute("SELECT mean(v) INTO :MEASUREMENT FROM cpu1 GROUP BY time(60s)", db="srcdb")
+    # regex FROM with a fixed target merges all matches into one name
+    r = eng.execute(
+        'SELECT mean(v) INTO "arch"."autogen"."all_cpu" FROM /^cpu/ GROUP BY time(60s)',
+        db="srcdb",
+    )
+    assert _values(r) == [[0, 2]]
+    merged = eng.execute("SELECT mean FROM all_cpu", db="arch")
+    assert sorted(v[1] for v in _values(merged)) == [3.0, 10.0]
+    # CQ + backreference: rejected at REGISTRATION without a distinct db
+    with pytest.raises(InfluxQLError, match="distinct target database"):
+        eng.execute(
+            'CREATE CONTINUOUS QUERY "bad" ON srcdb BEGIN '
+            "SELECT mean(v) INTO :MEASUREMENT FROM /^cpu/ GROUP BY time(60s) END",
+            db="srcdb",
+        )
+    # ...and runs end-to-end with one: a later point closes the first
+    # bucket (CQs materialize COMPLETE buckets only)
+    store.write_batch(
+        spark.createDataFrame([("cpu1,host=a v=6 1704067260000000000",)], "line string")
+    )
+    eng.execute(
+        'CREATE CONTINUOUS QUERY "arch_all" ON srcdb BEGIN '
+        'SELECT mean(v) INTO "arch2"."autogen".:MEASUREMENT FROM /^cpu/ '
+        "GROUP BY time(60s) END",
+        db="srcdb",
+    )
+    written = eng.run_continuous_queries("srcdb")
+    assert written["arch_all"] == 2  # cpu1 + cpu2 first buckets
+    got = eng.execute("SELECT mean FROM cpu2", db="arch2")
+    assert [v[1] for v in _values(got)] == [10.0]
+
+
 def test_ungrouped_bucketed_transforms_across_segments(spark, tmp_path):
     """Transforms over UNGROUPED GROUP BY time() buckets (and
     fill(previous)) also route through the segmented merged-series
