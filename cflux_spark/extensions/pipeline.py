@@ -34,6 +34,8 @@ def curate_corpus(
     sem_probe: int = 1,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
+    split_clusters: DataFrame | None = None,
+    split_boundaries: tuple[float, float] = (0.9, 0.95),
     **gate_kwargs,
 ) -> DataFrame:
     """The full export pipeline: keep documents that pass the curation
@@ -44,7 +46,10 @@ def curate_corpus(
     deterministic training shard (:func:`sampling.assign_shards`).
 
     Returns the kept corpus rows (all original columns) plus
-    ``shard``. ``gate_kwargs`` pass through to ``curation_verdict``
+    ``shard`` (and ``split`` when ``split_clusters`` is given — a
+    (doc, cluster) frame routes every kept doc through the
+    cluster-keyed leakage-safe train/val/test assignment).
+    ``gate_kwargs`` pass through to ``curation_verdict``
     (min_tokens, min_uniq_frac, max_bigram_share, max_neg_logprob).
 
     ``embeddings`` (optional) adds the SemDeDup semantic-dedup gate:
@@ -87,4 +92,20 @@ def curate_corpus(
             F.col(emb_id_col).alias(id_col)
         )
         kept = kept.join(sem_dropped, id_col, "left_anti")
-    return sampling.assign_shards(kept, n_shards, key_col=id_col)
+    out = sampling.assign_shards(kept, n_shards, key_col=id_col)
+    if split_clusters is not None:
+        # leakage-safe train/val/test (round 6): split keyed on the
+        # near-dup cluster so paraphrased duplicates never straddle
+        # train/eval. A doc absent from the cluster frame is its own
+        # singleton — hashing its doc id IS hashing its cluster id
+        # (dedup_clusters labels singletons with themselves), so
+        # coverage gaps degrade to doc-keyed splitting, never to a
+        # silent default split.
+        cl = split_clusters.select(F.col(id_col), F.col("cluster_id"))
+        out = out.join(cl, id_col, "left").withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        out = sampling.leakage_safe_split(out, boundaries=split_boundaries).drop(
+            "cluster_id"
+        )
+    return out

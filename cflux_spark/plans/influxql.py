@@ -1581,13 +1581,17 @@ class InfluxQLEngine:
             return _envelope([])
         if meas:
             reg = reg.filter(F.col("measurement") == meas)
+        reg = self._show_where_filter(reg, sc.where)
         rows = reg.select("measurement", "name").distinct().orderBy("measurement", "name").collect()
         out: dict[str, list] = {}
         for r in rows:
             fieldname = r.name.split(".", 1)[1] if "." in r.name else r.name
             # the reference reports every field as float (cflux.js:461)
             out.setdefault(r.measurement, []).append([fieldname, "float"])
-        return _envelope([_series(m, ["fieldKey", "fieldType"], v) for m, v in out.items()])
+        return _envelope(
+            [_series(m, ["fieldKey", "fieldType"], _slice_values(v, sc.limit, sc.offset))
+             for m, v in out.items()]
+        )
 
     def _show_tag_keys(self, qs: str, db: str | None) -> dict:
         sc = _parse_show(qs)

@@ -1163,6 +1163,48 @@ def test_curate_corpus_composition(spark, docs):
     assert all(0 <= r.shard < 4 for r in got.values())
 
 
+def test_curate_corpus_split_stage(spark, docs):
+    """split_clusters wires the leakage-safe split into the flagship
+    export: every kept doc gains a split; cluster members agree; a doc
+    missing from the cluster frame hashes as its own singleton (same
+    bucket it would get from dedup_clusters labeling) — never a silent
+    default."""
+    from pyspark.sql import Row
+
+    from cflux_spark.extensions import pipeline
+    from cflux_spark.extensions.sampling import leakage_safe_split
+
+    bench_docs = docs.filter(F.col("doc_id") % 37 == 0)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    # half the docs share clusters pairwise; the rest are absent
+    clusters = spark.createDataFrame(
+        [Row(doc_id=i, cluster_id=min(i, i ^ 1)) for i in ids[: len(ids) // 2]]
+    )
+    out = pipeline.curate_corpus(
+        docs, bench_docs, n_shards=4, min_tokens=20, split_clusters=clusters
+    )
+    rows = out.collect()
+    assert set(out.columns) == set(docs.columns) | {"shard", "split"}
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    by_cluster: dict = {}
+    cl = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    for r in rows:
+        if r.doc_id in cl:
+            by_cluster.setdefault(cl[r.doc_id], set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # absent docs = singleton semantics: identical to labeling them
+    # with their own id and splitting
+    singleton = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs.select("doc_id").withColumn("cluster_id", F.col("doc_id"))
+        ).collect()
+    }
+    for r in rows:
+        if r.doc_id not in cl:
+            assert r.split == singleton[r.doc_id]
+
+
 def test_pq_train_guards_oversized_collect(emb):
     """The driver-side trainer must fail loudly (routing to sampling /
     distributed=True) rather than collect an unbounded corpus."""
