@@ -235,6 +235,7 @@ def dedup_clusters(
         df.select(F.col(id_col).alias("node")).distinct().withColumn("label", F.col("node")).cache()
     )
     labels.count()
+    cached = labels  # the materialized frame to unpersist next round
     converged = False
     for it in range(max_iter):
         nbr = (
@@ -242,26 +243,25 @@ def dedup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        # the changed-flag rides the propagation join itself (round 6:
+        # the old shape paid a SECOND labels⋈new_labels join per round
+        # just to probe convergence)
+        staged = (
             labels.join(nbr, labels.node == nbr.dst, "left")
             .select(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))).alias(
-                    "label"
+                    "new_label"
                 ),
+                (F.col("nbr_min") < F.col("label")).alias("_chg"),
             )
             .cache()
         )
-        new_labels.count()
-        changed = (
-            labels.withColumnRenamed("label", "old_label")
-            .join(new_labels, "node")
-            .filter(F.col("old_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        staged.count()
+        changed = staged.filter(F.col("_chg")).limit(1).count()
+        cached.unpersist()
+        labels = staged.select(F.col("node"), F.col("new_label").alias("label"))
+        cached = staged
         if changed == 0:
             converged = True
             break
@@ -269,9 +269,9 @@ def dedup_clusters(
             # truncate lineage: the cached plan still nests one join
             # per round logically; localCheckpoint materializes the
             # current labels and resets the plan tree
-            ck = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = ck
+            labels = labels.localCheckpoint(eager=True)
+            cached.unpersist()
+            cached = labels
     edges.unpersist()
     if not converged:
         # exiting on iteration exhaustion with labels still moving would

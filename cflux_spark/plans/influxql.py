@@ -3364,9 +3364,14 @@ def _apply_slice(df: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame
 def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:
     """Partition collected rows into one series per tag combination
     (InfluxDB GROUP BY <tag> emits a tagged series each). ``colname``
-    may be a list for multi-column rows (raw multi-field selects)."""
+    may be a list for multi-column rows (raw multi-field selects).
+    Zero rows → zero series (round 6): InfluxDB and the reference's
+    pivot (cflux.js:792-810) both omit the series object entirely for
+    empty results — a values:[] stub is a shape clients never see."""
     cols = ["time"] + (colname if isinstance(colname, list) else [colname])
     if not gtags:
+        if not rows:
+            return []
         return [_series(stmt.measurement, cols, [to_value(r) for r in rows])]
     buckets: dict[tuple, list] = {}
     for r in rows:

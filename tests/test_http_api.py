@@ -212,6 +212,31 @@ def test_chunked_query_over_the_wire(server):
     assert len(vals) == 2
 
 
+def test_chunked_multi_field_over_the_wire(server):
+    """Round 6: chunked multi-field responses stream the MERGED series
+    (columns [time, user, sys]) over the wire — the per-field series
+    a client would mis-concatenate are gone."""
+    from urllib.parse import quote
+
+    url, _ = server
+    req = urllib.request.Request(
+        url + "/write?db=chunkdb2", data=LINES.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    q = quote("SELECT user, sys FROM cpu WHERE host = 'a'")
+    status, body = _get(url + f"/query?db=chunkdb2&q={q}&chunked=true&chunk_size=1")
+    assert status == 200
+    envs = [json.loads(line) for line in body.decode().strip().split("\n")]
+    for e in envs:
+        for s in e["results"][0]["series"]:
+            assert s["columns"] == ["time", "user", "sys"]
+    n_rows = sum(
+        len(s["values"]) for e in envs for s in e["results"][0]["series"]
+    )
+    assert n_rows >= 2
+
+
 def test_epoch_param_converts_time_values(server):
     """epoch= response-precision knob (InfluxDB API; the reference
     ignores it and hard-emits ms — cflux.js:795). Default stays ms."""

@@ -299,8 +299,9 @@ def test_from_regex_measurement(engine):
     series = res["results"][0]["series"]
     assert [s["name"] for s in series] == ["cpu"]
     res2 = engine.execute("SELECT mean(user) FROM /p/ GROUP BY time(1m)", db="mydb")
-    # both 'app' (no user field -> empty values) and 'cpu' match /p/
-    assert {s["name"] for s in res2["results"][0]["series"]} == {"app", "cpu"}
+    # both 'app' and 'cpu' match /p/, but app has no user field —
+    # empty results omit the series (InfluxDB envelope shape, round 6)
+    assert {s["name"] for s in res2["results"][0]["series"]} == {"cpu"}
 
 
 def test_group_by_star(engine):
@@ -991,8 +992,9 @@ def test_math_pow_on_raw_field(engine):
 
 def test_math_skips_string_fields(engine):
     res = engine.execute("SELECT sqrt(status) FROM app", db="mydb")
-    # string-typed field -> no float rows -> series with no values
-    assert _values(res) == []
+    # string-typed field -> no float rows -> no series (empty results
+    # omit the series object, InfluxDB envelope shape)
+    assert "series" not in res["results"][0]
 
 
 def test_math_over_aggregate(engine):
@@ -1056,7 +1058,10 @@ def test_field_value_where(spark, tmp_path):
     eng = InfluxQLEngine(spark, root)
 
     def vals(q):
-        return [v[1] for v in _values(eng.execute(q, db="fw"))]
+        res = eng.execute(q, db="fw")
+        if "series" not in res["results"][0]:
+            return []
+        return [v[1] for v in _values(res)]
 
     assert vals("SELECT v FROM m WHERE v > 1") == [5.0, 9.0]
     assert vals("SELECT v FROM m WHERE v >= 5") == [5.0, 9.0]
@@ -1375,7 +1380,7 @@ def test_drop_series_regex_and_where_only(spark, tmp_path):
     # WHERE-only form drops across measurements
     eng.execute("DROP SERIES WHERE host =~ /web/", db="rdb")
     mem = eng.execute("SELECT free FROM mem", db="rdb")
-    assert _values(mem) == []
+    assert "series" not in mem["results"][0]
     with pytest.raises(InfluxQLError, match="FROM and/or WHERE"):
         eng.execute("DROP SERIES", db="rdb")
 
@@ -1814,7 +1819,7 @@ def test_select_into_measurement_backreference(spark, tmp_path):
     assert [v[1] for v in _values(got1)] == [3.0]
     got2 = eng.execute("SELECT mean FROM cpu2", db="arch")
     assert [v[1] for v in _values(got2)] == [10.0]
-    assert _values(eng.execute("SELECT mean FROM disk", db="arch")) == []
+    assert "series" not in eng.execute("SELECT mean FROM disk", db="arch")["results"][0]
     # source measurements carry no appended aggregate rows
     src = eng.execute("SELECT v FROM cpu1", db="srcdb")
     assert len(_values(src)) == 2
