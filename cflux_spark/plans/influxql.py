@@ -1915,8 +1915,10 @@ class InfluxQLEngine:
         # with aligned columns — the InfluxDB 1.x envelope shape.
         # Slicing was deferred by _select_series (InfluxDB counts
         # merged points); the subquery path slices internally, so
-        # only LIMIT re-caps there (idempotent).
-        if len(stmt.fields) > 1:
+        # only LIMIT re-caps there (idempotent). A '*' field may have
+        # expanded to several per-measurement inside the regex loop
+        # (each `sub` is a copy), so wildcards trigger the merge too.
+        if len(stmt.fields) > 1 or any(sp.name == "*" for sp in stmt.fields):
             deferred = stmt.subquery is None
             series = _merge_series_columns(
                 series, stmt.order_desc, stmt.limit,
@@ -2400,9 +2402,19 @@ class InfluxQLEngine:
         expanded: list[FieldSpec] = []
         for s in stmt.fields:
             if s.name == "*":
-                expanded.extend(
-                    FieldSpec(s.agg, fk, s.agg_arg, s.tx, s.tx_arg) for fk in fks
-                )
+                for fk in fks:
+                    alias = None
+                    if s.agg or s.tx:
+                        # InfluxDB suffixes wildcard-expanded aggregate
+                        # columns with the field key even when only ONE
+                        # field expands (round 6 — mean(*) over a
+                        # single-field measurement is mean_<f>, not mean)
+                        base = s.tx or s.agg
+                        base = _DISPLAY.get(base, base)
+                        alias = f"{base}_{fk}"
+                    expanded.append(
+                        FieldSpec(s.agg, fk, s.agg_arg, s.tx, s.tx_arg, alias)
+                    )
             else:
                 expanded.append(s)
         stmt.fields = expanded
@@ -3410,11 +3422,21 @@ def _merge_series_columns(
     duplicate timestamps within a field occupy successive row slots so
     no point is lost. LIMIT/OFFSET apply to the MERGED rows (round-6
     ADVICE: InfluxDB counts merged points, not per-field points —
-    _select_series defers its per-field slice here). When
-    ``slice_unmerged``, deferred slicing also applies to pass-through
-    2-column series (a field present in only one tag combination);
-    wider series (raw multi-field, already merged and sliced in the
-    distributed plan) pass through untouched."""
+    _select_series defers its per-field slice here; the subquery path
+    slices internally so only LIMIT re-caps, idempotently).
+
+    Every tag group expands onto the GLOBAL column grid — the ordered
+    union of value columns across all groups (round 6): InfluxDB's
+    column set is statement-derived, so a series whose tag combination
+    has data for only one field still carries every column (nulls in
+    the rest), exactly like the chunked path's full-outer join — a
+    13-shape sweep pins the two paths equal. Wider series (raw
+    multi-field, already merged and sliced in the distributed plan)
+    pass through untouched."""
+    all_cols: list[str] = []
+    for se in series:
+        if len(se.get("columns", [])) == 2 and se["columns"][1] not in all_cols:
+            all_cols.append(se["columns"][1])
     groups: dict[tuple, list[dict]] = {}
     order: list[tuple] = []
     for se in series:
@@ -3423,38 +3445,39 @@ def _merge_series_columns(
             order.append(key)
         groups.setdefault(key, []).append(se)
     out: list[dict] = []
+    idx = {c: i for i, c in enumerate(all_cols)}
     for key in order:
         ses = groups[key]
-        if len(ses) == 1 or any(len(se.get("columns", [])) != 2 for se in ses):
-            if slice_unmerged:
-                for se in ses:
-                    if len(se.get("columns", [])) == 2:
-                        se = dict(se)
-                        se["values"] = _slice_values(se["values"], limit, offset)
-                        out.append(se)
-                    else:
-                        out.append(se)
-                continue
-            out.extend(ses)
+        two = [se for se in ses if len(se.get("columns", [])) == 2]
+        out.extend(se for se in ses if len(se.get("columns", [])) != 2)
+        if not two:
             continue
-        cols = ["time"] + [se["columns"][1] for se in ses]
+        if len(all_cols) <= 1:
+            # effectively single-column output: nothing to merge
+            for se in two:
+                if slice_unmerged:
+                    se = dict(se)
+                    se["values"] = _slice_values(se["values"], limit, offset)
+                out.append(se)
+            continue
         slots: dict = {}
-        for ci, se in enumerate(ses):
+        for se in two:
+            ci = idx[se["columns"][1]]
             seen: dict = {}
             for ts, v in se["values"]:
                 k = seen.get(ts, 0)
                 seen[ts] = k + 1
                 rows = slots.setdefault(ts, [])
                 while len(rows) <= k:
-                    rows.append([None] * len(ses))
+                    rows.append([None] * len(all_cols))
                 rows[k][ci] = v
         values: list[list] = []
         for ts in sorted(slots, reverse=order_desc):
             for row in slots[ts]:
                 values.append([ts, *row])
         values = _slice_values(values, limit, offset)
-        merged = dict(ses[0])
-        merged["columns"] = cols
+        merged = dict(two[0])
+        merged["columns"] = ["time"] + all_cols
         merged["values"] = values
         out.append(merged)
     return out

@@ -758,6 +758,7 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT mean(user), max(user) FROM cpu GROUP BY time(60s) fill(previous)",
         "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) LIMIT 2 OFFSET 1",
         "SELECT mean(user) FROM cpu GROUP BY time(60s), host",
+        "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s), host",
         "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) ORDER BY time DESC",
     ],
 )
