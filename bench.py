@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     # round-6 embedding-level decontamination (corpus-vs-benchmark
     # cosine gate via the distributed exact-pair kernel)
     "q_decontam_semantic",
+    # round-6 domain-decomposed exact NTILE (no global sort)
+    "q_length_buckets",
 ]
 
 

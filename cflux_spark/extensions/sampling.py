@@ -152,6 +152,84 @@ def pack_offsets(
     )
 
 
+def length_buckets(
+    df: DataFrame,
+    n_buckets: int = 8,
+    length_col: str | None = None,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_col: str = "length_bucket",
+    max_distinct_lengths: int = 1_000_000,
+) -> DataFrame:
+    """Length-bucketed batching prep: assign each document to one of
+    ``n_buckets`` equal-population token-length quantile buckets —
+    bit-identical to ``NTILE(n) OVER (ORDER BY length, key)`` (the
+    oracle form). Data loaders that draw batches within a bucket pad
+    sequences to near-uniform length — the standard
+    padding-efficiency trick for variable-length documents.
+    ``length_col=None`` derives real token counts
+    (text.token_count); pass an existing column (n_chars, a
+    precomputed BPE count) to bucket by it.
+
+    Scale shape: a literal global NTILE is a single-partition window
+    (every row on one task — the anti-pattern this engine eliminated
+    for merged series). Instead the exact rank decomposes over the
+    LENGTH DOMAIN, which is small by nature (token counts, not
+    documents): a domain-sized groupBy gives per-length counts, the
+    driver computes exclusive prefix offsets (guarded by
+    ``max_distinct_lengths`` — truly continuous length columns
+    should be bucketed by a sketch instead, loudly), a broadcast
+    join attaches each row's base offset, and a per-length window
+    (uniform keys, fully parallel) adds the within-length rank.
+    global_rank = base + within_rank, then the standard NTILE split
+    (first N % n buckets take one extra row) as plain arithmetic.
+    One domain-sized agg + one length-partitioned window — no global
+    sort, no single-partition stage."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    from pyspark.sql import Window
+
+    if length_col is None:
+        from cflux_spark.extensions.text import token_count
+
+        df = df.withColumn("_len", token_count(F.col(text_col)))
+        length_col = "_len"
+    counts = df.groupBy(length_col).count()
+    if counts.limit(max_distinct_lengths + 1).count() > max_distinct_lengths:
+        raise ValueError(
+            f"length_buckets: more than {max_distinct_lengths} distinct "
+            f"{length_col} values — the exact-NTILE domain decomposition "
+            "assumes a small length domain; bucket a rounded/clipped length, "
+            "or use approxQuantile boundaries for continuous columns"
+        )
+    rows = sorted(
+        ((r[length_col], r["count"]) for r in counts.collect()), key=lambda t: t[0]
+    )
+    total = sum(c for _, c in rows)
+    bases = []
+    acc = 0
+    for length, c in rows:
+        bases.append((length, acc))
+        acc += c
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(bases, [length_col, "_base"])
+    w = Window.partitionBy(length_col).orderBy(F.col(key_col).asc())
+    q, r = divmod(total, n_buckets)
+    rank = (F.col("_base") + F.row_number().over(w)).cast("long")  # 1-based global
+    if q == 0:
+        bucket = rank - 1  # fewer rows than buckets: one row per bucket
+    else:
+        head = F.lit(r * (q + 1))
+        bucket = F.when(
+            rank <= head, F.floor((rank - 1) / F.lit(q + 1))
+        ).otherwise(F.lit(r) + F.floor((rank - head - 1) / F.lit(q)))
+    return (
+        df.join(F.broadcast(base_df), length_col)
+        .withColumn(bucket_col, bucket.cast("int"))
+        .select(F.col(key_col), F.col(length_col).alias("n_len"), F.col(bucket_col))
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     k: int,

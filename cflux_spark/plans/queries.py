@@ -2946,6 +2946,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_length_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_len
+      FROM documents
+    )
+    SELECT doc_id, n_len,
+           CAST(NTILE(8) OVER (ORDER BY n_len, doc_id) - 1 AS INT) AS length_bucket
+    FROM t
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching prep: equal-population token-length
+    quantile buckets, bit-identical to NTILE(8) (the oracle) but
+    computed WITHOUT a global sort — the exact rank decomposes over
+    the small length domain (domain-sized agg + driver prefix
+    offsets + a per-length parallel window), so no single-partition
+    stage exists at any corpus size."""
+    from cflux_spark.extensions import sampling
+
+    return sampling.length_buckets(load_table(spark, sf_dir, "documents"), n_buckets=8)
+
+
+@q(
     "q_approx_quantile",
     """
     SELECT event_type,
@@ -3253,6 +3278,7 @@ _VERIFY_FIRST = [
     "q_split_leakage_safe",
     "q_dedup_canonical",
     "q_decontam_semantic",
+    "q_length_buckets",
     "q_dedup_clusters",
     "q_dedup_embedding",
     "q_minute_avg",
@@ -3267,7 +3293,6 @@ _VERIFY_FIRST = [
     "q_top_per_bucket",
     "q_count_distinct",
     "q_union_fields",
-    "q_union_sorted",
     "q_rollup",
     "q_intersect",
     "q_except",
@@ -3307,8 +3332,11 @@ _VERIFY_FIRST = [
 # q_time_bucket_param's date_trunc path; q_distinct_groupby =
 # q_count_distinct's distinct-via-groupBy; q_labels_json =
 # q_fingerprint_stable's canonical-sorted labels (the fingerprint IS
-# the xxhash64 of that JSON).
-_VERIFY_LAST: list[str] = ["q_hour_bucket", "q_distinct_groupby", "q_labels_json"]
+# the xxhash64 of that JSON); q_union_sorted = q_union_fields' union
+# with the O1 ordered-output mechanics q_minute_avg carries.
+_VERIFY_LAST: list[str] = [
+    "q_hour_bucket", "q_distinct_groupby", "q_labels_json", "q_union_sorted",
+]
 
 
 def _reorder_for_driver_window() -> None:

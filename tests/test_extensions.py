@@ -492,6 +492,42 @@ def test_leakage_safe_split_cluster_atomic(spark):
         leakage_safe_split(clusters, boundaries=(0.95, 0.9))
 
 
+def test_length_buckets_matches_literal_ntile(spark):
+    """The domain-decomposed exact rank must equal a literal global
+    NTILE for every n (including n > rows), and the plan must contain
+    no single-partition WindowExec; continuous domains reject."""
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as SF
+
+    from cflux_spark.extensions.sampling import length_buckets
+
+    rows = [Row(doc_id=i, n=((i * 7) % 5) + 1) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    for n_buckets in (1, 3, 8, 64):
+        got = {
+            r.doc_id: r.length_bucket
+            for r in length_buckets(
+                df, n_buckets=n_buckets, length_col="n", key_col="doc_id"
+            ).collect()
+        }
+        w = Window.orderBy(SF.col("n").asc(), SF.col("doc_id").asc())
+        want = {
+            r.doc_id: r.b
+            for r in df.withColumn(
+                "b", (SF.ntile(n_buckets).over(w) - 1).cast("int")
+            ).collect()
+        }
+        assert got == want, n_buckets
+    out = length_buckets(df, n_buckets=4, length_col="n", key_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # every Window in the plan is partitioned (by the length column)
+    assert not _re.search(r"Window \[[^\]]*\], \[\]", plan)
+    with pytest.raises(ValueError, match="distinct"):
+        length_buckets(df, length_col="n", key_col="doc_id", max_distinct_lengths=2)
+
+
 def test_semantic_decontaminate_planted_vectors(spark):
     """Planted geometry: a corpus vector parallel to a benchmark
     vector flags (max_sim 1.0), an orthogonal one stays clean with
