@@ -491,10 +491,13 @@ class _ShowClauses(NamedTuple):
     ADVICE); this tokenizes with the same quote/paren-aware splitter
     the SELECT grammar uses."""
 
-    head: str  # verb + FROM/WITH clauses, WHERE/LIMIT/OFFSET stripped
+    head: str  # verb + FROM/WITH clauses, ON/WHERE/LIMIT/OFFSET stripped
     where: str | None  # raw WHERE condition text (quotes intact)
     limit: int | None
     offset: int | None
+    #: ``SHOW ... ON <db>`` — overrides the session database (round 6:
+    #: previously ignored silently, answering from the WRONG database)
+    on_db: str | None = None
 
     @property
     def from_name(self) -> str | None:
@@ -539,7 +542,18 @@ def _parse_show(qs: str) -> _ShowClauses:
     if len(parts) > 2:
         raise InfluxQLError(f"multiple WHERE clauses: {qs!r}")
     where = parts[1].strip() if len(parts) == 2 else None
-    return _ShowClauses(parts[0].strip(), where, limit, offset)
+    head = parts[0].strip()
+    on_db = None
+    on_parts = _split_on_word(head, "ON")
+    if len(on_parts) > 2:
+        raise InfluxQLError(f"multiple ON clauses: {qs!r}")
+    if len(on_parts) == 2:
+        m = re.match(r'\s*("[^"]+"|\S+)\s*(.*)$', on_parts[1], re.DOTALL)
+        if not m or not m.group(1):
+            raise InfluxQLError(f"ON requires a database name: {qs!r}")
+        on_db = _unquote(m.group(1))
+        head = (on_parts[0].rstrip() + " " + m.group(2).strip()).strip()
+    return _ShowClauses(head, where, limit, offset, on_db)
 
 
 def _slice_values(vals: list, limit: int | None, offset: int | None) -> list:
@@ -1289,7 +1303,7 @@ class InfluxQLEngine:
         if upper.startswith("CREATE RETENTION POLICY"):
             return self._create_retention_policy(qs, db)
         if upper.startswith("SHOW RETENTION POLICIES"):
-            return self._show_retention_policies(db)
+            return self._show_retention_policies(_parse_show(qs).on_db or db)
         if upper.startswith("SHOW SUBSCRIPTIONS"):
             return self._show_subscriptions()
         if upper.startswith("CREATE DATABASE"):
@@ -1519,6 +1533,7 @@ class InfluxQLEngine:
         [WHERE tag matchers] [LIMIT n] [OFFSET n] — all four clauses
         were previously ignored silently (round-5 conformance fix)."""
         sc = _parse_show(qs)
+        db = sc.on_db or db
         reg = self._registry(db)
         if reg is None:
             return _envelope([_series("measurements", ["name"], [])])
@@ -1549,6 +1564,7 @@ class InfluxQLEngine:
         from cflux_spark.operators import metadata as _md
 
         sc = _parse_show(qs)
+        db = sc.on_db or db
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
@@ -1566,6 +1582,7 @@ class InfluxQLEngine:
         from cflux_spark.operators import metadata as _md
 
         sc = _parse_show(qs)
+        db = sc.on_db or db
         reg = self._registry(db)
         n = 0
         if reg is not None:
@@ -1575,6 +1592,7 @@ class InfluxQLEngine:
 
     def _show_field_keys(self, qs: str, db: str | None) -> dict:
         sc = _parse_show(qs)
+        db = sc.on_db or db
         meas = sc.from_name
         reg = self._registry(db)
         if reg is None:
@@ -1595,6 +1613,7 @@ class InfluxQLEngine:
 
     def _show_tag_keys(self, qs: str, db: str | None) -> dict:
         sc = _parse_show(qs)
+        db = sc.on_db or db
         meas = sc.from_name
         reg = self._registry(db)
         if reg is None:
@@ -1618,6 +1637,7 @@ class InfluxQLEngine:
 
     def _show_tag_values(self, qs: str, db: str | None) -> dict:
         sc = _parse_show(qs)
+        db = sc.on_db or db
         meas = sc.from_name
         wk = sc.with_clause("KEY") if "WITH" in sc.head.upper() else None
         keys: list[str] | None = None

@@ -2091,6 +2091,30 @@ def test_multi_field_limit_offset_counts_merged_rows(spark, tmp_path):
     assert r["results"][0]["series"][0]["values"] == [[1704067380000, None, 4.0]]
 
 
+def test_show_on_database_clause(spark, tmp_path):
+    """SHOW ... ON <db> answers from the NAMED database (round 6:
+    previously the ON clause was ignored silently and the session db
+    answered — wrong-database results)."""
+    root = str(tmp_path / "ondb")
+    a = LPStore(spark, root, db="dba")
+    a.write_batch(spark.createDataFrame([("cpu,host=x v=1 1704067200000000000",)], "line string"))
+    b = LPStore(spark, root, db="dbb")
+    b.write_batch(spark.createDataFrame([("mem,host=y w=2 1704067200000000000",)], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    r = eng.execute("SHOW MEASUREMENTS ON dbb", db="dba")
+    assert [v[0] for v in _values(r)] == ["mem"]
+    r = eng.execute("SHOW TAG VALUES ON dbb WITH KEY = host", db="dba")
+    vals = [v for s in r["results"][0]["series"] for v in s["values"]]
+    assert vals == [["host", "y"]]
+    r = eng.execute("SHOW SERIES ON dba", db="dbb")
+    assert [v[0] for v in _values(r)] == ["cpu,host=x"]
+    # no ON: the session db answers, as before
+    r = eng.execute("SHOW MEASUREMENTS", db="dba")
+    assert [v[0] for v in _values(r)] == ["cpu"]
+    with pytest.raises(InfluxQLError, match="database name"):
+        eng.execute("SHOW MEASUREMENTS ON", db="dba")
+
+
 def test_delete_with_tag_condition(spark, tmp_path):
     """DELETE FROM m WHERE host = 'a' [AND time ...] — tag-conditioned
     point deletion (round 5; previously rejected): the doomed series
