@@ -505,7 +505,10 @@ class _ShowClauses(NamedTuple):
         m = re.search(r"\bFROM\s+(.+)$", parts[0], re.IGNORECASE | re.DOTALL)
         if not m:
             return None
-        segs = _split_outside_quotes(m.group(1).strip(), ".")
+        raw = m.group(1).strip()
+        if len(raw) >= 2 and raw.startswith("/") and raw.endswith("/"):
+            return raw  # FROM /regex/ — must not be dot-split
+        segs = _split_outside_quotes(raw, ".")
         return _unquote(segs[-1])
 
     def with_clause(self, kind: str) -> str | None:
@@ -554,6 +557,17 @@ def _parse_show(qs: str) -> _ShowClauses:
         on_db = _unquote(m.group(1))
         head = (on_parts[0].rstrip() + " " + m.group(2).strip()).strip()
     return _ShowClauses(head, where, limit, offset, on_db)
+
+
+def _show_meas_filter(reg: DataFrame, meas: str | None) -> DataFrame:
+    """FROM <m> on a SHOW statement — equality, or ``FROM /regex/``
+    (round 6: the slash form used to compare the literal slashes and
+    silently match nothing)."""
+    if meas is None:
+        return reg
+    if len(meas) >= 2 and meas.startswith("/") and meas.endswith("/"):
+        return reg.filter(F.col("measurement").rlike(meas[1:-1]))
+    return reg.filter(F.col("measurement") == meas)
 
 
 def _slice_values(vals: list, limit: int | None, offset: int | None) -> list:
@@ -1569,7 +1583,8 @@ class InfluxQLEngine:
         if reg is None:
             return _envelope([])
         reg = self._show_where_filter(reg, sc.where)
-        rows = _md.show_series(reg, sc.from_name).collect()
+        reg = _show_meas_filter(reg, sc.from_name)
+        rows = _md.show_series(reg, None).collect()
         if not rows:
             return _envelope([])
         vals = _slice_values([[r.key] for r in rows], sc.limit, sc.offset)
@@ -1587,7 +1602,8 @@ class InfluxQLEngine:
         n = 0
         if reg is not None:
             reg = self._show_where_filter(reg, sc.where)
-            n = _md.show_cardinality(reg, subject, sc.from_name).collect()[0]["count"]
+            reg = _show_meas_filter(reg, sc.from_name)
+            n = _md.show_cardinality(reg, subject, None).collect()[0]["count"]
         return _envelope([{"columns": ["count"], "values": [[n]]}])
 
     def _show_field_keys(self, qs: str, db: str | None) -> dict:
@@ -1597,9 +1613,8 @@ class InfluxQLEngine:
         reg = self._registry(db)
         if reg is None:
             return _envelope([])
-        if meas:
-            reg = reg.filter(F.col("measurement") == meas)
         reg = self._show_where_filter(reg, sc.where)
+        reg = _show_meas_filter(reg, meas)
         rows = reg.select("measurement", "name").distinct().orderBy("measurement", "name").collect()
         out: dict[str, list] = {}
         for r in rows:
@@ -1619,8 +1634,7 @@ class InfluxQLEngine:
         if reg is None:
             return _envelope([])
         reg = self._show_where_filter(reg, sc.where)
-        if meas:
-            reg = reg.filter(F.col("measurement") == meas)
+        reg = _show_meas_filter(reg, meas)
         rows = (
             reg.select("measurement", F.explode(F.map_keys("tags")).alias("tagKey"))
             .distinct()
@@ -1660,8 +1674,7 @@ class InfluxQLEngine:
         if reg is None:
             return _envelope([])
         reg = self._show_where_filter(reg, sc.where)
-        if meas:
-            reg = reg.filter(F.col("measurement") == meas)
+        reg = _show_meas_filter(reg, meas)
         kv = reg.select("measurement", F.explode("tags").alias("key", "value"))
         if keys is not None:
             kv = kv.filter(F.col("key").isin(keys))

@@ -2115,6 +2115,22 @@ def test_show_on_database_clause(spark, tmp_path):
         eng.execute("SHOW MEASUREMENTS ON", db="dba")
 
 
+def test_show_from_regex(engine):
+    """SHOW TAG KEYS/FIELD KEYS/SERIES/TAG VALUES accept FROM /regex/
+    (round 6: the slash form used to compare the literal slashes and
+    silently match nothing)."""
+    r = engine.execute("SHOW FIELD KEYS FROM /^c.u$/", db="mydb")
+    assert {s["name"] for s in r["results"][0]["series"]} == {"cpu"}
+    r = engine.execute("SHOW TAG KEYS FROM /p/", db="mydb")
+    names = {s["name"] for s in r["results"][0]["series"]}
+    assert "cpu" in names and "app" in names
+    r = engine.execute("SHOW SERIES FROM /^app$/", db="mydb")
+    assert all(v[0].startswith("app,") for v in _values(r))
+    r = engine.execute("SHOW TAG VALUES FROM /^cpu$/ WITH KEY = region", db="mydb")
+    vals = {tuple(v) for s in r["results"][0]["series"] for v in s["values"]}
+    assert vals == {("region", "eu"), ("region", "us")}
+
+
 def test_delete_with_tag_condition(spark, tmp_path):
     """DELETE FROM m WHERE host = 'a' [AND time ...] — tag-conditioned
     point deletion (round 5; previously rejected): the doomed series
