@@ -3430,14 +3430,6 @@ def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:
     return out
 
 
-def _from_clause(qs: str) -> str | None:
-    m = re.search(r"\bFROM\s+(\S+)", qs, re.IGNORECASE)
-    if not m:
-        return None
-    parts = [_unquote(p) for p in m.group(1).split(".")]
-    return parts[-1]
-
-
 def _merge_series_columns(
     series: list[dict],
     order_desc: bool,
