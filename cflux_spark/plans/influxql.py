@@ -1474,6 +1474,43 @@ class InfluxQLEngine:
                 tag_conds.append(tm)
         store = self.store(db)
         meas = _unquote(m.group("m"))
+        if len(meas) >= 2 and meas.startswith("/") and meas.endswith("/"):
+            # DELETE FROM /regex/ (round 6; previously the literal
+            # slashes were compared and the statement silently deleted
+            # nothing): resolve matching measurements from the
+            # registry, delete each with the same bounds/matchers
+            reg = store.read_registry()
+            names: list[str] = []
+            if reg is not None:
+                pat = re.compile(meas[1:-1])
+                names = sorted(
+                    r.measurement
+                    for r in reg.select("measurement").distinct().collect()
+                    if pat.search(r.measurement)
+                )
+            dropped = rewritten = 0
+            for name in names:
+                st = self._delete_one(store, name, lo_ns, hi_ns, tag_conds)
+                dropped += st["partitions_dropped"]
+                rewritten += st["partitions_rewritten"]
+            return _envelope(
+                [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
+                         [[0, dropped, rewritten]])]
+            )
+        stats = self._delete_one(store, meas, lo_ns, hi_ns, tag_conds)
+        return _envelope(
+            [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
+                     [[0, stats["partitions_dropped"], stats["partitions_rewritten"]]])]
+        )
+
+    def _delete_one(
+        self,
+        store: LPStore,
+        meas: str,
+        lo_ns: int | None,
+        hi_ns: int | None,
+        tag_conds: list[tuple[str, str, str]],
+    ) -> dict:
         fps = None
         if tag_conds:
             # tag-conditioned delete (round 5; previously rejected):
@@ -1484,20 +1521,13 @@ class InfluxQLEngine:
 
             reg = store.read_registry()
             if reg is None:
-                return _envelope(
-                    [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
-                             [[0, 0, 0]])]
-                )
+                return {"partitions_dropped": 0, "partitions_rewritten": 0}
             cond = F.col("measurement") == meas
             for key, op, val in tag_conds:
                 cond = cond & label_matcher(F.element_at(F.col("tags"), key), op, val)
             fps = reg.filter(cond).select("fingerprint")
-        stats = store.delete_where(
+        return store.delete_where(
             measurement=meas, lo_ns=lo_ns, hi_ns=hi_ns, fingerprints=fps
-        )
-        return _envelope(
-            [_series("result", ["time", "partitions_dropped", "partitions_rewritten"],
-                     [[0, stats["partitions_dropped"], stats["partitions_rewritten"]]])]
         )
 
     # ------------------------------------------------------------ metadata

@@ -2091,6 +2091,35 @@ def test_multi_field_limit_offset_counts_merged_rows(spark, tmp_path):
     assert r["results"][0]["series"][0]["values"] == [[1704067380000, None, 4.0]]
 
 
+def test_delete_from_regex(spark, tmp_path):
+    """DELETE FROM /regex/ (round 6: previously the literal slashes
+    compared and the statement silently deleted nothing): every
+    matching measurement's points in range go; non-matches survive."""
+    root = str(tmp_path / "delre")
+    store = LPStore(spark, root, db="dr")
+    lines = [
+        "cpu1,host=a v=1 1704067200000000000",
+        "cpu2,host=a v=2 1704067200000000000",
+        "mem,host=a v=3 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute("DELETE FROM /^cpu/", db="dr")
+    assert "series" not in eng.execute("SELECT v FROM cpu1", db="dr")["results"][0]
+    assert "series" not in eng.execute("SELECT v FROM cpu2", db="dr")["results"][0]
+    assert [v[1] for v in _values(eng.execute("SELECT v FROM mem", db="dr"))] == [3.0]
+    # tag-conditioned regex delete composes
+    store.write_batch(
+        spark.createDataFrame(
+            [("cpu1,host=a v=5 1704067200000000000",),
+             ("cpu1,host=b v=6 1704067200000000000",)], "line string"
+        )
+    )
+    eng.execute("DELETE FROM /cpu/ WHERE host = 'a'", db="dr")
+    left = eng.execute("SELECT v FROM cpu1", db="dr")
+    assert [v[1] for v in _values(left)] == [6.0]
+
+
 def test_show_on_database_clause(spark, tmp_path):
     """SHOW ... ON <db> answers from the NAMED database (round 6:
     previously the ON clause was ignored silently and the session db
