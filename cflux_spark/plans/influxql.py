@@ -1358,6 +1358,13 @@ class InfluxQLEngine:
             raise InfluxQLError(f"bad DROP MEASUREMENT: {qs!r}")
         store = self.store(db)
         meas = _unquote(m.group("m"))
+        if len(meas) >= 2 and meas.startswith("/") and meas.endswith("/"):
+            # InfluxDB rejects regex here too; acting on the literal
+            # slashes would silently drop nothing
+            raise InfluxQLError(
+                "DROP MEASUREMENT does not accept a regex — use "
+                "DELETE FROM /re/ (points) or DROP SERIES FROM (series)"
+            )
         store.delete_where(measurement=meas)
         store.purge_registry(meas)
         return _envelope([])

@@ -635,6 +635,7 @@ def test_selector_respects_limit_offset(engine):
         "SELECT top(user, 1.5) FROM cpu",
         "SELECT mean(user) FROM (SELECT mean(user) FROM (SELECT user FROM cpu))",
         "SELECT FROM cpu",
+        "DROP MEASUREMENT /cpu/",  # regex illegal here (round 6)
     ],
 )
 def test_rejected_grammar_raises_influxql_error(engine, bad):
