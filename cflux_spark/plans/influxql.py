@@ -1417,7 +1417,10 @@ class InfluxQLEngine:
             return _envelope([])
         sel = reg
         if m.group("m") is not None:
-            sel = sel.filter(F.col("measurement") == _unquote(m.group("m")))
+            # equality or FROM /regex/ (round 6 — InfluxDB allows the
+            # slash form here; comparing the literal slashes silently
+            # dropped nothing)
+            sel = _show_meas_filter(sel, _unquote(m.group("m")))
         if m.group("w"):
             from cflux_spark.functions.scalars import label_matcher
 

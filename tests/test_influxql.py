@@ -1379,10 +1379,16 @@ def test_drop_series_regex_and_where_only(spark, tmp_path):
     # mem's web1 series survived (FROM scoped the drop)
     mem = eng.execute("SELECT free FROM mem", db="rdb")
     assert [v[1] for v in _values(mem)] == [5.0]
-    # WHERE-only form drops across measurements
-    eng.execute("DROP SERIES WHERE host =~ /web/", db="rdb")
+    # FROM /regex/ scopes the drop by measurement pattern (round 6)
+    eng.execute("DROP SERIES FROM /^m/ WHERE host = 'web1'", db="rdb")
     mem = eng.execute("SELECT free FROM mem", db="rdb")
     assert "series" not in mem["results"][0]
+    # cpu's db1 series survived the regex-scoped drop
+    assert [v[1] for v in _values(eng.execute("SELECT user FROM cpu", db="rdb"))] == [0.3]
+    # WHERE-only form drops across measurements
+    eng.execute("DROP SERIES WHERE host =~ /db/", db="rdb")
+    cpu = eng.execute("SELECT user FROM cpu", db="rdb")
+    assert "series" not in cpu["results"][0]
     with pytest.raises(InfluxQLError, match="FROM and/or WHERE"):
         eng.execute("DROP SERIES", db="rdb")
 
