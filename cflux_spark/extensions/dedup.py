@@ -304,15 +304,23 @@ def keep_canonical(
     near-dup clusters are shallow (dozens of docs), so no partition
     holds more than one cluster's worth of contention — skew would
     require a single cluster of ~10^8 near-identical docs, which the
-    upstream pair threshold makes structurally impossible."""
+    upstream pair threshold makes structurally impossible.
+
+    Docs absent from ``clusters`` are singletons and KEPT with
+    cluster_id = their own id — LSH labelings typically cover only
+    clustered docs, and an inner join would silently drop every
+    unclustered doc from the kept set (round-7 ADVICE; same
+    coalesce-to-self semantics as pipeline.curate_corpus)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(order_col).desc(), F.col(id_col).asc()
     )
+    labeled = df.join(clusters.select(id_col, "cluster_id"), id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
     return (
-        df.join(clusters, id_col)
-        .withColumn("_rn", F.row_number().over(w))
+        labeled.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )

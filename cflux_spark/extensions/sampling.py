@@ -202,9 +202,25 @@ def length_buckets(
             "assumes a small length domain; bucket a rounded/clipped length, "
             "or use approxQuantile boundaries for continuous columns"
         )
-    rows = sorted(
-        ((r[length_col], r["count"]) for r in counts.collect()), key=lambda t: t[0]
-    )
+    collected = counts.collect()
+    if any(r[length_col] is None for r in collected):
+        # null text → null token_count; a null length has no rank
+        # position, and letting it through would either crash the
+        # driver sort or silently vanish at the join (null keys
+        # never match) — round-7 ADVICE: fail loudly instead
+        raise ValueError(
+            f"length_buckets: {length_col} contains nulls — filter or "
+            "fill them (e.g. coalesce to 0) before bucketing"
+        )
+    rows = sorted(((r[length_col], r["count"]) for r in collected), key=lambda t: t[0])
+    if not rows:
+        # empty corpus: createDataFrame([]) can't infer a schema —
+        # return the output shape with zero rows (round-7 ADVICE)
+        return df.select(
+            F.col(key_col),
+            F.col(length_col).alias("n_len"),
+            F.lit(0).cast("int").alias(bucket_col),
+        ).limit(0)
     total = sum(c for _, c in rows)
     bases = []
     acc = 0

@@ -411,10 +411,17 @@ def _split_outside_quotes(s: str, sep: str) -> list[str]:
     return out
 
 
-def _split_on_word(cond: str, word: str) -> list[str]:
+def _split_on_word(cond: str, word: str, slash_regex: bool = False) -> list[str]:
     """Split on a top-level keyword (case-insensitive) outside
     single/double quotes and parentheses — ``("host" = 'a' OR
-    "host" = 'b OR c')`` must split once, not twice."""
+    "host" = 'b OR c')`` must split once, not twice.
+
+    ``slash_regex=True`` additionally treats ``/.../`` spans as opaque
+    (round-7 ADVICE: ``SHOW FIELD KEYS FROM /on/`` carved the regex
+    body as an ON clause). Opt-in only for the SHOW family, where a
+    slash can only ever delimit a regex — in SELECT/WHERE text ``/``
+    is also division, and pairing slashes there would swallow real
+    keywords between two divisions."""
     out: list[str] = []
     buf: list[str] = []
     quote: str | None = None
@@ -433,6 +440,14 @@ def _split_on_word(cond: str, word: str) -> list[str]:
             buf.append(c)
             i += 1
             continue
+        if slash_regex and c == "/":
+            j = i + 1
+            while j < n and (cond[j] != "/" or cond[j - 1] == "\\"):
+                j += 1
+            if j < n:  # closing slash found: copy the span opaque
+                buf.append(cond[i : j + 1])
+                i = j + 1
+                continue
         if c == "(":
             depth += 1
         elif c == ")":
@@ -501,7 +516,7 @@ class _ShowClauses(NamedTuple):
 
     @property
     def from_name(self) -> str | None:
-        parts = _split_on_word(self.head, "WITH")
+        parts = _split_on_word(self.head, "WITH", slash_regex=True)
         m = re.search(r"\bFROM\s+(.+)$", parts[0], re.IGNORECASE | re.DOTALL)
         if not m:
             return None
@@ -515,7 +530,7 @@ class _ShowClauses(NamedTuple):
         """Raw text after ``WITH MEASUREMENT``/``WITH KEY`` (quotes
         intact, runs to end of head — WHERE/LIMIT/OFFSET are already
         stripped, so spaces in quoted names survive)."""
-        parts = _split_on_word(self.head, "WITH")
+        parts = _split_on_word(self.head, "WITH", slash_regex=True)
         if len(parts) == 1:
             return None
         if len(parts) > 2:
@@ -529,7 +544,7 @@ class _ShowClauses(NamedTuple):
 
 def _parse_show(qs: str) -> _ShowClauses:
     def _carve_int(rest: str, word: str) -> tuple[str, int | None]:
-        parts = _split_on_word(rest, word)
+        parts = _split_on_word(rest, word, slash_regex=True)
         if len(parts) == 1:
             return rest, None
         if len(parts) > 2:
@@ -541,13 +556,13 @@ def _parse_show(qs: str) -> _ShowClauses:
 
     rest, offset = _carve_int(qs, "OFFSET")
     rest, limit = _carve_int(rest, "LIMIT")
-    parts = _split_on_word(rest, "WHERE")
+    parts = _split_on_word(rest, "WHERE", slash_regex=True)
     if len(parts) > 2:
         raise InfluxQLError(f"multiple WHERE clauses: {qs!r}")
     where = parts[1].strip() if len(parts) == 2 else None
     head = parts[0].strip()
     on_db = None
-    on_parts = _split_on_word(head, "ON")
+    on_parts = _split_on_word(head, "ON", slash_regex=True)
     if len(on_parts) > 2:
         raise InfluxQLError(f"multiple ON clauses: {qs!r}")
     if len(on_parts) == 2:
@@ -658,6 +673,19 @@ def parse_select(q: str) -> SelectStmt:
     if minto:
         parts = [_unquote(p) for p in _split_outside_quotes(minto.group(1), ".")]
         into = parts[-1]
+        if into.startswith(":"):
+            # normalize the backreference token at parse time so the
+            # downstream `== ":MEASUREMENT"` checks (fan-out + same-db
+            # guard) can't be dodged by case (round-7 ADVICE:
+            # `INTO :measurement` silently wrote a literal
+            # ':measurement' measurement); any other ':'-prefixed
+            # target is a typo'd backreference, not a name — reject
+            if into.upper() != ":MEASUREMENT":
+                raise InfluxQLError(
+                    f"invalid INTO target {into!r}: the only supported "
+                    "backreference is :MEASUREMENT"
+                )
+            into = ":MEASUREMENT"
         # "db"."rp".m carries a cross-db target; "rp".m is an
         # RP prefix, ignored like FROM's (data is not RP-partitioned)
         if len(parts) == 3 and parts[0]:
@@ -1959,6 +1987,13 @@ class InfluxQLEngine:
 
     def _select(self, qs: str, db: str | None) -> dict:
         stmt = parse_select(qs)
+        # decide the merge BEFORE dispatch: _expand_wildcard mutates
+        # stmt.fields in place on the non-regex path (so '*' is gone
+        # by the time the merge check runs) but regex subs are copies
+        # (so '*' survives) — checking after the call made the two
+        # paths disagree about who owns LIMIT/OFFSET (round-7 ADVICE:
+        # single-field '*' under FROM /re/ was sliced twice)
+        merge_needed = len(stmt.fields) > 1 or any(sp.name == "*" for sp in stmt.fields)
         store = self._stmt_store(stmt, db)
         reg = store.read_registry()
         if stmt.into is not None:
@@ -1991,7 +2026,7 @@ class InfluxQLEngine:
         # only LIMIT re-caps there (idempotent). A '*' field may have
         # expanded to several per-measurement inside the regex loop
         # (each `sub` is a copy), so wildcards trigger the merge too.
-        if len(stmt.fields) > 1 or any(sp.name == "*" for sp in stmt.fields):
+        if merge_needed:
             deferred = stmt.subquery is None
             series = _merge_series_columns(
                 series, stmt.order_desc, stmt.limit,
@@ -2517,6 +2552,12 @@ class InfluxQLEngine:
         if facts is None:
             return []
 
+        # a '*' present NOW means _select owns the merge (and the
+        # deferred LIMIT/OFFSET) even if it expands to one field —
+        # capture before _expand_wildcard rewrites stmt.fields
+        # (round-7 ADVICE: single-field regex expansion sliced here
+        # AND again in _merge_series_columns)
+        had_wildcard = any(sp.name == "*" for sp in stmt.fields)
         self._expand_wildcard(stmt, facts)
 
         def _is_plain_raw(sp: FieldSpec) -> bool:
@@ -2555,7 +2596,7 @@ class InfluxQLEngine:
             # sharing :00) nondeterministically
             return self._raw_multi_series(stmt, facts, gtags, tkeys, reg)
 
-        if len(stmt.fields) > 1 and (stmt.limit or stmt.offset):
+        if (len(stmt.fields) > 1 or had_wildcard) and (stmt.limit or stmt.offset):
             # Defer LIMIT/OFFSET to the merged envelope: InfluxDB
             # counts MERGED points, not per-field points (round-6
             # ADVICE — per-field _apply_slice returned the wrong

@@ -581,6 +581,47 @@ def test_keep_canonical_longest_wins(spark):
     assert kept == {2, 4}
 
 
+def test_keep_canonical_partial_labeling_keeps_unclustered(spark):
+    """Docs absent from the clusters frame are singletons, not
+    discards (round-7 ADVICE: the inner join silently dropped every
+    unclustered doc — LSH labelings only cover clustered docs)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=10),
+            Row(doc_id=2, n_chars=30),
+            Row(doc_id=5, n_chars=7),   # not in clusters: kept as itself
+            Row(doc_id=6, n_chars=9),   # not in clusters: kept as itself
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [Row(doc_id=1, cluster_id=1), Row(doc_id=2, cluster_id=1)]
+    )
+    rows = {r.doc_id: r.cluster_id for r in dedup.keep_canonical(docs, clusters).collect()}
+    assert rows == {2: 1, 5: 5, 6: 6}
+
+
+def test_length_buckets_empty_and_null_inputs(spark):
+    """Edge inputs (round-7 ADVICE): an empty corpus returns the
+    empty output shape instead of crashing schema inference, and a
+    null length raises loudly instead of a driver TypeError."""
+    from pyspark.sql import Row
+
+    from cflux_spark.extensions.sampling import length_buckets
+
+    df = spark.createDataFrame([Row(doc_id=1, n=3)]).limit(0)
+    out = length_buckets(df, n_buckets=4, length_col="n", key_col="doc_id")
+    assert out.columns == ["doc_id", "n_len", "length_bucket"]
+    assert out.count() == 0
+
+    withnull = spark.createDataFrame(
+        [(1, 3), (2, None)], "doc_id int, n int"
+    )
+    with pytest.raises(ValueError, match="nulls"):
+        length_buckets(withnull, n_buckets=2, length_col="n", key_col="doc_id")
+
+
 def test_asof_join_backward_semantics(spark):
     """Inclusive at equal ts; null before any right row; latest wins."""
     from cflux_spark.operators.joins import asof_join_backward

@@ -2198,3 +2198,77 @@ def test_delete_with_tag_condition(spark, tmp_path):
     eng.execute("DELETE FROM cpu WHERE host = 'a'", db="tdb")
     left2 = eng.execute("SELECT user FROM cpu", db="tdb")
     assert [v[1] for s in left2["results"][0]["series"] for v in s["values"]] == [0.3]
+
+
+def test_regex_from_single_field_wildcard_limit_offset(spark, tmp_path):
+    """round-7 ADVICE: SELECT * FROM /re/ over a SINGLE-field
+    measurement applied OFFSET twice — once distributed in the
+    per-measurement sub-statement, once in the merged-envelope slice
+    (the sub is a copy, so the outer stmt kept '*' and re-sliced).
+    Every shape must equal its plain-FROM twin."""
+    root = str(tmp_path / "rx7")
+    store = LPStore(spark, root, db="rdb7")
+    lines = [f"mem v={i}.0 170406720{i}000000000" for i in range(4)]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    for tail in ("LIMIT 2 OFFSET 1", "LIMIT 2", "OFFSET 3", "LIMIT 10 OFFSET 2"):
+        plain = eng.execute(f"SELECT * FROM mem {tail}", db="rdb7")
+        rx = eng.execute(f"SELECT * FROM /^mem$/ {tail}", db="rdb7")
+        assert _values(rx) == _values(plain), tail
+    assert _values(eng.execute("SELECT * FROM /^mem$/ LIMIT 2 OFFSET 1", db="rdb7")) == [
+        [1704067201000, 1.0],
+        [1704067202000, 2.0],
+    ]
+
+
+def test_show_regex_bodies_survive_clause_carving(engine):
+    """round-7 ADVICE: a word-bounded 'on' (or WHERE/LIMIT/OFFSET)
+    inside a FROM or WITH /regex/ was carved as a clause keyword —
+    'SHOW FIELD KEYS FROM /on/' died with 'invalid database name'."""
+    res = engine.execute("SHOW FIELD KEYS FROM /^(on)?cpu$/", db="mydb")
+    series = res["results"][0]["series"][0]
+    assert series["name"] == "cpu"
+    assert sorted(v[0] for v in series["values"]) == ["sys", "user"]
+    res = engine.execute("SHOW MEASUREMENTS WITH MEASUREMENT =~ /on|^cpu$/", db="mydb")
+    assert [v[0] for v in _values(res)] == ["cpu"]
+    res = engine.execute("SHOW MEASUREMENTS WITH MEASUREMENT =~ /where|limit|^cpu$/", db="mydb")
+    assert [v[0] for v in _values(res)] == ["cpu"]
+    # no match at all: clean empty envelope, not a parse error
+    assert "series" not in engine.execute("SHOW FIELD KEYS FROM /on/", db="mydb")["results"][0]
+    # a real ON clause still carves next to a regex FROM
+    res = engine.execute("SHOW FIELD KEYS ON mydb FROM /cpu/", db="ignored")
+    assert res["results"][0]["series"][0]["name"] == "cpu"
+
+
+def test_into_backreference_case_insensitive(spark, tmp_path):
+    """round-7 ADVICE: 'INTO :measurement' (lowercase) silently wrote
+    a literal measurement named ':measurement' AND bypassed the
+    same-db guard. The token normalizes at parse time; any other
+    ':'-prefixed target rejects as a typo'd backreference."""
+    root = str(tmp_path / "bref7")
+    store = LPStore(spark, root, db="srcdb")
+    lines = [
+        "cpu1,host=a v=2 1704067200000000000",
+        "cpu1,host=a v=4 1704067230000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    r = eng.execute(
+        'SELECT mean(v) INTO "arch"."autogen".:measurement FROM /^cpu/ GROUP BY time(60s)',
+        db="srcdb",
+    )
+    assert _values(r) == [[0, 1]]  # one written bucket row (cpu1 only)
+    got = eng.execute("SELECT mean FROM cpu1", db="arch")
+    assert [v[1] for v in _values(got)] == [3.0]
+    # no literal ':measurement' measurement was created anywhere
+    assert ":measurement" not in str(eng.execute("SHOW MEASUREMENTS", db="arch"))
+    # the same-db guard fires for the lowercase form too
+    with pytest.raises(InfluxQLError, match="distinct target database"):
+        eng.execute(
+            "SELECT mean(v) INTO :Measurement FROM cpu1 GROUP BY time(60s)", db="srcdb"
+        )
+    with pytest.raises(InfluxQLError, match="backreference"):
+        eng.execute(
+            'SELECT mean(v) INTO "arch"."autogen".:measurment FROM cpu1 GROUP BY time(60s)',
+            db="srcdb",
+        )
