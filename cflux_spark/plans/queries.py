@@ -1534,13 +1534,18 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus×corpus exact threshold pairs with BOTH sides distributed
-    (round 5: cosine_pairs_bulk — hash-sharded candidates, replicated
-    queries, per-shard blocked GEMM; no driver collect, no query cap).
-    EVERY pair value-checks against DuckDB's unnested dot products —
-    the strongest check the bulk ANN family gets, complementing
+    (round 5: cosine_pairs_bulk; round 7: (split, shard) GRID cogroup
+    so kernel parallelism is n_shards × n_query_splits, per-cell
+    blocked GEMM; no driver collect, no query cap). The broadcast
+    tier is pinned OFF here so the grid tier keeps oracle coverage —
+    q_decontam_semantic covers the broadcast tier. EVERY pair
+    value-checks against DuckDB's unnested dot products — the
+    strongest check the bulk ANN family gets, complementing
     q_vector_pq_bulk's equality/recall contracts."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs_bulk(emb, emb, threshold=0.3, n_shards=8)
+    return similarity.cosine_pairs_bulk(
+        emb, emb, threshold=0.3, n_shards=8, broadcast_threshold=None
+    )
 
 
 @q(
@@ -2605,10 +2610,12 @@ def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-level) decontamination — the X6 companion
     gate: corpus vectors (label <> 0) flagged when cosine to ANY
     benchmark vector (label = 0 stands in for an eval suite) is
-    ≥ 0.3; catches paraphrased leakage n-gram overlap misses. Both
-    sides stay distributed (cosine_pairs_bulk with same-id exclusion
-    off — the id spaces are unrelated); every max_sim value-checks
-    against DuckDB's unnested dot products."""
+    ≥ 0.3; catches paraphrased leakage n-gram overlap misses. The
+    benchmark side auto-selects cosine_pairs_bulk's broadcast tier
+    (round 7): one shuffle-free mapInPandas over the corpus, no
+    ×n_shards corpus replication (same-id exclusion off — the id
+    spaces are unrelated); every max_sim value-checks against
+    DuckDB's unnested dot products."""
     from cflux_spark.extensions import contamination
 
     emb = load_table(spark, sf_dir, "embeddings")

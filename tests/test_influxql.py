@@ -761,6 +761,11 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT mean(user) FROM cpu GROUP BY time(60s), host",
         "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s), host",
         "SELECT mean(user), mean(sys) FROM cpu GROUP BY time(60s) ORDER BY time DESC",
+        # round 7: lone ungrouped selectors (original-timestamp point;
+        # chunked falls back to one envelope — must still be equal)
+        "SELECT max(user) FROM cpu",
+        "SELECT first(user) FROM cpu GROUP BY host",
+        "SELECT last(user) FROM cpu",
     ],
 )
 def test_chunked_equals_unchunked_sweep(engine, q):
@@ -2272,3 +2277,39 @@ def test_into_backreference_case_insensitive(spark, tmp_path):
             'SELECT mean(v) INTO "arch"."autogen".:measurment FROM cpu1 GROUP BY time(60s)',
             db="srcdb",
         )
+
+
+def test_ungrouped_selector_returns_original_point(engine):
+    """round-7 VERDICT #2: a LONE ungrouped max/min/first/last returns
+    the actual point with its ORIGINAL timestamp (InfluxDB), not the
+    reference's 1-minute bucket fold (cflux.js:749). Points: host=a
+    0.10@:00, 0.30@:30, 0.50@1:30; host=b 0.70@:00."""
+    res = engine.execute("SELECT max(user) FROM cpu", db="mydb")
+    se = res["results"][0]["series"][0]
+    assert se["name"] == "cpu" and se["columns"] == ["time", "max"]
+    assert se["values"] == [[1704067200000, 0.7]]
+    res = engine.execute("SELECT min(user) FROM cpu", db="mydb")
+    assert _values(res) == [[1704067200000, 0.1]]
+    # first: two points share :00 — deterministic value-asc tiebreak
+    res = engine.execute("SELECT first(user) FROM cpu", db="mydb")
+    assert res["results"][0]["series"][0]["columns"] == ["time", "first"]
+    assert _values(res) == [[1704067200000, 0.1]]
+    res = engine.execute("SELECT last(user) FROM cpu", db="mydb")
+    assert _values(res) == [[1704067290000, 0.5]]
+    # GROUP BY <tag>: one original-timestamp point per tag group
+    res = engine.execute("SELECT max(user) FROM cpu GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host == {"a": [[1704067290000, 0.5]], "b": [[1704067200000, 0.7]]}
+    # GROUP BY time keeps the bucketed fold (bucket-start timestamps)
+    res = engine.execute("SELECT max(user) FROM cpu GROUP BY time(60s)", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    # chunked dispatch falls back to the same single envelope
+    chunks = list(engine.execute_chunked("SELECT max(user) FROM cpu", db="mydb"))
+    assert len(chunks) == 1
+    assert _values(chunks[0]) == [[1704067200000, 0.7]]
+    # multiple fields lose point-ness (InfluxDB's own rule): both
+    # selectors fold onto the shared bucket grid
+    res = engine.execute("SELECT max(user), min(user) FROM cpu", db="mydb")
+    se = res["results"][0]["series"][0]
+    assert se["columns"] == ["time", "max_user", "min_user"]
+    assert all(v[0] % 60000 == 0 for v in se["values"])
