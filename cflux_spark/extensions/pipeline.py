@@ -28,12 +28,15 @@ def curate_corpus(
     text_col: str = "text",
     contamination_n: int = 8,
     embeddings: DataFrame | None = None,
+    semdedup_gate: bool = True,
     sem_threshold: float = 0.35,
     sem_k: int = 8,
     sem_train_fraction: float | None = None,
     sem_probe: int = 1,
     emb_id_col: str = "vec_id",
     emb_vec_col: str = "embedding",
+    decontam_bench_embeddings: DataFrame | None = None,
+    decontam_threshold: float = 0.9,
     split_clusters: DataFrame | None = None,
     split_boundaries: tuple[float, float] = (0.9, 0.95),
     **gate_kwargs,
@@ -52,7 +55,17 @@ def curate_corpus(
     ``gate_kwargs`` pass through to ``curation_verdict``
     (min_tokens, min_uniq_frac, max_bigram_share, max_neg_logprob).
 
-    ``embeddings`` (optional) adds the SemDeDup semantic-dedup gate:
+    ``decontam_bench_embeddings`` (optional, round 7) adds the
+    SEMANTIC decontamination gate on top of the n-gram one: every
+    kept doc whose corpus embedding (from ``embeddings``) has cosine
+    ≥ ``decontam_threshold`` to ANY benchmark embedding is dropped —
+    the paraphrased-leakage defense the exact n-gram overlap cannot
+    see. Exact and deterministic (cosine_pairs_bulk broadcast tier),
+    so the SQL twin covers it; requires ``embeddings``. Set
+    ``semdedup_gate=False`` to use ``embeddings`` for this gate only.
+
+    ``embeddings`` (optional, with ``semdedup_gate=True``) adds the
+    SemDeDup semantic-dedup gate:
     rows whose embedding (joined ``emb_id_col`` = ``id_col``) is a
     within-cluster near-duplicate of a smaller-id kept representative
     are dropped via :func:`similarity.semdedup` — the clustered path
@@ -80,7 +93,32 @@ def curate_corpus(
         docs.join(verdict.filter(F.col("keep")).select(id_col), id_col, "left_semi")
         .join(flags.filter(~F.col("contaminated")).select(id_col), id_col, "left_semi")
     )
-    if embeddings is not None:
+    if decontam_bench_embeddings is not None:
+        # semantic decontamination (round 7): the n-gram gate above
+        # misses PARAPHRASED eval leakage; this drops every doc whose
+        # embedding sits within cosine `decontam_threshold` of ANY
+        # benchmark embedding. Deterministic (exact cosine — unlike
+        # the SemDeDup gate below), so the SQL twin includes it.
+        # Scale shape: cosine_pairs_bulk's broadcast tier — one
+        # shuffle-free map over the corpus embeddings.
+        if embeddings is None:
+            raise ValueError(
+                "curate_corpus: decontam_bench_embeddings requires the "
+                "corpus `embeddings` frame (the query side of the gate)"
+            )
+        sem_hits = contamination.semantic_decontaminate(
+            embeddings, decontam_bench_embeddings,
+            threshold=decontam_threshold,
+            id_col=emb_id_col, vec_col=emb_vec_col,
+        )
+        kept = kept.join(
+            sem_hits.filter(F.col("contaminated")).select(
+                F.col(emb_id_col).alias(id_col)
+            ),
+            id_col,
+            "left_anti",
+        )
+    if embeddings is not None and semdedup_gate:
         from cflux_spark.extensions import similarity
 
         sem = similarity.semdedup(

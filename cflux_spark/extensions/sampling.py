@@ -160,6 +160,8 @@ def length_buckets(
     text_col: str = "text",
     bucket_col: str = "length_bucket",
     max_distinct_lengths: int = 1_000_000,
+    method: str = "auto",
+    approx_rel_err: float = 0.001,
 ) -> DataFrame:
     """Length-bucketed batching prep: assign each document to one of
     ``n_buckets`` equal-population token-length quantile buckets —
@@ -184,9 +186,26 @@ def length_buckets(
     global_rank = base + within_rank, then the standard NTILE split
     (first N % n buckets take one extra row) as plain arithmetic.
     One domain-sized agg + one length-partitioned window — no global
-    sort, no single-partition stage."""
+    sort, no single-partition stage.
+
+    ``method`` (round 7 — removes the distinct-length ceiling):
+    ``"auto"`` (default) uses the exact NTILE decomposition while the
+    domain fits ``max_distinct_lengths`` and falls back to
+    approxQuantile boundaries past it; ``"exact"`` raises loudly past
+    the guard (the pre-round-7 behavior); ``"approx"`` always uses
+    the sketch. The approx tier is a pure map (no window at all):
+    n_buckets-1 quantile boundaries from one approxQuantile pass
+    (Greenwald-Khanna, driver gets only the boundary list), bucket =
+    count of boundaries below the value. Tradeoff, documented: bucket
+    POPULATIONS are approximately equal (boundary placement is within
+    ``approx_rel_err`` of the true quantile, and all ties of a
+    boundary value land in one bucket) — batching cares about
+    near-uniform lengths within a bucket, which boundary assignment
+    preserves exactly; it is NOT NTILE-bit-identical."""
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(f"length_buckets: unknown method {method!r}")
     from pyspark.sql import Window
 
     if length_col is None:
@@ -194,13 +213,36 @@ def length_buckets(
 
         df = df.withColumn("_len", token_count(F.col(text_col)))
         length_col = "_len"
-    counts = df.groupBy(length_col).count()
-    if counts.limit(max_distinct_lengths + 1).count() > max_distinct_lengths:
-        raise ValueError(
-            f"length_buckets: more than {max_distinct_lengths} distinct "
-            f"{length_col} values — the exact-NTILE domain decomposition "
-            "assumes a small length domain; bucket a rounded/clipped length, "
-            "or use approxQuantile boundaries for continuous columns"
+    if method != "approx":
+        counts = df.groupBy(length_col).count()
+        if counts.limit(max_distinct_lengths + 1).count() > max_distinct_lengths:
+            if method == "exact":
+                raise ValueError(
+                    f"length_buckets: more than {max_distinct_lengths} distinct "
+                    f"{length_col} values — the exact-NTILE domain decomposition "
+                    "assumes a small length domain; bucket a rounded/clipped "
+                    "length, or pass method='approx' (or 'auto') for "
+                    "approxQuantile boundaries"
+                )
+            method = "approx"  # auto: continuous domain → sketch tier
+    if method == "approx":
+        if df.filter(F.col(length_col).isNull()).limit(1).count():
+            raise ValueError(
+                f"length_buckets: {length_col} contains nulls — filter or "
+                "fill them (e.g. coalesce to 0) before bucketing"
+            )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = (
+            df.approxQuantile(length_col, probs, approx_rel_err) if probs else []
+        )
+        bucket = sum(
+            (F.when(F.col(length_col) > F.lit(b), 1).otherwise(0) for b in bounds),
+            F.lit(0),
+        )
+        return df.select(
+            F.col(key_col),
+            F.col(length_col).alias("n_len"),
+            bucket.cast("int").alias(bucket_col),
         )
     collected = counts.collect()
     if any(r[length_col] is None for r in collected):

@@ -1817,6 +1817,24 @@ class InfluxQLEngine:
                 ):
                     yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
                     return
+                if (
+                    len(stmt.fields) == 1
+                    and stmt.fields[0].agg in (*_SEL_FNS, "distinct", "elapsed")
+                    and stmt.fields[0].expr is None
+                    and stmt.fields[0].tx is None
+                    and not stmt.fields[0].tag
+                    and stmt.fields[0].name != "*"
+                ):
+                    # selectors/distinct/elapsed stream too (round 7 —
+                    # previously single-envelope fallback): top(f,N)
+                    # per bucket over years, distinct over a
+                    # high-cardinality field, and elapsed (per-point)
+                    # are all as unbounded as raw selects. The frames
+                    # behind the envelope builders are already
+                    # distributed [tkeys, ts_ms, val] shapes — reuse
+                    # them through the shared chunk pump.
+                    yield from self._select_special_chunked(stmt, db, max(1, int(chunk_size)))
+                    return
                 if stmt.group_by_time_s is not None and all(
                     sp.agg not in _SEL_FNS
                     and sp.agg not in ("distinct", "elapsed")
@@ -1830,6 +1848,29 @@ class InfluxQLEngine:
                     yield from self._select_agg_chunked(stmt, db, max(1, int(chunk_size)))
                     return
         yield self.execute(q, db)
+
+    def _select_special_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
+        """Chunked single-field selector/distinct/elapsed statements
+        (round 7): same distributed frame as the envelope path, rows
+        drained via the shared chunk pump."""
+        store = self._stmt_store(stmt, db)
+        reg = store.read_registry()
+        facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
+        if facts is None:
+            yield _envelope([])
+            return
+        spec = stmt.fields[0]
+        ff = facts.filter(F.col("field") == spec.name)
+        if spec.agg == "elapsed":
+            sel, colname = self._elapsed_frame(stmt, spec, ff, tkeys)
+        elif spec.agg == "distinct":
+            sel, colname = self._distinct_frame(stmt, spec, ff, tkeys)
+        else:
+            sel, colname = self._selector_frame(stmt, spec, ff, tkeys)
+        yield from self._stream_chunked(
+            iter([(sel, colname)]), stmt, gtags, tkeys, chunk_size,
+            lambda r: [r.ts_ms, r.val],
+        )
 
     def _select_raw_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
         store = self._stmt_store(stmt, db)
@@ -2944,6 +2985,13 @@ class InfluxQLEngine:
     def _elapsed_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
     ) -> list[dict]:
+        sel, colname = self._elapsed_frame(stmt, spec, ff, tkeys)
+        rows = self._bounded_collect(sel)
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _elapsed_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys
+    ) -> tuple[DataFrame, str]:
         """elapsed(f[, unit]) — integer gap between consecutive points
         of a series, emitted at the later point's timestamp (InfluxDB
         semantics; default unit 1ns). A raw-point transform, not an
@@ -2971,9 +3019,8 @@ class InfluxQLEngine:
             .orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
         )
         sel = _apply_slice(sel, tkeys, stmt)
-        rows = self._bounded_collect(sel)
         colname = spec.alias or (f"elapsed_{spec.name}" if len(stmt.fields) > 1 else "elapsed")
-        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+        return sel, colname
 
     def _raw_transform_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
@@ -3069,6 +3116,16 @@ class InfluxQLEngine:
         first/last order by time with value-asc tiebreak at
         duplicate timestamps (deterministic; InfluxDB leaves the
         tie undefined)."""
+        sel, colname = self._selector_frame(stmt, spec, ff, tkeys)
+        rows = self._bounded_collect(sel)
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _selector_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys
+    ) -> tuple[DataFrame, str]:
+        """The distributed frame behind :meth:`_selector_series` —
+        split out (round 7) so the chunk pump can stream selector
+        results instead of falling back to one envelope."""
         k = int(spec.agg_arg or 1)
         if k < 1:
             raise InfluxQLError(f"{spec.agg}(field, N) requires N >= 1")
@@ -3113,13 +3170,19 @@ class InfluxQLEngine:
         # LIMIT/OFFSET (incl. per-series under GROUP BY <tag>) applies to
         # selector output points too, like every other series builder
         sel = _apply_slice(sel, tkeys, stmt)
-        rows = self._bounded_collect(sel)
         colname = spec.alias or (f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg)
-        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+        return sel, colname
 
     def _distinct_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
     ) -> list[dict]:
+        sel, colname = self._distinct_frame(stmt, spec, ff, tkeys)
+        rows = self._bounded_collect(sel)
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _distinct_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys
+    ) -> tuple[DataFrame, str]:
         """distinct(f) — unique field values; under GROUP BY time the
         uniqueness is per bucket (emitted at bucket start), otherwise
         InfluxDB stamps epoch 0."""
@@ -3136,9 +3199,8 @@ class InfluxQLEngine:
             )
         )
         sel = _apply_slice(sel, tkeys, stmt)
-        rows = self._bounded_collect(sel)
         colname = spec.alias or (f"distinct_{spec.name}" if len(stmt.fields) > 1 else "distinct")
-        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+        return sel, colname
 
     def _select_subquery(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> list[dict]:
         """SELECT agg(col) FROM (SELECT agg(field) FROM m ...) —

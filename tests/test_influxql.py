@@ -683,14 +683,23 @@ def test_chunked_aggregates_stream(engine):
     assert len(envs) == 1 and envs[0] == unchunked
 
 
-def test_chunked_fallback_for_selectors(engine):
-    """Non-chunkable statements (selectors need whole-result context)
-    come back as a single ordinary envelope through the generator API."""
+def test_chunked_selectors_stream(engine):
+    """Selectors stream through the chunk pump (round 7 — previously
+    single-envelope fallback): ≤chunk_size rows per envelope, all but
+    the last partial, concatenation equal to the unchunked result.
+    Genuinely non-chunkable shapes (subqueries) still fall back to
+    one ordinary envelope."""
     q = "SELECT top(user, 2) FROM cpu WHERE host = 'a'"
+    unchunked = engine.execute(q, db="mydb")
     envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
-    assert len(envs) == 1
-    assert "partial" not in envs[0]["results"][0]
-    assert envs[0] == engine.execute(q, db="mydb")
+    assert len(envs) == 2  # two picked points, one per chunk
+    assert envs[0]["results"][0].get("partial") is True
+    assert "partial" not in envs[-1]["results"][0]
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(unchunked)
+    sub = "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)"
+    envs = list(engine.execute_chunked(sub, db="mydb", chunk_size=1))
+    assert len(envs) == 1 and envs[0] == engine.execute(sub, db="mydb")
 
 
 def test_chunked_respects_group_by_tag(engine):
@@ -766,6 +775,16 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT max(user) FROM cpu",
         "SELECT first(user) FROM cpu GROUP BY host",
         "SELECT last(user) FROM cpu",
+        # round 7: selectors/distinct/elapsed STREAM through the pump
+        "SELECT top(user, 2) FROM cpu GROUP BY host",
+        "SELECT bottom(user, 2) FROM cpu",
+        "SELECT top(user, 2) FROM cpu GROUP BY time(60s)",
+        "SELECT distinct(user) FROM cpu",
+        "SELECT distinct(user) FROM cpu GROUP BY time(60s)",
+        "SELECT elapsed(user) FROM cpu GROUP BY host",
+        "SELECT elapsed(user) FROM cpu",
+        "SELECT sample(user, 2) FROM cpu",
+        "SELECT top(user, 2) FROM cpu LIMIT 1",
     ],
 )
 def test_chunked_equals_unchunked_sweep(engine, q):
