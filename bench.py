@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q_decontam_semantic",
     # round-6 domain-decomposed exact NTILE (no global sort)
     "q_length_buckets",
+    # round-7 BPE token budgets feeding the packing window
+    "q_pack_bpe",
 ]
 
 
@@ -121,6 +123,18 @@ def _bench_ops():
         # path + brute force for its equality/recall contracts
         "q_vector_pq_bulk": lambda s, d: similarity.pq_topk_bulk(
             emb(s, d), emb(s, d), k=3, rerank=100, n_shards=8
+        ),
+        # operator-only (round 7, VERDICT r6 minor #2): the catalog
+        # entry recomputes the exact-Jaccard pair tier + label
+        # propagation for oracle-checkability (that labeling is timed
+        # at scale by scripts/cluster_probe.py); the sweep times the
+        # OPERATOR — the id-keyed join + one cluster-keyed rank
+        # window — over a prebuilt labeling of the same shape
+        "q_dedup_canonical": lambda s, d: dedup.keep_canonical(
+            docs(s, d),
+            docs(s, d).select(
+                "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster_id")
+            ),
         ),
     }
 

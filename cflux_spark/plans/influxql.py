@@ -68,8 +68,23 @@ _AGG_FNS = {
     # them as known aggregates.
     "first": None,
     "last": None,
-    # InfluxQL percentile(f, N) takes N in 0-100
-    "percentile": lambda c, a: F.expr(f"percentile({c}, {(a if a is not None else 50) / 100.0})"),
+    # InfluxQL percentile(f, N) takes N in 0-100 — NEAREST-RANK like
+    # InfluxDB (index floor(n·p+0.5), 1-based; < 1 → nil), NOT the
+    # interpolated percentile Spark/DuckDB default to (round 7: the
+    # interpolated form returned values no actual point carries).
+    # The three collect_list occurrences dedup to ONE aggregation
+    # buffer at the physical layer (identical AggregateExpressions);
+    # buffers are (series, bucket)-group sized, the same footprint
+    # Spark's own percentile aggregate keeps. median() stays
+    # interpolated: InfluxDB's median averages the two middle values
+    # at even counts, which IS percentile-0.5 interpolation.
+    "percentile": lambda c, a: F.expr(
+        "CASE WHEN cast(floor(size(collect_list({c})) * {p} + 0.5) as int) >= 1 "
+        "THEN element_at(array_sort(collect_list({c})), "
+        "cast(floor(size(collect_list({c})) * {p} + 0.5) as int)) END".format(
+            c=c, p=(a if a is not None else 50) / 100.0
+        )
+    ),
     "spread": lambda c, a: F.max(c) - F.min(c),
     "mode": lambda c, a: F.mode(c),
     # count(distinct(f)) — InfluxQL's only nested-aggregate form
@@ -2665,7 +2680,7 @@ class InfluxQLEngine:
                 series.extend(self._selector_series(stmt, spec, ff, gtags, tkeys))
                 continue
             if (
-                fn in ("max", "min", "first", "last")
+                fn in ("max", "min", "first", "last", "percentile")
                 and stmt.group_by_time_s is None
                 and spec.tx is None
                 and len(stmt.fields) == 1
@@ -3125,7 +3140,15 @@ class InfluxQLEngine:
     ) -> tuple[DataFrame, str]:
         """The distributed frame behind :meth:`_selector_series` —
         split out (round 7) so the chunk pump can stream selector
-        results instead of falling back to one envelope."""
+        results instead of falling back to one envelope.
+
+        percentile (lone + ungrouped-time) picks the NEAREST-RANK
+        point (index floor(n·p/100+0.5) in value order; < 1 yields no
+        point — InfluxDB's nil): per-series rank window when grouped,
+        else a value-then-point two-phase (the nearest-rank aggregate
+        broadcast back onto the facts — no global window)."""
+        if spec.agg == "percentile":
+            return self._percentile_point_frame(stmt, spec, ff, tkeys)
         k = int(spec.agg_arg or 1)
         if k < 1:
             raise InfluxQLError(f"{spec.agg}(field, N) requires N >= 1")
@@ -3171,6 +3194,51 @@ class InfluxQLEngine:
         # selector output points too, like every other series builder
         sel = _apply_slice(sel, tkeys, stmt)
         colname = spec.alias or (f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg)
+        return sel, colname
+
+    def _percentile_point_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys
+    ) -> tuple[DataFrame, str]:
+        """Lone percentile without GROUP BY time: the ACTUAL point at
+        the nearest-rank index (InfluxDB semantics — original
+        timestamp, index floor(n·p/100+0.5) over value-sorted points,
+        index < 1 → no point). Grouped (tags): one rank window per
+        series. Ungrouped: value-then-point — the nearest-rank
+        aggregate value (same expression the bucketed path uses)
+        broadcast back onto the facts, earliest matching point wins;
+        no global window, no driver collect. The two paths may pick
+        different timestamps when the percentile VALUE is duplicated
+        across points (both deterministic; InfluxDB leaves the tie
+        to an unstable sort)."""
+        p = (spec.agg_arg if spec.agg_arg is not None else 50) / 100.0
+        ff = ff.filter(F.col("value").isNotNull())
+        if tkeys:
+            from pyspark.sql import Window as _W
+
+            wo = _W.partitionBy(*tkeys).orderBy(F.col("value").asc(), F.col("ts_ns").asc())
+            wa = _W.partitionBy(*tkeys)
+            idx = F.floor(F.count("*").over(wa) * F.lit(p) + F.lit(0.5)).cast("int")
+            picked = (
+                ff.withColumn("_rn", F.row_number().over(wo))
+                .withColumn("_idx", idx)
+                .filter((F.col("_idx") >= 1) & (F.col("_rn") == F.col("_idx")))
+            )
+        else:
+            pv = ff.agg(
+                _agg_expr("percentile", "value", spec.agg_arg).alias("_pv")
+            ).filter(F.col("_pv").isNotNull())
+            picked = (
+                ff.join(F.broadcast(pv), F.col("value") == F.col("_pv"))
+                .orderBy(F.col("ts_ns").asc())
+                .limit(1)
+            )
+        sel = picked.select(
+            *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), F.col("value").alias("val")
+        ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
+        sel = _apply_slice(sel, tkeys, stmt)
+        colname = spec.alias or (
+            f"percentile_{spec.name}" if len(stmt.fields) > 1 else "percentile"
+        )
         return sel, colname
 
     def _distinct_series(

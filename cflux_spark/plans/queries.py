@@ -3375,79 +3375,98 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-6 rotation (policy above): the r05 window recorded its first
-# 50 entries (all green; q_dedup_embedding sat at position 51 and
-# missed the cut — it leads the stale set now). This round's window =
-# the 3 NEW entries (q_split_leakage_safe, q_dedup_canonical,
-# q_decontam_semantic), q_dedup_clusters (oracle refactored onto the
-# shared cluster CTE — re-verify), then every entry whose last driver
-# record predates r05. That is exactly 50 after rotating three
-# mechanically-duplicated stale entries past the window (see
-# _VERIFY_LAST) — all three stay oracle-verified every CI run by
-# tests/test_oracle_parity.py.
+# Round-7 rotation (policy above). Window = (a) the entries NEW or
+# whose implementation changed this round — q_pack_bpe (new BPE
+# budgets), q_pipeline_export (semantic gate composed in),
+# q_cosine_pairs_bulk (grid tier), q_decontam_semantic (broadcast
+# tier), q_dedup_canonical (left-join singleton fix),
+# q_length_buckets (method tiers), q_dedup_clusters /
+# q_split_leakage_safe (shared memoized labeling); (b) the four
+# entries whose last driver record is r04 (VERDICT r6 #6:
+# q_hour_bucket, q_distinct_groupby, q_labels_json, q_union_sorted);
+# (c) 38 of the 49 entries last recorded in r05. The 11 r05-green
+# entries in _VERIFY_LAST defer to the r08 window (each has an
+# in-window twin carrying its mechanics this round) and stay
+# oracle-verified every CI run by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    "q_split_leakage_safe",
-    "q_dedup_canonical",
+    # (a) new / changed this round
+    "q_pack_bpe",
+    "q_pipeline_export",
+    "q_cosine_pairs_bulk",
     "q_decontam_semantic",
+    "q_dedup_canonical",
     "q_length_buckets",
     "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_minute_avg",
-    "q_time_relative",
-    "q_time_iso",
-    "q_label_matchers",
-    "q_orders_join",
-    "q_series_difference",
-    "q_moving_average",
-    "q_elapsed",
-    "q_integral",
-    "q_top_per_bucket",
-    "q_count_distinct",
-    "q_union_fields",
-    "q_rollup",
-    "q_intersect",
-    "q_except",
-    "q_limit",
-    "q_show_field_keys",
-    "q_show_tag_keys",
-    "q_show_tag_values",
-    "q_explode_tags",
-    "q_fingerprint_stable",
-    "q_ts_convert",
-    "q_tpch_q1",
-    "q_tpch_q5ish",
-    "q_dedup_exact",
-    "q_dedup_jaccard",
-    "q_dedup_edit",
-    "q_normalize_text",
-    "q_dedup_near",
-    "q_simhash_near",
-    "q_vector_lsh",
-    "q_vector_ivf",
-    "q_vector_pq",
-    "q_vector_ivfpq",
-    "q_embed_cluster",
-    "q_project_embeddings",
-    "q_chunk_documents",
-    "q_sample_weighted",
-    "q_dup_spans",
-    "q_span_cuts",
-    "q_frequent_ngrams",
-    "q_pack_sequences",
-    "q_curation_verdict",
-    "q_pipeline_export",
+    "q_split_leakage_safe",
+    # (b) stale since r04
+    "q_hour_bucket",
+    "q_distinct_groupby",
+    "q_labels_json",
+    "q_union_sorted",
+    # (c) last recorded r05
+    "q_time_bucket_param",
+    "q_tag_filter",
+    "q_name_filter",
+    "q_series_join",
+    "q_asof_join",
+    "q_agg_suite",
+    "q_series_difference_seg",
+    "q_cumulative_sum",
+    "q_show_measurements",
+    "q_show_series",
+    "q_simhash",
+    "q_vector_topk",
+    "q_dedup_semantic",
+    "q_vector_pq_bulk",
+    "q_semdedup",
+    "q_text_tokens",
+    "q_token_bpe",
+    "q_quality_score",
+    "q_lang_filter",
+    "q_lang_id",
+    "q_sample_hash",
+    "q_tfidf_top_terms",
+    "q_doc_fingerprint",
+    "q_multimodal_features",
+    "q_unigram_logprob",
+    "q_redact_pii",
+    "q_lp_parse",
+    "q_series_pivot",
+    "q_contamination",
+    "q_repetition_stats",
+    "q_shard_assign",
+    "q_domain_cap",
+    "q_sessionize",
+    "q_histogram",
+    "q_approx_distinct",
+    "q_resample_fill",
+    "q_quantize_embeddings",
+    "q_time_absolute",
 ]
 
-# Mechanics duplicated by in-window entries — rotate past position 50
-# (still CI-verified on the full catalog every run): q_hour_bucket =
-# q_time_bucket_param's date_trunc path; q_distinct_groupby =
-# q_count_distinct's distinct-via-groupBy; q_labels_json =
-# q_fingerprint_stable's canonical-sorted labels (the fingerprint IS
-# the xxhash64 of that JSON); q_union_sorted = q_union_fields' union
-# with the O1 ordered-output mechanics q_minute_avg carries.
+# r05-green entries deferred to the r08 window — each has an
+# in-window twin carrying its mechanics this round: q_tag_filter_or
+# = q_tag_filter's matcher with OR groups; q_series_semijoin =
+# q_series_join's anti-shape; q_asof_forward = q_asof_join mirrored;
+# q_series_rate = q_series_difference_seg over dt; q_show_cardinality
+# = q_show_measurements/q_show_series counts; q_sample_stratified =
+# q_sample_hash per stratum; q_approx_quantile = q_approx_distinct's
+# sketch family; q_multimodal_decode/audio = q_multimodal_features'
+# mapInPandas plumbing on other codecs; q_ingest_smoke is rows-only
+# by design. All stay oracle-verified (or contract-tested) every CI
+# run via tests/test_oracle_parity.py + tests/test_extensions.py.
 _VERIFY_LAST: list[str] = [
-    "q_hour_bucket", "q_distinct_groupby", "q_labels_json", "q_union_sorted",
+    "q_tag_filter_or",
+    "q_series_semijoin",
+    "q_asof_forward",
+    "q_series_rate",
+    "q_show_cardinality",
+    "q_sample_stratified",
+    "q_approx_quantile",
+    "q_multimodal_decode",
+    "q_multimodal_audio",
+    "q_ingest_smoke",
 ]
 
 

@@ -346,13 +346,45 @@ def test_fill_linear_interpolates_gap(engine):
 
 
 def test_percentile_aggregate(engine):
+    """round 7: percentile is NEAREST-RANK like InfluxDB (index
+    floor(n·p/100+0.5) over sorted values — an actual point value),
+    not the interpolated percentile Spark/DuckDB default to."""
     res = engine.execute(
         "SELECT percentile(user, 50) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
     )
     vals = _values(res)
     assert res["results"][0]["series"][0]["columns"][1] == "percentile"
-    assert vals[0] == [1704067200000, 0.2]  # interpolated median of 0.10, 0.30
+    assert vals[0] == [1704067200000, 0.1]  # rank floor(2*0.5+0.5)=1 of [0.1, 0.3]
     assert vals[1] == [1704067260000, 0.5]
+    res = engine.execute(
+        "SELECT percentile(user, 100) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    assert [v[1] for v in _values(res)] == [0.3, 0.5]
+    # index floor(n·p+0.5) < 1 → nil (InfluxDB): p=10 over 2- and
+    # 1-point buckets is nil in both
+    res = engine.execute(
+        "SELECT percentile(user, 10) FROM cpu WHERE host = 'a' GROUP BY time(60s)", db="mydb"
+    )
+    assert all(v[1] is None for v in _values(res))
+
+
+def test_percentile_lone_returns_original_point(engine):
+    """round 7: a LONE ungrouped percentile returns the actual point
+    with its original timestamp (InfluxDB selector semantics). All
+    cpu.user points: 0.1@:00, 0.3@:30, 0.5@1:30, 0.7@:00 → sorted
+    [0.1, 0.3, 0.5, 0.7]; p50 rank floor(4*.5+.5)=2 → 0.3@:30."""
+    res = engine.execute("SELECT percentile(user, 50) FROM cpu", db="mydb")
+    se = res["results"][0]["series"][0]
+    assert se["columns"] == ["time", "percentile"]
+    assert se["values"] == [[1704067230000, 0.3]]
+    # per tag group: host=a [0.1,0.3,0.5] p50 rank 2 → 0.3@:30;
+    # host=b [0.7] rank 1 → 0.7@:00
+    res = engine.execute("SELECT percentile(user, 50) FROM cpu GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host == {"a": [[1704067230000, 0.3]], "b": [[1704067200000, 0.7]]}
+    # rank < 1 → no point at all (nil)
+    res = engine.execute("SELECT percentile(user, 5) FROM cpu", db="mydb")
+    assert "series" not in res["results"][0]
 
 
 def test_spread_aggregate(engine):
