@@ -128,6 +128,52 @@ _TX_FNS = {
     "cumulative_sum",
 }
 
+# InfluxQL technical-analysis transforms (round 7) — per-series
+# recurrences/rolling windows implemented by operators/ta.py on the
+# segmented linear-recurrence scan. The reference engine answers none
+# of these (cflux.js has no transform functions at all).
+from cflux_spark.operators.ta import TA_FNS as _TA_FNS  # noqa: E402
+
+# EMA-family functions accept an optional quoted warmup type
+_TA_WARMUP_FNS = {
+    "exponential_moving_average",
+    "double_exponential_moving_average",
+    "triple_exponential_moving_average",
+    "triple_exponential_derivative",
+}
+
+
+def _parse_ta_args(fn: str, argstr: str | None, raw: str) -> tuple[int, str | None]:
+    """Parse the argument tail of a TA function: period N, then an
+    optional quoted warmup type (EMA family only). A numeric third
+    argument is InfluxDB's HOLD_PERIOD — rejected loudly rather than
+    half-supported."""
+    if not argstr:
+        raise InfluxQLError(f"{fn}(field, N) requires a period: {raw!r}")
+    parts = [a.strip() for a in argstr.split(",")]
+    if not re.fullmatch(r"\d+", parts[0]):
+        raise InfluxQLError(f"{fn}(field, N) requires an integer period: {raw!r}")
+    n = int(parts[0])
+    if n < 1:
+        raise InfluxQLError(f"{fn} period must be >= 1: {raw!r}")
+    warmup: str | None = None
+    for extra in parts[1:]:
+        qm = re.fullmatch(r"'([^']*)'|\"([^\"]*)\"", extra)
+        if qm:
+            w = (qm.group(1) or qm.group(2)).lower()
+            if fn not in _TA_WARMUP_FNS:
+                raise InfluxQLError(f"{fn} does not take a warmup type: {raw!r}")
+            if w not in ("exponential", "simple"):
+                raise InfluxQLError(
+                    f"unsupported warmup type {w!r} (exponential|simple): {raw!r}"
+                )
+            warmup = w
+        elif re.fullmatch(r"-?\d+", extra):
+            raise InfluxQLError(f"{fn}: HOLD_PERIOD is not supported: {raw!r}")
+        else:
+            raise InfluxQLError(f"bad argument {extra!r} in {raw!r}")
+    return n, warmup
+
 # InfluxQL math scalar functions — pointwise over a raw field
 # (``SELECT abs(v) FROM m``) or over an aggregate
 # (``SELECT round(mean(v)) FROM m GROUP BY time(1m)``). All JVM
@@ -178,6 +224,9 @@ class FieldSpec(NamedTuple):
     #: ``host::tag`` — a tag selected as a per-point column (round 5);
     #: legal only alongside raw fields
     tag: bool = False
+    #: EMA-family warmup type (round 7 TA functions): 'exponential'
+    #: (InfluxDB default) or 'simple'
+    tx_warmup: str | None = None
 
 
 def _has_top_level_arith(s: str) -> bool:
@@ -838,6 +887,21 @@ def parse_select(q: str) -> SelectStmt:
         ):
             fields.append(FieldSpec("count_distinct", _unquote(tm2.group(3))))
             continue
+        if tm2 and tm2.group(1).lower() in _TA_FNS:
+            # ta(agg(field[, agg_arg]), N[, 'warmup']) — TA transform
+            # over a bucketed aggregate (GROUP BY time), round 7
+            tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
+            if inner not in _AGG_FNS:
+                raise InfluxQLError(f"unsupported aggregate {inner!r} under {tx}()")
+            iargs = [a.strip() for a in tm2.group(3).split(",")] if tm2.group(3) else []
+            if not iargs:
+                raise InfluxQLError(f"missing field in {raw!r}")
+            agg_arg = float(iargs[1]) if len(iargs) > 1 else None
+            n, warmup = _parse_ta_args(tx, tm2.group(4), raw)
+            fields.append(
+                FieldSpec(inner, _unquote(iargs[0]), agg_arg, tx, float(n), tx_warmup=warmup)
+            )
+            continue
         if tm2 and tm2.group(1).lower() in _TX_FNS | set(_MATH_FNS):
             tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
             if inner not in _AGG_FNS:
@@ -857,6 +921,13 @@ def parse_select(q: str) -> SelectStmt:
         if fm:
             fn = fm.group(1).lower()
             args = [a.strip() for a in fm.group(2).split(",")]
+            if fn in _TA_FNS:
+                # ta(field, N[, 'warmup']) over RAW points (round 7)
+                n, warmup = _parse_ta_args(fn, ", ".join(args[1:]) or None, raw)
+                fields.append(
+                    FieldSpec(None, _unquote(args[0]), None, fn, float(n), tx_warmup=warmup)
+                )
+                continue
             if fn in _TX_FNS:
                 # transforms over RAW points (no inner aggregate):
                 # derivative(v[, unit]), difference(v), cumulative_sum(v),
@@ -2698,7 +2769,11 @@ class InfluxQLEngine:
             if fn == "distinct":
                 series.extend(self._distinct_series(stmt, spec, ff, gtags, tkeys))
                 continue
-            if fn is None and spec.tx in _TX_FNS and stmt.group_by_time_s is None:
+            if (
+                fn is None
+                and (spec.tx in _TX_FNS or spec.tx in _TA_FNS)
+                and stmt.group_by_time_s is None
+            ):
                 series.extend(self._raw_transform_series(stmt, spec, ff, gtags, tkeys))
                 continue
             if fn is None and stmt.group_by_time_s is None:
@@ -3055,7 +3130,19 @@ class InfluxQLEngine:
 
         base = ff.filter(F.col("value").isNotNull())
         v = F.col("value")
-        if spec.tx == "cumulative_sum" and not tkeys:
+        if spec.tx in _TA_FNS:
+            # round 7: TA transforms over raw points — per-series
+            # recurrence/rolling window via operators/ta.py (grouped:
+            # per-series windows + segmented scan; ungrouped: the
+            # merged-series segmented machinery throughout)
+            from cflux_spark.operators.ta import ta_transform
+
+            sel = ta_transform(
+                base, tkeys, "ts_ns", "value", spec.tx, int(spec.tx_arg or 0),
+                warmup=spec.tx_warmup or "exponential",
+            )
+            sel = sel.withColumn("_v", F.round(F.col("_ta"), 6)).drop("_ta")
+        elif spec.tx == "cumulative_sum" and not tkeys:
             # unbounded frame over the merged series: two-phase segment
             # prefix sum — no single-partition WindowExec over raw
             # points (VERDICT r4 weak #2)
@@ -3563,6 +3650,18 @@ class InfluxQLEngine:
             grouped = grouped.withColumn(
                 "val", F.round(_MATH_FNS[spec.tx](F.col("val"), spec.tx_arg), 6)
             )
+        elif spec.tx in _TA_FNS:
+            # round 7: TA transform over the bucketed (and filled)
+            # aggregate series — fill(0)/fill(previous) values feed
+            # the recurrence like InfluxDB's; fill(null) grid rows
+            # are skipped (ta_transform drops null values)
+            from cflux_spark.operators.ta import ta_transform
+
+            grouped = ta_transform(
+                grouped, tkeys, "ts_ms", "val", spec.tx, int(spec.tx_arg or 0),
+                warmup=spec.tx_warmup or "exponential", segment_span=3600 * 1000,
+            )
+            grouped = grouped.withColumn("val", F.round(F.col("_ta"), 6)).drop("_ta")
         elif spec.tx:
             # transforms run per output series, over the bucketed
             # (and filled) values, ordered by time — a per-series

@@ -203,3 +203,142 @@ def test_rejects_bad_args(frames):
         ta_transform(df, ["k"], "ts", "v", "not_a_fn", 5)
     with pytest.raises(ValueError):
         ta_transform(df, ["k"], "ts", "v", "exponential_moving_average", 5, warmup="none")
+
+
+# ---------------------------------------------------------------- engine
+
+from cflux_spark.plans.influxql import InfluxQLEngine, InfluxQLError
+from cflux_spark.sources.ingest import LPStore
+
+_T0 = 1704067200_000_000_000  # 2024-01-01T00:00:00Z
+
+
+@pytest.fixture(scope="module")
+def ta_engine(spark, tmp_path_factory):
+    rng = np.random.default_rng(11)
+    root = str(tmp_path_factory.mktemp("ta"))
+    store = LPStore(spark, root, db="tadb")
+    lines = []
+    vals = {"a": [], "b": []}
+    for i in range(40):
+        for host in ("a", "b"):
+            v = round(float(rng.normal(10, 3)), 3)
+            vals[host].append(v)
+            # 15 s spacing, host=b shifted 1 s so the merged series
+            # interleaves deterministically
+            ts = _T0 + i * 15_000_000_000 + (1_000_000_000 if host == "b" else 0)
+            lines.append(f"px,host={host} v={v} {ts}")
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    store.write_batch(df)
+    return InfluxQLEngine(spark, root), vals
+
+
+def _series_vals(res, i=0):
+    return [v[1] for v in res["results"][0]["series"][i]["values"]]
+
+
+def test_engine_ema_grouped_by_tag(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute(
+        "SELECT exponential_moving_average(v, 5) FROM px GROUP BY host", db="tadb"
+    )
+    assert res["results"][0]["series"][0]["columns"][1] == "exponential_moving_average"
+    by_host = {s["tags"]["host"]: [v[1] for v in s["values"]] for s in res["results"][0]["series"]}
+    for h in ("a", "b"):
+        np.testing.assert_allclose(by_host[h], np.round(_ema_ref(vals[h], 5), 6), atol=1e-6)
+
+
+def test_engine_ema_ungrouped_merges_series(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute("SELECT exponential_moving_average(v, 5) FROM px", db="tadb")
+    merged = [x for pair in zip(vals["a"], vals["b"]) for x in pair]  # a then b per step
+    np.testing.assert_allclose(
+        _series_vals(res), np.round(_ema_ref(merged, 5), 6), atol=1e-6
+    )
+
+
+def test_engine_ema_simple_warmup(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute(
+        "SELECT exponential_moving_average(v, 5, 'simple') FROM px WHERE host = 'a'",
+        db="tadb",
+    )
+    np.testing.assert_allclose(
+        _series_vals(res), np.round(_ema_ref(vals["a"], 5, "simple"), 6), atol=1e-6
+    )
+
+
+def test_engine_rsi_over_bucketed_mean(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute(
+        "SELECT relative_strength_index(mean(v), 3) FROM px WHERE host = 'a' "
+        "GROUP BY time(60s)",
+        db="tadb",
+    )
+    # 60 s buckets over 15 s spacing -> mean of 4 points per bucket
+    means = [float(np.mean(vals["a"][i : i + 4])) for i in range(0, 40, 4)]
+    means = [round(m, 6) for m in means]  # engine rounds bucket values
+    np.testing.assert_allclose(
+        _series_vals(res), np.round(_rsi_ref(means, 3), 6), atol=1e-5
+    )
+
+
+def test_engine_kama_and_cmo_raw(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute(
+        "SELECT kaufmans_adaptive_moving_average(v, 6) FROM px WHERE host = 'b'",
+        db="tadb",
+    )
+    np.testing.assert_allclose(
+        _series_vals(res), np.round(_kama_ref(np.array(vals["b"]), 6), 6), atol=1e-5
+    )
+    res = eng.execute(
+        "SELECT chande_momentum_oscillator(v, 6) FROM px WHERE host = 'b'", db="tadb"
+    )
+    np.testing.assert_allclose(
+        _series_vals(res), np.round(_cmo_ref(np.array(vals["b"]), 6), 6), atol=1e-5
+    )
+
+
+def test_engine_ta_alias_and_timestamps(ta_engine):
+    eng, vals = ta_engine
+    res = eng.execute(
+        "SELECT triple_exponential_derivative(v, 4) AS trix FROM px WHERE host = 'a'",
+        db="tadb",
+    )
+    se = res["results"][0]["series"][0]
+    assert se["columns"] == ["time", "trix"]
+    # TRIX emits from the 2nd point, at the points' own timestamps
+    assert se["values"][0][0] == (_T0 + 15_000_000_000) // 1_000_000
+    e3 = _ema_ref(_ema_ref(_ema_ref(vals["a"], 4), 4), 4)
+    exp = [(e3[i] / e3[i - 1] - 1) * 100 for i in range(1, len(e3))]
+    np.testing.assert_allclose([v[1] for v in se["values"]], np.round(exp, 6), atol=1e-5)
+
+
+def test_engine_ta_chunked_matches_unchunked(ta_engine):
+    eng, _ = ta_engine
+    q = "SELECT exponential_moving_average(mean(v), 5) FROM px GROUP BY time(60s), host"
+    plain = eng.execute(q, db="tadb")
+    chunks = list(eng.execute_chunked(q, db="tadb", chunk_size=3))
+    merged = {}
+    for c in chunks:
+        for s in c["results"][0].get("series", []):
+            key = (s["name"], tuple(sorted((s.get("tags") or {}).items())))
+            merged.setdefault(key, []).extend(s["values"])
+    plain_map = {
+        (s["name"], tuple(sorted((s.get("tags") or {}).items()))): s["values"]
+        for s in plain["results"][0]["series"]
+    }
+    assert merged == plain_map
+
+
+def test_engine_ta_rejections(ta_engine):
+    eng, _ = ta_engine
+    with pytest.raises(InfluxQLError, match="HOLD_PERIOD"):
+        eng.execute("SELECT exponential_moving_average(v, 5, 3) FROM px", db="tadb")
+    with pytest.raises(InfluxQLError, match="warmup"):
+        eng.execute("SELECT relative_strength_index(v, 5, 'simple') FROM px", db="tadb")
+    with pytest.raises(InfluxQLError, match="warmup"):
+        eng.execute("SELECT exponential_moving_average(v, 5, 'none') FROM px", db="tadb")
+    with pytest.raises(InfluxQLError, match="period"):
+        eng.execute("SELECT kaufmans_efficiency_ratio(v) FROM px", db="tadb")
