@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "q_length_buckets",
     # round-7 BPE token budgets feeding the packing window
     "q_pack_bpe",
+    # round-7 technical-analysis recurrences (segmented linear scan;
+    # one key for the family — EMA is the recurrence primitive the
+    # other seven compose)
+    "q_ta_ema",
 ]
 
 

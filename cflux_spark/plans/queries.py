@@ -651,6 +651,165 @@ def q_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- technical analysis (r7)
+# InfluxDB 1.8 TA transform surface (operators/ta.py on the segmented
+# linear-recurrence scan — absent from the reference; cflux.js has no
+# transform functions). All three run over HOURLY integer-cents means
+# per event_type so the recurrence inputs are bit-identical on both
+# engines; the oracles replay the recurrences as recursive CTEs with
+# the same floating-point operation shapes ((1-a)*e + a*v etc.), so
+# round-6 values agree. Ordering by epoch-ms keeps each ~720-point
+# series inside ONE scan segment (span 3.6e12 covers any ms epoch),
+# i.e. the per-series fold is literally sequential here; segmentation
+# kicks in for ns-ordered raw points (tests/test_ta.py covers those).
+
+_HOURLY_SQL = """
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS mv
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _hourly_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mv"))
+    return h.withColumn("_oc", F.unix_millis("hour"))
+
+
+@q(
+    "q_ta_ema",
+    f"""
+    WITH RECURSIVE h AS ({_HOURLY_SQL}),
+    r AS (
+      SELECT event_type, hour, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      FROM h
+    ),
+    e AS (
+      SELECT event_type, hour, mv, t, mv AS ema FROM r WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, r.hour, r.mv, r.t,
+             (1.0 - 2.0 / (least(r.t, 10) + 1.0)) * e.ema
+               + (2.0 / (least(r.t, 10) + 1.0)) * r.mv
+      FROM e JOIN r ON r.event_type = e.event_type AND r.t = e.t + 1
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, round(ema, 6) AS ema
+    FROM e
+    """,
+)
+def q_ta_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL_MOVING_AVERAGE(mv, 10) per event_type over hourly
+    means — InfluxDB warmup semantics (alpha_t = 2/(min(t,10)+1), so
+    every point emits and the first IS the seed). Oracle replays
+    e = (1-a)*e' + a*v as a recursive CTE with the identical fp shape
+    (a*e' and a*v each rounded once, one add)."""
+    from cflux_spark.operators import ta
+
+    h = _hourly_means(spark, sf_dir)
+    out = ta.ta_transform(h, ["event_type"], "_oc", "mv", "exponential_moving_average", 10)
+    return out.select(
+        "event_type", "hour", F.round(F.col("_ta"), 6).alias("ema")
+    )
+
+
+@q(
+    "q_ta_rsi",
+    f"""
+    WITH RECURSIVE h AS ({_HOURLY_SQL}),
+    r AS (
+      SELECT event_type, hour, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      FROM h
+    ),
+    d AS (
+      SELECT event_type, hour, t - 1 AS u,
+             greatest(mv - lag(mv) OVER w, 0) AS g,
+             greatest(lag(mv) OVER w - mv, 0) AS lo
+      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+      QUALIFY t >= 2
+    ),
+    s AS (
+      SELECT event_type, hour, u, g, lo,
+             avg(g) OVER wn AS mg, avg(lo) OVER wn AS ml
+      FROM d
+      WINDOW wn AS (PARTITION BY event_type ORDER BY u
+                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    w AS (
+      SELECT event_type, hour, u, mg AS ag, ml AS al FROM s WHERE u = 14
+      UNION ALL
+      SELECT d.event_type, d.hour, d.u,
+             w.ag * (13.0 / 14.0) + d.g / 14.0,
+             w.al * (13.0 / 14.0) + d.lo / 14.0
+      FROM w JOIN d ON d.event_type = w.event_type AND d.u = w.u + 1
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+           round(CASE WHEN al = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+    FROM w
+    """,
+)
+def q_ta_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE_STRENGTH_INDEX(mv, 14): Wilder-smoothed gain/loss
+    averages seeded with the first-14 simple means, emitting from the
+    15th point. Oracle replays the Wilder recurrence as a recursive
+    CTE; the lone windowed-avg seed is the only place engine summation
+    order could differ (last-ulp, absorbed by round-6)."""
+    from cflux_spark.operators import ta
+
+    h = _hourly_means(spark, sf_dir)
+    out = ta.ta_transform(h, ["event_type"], "_oc", "mv", "relative_strength_index", 14)
+    return out.select(
+        "event_type", "hour", F.round(F.col("_ta"), 6).alias("rsi")
+    )
+
+
+@q(
+    "q_ta_cmo",
+    f"""
+    WITH h AS ({_HOURLY_SQL}),
+    r AS (
+      SELECT event_type, hour, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      FROM h
+    ),
+    d AS (
+      SELECT event_type, hour, t - 1 AS u,
+             greatest(mv - lag(mv) OVER w, 0) AS g,
+             greatest(lag(mv) OVER w - mv, 0) AS lo
+      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+      QUALIFY t >= 2
+    ),
+    s AS (
+      SELECT event_type, hour, u,
+             sum(g) OVER wn AS sg, sum(lo) OVER wn AS sl
+      FROM d
+      WINDOW wn AS (PARTITION BY event_type ORDER BY u
+                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour,
+           round(CASE WHEN sg + sl = 0 THEN 0.0
+                      ELSE 100.0 * (sg - sl) / (sg + sl) END, 6) AS cmo
+    FROM s WHERE u >= 10
+    """,
+)
+def q_ta_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANDE_MOMENTUM_OSCILLATOR(mv, 10): rolling 10-step gain/loss
+    sums (pure JVM sliding windows, no recurrence), emitting once a
+    full window of differences exists."""
+    from cflux_spark.operators import ta
+
+    h = _hourly_means(spark, sf_dir)
+    out = ta.ta_transform(h, ["event_type"], "_oc", "mv", "chande_momentum_oscillator", 10)
+    return out.select(
+        "event_type", "hour", F.round(F.col("_ta"), 6).alias("cmo")
+    )
+
+
 @q(
     "q_top_per_bucket",
     """
@@ -3390,7 +3549,13 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    # (a) new / changed this round
+    # (a) new / changed this round (TA transforms land ahead of the
+    # r05 backlog; the 3 entries they displace from the 50-row window
+    # — q_resample_fill, q_quantize_embeddings, q_time_absolute —
+    # move to the r08 head and stay CI-parity-checked meanwhile)
+    "q_ta_ema",
+    "q_ta_rsi",
+    "q_ta_cmo",
     "q_pack_bpe",
     "q_pipeline_export",
     "q_cosine_pairs_bulk",
