@@ -134,6 +134,10 @@ _TX_FNS = {
 # of these (cflux.js has no transform functions at all).
 from cflux_spark.operators.ta import TA_FNS as _TA_FNS  # noqa: E402
 
+# InfluxQL predictive functions (round 7) — per-series Holt-Winters
+# fit + forecast over bucketed aggregates (operators/forecast.py)
+from cflux_spark.operators.forecast import FORECAST_FNS as _FORECAST_FNS  # noqa: E402
+
 # EMA-family functions accept an optional quoted warmup type
 _TA_WARMUP_FNS = {
     "exponential_moving_average",
@@ -227,6 +231,9 @@ class FieldSpec(NamedTuple):
     #: EMA-family warmup type (round 7 TA functions): 'exponential'
     #: (InfluxDB default) or 'simple'
     tx_warmup: str | None = None
+    #: second transform argument (round 7): HOLT_WINTERS seasonal
+    #: pattern length S in holt_winters(agg(f), N, S)
+    tx_arg2: float | None = None
 
 
 def _has_top_level_arith(s: str) -> bool:
@@ -887,6 +894,32 @@ def parse_select(q: str) -> SelectStmt:
         ):
             fields.append(FieldSpec("count_distinct", _unquote(tm2.group(3))))
             continue
+        if tm2 and tm2.group(1).lower() in _FORECAST_FNS:
+            # holt_winters[_with_fit](agg(field[, agg_arg]), N, S) —
+            # fit + forecast over the bucketed aggregate (round 7)
+            tx, inner = tm2.group(1).lower(), tm2.group(2).lower()
+            if inner not in _AGG_FNS:
+                raise InfluxQLError(f"unsupported aggregate {inner!r} under {tx}()")
+            iargs = [a.strip() for a in tm2.group(3).split(",")] if tm2.group(3) else []
+            if not iargs:
+                raise InfluxQLError(f"missing field in {raw!r}")
+            agg_arg = float(iargs[1]) if len(iargs) > 1 else None
+            hw_args = [a.strip() for a in tm2.group(4).split(",")] if tm2.group(4) else []
+            if len(hw_args) != 2 or not all(re.fullmatch(r"\d+", a) for a in hw_args):
+                raise InfluxQLError(
+                    f"{tx}(agg(field), N, S) takes integer N (points to "
+                    f"predict) and S (seasonal pattern): {raw!r}"
+                )
+            n_pred, season = int(hw_args[0]), int(hw_args[1])
+            if n_pred < 1:
+                raise InfluxQLError(f"{tx} N must be >= 1: {raw!r}")
+            fields.append(
+                FieldSpec(
+                    inner, _unquote(iargs[0]), agg_arg, tx, float(n_pred),
+                    tx_arg2=float(season),
+                )
+            )
+            continue
         if tm2 and tm2.group(1).lower() in _TA_FNS:
             # ta(agg(field[, agg_arg]), N[, 'warmup']) — TA transform
             # over a bucketed aggregate (GROUP BY time), round 7
@@ -921,6 +954,11 @@ def parse_select(q: str) -> SelectStmt:
         if fm:
             fn = fm.group(1).lower()
             args = [a.strip() for a in fm.group(2).split(",")]
+            if fn in _FORECAST_FNS:
+                raise InfluxQLError(
+                    f"{fn} requires an aggregate and GROUP BY time(): "
+                    f"{fn}(mean(field), N, S) — got {raw!r}"
+                )
             if fn in _TA_FNS:
                 # ta(field, N[, 'warmup']) over RAW points (round 7)
                 n, warmup = _parse_ta_args(fn, ", ".join(args[1:]) or None, raw)
@@ -3650,6 +3688,24 @@ class InfluxQLEngine:
             grouped = grouped.withColumn(
                 "val", F.round(_MATH_FNS[spec.tx](F.col("val"), spec.tx_arg), 6)
             )
+        elif spec.tx in _FORECAST_FNS:
+            # round 7: Holt-Winters fit + forecast over the bucketed
+            # (and filled) aggregate series — forecast rows extend
+            # past the last bucket at the statement's interval
+            from cflux_spark.operators.forecast import holt_winters
+
+            if stmt.group_by_time_s is None:
+                raise InfluxQLError(
+                    f"{spec.tx} requires GROUP BY time(...) so the "
+                    "forecast interval is defined"
+                )
+            grouped = holt_winters(
+                grouped, tkeys, "ts_ms", "val",
+                int(spec.tx_arg or 0), int(spec.tx_arg2 or 0),
+                interval=bucket_s * 1000,
+                with_fit=(spec.tx == "holt_winters_with_fit"),
+            )
+            grouped = grouped.withColumn("val", F.round(F.col("_hw"), 6)).drop("_hw")
         elif spec.tx in _TA_FNS:
             # round 7: TA transform over the bucketed (and filled)
             # aggregate series — fill(0)/fill(previous) values feed

@@ -810,6 +810,23 @@ def q_ta_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("q_holt_winters")  # rows-only: iterative Nelder-Mead fit is not
+# SQL-expressible; model contracts (synthetic-series recovery,
+# determinism, emission counts) live in tests/test_forecast.py
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT_WINTERS(mean, 24, 24) per event_type over the hourly mean
+    series: one day of hourly forecasts ahead of the data, daily
+    seasonality. Per-series Arrow kernel over the bounded bucket
+    frame (operators/forecast.py); parallelism = #series."""
+    from cflux_spark.operators.forecast import holt_winters
+
+    h = _hourly_means(spark, sf_dir)
+    out = holt_winters(h, ["event_type"], "_oc", "mv", 24, 24, interval=3_600_000)
+    return out.select(
+        "event_type", F.col("_oc").alias("ts_ms"), F.round(F.col("_hw"), 6).alias("forecast")
+    )
+
+
 @q(
     "q_top_per_bucket",
     """
@@ -3556,6 +3573,7 @@ _VERIFY_FIRST = [
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",
+    "q_holt_winters",
     "q_pack_bpe",
     "q_pipeline_export",
     "q_cosine_pairs_bulk",

@@ -154,7 +154,7 @@ def test_parse_select_rejects_garbage():
 
 def test_parse_select_shapes():
     s = parse_select('SELECT mean("user") FROM "db"."autogen"."cpu" WHERE time > now() - 24h GROUP BY time(10s) LIMIT 5')
-    assert s.fields == [("mean", "user", None, None, None, None, None, False, None)]
+    assert s.fields == [("mean", "user", None, None, None, None, None, False, None, None)]
     assert s.db == "db" and s.measurement == "cpu"
     assert s.relative_s == 86400
     assert s.group_by_time_s == 10
