@@ -88,25 +88,53 @@ def linear_recurrence(
         + [T.StructField("_p", T.DoubleType()), T.StructField("_l", T.DoubleType())]
     )
     a_name, b_name, o_name = a_col, b_col, order_col
+    grp_cols = [*keys, "_seg"]
 
-    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(o_name, kind="stable").reset_index(drop=True)
-        a = pdf[a_name].to_numpy(dtype=float)
-        b = pdf[b_name].to_numpy(dtype=float)
-        n = len(a)
-        p_out = [0.0] * n
-        l_out = [0.0] * n
+    # ONE streaming kernel over hash-partitioned, within-partition
+    # sorted rows — NOT groupBy(keys, _seg).applyInPandas: sparse
+    # series shatter into millions of tiny (series, segment) groups
+    # and per-group Arrow slicing dominates (measured: 10^4 series x
+    # 10^3 pts at 1000 s spacing -> 2.78M four-row groups, stalled;
+    # this shape streams the same rows in one pass per partition,
+    # resetting (P, l) at group boundaries). Parallelism and shuffle
+    # are IDENTICAL to the groupBy form: hash on (keys, segment), so
+    # a huge single series still spreads across its segments.
+    def _scan_stream(batches):
+        import numpy as np
+
+        carry_key = None
         p, l = 1.0, 0.0
-        for i in range(n):
-            p = a[i] * p
-            l = a[i] * l + b[i]
-            p_out[i] = p
-            l_out[i] = l
-        pdf["_p"] = p_out
-        pdf["_l"] = l_out
-        return pdf
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            a = pdf[a_name].to_numpy(dtype=float)
+            b = pdf[b_name].to_numpy(dtype=float)
+            # vectorized group-boundary mask (no per-row tuple builds)
+            cols = [pdf[c].to_numpy() for c in grp_cols]
+            change = np.zeros(n, dtype=bool)
+            for arr in cols:
+                change[1:] |= arr[1:] != arr[:-1]
+            change[0] = carry_key != tuple(arr[0] for arr in cols)
+            carry_key = tuple(arr[-1] for arr in cols)
+            p_out = [0.0] * n
+            l_out = [0.0] * n
+            for i in range(n):
+                if change[i]:
+                    p, l = 1.0, 0.0
+                p = a[i] * p
+                l = a[i] * l + b[i]
+                p_out[i] = p
+                l_out[i] = l
+            pdf["_p"] = p_out
+            pdf["_l"] = l_out
+            yield pdf
 
-    scanned = staged.groupBy(*keys, "_seg").applyInPandas(_scan, out_schema)
+    scanned = (
+        staged.repartition(*grp_cols)
+        .sortWithinPartitions(*grp_cols, o_name)
+        .mapInPandas(_scan_stream, out_schema)
+    )
 
     # one row per (series, segment): the affine summary (A, B) = the
     # last row's (P, l). Carry-in for segment m is the recurrence value
