@@ -817,6 +817,14 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT elapsed(user) FROM cpu",
         "SELECT sample(user, 2) FROM cpu",
         "SELECT top(user, 2) FROM cpu LIMIT 1",
+        # round 7: TA transforms over raw points and bucketed aggs,
+        # plus Holt-Winters forecasts, through the same pump
+        "SELECT exponential_moving_average(user, 3) FROM cpu GROUP BY host",
+        "SELECT exponential_moving_average(user, 3) FROM cpu",
+        "SELECT relative_strength_index(mean(user), 2) FROM cpu GROUP BY time(60s)",
+        "SELECT exponential_moving_average(mean(user), 3), mean(user) "
+        "FROM cpu GROUP BY time(60s)",
+        "SELECT holt_winters(mean(user), 3, 0) FROM cpu GROUP BY time(60s)",
     ],
 )
 def test_chunked_equals_unchunked_sweep(engine, q):
