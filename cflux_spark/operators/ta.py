@@ -260,9 +260,12 @@ def ta_transform(
                 .drop("_dabs", "_vol", "_dir", "_er")
             )
         else:
-            sc = F.pow(
-                F.col("_er") * F.lit(_KAMA_FAST - _KAMA_SLOW) + F.lit(_KAMA_SLOW), 2
-            )
+            # explicit product, not F.pow(x, 2): libm pow is only
+            # 1-ulp-accurate and differs between JVM and C runtimes;
+            # x*x is one IEEE rounding everywhere, so the DuckDB
+            # oracle (q_ta_kama) reproduces sc bit-for-bit
+            sc_base = F.col("_er") * F.lit(_KAMA_FAST - _KAMA_SLOW) + F.lit(_KAMA_SLOW)
+            sc = sc_base * sc_base
             seedrow = F.col("_t") <= n + 1
             staged = staged.withColumn(
                 "_a", F.when(seedrow, 0.0).otherwise(1.0 - sc)

@@ -810,6 +810,65 @@ def q_ta_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q_ta_kama",
+    f"""
+    WITH RECURSIVE h AS ({_HOURLY_SQL}),
+    r AS (
+      SELECT event_type, hour, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t
+      FROM h
+    ),
+    d AS (
+      SELECT event_type, hour, mv, t,
+             abs(mv - lag(mv) OVER w) AS dabs,
+             abs(mv - lag(mv, 6) OVER w) AS dir
+      FROM r WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    s AS (
+      SELECT event_type, hour, mv, t, dir,
+             sum(dabs) OVER (PARTITION BY event_type ORDER BY t
+                             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS vol
+      FROM d
+    ),
+    sc AS (
+      SELECT event_type, hour, mv, t,
+             (CASE WHEN vol = 0 THEN 0.0 ELSE dir / vol END
+                * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+             * (CASE WHEN vol = 0 THEN 0.0 ELSE dir / vol END
+                * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS scv
+      FROM s
+    ),
+    k AS (
+      SELECT event_type, hour, mv, t, mv AS kama FROM sc WHERE t = 7
+      UNION ALL
+      SELECT s2.event_type, s2.hour, s2.mv, s2.t,
+             (1.0 - s2.scv) * k.kama + s2.scv * s2.mv
+      FROM k JOIN sc s2 ON s2.event_type = k.event_type AND s2.t = k.t + 1
+    )
+    SELECT event_type, CAST(hour AS TIMESTAMP) AS hour, round(kama, 6) AS kama
+    FROM k
+    """,
+)
+def q_ta_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAUFMANS_ADAPTIVE_MOVING_AVERAGE(mv, 6): the DATA-DEPENDENT
+    coefficient case — the smoothing constant sc is a per-row function
+    of the efficiency ratio, so the oracle's recursive CTE must
+    reproduce sc bit-for-bit (explicit x*x square, the standard
+    2/3–2/31 Kaufman constants as identical IEEE expressions) before
+    replaying the recurrence. Strongest oracle for the scan operator:
+    every coefficient differs per row."""
+    from cflux_spark.operators import ta
+
+    h = _hourly_means(spark, sf_dir)
+    out = ta.ta_transform(
+        h, ["event_type"], "_oc", "mv", "kaufmans_adaptive_moving_average", 6
+    )
+    return out.select(
+        "event_type", "hour", F.round(F.col("_ta"), 6).alias("kama")
+    )
+
+
 @q("q_holt_winters")  # rows-only: iterative Nelder-Mead fit is not
 # SQL-expressible; model contracts (synthetic-series recovery,
 # determinism, emission counts) live in tests/test_forecast.py
@@ -3567,12 +3626,14 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VERIFY_FIRST = [
     # (a) new / changed this round (TA transforms land ahead of the
-    # r05 backlog; the 3 entries they displace from the 50-row window
-    # — q_resample_fill, q_quantize_embeddings, q_time_absolute —
-    # move to the r08 head and stay CI-parity-checked meanwhile)
+    # r05 backlog; the entries they displace from the 50-row window —
+    # q_approx_distinct, q_resample_fill, q_quantize_embeddings,
+    # q_time_absolute — move to the r08 head and stay
+    # CI-parity-checked meanwhile)
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",
+    "q_ta_kama",
     "q_holt_winters",
     "q_pack_bpe",
     "q_pipeline_export",
