@@ -189,6 +189,10 @@ def holt_winters(
     InfluxDB's insufficient-data behavior."""
     if n < 1:
         raise ValueError(f"holt_winters N must be >= 1, got {n}")
+    if n > 1_000_000:
+        # each series materializes n forecast rows in one kernel task;
+        # an absurd N would OOM the executor, so refuse loudly
+        raise ValueError(f"holt_winters N capped at 1,000,000 forecast points, got {n}")
     if season < 0:
         raise ValueError(f"holt_winters seasonal pattern must be >= 0, got {season}")
     import pyspark.sql.functions as F

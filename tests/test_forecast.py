@@ -154,3 +154,22 @@ def test_engine_rejections(hw_engine):
         hw_engine.execute(
             "SELECT holt_winters(mean(v), 0, 4) FROM m GROUP BY time(60s)", db="hwdb"
         )
+
+
+def test_df_rejects_absurd_n(bucketed):
+    with pytest.raises(ValueError, match="capped"):
+        holt_winters(bucketed, ["k"], "ts_ms", "val", 10_000_000, 4, interval=60_000)
+
+
+def test_engine_forecast_grouped_by_tag(hw_engine, spark):
+    """GROUP BY <tag> + time: one forecast series per tag combo."""
+    from cflux_spark.plans.influxql import InfluxQLEngine
+    from cflux_spark.sources.ingest import LPStore
+
+    res = hw_engine.execute(
+        "SELECT holt_winters(mean(v), 3, 0) FROM m GROUP BY time(60s), host",
+        db="hwdb",
+    )
+    series = res["results"][0]["series"]
+    assert [s["tags"] for s in series] == [{"host": "a"}]
+    assert len(series[0]["values"]) == 3

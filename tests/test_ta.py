@@ -342,3 +342,25 @@ def test_engine_ta_rejections(ta_engine):
         eng.execute("SELECT exponential_moving_average(v, 5, 'none') FROM px", db="tadb")
     with pytest.raises(InfluxQLError, match="period"):
         eng.execute("SELECT kaufmans_efficiency_ratio(v) FROM px", db="tadb")
+
+
+def test_engine_ta_into_writes_function_named_field(ta_engine):
+    """SELECT <ta>(agg(f), N) INTO dst composes through the INTO path:
+    the destination measurement carries one float field named after
+    the function, with values identical to the direct SELECT."""
+    eng, _ = ta_engine
+    q = "SELECT exponential_moving_average(mean(v), 5) INTO dst_ta FROM px GROUP BY time(60s)"
+    wrote = eng.execute(q, db="tadb")
+    n_written = wrote["results"][0]["series"][0]["values"][0][1]
+    direct = eng.execute(
+        "SELECT exponential_moving_average(mean(v), 5) FROM px GROUP BY time(60s)",
+        db="tadb",
+    )
+    dv = [v[1] for v in direct["results"][0]["series"][0]["values"]]
+    assert n_written == len(dv)
+    fields = eng.execute("SHOW FIELD KEYS FROM dst_ta", db="tadb")
+    assert fields["results"][0]["series"][0]["values"] == [
+        ["exponential_moving_average", "float"]
+    ]
+    back = eng.execute("SELECT exponential_moving_average FROM dst_ta", db="tadb")
+    assert [v[1] for v in back["results"][0]["series"][0]["values"]] == dv
