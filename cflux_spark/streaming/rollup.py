@@ -105,3 +105,66 @@ def stateful_series_diff(facts: DataFrame, key_col: str = "series_key") -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------- TA (r7)
+
+_EMA_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("ema", DoubleType(), True),
+    ]
+)
+# (points seen, running ema) per series — the streaming twin of
+# operators/ta.py's EMA with InfluxDB 'exponential' warmup
+# (alpha_t = 2/(min(t, N)+1): the first point seeds, every point emits)
+_EMA_STATE = StructType(
+    [StructField("t", LongType(), True), StructField("ema", DoubleType(), True)]
+)
+
+
+def _make_ema_fn(n: int):
+    def _ema_fn(key: Any, pdfs, state: GroupState):
+        (series_key,) = key
+        t, ema = state.get if state.exists else (0, None)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for r in pdf.itertuples():
+                t += 1
+                alpha = 2.0 / (min(t, n) + 1.0)
+                v = float(r.value)
+                ema = v if ema is None else (1.0 - alpha) * ema + alpha * v
+                rows.append((series_key, r.ts, r.value, ema))
+        state.update((t, ema))
+        yield pd.DataFrame(rows, columns=["series_key", "ts", "value", "ema"])
+
+    return _ema_fn
+
+
+def stateful_ema(facts: DataFrame, n: int, key_col: str = "series_key") -> DataFrame:
+    """Streaming EXPONENTIAL_MOVING_AVERAGE per series (the Kapacitor-
+    style stream transform the reference ecosystem runs OUTSIDE the
+    engine — diffs.tick precedent; here it is an in-engine stateful
+    operator like ``stateful_series_diff``).
+
+    ``facts``: streaming frame with (series_key, ts timestamp,
+    ts_ns long, value double). State per series is (points_seen,
+    running_ema) — O(1), no timeout (a series' EMA stays warm across
+    arbitrary gaps, matching the batch semantics where gaps carry no
+    weight). Emits every input row with its EMA. In-order arrival per
+    series is assumed within the stream (same contract as
+    ``stateful_series_diff``); batch parity is pinned by
+    tests/test_streaming_rollup.py against ``operators.ta``.
+    """
+    if n < 1:
+        raise ValueError(f"stateful_ema period must be >= 1, got {n}")
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _make_ema_fn(int(n)),
+        outputStructType=_EMA_OUTPUT,
+        stateStructType=_EMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

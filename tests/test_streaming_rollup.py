@@ -216,3 +216,58 @@ def test_sessionize_streaming_matches_batch_and_drops_late(spark, tmp_path):
     assert got <= want
     closed = {t for t in want if t[0] != 3}  # every 2024-01-01 session is sealed
     assert closed <= got
+
+
+def test_stateful_ema_matches_batch_across_batches(spark, tmp_path):
+    """Streaming EMA must equal the batch TA operator on the same
+    points, with state carried ACROSS micro-batches (round 7)."""
+    import numpy as np
+
+    from cflux_spark.streaming.rollup import stateful_ema
+
+    src = str(tmp_path / "in_ema")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for key, ts_ns, val in rows:
+                f.write(f"{key},{ts_ns},{val}\n")
+
+    vals = [10.0, 13.0, 11.0, 16.0, 12.0]
+    write_batch("b1.csv", [("s1", (i + 1) * 10**9, v) for i, v in enumerate(vals[:3])])
+
+    lines = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].alias("series_key"),
+            F.col("p")[1].cast("long").alias("ts_ns"),
+            F.timestamp_micros((F.col("p")[1].cast("long") / 1000).cast("long")).alias("ts"),
+            F.col("p")[2].cast("double").alias("value"),
+        )
+    )
+    out = stateful_ema(lines, n=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("emas")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ema"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        rows = _wait_rows(spark, "emas", 3)
+        # second batch later: warmup counter and ema must carry over
+        write_batch("b2.csv", [("s1", (i + 4) * 10**9, v) for i, v in enumerate(vals[3:])])
+        rows = _wait_rows(spark, "emas", 5)
+        got = {float(r.value): r.ema for r in rows}
+        # batch reference: InfluxDB exponential warmup, alpha_t = 2/(min(t,3)+1)
+        e, expect = None, {}
+        for t, v in enumerate(vals, 1):
+            a = 2.0 / (min(t, 3) + 1.0)
+            e = v if e is None else (1 - a) * e + a * v
+            expect[v] = e
+        for v, e_want in expect.items():
+            assert abs(got[v] - e_want) < 1e-9, (v, got[v], e_want)
+    finally:
+        q.stop()
