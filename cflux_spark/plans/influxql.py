@@ -2091,7 +2091,7 @@ class InfluxQLEngine:
             sel = _apply_slice(sel, tkeys, stmt)
             n = len(stmt.fields)
             yield from self._stream_chunked(
-                iter([(sel, [colname_for(sp) for sp in stmt.fields])]),
+                iter([(sel, _dedup_names([colname_for(sp) for sp in stmt.fields]))]),
                 stmt, gtags, tkeys, chunk_size,
                 lambda r: [r.ts_ms, *[getattr(r, f"_v{i}") for i in range(n)]],
             )
@@ -2861,7 +2861,7 @@ class InfluxQLEngine:
             base = _DISPLAY.get(base, base)
             colname = spec.alias or (f"{base}_{fieldname}" if len(stmt.fields) > 1 else base)
             series.extend(_tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val]))
-        return series
+        return _dedup_statement_columns(series)
 
     @staticmethod
     def _arith_col(node: tuple, leaf_col) -> Column:
@@ -3021,7 +3021,7 @@ class InfluxQLEngine:
             *[F.col(f"_v{i}") for i in range(len(stmt.fields))],
         ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
         sel = _apply_slice(sel, tkeys, stmt)
-        return sel, [sp.alias or sp.name for sp in stmt.fields]
+        return sel, _dedup_names([sp.alias or sp.name for sp in stmt.fields])
 
     def _raw_multi_series(
         self, stmt: SelectStmt, facts: DataFrame, gtags, tkeys, reg
@@ -3832,6 +3832,41 @@ def _tag_series(rows, gtags, tkeys, stmt, colname, to_value) -> list[dict]:
         s["tags"] = {t: key[i] for i, t in enumerate(gtags)}
         out.append(s)
     return out
+
+
+def _dedup_names(names: list[str]) -> list[str]:
+    """Suffix repeated output column names _1, _2 ... in statement
+    order (InfluxDB 1.x duplicate-column rule)."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in names:
+        k = seen.get(c, 0)
+        seen[c] = k + 1
+        out.append(c if k == 0 else f"{c}_{k}")
+    return out
+
+
+def _dedup_statement_columns(series: list[dict]) -> list[dict]:
+    """InfluxDB 1.x disambiguates duplicate SELECT output columns by
+    suffixing later occurrences (_1, _2, ...) — ``SELECT mean(v),
+    mean(v)`` returns columns [time, mean, mean_1]. The engine builds
+    per-field series spec-by-spec, so within one (measurement, tag
+    set) group a repeated column name means a repeated statement
+    column: rename in order of appearance (round 7 — previously two
+    same-named fields either bypassed the column merge, emitting two
+    ambiguous same-named series, or collided on one merge slot)."""
+    counts: dict[tuple, dict[str, int]] = {}
+    for se in series:
+        cols = se.get("columns") or []
+        if len(cols) != 2:
+            continue
+        key = (se.get("name"), tuple(sorted((se.get("tags") or {}).items())))
+        c = counts.setdefault(key, {})
+        n = c.get(cols[1], 0)
+        c[cols[1]] = n + 1
+        if n:
+            se["columns"] = [cols[0], f"{cols[1]}_{n}"]
+    return series
 
 
 def _merge_series_columns(

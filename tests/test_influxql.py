@@ -825,6 +825,11 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT exponential_moving_average(mean(user), 3), mean(user) "
         "FROM cpu GROUP BY time(60s)",
         "SELECT holt_winters(mean(user), 3, 0) FROM cpu GROUP BY time(60s)",
+        # round 7: duplicate output columns disambiguate (_1 suffix)
+        "SELECT user, user FROM cpu",
+        "SELECT mean(user), mean(user) FROM cpu GROUP BY time(60s)",
+        "SELECT exponential_moving_average(mean(user), 2), "
+        "exponential_moving_average(mean(user), 4) FROM cpu GROUP BY time(60s)",
     ],
 )
 def test_chunked_equals_unchunked_sweep(engine, q):
@@ -2372,3 +2377,29 @@ def test_ungrouped_selector_returns_original_point(engine):
     se = res["results"][0]["series"][0]
     assert se["columns"] == ["time", "max_user", "min_user"]
     assert all(v[0] % 60000 == 0 for v in se["values"])
+
+
+def test_duplicate_select_columns_disambiguate(engine):
+    """InfluxDB 1.x suffixes repeated output columns (_1, _2):
+    SELECT mean(v), mean(v) returns ONE merged series with columns
+    [time, mean_v, mean_v_1] — previously the engine emitted two
+    ambiguous same-named series (or, with a third distinct field,
+    silently collapsed the duplicates onto one merge slot)."""
+    res = engine.execute(
+        "SELECT mean(user), mean(user), max(user) FROM cpu GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"]
+    assert len(series) == 1
+    assert series[0]["columns"] == ["time", "mean_user", "mean_user_1", "max_user"]
+    # the duplicated specs carry identical values, the third differs
+    for _, m1, m2, mx in series[0]["values"]:
+        assert m1 == m2
+    # per-tag-group series keep their shared (non-duplicate) name
+    res = engine.execute("SELECT mean(user) FROM cpu GROUP BY time(60s), host", db="mydb")
+    assert all(
+        s["columns"] == ["time", "mean"] for s in res["results"][0]["series"]
+    )
+    # raw multi-field path suffixes too (point-identity merged frame)
+    res = engine.execute("SELECT user, user FROM cpu WHERE host = 'a'", db="mydb")
+    assert res["results"][0]["series"][0]["columns"] == ["time", "user", "user_1"]
