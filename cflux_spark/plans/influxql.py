@@ -3410,11 +3410,92 @@ class InfluxQLEngine:
             return []
         inner_df, igtags, itkeys, inner_col = prepared
 
-        # outer tag filters apply to the subquery's OUTPUT series —
-        # legal when the tag was grouped in the inner level (its value
-        # is a grouping column of the frame); anything else has no
-        # column to filter on and rejects loudly (round 5; previously
-        # ALL outer tag filters were rejected)
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, inner_col, stmt)
+
+        ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        missing = [t for t in ogtags if t not in igtags]
+        if missing:
+            raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
+        okeys = [itkeys[igtags.index(t)] for t in ogtags]
+
+        series: list[dict] = []
+        for spec in stmt.fields:
+            if spec.name != inner_col:
+                raise InfluxQLError(
+                    f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
+                )
+            multi = len(stmt.fields) > 1
+            if spec.agg is None and spec.tx is None:
+                # raw re-selection of the subquery's output — the
+                # HAVING idiom (round 7; previously "must aggregate"):
+                # SELECT mean_v FROM (SELECT mean(v) AS mean_v ...)
+                # WHERE mean_v > τ. The inner series the outer GROUP
+                # BY does not carry merge into one output series,
+                # ordered by time, like any merged raw select.
+                if stmt.group_by_time_s is not None:
+                    raise InfluxQLError(
+                        "GROUP BY time() over a subquery requires an aggregate"
+                    )
+                grouped = inner_df.select(*okeys, "ts_ms", "val")
+                colname = spec.alias or inner_col
+            elif spec.agg is None:
+                # transform straight over the subquery's bucketed
+                # output (round 7; previously rejected): SELECT
+                # derivative(mean_v) FROM (SELECT mean(v) AS mean_v
+                # ... GROUP BY time(1m), host). Per OUTPUT series —
+                # inner tags the outer does not group by merge first.
+                grouped = inner_df.select(*okeys, "ts_ms", "val")
+                grouped = self._apply_tx_bucketed(grouped, stmt, spec, okeys)
+                colname = spec.alias or (f"{spec.tx}_{spec.name}" if multi else spec.tx)
+            else:
+                obucket = _bucket_ms(
+                    stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz,
+                    src="ts_ms",
+                )
+                agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
+                grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
+                    F.round(agg, 6).alias("val")
+                )
+                # outer fill() composes onto the outer bucket grid the
+                # same way it does over a base aggregate (round 5;
+                # previously rejected — InfluxDB 1.2 allows it)
+                grouped = self._apply_fill(grouped, stmt, okeys, stmt.group_by_time_s or 60)
+                # outer agg + transform (round 7):
+                # cumulative_sum(sum(mean_v)) composes the transform
+                # onto the outer bucketed aggregate, as in the base
+                # path
+                grouped = self._apply_tx_bucketed(grouped, stmt, spec, okeys)
+                fn = spec.tx or spec.agg
+                colname = spec.alias or (f"{fn}_{spec.name}" if multi else _DISPLAY.get(fn, fn))
+            grouped = grouped.orderBy(
+                *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            grouped = _apply_slice(grouped, okeys, stmt)
+            rows = self._bounded_collect(grouped)
+            series.extend(
+                _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+            )
+        return series
+
+    def _filter_subquery_output(
+        self,
+        inner_df: DataFrame,
+        igtags: list[str],
+        itkeys: list[str],
+        inner_col: str,
+        stmt: SelectStmt,
+    ) -> DataFrame:
+        """WHERE clauses of a statement whose FROM is a subquery apply
+        to the subquery's OUTPUT frame.
+
+        Tag filters are legal when the tag was grouped in the inner
+        level (its value is a grouping column of the frame); anything
+        else has no column to filter on and rejects loudly (round 5;
+        previously ALL outer tag filters were rejected). Field-value
+        predicates (round 7; previously silently DROPPED — a
+        never-silently-wrong violation) compare the subquery's output
+        column: WHERE mean_v > τ over SELECT ... AS mean_v is
+        InfluxQL's HAVING idiom. Any other field name rejects loudly."""
         if stmt.tag_filters or stmt.tag_or_groups:
             from cflux_spark.functions.scalars import label_matcher
 
@@ -3438,43 +3519,37 @@ class InfluxQLEngine:
                 cond = gcond if cond is None else (cond & gcond)
             inner_df = inner_df.filter(cond)
 
-        ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
-        missing = [t for t in ogtags if t not in igtags]
-        if missing:
-            raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
-        okeys = [itkeys[igtags.index(t)] for t in ogtags]
+        if stmt.field_filters or stmt.field_or_groups:
 
-        series: list[dict] = []
-        for spec in stmt.fields:
-            if spec.agg is None:
-                raise InfluxQLError("outer SELECT over a subquery must aggregate")
-            if spec.tx:
-                raise InfluxQLError("transform functions over a subquery are not supported")
-            if spec.name != inner_col:
-                raise InfluxQLError(
-                    f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
-                )
-            obucket = _bucket_ms(
-                stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
-            )
-            agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
-            grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
-                F.round(agg, 6).alias("val")
-            )
-            # outer fill() composes onto the outer bucket grid the
-            # same way it does over a base aggregate (round 5;
-            # previously rejected — InfluxDB 1.2 allows it)
-            grouped = self._apply_fill(grouped, stmt, okeys, stmt.group_by_time_s or 60)
-            grouped = grouped.orderBy(
-                *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
-            )
-            grouped = _apply_slice(grouped, okeys, stmt)
-            rows = self._bounded_collect(grouped)
-            colname = spec.alias or (f"{spec.agg}_{spec.name}" if len(stmt.fields) > 1 else spec.agg)
-            series.extend(
-                _tag_series(rows, ogtags, okeys, stmt, colname, lambda r: [r.ts_ms, r.val])
-            )
-        return series
+            def _valpred(fname, fop, fval):
+                if fname != inner_col:
+                    raise InfluxQLError(
+                        f"outer field filter on {fname!r} does not match "
+                        f"subquery output {inner_col!r}"
+                    )
+                if isinstance(fval, bool):
+                    raise InfluxQLError(
+                        "boolean field filters do not apply to subquery "
+                        "output (aggregates are numeric)"
+                    )
+                v = F.col("val")
+                return {
+                    ">": v > fval, ">=": v >= fval, "<": v < fval,
+                    "<=": v <= fval, "=": v == fval, "!=": v != fval,
+                }[fop]
+
+            cond = None
+            for fname, fop, fval in stmt.field_filters:
+                c = _valpred(fname, fop, fval)
+                cond = c if cond is None else (cond & c)
+            for group in stmt.field_or_groups:
+                gcond = None
+                for fname, fop, fval in group:
+                    c = _valpred(fname, fop, fval)
+                    gcond = c if gcond is None else (gcond | c)
+                cond = gcond if cond is None else (cond & gcond)
+            inner_df = inner_df.filter(cond)
+        return inner_df
 
     _MAX_SUBQUERY_DEPTH = 8
 
@@ -3493,7 +3568,9 @@ class InfluxQLEngine:
                 f"subquery nesting deeper than {self._MAX_SUBQUERY_DEPTH} is not supported"
             )
         if len(stmt.fields) != 1 or (
-            stmt.fields[0].agg is None and stmt.fields[0].expr is None
+            stmt.subquery is None
+            and stmt.fields[0].agg is None
+            and stmt.fields[0].expr is None
         ):
             raise InfluxQLError("subquery must contain exactly one aggregated field")
         spec = stmt.fields[0]
@@ -3523,9 +3600,7 @@ class InfluxQLEngine:
                 return frame, gtags, tkeys, name
             ff = facts.filter(F.col("field") == spec.name)
             frame = self._aggregated_frame(stmt, spec, ff, tkeys)
-            return frame, gtags, tkeys, (spec.tx or spec.agg or "mean")
-        if spec.tx:
-            raise InfluxQLError("transform functions over a subquery are not supported")
+            return frame, gtags, tkeys, (spec.alias or spec.tx or spec.agg or "mean")
         prepared = self._subquery_frame(stmt.subquery, store, reg, depth + 1)
         if prepared is None:
             return None
@@ -3534,11 +3609,25 @@ class InfluxQLEngine:
             raise InfluxQLError(
                 f"subquery field {spec.name!r} does not match inner output {inner_col!r}"
             )
+        # a mid-level's own WHERE applies to ITS subquery's output —
+        # previously tag filters and field-value predicates on middle
+        # nesting levels were silently dropped (round 7)
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, inner_col, stmt)
         gtags = igtags if stmt.group_by_star else stmt.group_by_tags
         missing = [t for t in gtags if t not in igtags]
         if missing:
             raise InfluxQLError(f"GROUP BY tag(s) {missing} not grouped in the inner subquery")
         tkeys = [itkeys[igtags.index(t)] for t in gtags]
+        if spec.agg is None:
+            # mid-level transform (round 7; previously rejected):
+            # SELECT mean(d) FROM (SELECT derivative(mean_v) AS d FROM
+            # (...)) — the transform runs per output series of THIS
+            # level, over the inner level's buckets
+            if spec.tx is None:
+                raise InfluxQLError("subquery must contain exactly one aggregated field")
+            frame = inner_df.select(*tkeys, "ts_ms", "val")
+            frame = self._apply_tx_bucketed(frame, stmt, spec, tkeys)
+            return frame, gtags, tkeys, (spec.alias or spec.tx)
         bucket = _bucket_ms(
             stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
         )
@@ -3547,7 +3636,8 @@ class InfluxQLEngine:
             F.round(agg, 6).alias("val")
         )
         frame = self._apply_fill(frame, stmt, tkeys, stmt.group_by_time_s or 60)
-        return frame, gtags, tkeys, spec.agg
+        frame = self._apply_tx_bucketed(frame, stmt, spec, tkeys)
+        return frame, gtags, tkeys, (spec.alias or spec.tx or spec.agg)
 
     def _apply_fill(
         self, grouped: DataFrame, stmt: SelectStmt, tkeys: list[str], bucket_s: float
@@ -3682,6 +3772,18 @@ class InfluxQLEngine:
                 ff.groupBy(*tkeys, bucket.alias("ts_ms")).agg(F.round(agg, 6).alias("val"))
             )
         grouped = self._apply_fill(grouped, stmt, tkeys, bucket_s)
+        return self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
+
+    def _apply_tx_bucketed(
+        self, grouped: DataFrame, stmt: SelectStmt, spec: FieldSpec, tkeys: list[str]
+    ) -> DataFrame:
+        """Apply ``spec.tx`` over a bucketed ``[*tkeys, ts_ms, val]``
+        frame. Shared by the base aggregate path and (round 7) the
+        subquery levels — InfluxDB 1.2+ allows transform functions
+        over subquery output (``SELECT derivative(mean_v) FROM
+        (SELECT mean(v) AS mean_v ...)``), which previously rejected
+        here."""
+        bucket_s = stmt.group_by_time_s or 60
         if spec.tx in _MATH_FNS:
             # math scalars are pointwise over the aggregated value —
             # no window, stays in codegen

@@ -924,6 +924,50 @@ def q_top_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_subquery_having",
+    """
+    SELECT event_type,
+           CAST(avg(mean_v) AS DOUBLE) AS outer_mean,
+           CAST(count(*) AS INT) AS n_buckets
+    FROM (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS mean_v
+      FROM events GROUP BY 1, 2
+    ) WHERE mean_v > 0.5
+    GROUP BY 1
+    """,
+)
+def q_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL 1.2+ subquery HAVING idiom (round 7): ``SELECT
+    mean(mean_v) FROM (SELECT mean(value) AS mean_v ... GROUP BY
+    time(1m), type) WHERE mean_v > 0.5 GROUP BY type`` — the WHERE
+    outside the subquery filters the subquery's OUTPUT rows, then the
+    outer aggregate re-folds what survives (plans/influxql.py
+    _filter_subquery_output + _select_subquery; the reference has no
+    subqueries at all — cflux.js:687-833 parses a single SELECT).
+    Mechanically: inner bucketed agg shuffle -> codegen filter ->
+    outer agg shuffle, one Catalyst plan, nothing collected between
+    levels."""
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    # exact cents mean (the q_union_fields discipline): integer sum /
+    # integer count in double is correctly rounded on both engines, so
+    # the > 0.5 membership test cannot flip between Spark and DuckDB
+    inner = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mean_v"))
+    return (
+        inner.filter(F.col("mean_v") > 0.5)
+        .groupBy("event_type")
+        .agg(
+            F.avg("mean_v").cast("double").alias("outer_mean"),
+            F.count("*").cast("int").alias("n_buckets"),
+        )
+    )
+
+
+@q(
     "q_count_distinct",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
@@ -3630,6 +3674,7 @@ _VERIFY_FIRST = [
     # q_approx_distinct, q_resample_fill, q_quantize_embeddings,
     # q_time_absolute — move to the r08 head and stay
     # CI-parity-checked meanwhile)
+    "q_subquery_having",
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",

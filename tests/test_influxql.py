@@ -506,11 +506,92 @@ def test_subquery_field_mismatch_rejected(engine):
         )
 
 
-def test_subquery_outer_must_aggregate(engine):
-    with pytest.raises(InfluxQLError, match="must aggregate"):
+def test_subquery_raw_reselection(engine):
+    """SELECT <col> FROM (SELECT agg(f) ...) — InfluxDB 1.2+ raw
+    re-selection of the subquery's output (round 7; previously
+    rejected with "must aggregate")."""
+    res = engine.execute(
+        "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s))", db="mydb"
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"] == ["time", "max"]
+    assert series["values"] == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    # GROUP BY time over a raw re-selection has no aggregate to bucket
+    with pytest.raises(InfluxQLError, match="requires an aggregate"):
         engine.execute(
-            "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s))", db="mydb"
+            "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s)) "
+            "GROUP BY time(60s)",
+            db="mydb",
         )
+
+
+def test_subquery_having_idiom(engine):
+    """WHERE <output> > τ outside the subquery — InfluxQL's HAVING:
+    the value predicate filters the subquery's OUTPUT rows (round 7;
+    previously the filter was silently dropped)."""
+    res = engine.execute(
+        "SELECT mean_v FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host) WHERE mean_v > 0.3",
+        db="mydb",
+    )
+    # per-(minute, host) means: a min0 = 0.2, b min0 = 0.7, a min1 = 0.5
+    # — only the > 0.3 rows survive, merged into one series by time
+    assert _values(res) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    # the same predicate composes with an outer aggregate
+    res_agg = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) "
+        "WHERE max > 0.4 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res_agg) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    # a name that is not the subquery's output rejects loudly
+    with pytest.raises(InfluxQLError, match="does not match subquery output"):
+        engine.execute(
+            "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s)) "
+            "WHERE nosuch > 1",
+            db="mydb",
+        )
+
+
+def test_subquery_transform_over_output(engine):
+    """Transform functions over subquery output (round 7; previously
+    rejected): derivative/difference run per OUTPUT series over the
+    inner buckets, and an outer agg + transform composes both."""
+    res = engine.execute(
+        "SELECT derivative(mean_v) FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY host",
+        db="mydb",
+    )
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    # host=a means 0.2 -> 0.5 over 60 s = 0.005/s; host=b has one point
+    assert by_host == {"a": [[1704067260000, 0.005]]}
+    res_d = engine.execute(
+        "SELECT difference(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s))",
+        db="mydb",
+    )
+    assert _values(res_d) == [[1704067260000, -0.2]]
+    # outer aggregate + transform: cumulative_sum over the re-bucketed sums
+    res_cs = engine.execute(
+        "SELECT cumulative_sum(sum(max)) FROM (SELECT max(user) FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res_cs) == [[1704067200000, 1.0], [1704067260000, 1.5]]
+
+
+def test_subquery_midlevel_where_applies(engine):
+    """A middle nesting level's WHERE filters ITS subquery's output
+    (round 7; previously tag/value predicates on mid-levels were
+    silently dropped)."""
+    res = engine.execute(
+        "SELECT mean(mx) FROM (SELECT max(mean_v) AS mx FROM ("
+        "SELECT mean(user) AS mean_v FROM cpu GROUP BY time(30s), host"
+        ") WHERE host = 'a' GROUP BY time(60s)) GROUP BY time(60s)",
+        db="mydb",
+    )
+    # host=b's 0.7 is filtered at the mid level: a's 30s means are
+    # (0.1, 0.3, 0.5) -> minute maxes 0.3, 0.5 -> outer means equal
+    assert _values(res) == [[1704067200000, 0.3], [1704067260000, 0.5]]
 
 
 # ---------------------------------------------------------------- round 2b fns
