@@ -138,6 +138,27 @@ def minhash_signatures(
     return based.groupBy(id_col).agg(*aggs)
 
 
+def _band_stack(sig: DataFrame, num_hashes: int, bands: int, id_col: str) -> DataFrame:
+    """LSH banding of a signature frame → (id, band_id, bh): each
+    band's hash folds its rows_per_band signature components with one
+    more xxhash64, then the per-band columns stack via explode. All
+    codegen — a map over the signature frame, no shuffle."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band_id"), F.col("bb.bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -153,25 +174,12 @@ def minhash_lsh_pairs(
     ≈ 0.5. Candidates form only within equal band-signatures: the join
     is an equi-join on (band_id, band_hash) — shuffle-partitionable,
     no quadratic blowup except inside genuine near-dup clusters."""
-    rows_per_band = num_hashes // bands
     # distinct=False: MinHash min is idempotent to duplicate shingles,
     # so the dedup shuffle is pure overhead here
     sig = minhash_signatures(
         shingles(df, n, text_col, id_col, distinct=False), num_hashes, id_col
     ).cache()
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band_id"), F.col("bb.bh"))
+    stacked = _band_stack(sig, num_hashes, bands, id_col)
     a = stacked.select(F.col(id_col).alias("id_a"), "band_id", "bh")
     b = stacked.select(F.col(id_col).alias("id_b"), "band_id", "bh")
     cand = (
@@ -538,3 +546,171 @@ def edit_similarity_pairs(
             (F.floor(sim * scale + F.lit(0.5)) / scale).alias("edit_sim"),
         )
     )
+
+
+class MinHashIndex:
+    """Persisted MinHash-LSH index for INCREMENTAL dedup: build once
+    over the standing corpus, then screen each incoming batch (a daily
+    crawl) against it without touching the corpus text again — the
+    continuous-pipeline counterpart of :func:`minhash_lsh_pairs`,
+    which re-signs the whole corpus on every call.
+
+    Artifacts under ``path``:
+
+    - ``signatures/``: (doc_id, h0..h{num_hashes-1}) parquet — the
+      only big artifact, 8·num_hashes B/doc (512 B at 64 hashes:
+      ~5 TB for a 10^10-doc corpus, ~20× smaller than its text).
+    - ``meta.json``: shingle ``n``, ``num_hashes``, ``bands`` — a
+      probe hashed with different parameters would silently match
+      nothing, so ``__init__`` reads them back and probes can never
+      run mismatched.
+
+    Scale shape (the 100 TB story): ``probe(batch)`` scans the index
+    and never shuffles it —
+      1. band join: the index's banded projection (a codegen map over
+         the signature scan) hash-joins the batch's banded keys, with
+         the batch side BROADCAST — parallelism = index partitions,
+         zero index movement;
+      2. verify: the candidate corpus ids (near-dup-bounded, tiny)
+         broadcast-semi-join the signature table to pull just those
+         rows for the est_jaccard check.
+    The batch is small by construction relative to the corpus;
+    nothing quadratic, nothing driver-side."""
+
+    def __init__(self, spark, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path.rstrip("/")
+        with open(os.path.join(self.path, "meta.json")) as fh:
+            meta = json.load(fh)
+        self.n = int(meta["n"])
+        self.num_hashes = int(meta["num_hashes"])
+        self.bands = int(meta["bands"])
+
+    @classmethod
+    def build(
+        cls,
+        spark,
+        corpus: DataFrame,
+        path: str,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "MinHashIndex":
+        import json
+        import os
+
+        if num_hashes % bands:
+            raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+        sig = minhash_signatures(
+            shingles(corpus, n, text_col, id_col, distinct=False), num_hashes, id_col
+        )
+        root = path.rstrip("/")
+        sig.withColumnRenamed(id_col, "doc_id").write.mode("overwrite").parquet(
+            root + "/signatures"
+        )
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "meta.json"), "w") as fh:
+            json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, fh)
+        return cls(spark, root)
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self.path + "/signatures")
+
+    def append(self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> None:
+        """Add new documents' signatures (e.g. a screened batch's
+        survivors) so the next batch deduplicates against them too."""
+        sig = minhash_signatures(
+            shingles(docs, self.n, text_col, id_col, distinct=False),
+            self.num_hashes,
+            id_col,
+        )
+        sig.withColumnRenamed(id_col, "doc_id").write.mode("append").parquet(
+            self.path + "/signatures"
+        )
+
+    def probe(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Near-duplicate matches of ``batch`` docs against the
+        indexed corpus → (batch_id, corpus_id, est_jaccard ≥
+        threshold). est_jaccard is the matching-component fraction of
+        the two full signatures — same estimator as
+        :func:`minhash_lsh_pairs`, so a batch-vs-corpus probe and a
+        one-shot corpus run agree on shared pairs bit for bit."""
+        bsig = minhash_signatures(
+            shingles(batch, self.n, text_col, id_col, distinct=False),
+            self.num_hashes,
+            id_col,
+        ).cache()
+        isig = self.signatures()
+        ibands = _band_stack(isig, self.num_hashes, self.bands, "doc_id").withColumnRenamed(
+            "doc_id", "corpus_id"
+        )
+        bbands = _band_stack(bsig, self.num_hashes, self.bands, id_col).withColumnRenamed(
+            id_col, "batch_id"
+        )
+        cand = (
+            ibands.join(F.broadcast(bbands), ["band_id", "bh"])
+            .select("batch_id", "corpus_id")
+            .distinct()
+        )
+        hits = cand.select("corpus_id").distinct().withColumnRenamed("corpus_id", "doc_id")
+        a = isig.join(F.broadcast(hits), "doc_id", "left_semi").select(
+            F.col("doc_id").alias("corpus_id"),
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(self.num_hashes)],
+        )
+        b = bsig.select(
+            F.col(id_col).alias("batch_id"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(self.num_hashes)],
+        )
+        matches = sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(self.num_hashes)
+        )
+        return (
+            cand.join(a, "corpus_id")
+            .join(b, "batch_id")
+            .withColumn("est_jaccard", matches / F.lit(self.num_hashes))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("batch_id", "corpus_id", "est_jaccard")
+        )
+
+    def dedup_batch(
+        self,
+        batch: DataFrame,
+        threshold: float = 0.5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        append: bool = False,
+    ) -> DataFrame:
+        """Screen a batch: drop docs near-duplicating the corpus, then
+        near-dups WITHIN the batch (keep-lowest-id per candidate pair
+        — conservative: never keeps two ≥-threshold near-dups;
+        transitive chains may drop a doc whose only link was itself
+        dropped). ``append=True`` registers the survivors' signatures
+        so subsequent batches dedup against them too."""
+        corpus_dups = self.probe(batch, threshold, text_col, id_col).select(
+            F.col("batch_id").alias(id_col)
+        ).distinct()
+        kept = batch.join(corpus_dups, id_col, "left_anti")
+        internal = minhash_lsh_pairs(
+            kept, self.n, self.num_hashes, self.bands, text_col, id_col
+        ).filter(F.col("est_jaccard") >= threshold)
+        losers = internal.select(F.col("id_b").alias(id_col)).distinct()
+        kept = kept.join(losers, id_col, "left_anti")
+        if append:
+            # pin the survivors BEFORE appending their signatures:
+            # kept's plan reads the signature parquet lazily, so a
+            # re-evaluation after the append would match the batch
+            # against itself and return nothing
+            kept = kept.localCheckpoint(eager=True)
+            self.append(kept, text_col, id_col)
+        return kept

@@ -1644,6 +1644,85 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_dedup_incremental",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_truth,
+           CAST(0.8 AS DOUBLE) AS j_threshold,
+           TRUE AS recall_ok
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+      AND ((id_a % 5 = 0) <> (id_b % 5 = 0))
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED MinHash index (round 7,
+    extensions/dedup.py MinHashIndex): 80% of documents play the
+    standing corpus (index built once: signatures parquet +
+    meta.json), the doc_id%5 slice plays the incoming batch, and
+    probe() screens the batch with the index scanned but never
+    shuffled (batch bands broadcast into the index scan; candidate
+    signatures fetched by broadcast semi-join). The contract is the
+    q_dedup_near shape restricted to CROSS pairs: the oracle
+    recomputes the exact 3-gram-Jaccard ≥ 0.8 corpus×batch truth
+    pairs in SQL, and the probe's est ≥ 0.5 candidates must cover
+    ≥ 90% of them (vacuously true when no cross pair exists)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 5 == 0
+    corpus, batch = docs.filter(~is_batch), docs.filter(is_batch)
+    idx = dedup.MinHashIndex.build(
+        spark, corpus, tempfile.mkdtemp(prefix="mhidx_")
+    )
+    cand = idx.probe(batch, threshold=0.5).select(
+        "corpus_id", "batch_id", F.lit(1).alias("_hit")
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .filter((F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0))
+        .select(
+            F.when(F.col("id_a") % 5 == 0, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("corpus_id"),
+            F.when(F.col("id_a") % 5 == 0, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("batch_id"),
+        )
+    )
+    return (
+        truth.join(cand, ["corpus_id", "batch_id"], "left")
+        .agg(
+            F.count("*").alias("n_truth"),
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*")).alias("_recall"),
+        )
+        .select(
+            "n_truth",
+            F.lit(0.8).alias("j_threshold"),
+            F.coalesce(F.col("_recall") >= 0.9, F.lit(True)).alias("recall_ok"),
+        )
+    )
+
+
+@q(
     "q_simhash",
     "SELECT count(*) AS n_docs, 64 AS bits, TRUE AS twin_match_ok FROM documents",
 )
@@ -3675,6 +3754,7 @@ _VERIFY_FIRST = [
     # q_time_absolute — move to the r08 head and stay
     # CI-parity-checked meanwhile)
     "q_subquery_having",
+    "q_dedup_incremental",
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",

@@ -1741,3 +1741,80 @@ def test_bpe_train_encode_and_count(spark):
     assert wf["tab"] == 1 and wf["tabletab"] == 1
     with pytest.raises(ValueError, match="distinct words"):
         bpe.word_frequencies(df.filter("text IS NOT NULL"), max_words=1)
+
+
+# ------------------------------------------------- MinHashIndex (round 7)
+
+
+def test_minhash_index_probe_matches_oneshot(spark, tmp_path):
+    """Splitting a corpus into indexed + batch halves and probing must
+    agree bit-for-bit (same est_jaccard) with a one-shot
+    minhash_lsh_pairs run over the union, on the cross pairs."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, "completely different content about spark partitions and shuffles " * 5),
+        (3, "yet another unrelated document on parquet row groups and codecs " * 5),
+        (10, base.replace("lazy", "sleepy", 1)),          # near-dup of 1
+        (11, "fresh novel text with no counterpart in the standing corpus " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.filter(F.col("doc_id") < 10)
+    batch = df.filter(F.col("doc_id") >= 10)
+
+    idx = dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "mhidx"))
+    probed = {
+        (r.corpus_id, r.batch_id): r.est_jaccard
+        for r in idx.probe(batch, threshold=0.5).collect()
+    }
+    oneshot = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(df).filter(F.col("est_jaccard") >= 0.5).collect()
+        if r.id_a < 10 <= r.id_b
+    }
+    assert probed == oneshot
+    assert (1, 10) in probed and probed[(1, 10)] > 0.5
+
+
+def test_minhash_index_dedup_batch_and_append(spark, tmp_path):
+    """dedup_batch drops corpus near-dups and in-batch near-dups;
+    append=True makes the NEXT batch collide with this batch's
+    survivors."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx = dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "mhidx2"))
+
+    novel = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 6
+    batch1 = spark.createDataFrame(
+        [
+            (10, base.replace("zeta", "zzeta", 1)),  # dup of corpus doc 1
+            (11, novel),                             # survives
+            (12, novel.replace("sed", "sedx", 1)),   # in-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    kept = idx.dedup_batch(batch1, threshold=0.5, append=True)
+    assert [r.doc_id for r in kept.collect()] == [11]
+
+    # the appended survivor now screens the next batch
+    batch2 = spark.createDataFrame(
+        [(20, novel.replace("elit", "elitx", 1))], "doc_id long, text string"
+    )
+    hits = idx.probe(batch2, threshold=0.5).collect()
+    assert {r.corpus_id for r in hits} == {11}
+
+
+def test_minhash_index_meta_roundtrip(spark, tmp_path):
+    """Reopening an index from disk recovers its hashing parameters —
+    a probe can never run with mismatched n/num_hashes/bands."""
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight " * 4)],
+        "doc_id long, text string",
+    )
+    dedup.MinHashIndex.build(
+        spark, corpus, str(tmp_path / "mhidx3"), n=2, num_hashes=32, bands=8
+    )
+    reopened = dedup.MinHashIndex(spark, str(tmp_path / "mhidx3"))
+    assert (reopened.n, reopened.num_hashes, reopened.bands) == (2, 32, 8)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "bad"), bands=7)
