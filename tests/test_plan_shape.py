@@ -187,3 +187,50 @@ def test_merged_window_engine_path_no_unpartitioned_fact_window(spark, tmp_path)
     plan = _plan(out)
     fact_windows = [ln for ln in plan.splitlines() if "Window" in ln and "lag(value" in ln]
     assert fact_windows and all("_dseg" in ln for ln in fact_windows), plan
+
+
+def test_minhash_index_probe_never_shuffles_index(spark, tmp_path):
+    """MinHashIndex.probe (round 7): the persisted signature table —
+    the 100 TB-side artifact — must never be hash-repartitioned. The
+    band join broadcasts the BATCH side into the index scan, and the
+    verify fetches candidate signatures by broadcast semi-join; the
+    only Exchange allowed is on the (batch_id, corpus_id) candidate
+    pairs, which are near-dup-bounded."""
+    import tempfile
+
+    from cflux_spark.extensions import dedup
+
+    rows = [(i, f"word{i} " * 30 + "common tail of tokens here " * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = dedup.MinHashIndex.build(
+        spark, df.filter(F.col("doc_id") % 5 != 0), str(tmp_path / "mhidx")
+    )
+    out = idx.probe(df.filter(F.col("doc_id") % 5 == 0), threshold=0.1)
+    out.collect()
+    # keep only the executed sections: AQE's toString nests an
+    # "== Initial Plan ==" block per adaptive node (broadcast
+    # subtrees have their own), still showing the SMJs the runtime
+    # replaced — drop each block by indentation, since the enclosing
+    # Final plan resumes at a shallower indent without a new marker
+    lines, skip_indent = [], None
+    for line in _plan(out).splitlines():
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        lines.append(line)
+    plan = "\n".join(lines)
+    assert "BroadcastHashJoin [band_id" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "LeftSemi, BuildRight" in plan, plan  # candidate-id fetch is broadcast
+    # the allowed Exchanges: the BATCH's signature groupBy (doc_id of
+    # the in-memory batch) and the candidate-pair distinct — never the
+    # band keys, which would mean the index's banded projection was
+    # repartitioned for a merge join
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "bh#" not in line and "band_id#" not in line, line
