@@ -412,3 +412,48 @@ def export_jsonl(
         .partitionBy("shard")
         .text(path)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training order →
+    (*row, shard, pos): readers consume shards independently in
+    (shard, pos) order and every epoch sees a different, reproducible
+    permutation — ``df.orderBy(rand())`` is neither (partition-seeded
+    RNG drifts under repartition/retry, and a global sort is a
+    range-partition exchange of the whole corpus).
+
+    The order key is ``md5(key:epoch:seed)``: content-keyed, so the
+    permutation survives re-runs, engine changes, and input
+    re-partitioning bit for bit; epoch e and e+1 re-key every doc, so
+    consecutive epochs are independent permutations. Mechanics: ONE
+    shuffle keyed by shard (= order-key high bits % n_shards, so
+    shards are balanced whatever the key distribution) + a per-shard
+    rank window — no global sort. Shard size ≈ corpus/n_shards; size
+    n_shards so a shard fits an executor (10^5 shards at 100 TB ≈
+    1 GB each)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    tag = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(key_col).cast("string"),
+            F.lit(str(int(epoch))),
+            F.lit(str(int(seed))),
+        )
+    )
+    h = F.conv(F.substring(F.col("_ok"), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("_ok"), F.col(key_col))
+    return (
+        df.withColumn("_ok", tag)
+        .withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_ok")
+    )

@@ -3187,6 +3187,35 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_epoch_shuffle",
+    """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3:0'), 1, 8)) AS UBIGINT)
+                % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':3:0'), 1, 8)) AS UBIGINT) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3:0'), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (round 7,
+    extensions/sampling.py epoch_shuffle): every doc gets a
+    (shard, pos) for epoch 3 derived from md5(doc_id:3:0) — both
+    engines reproduce the identical permutation, which is the whole
+    point (orderBy(rand()) is reproducible on neither). One shuffle
+    keyed by the balanced shard id + a per-shard rank window; no
+    global sort."""
+    from cflux_spark.extensions import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, epoch=3, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@q(
     "q_domain_cap",
     """
     WITH r AS (
@@ -3755,6 +3784,7 @@ _VERIFY_FIRST = [
     # CI-parity-checked meanwhile)
     "q_subquery_having",
     "q_dedup_incremental",
+    "q_epoch_shuffle",
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",

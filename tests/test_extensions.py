@@ -1818,3 +1818,28 @@ def test_minhash_index_meta_roundtrip(spark, tmp_path):
     assert (reopened.n, reopened.num_hashes, reopened.bands) == (2, 32, 8)
     with pytest.raises(ValueError, match="must divide"):
         dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "bad"), bands=7)
+
+
+# ------------------------------------------------- epoch_shuffle (round 7)
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    from cflux_spark.extensions import sampling
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)], "doc_id long, text string")
+    a = {(r.doc_id): (r.shard, r.pos) for r in sampling.epoch_shuffle(df, epoch=1, n_shards=4).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in sampling.epoch_shuffle(df, epoch=1, n_shards=4).collect()}
+    assert a == b  # reproducible
+    c = {(r.doc_id): (r.shard, r.pos) for r in sampling.epoch_shuffle(df, epoch=2, n_shards=4).collect()}
+    # consecutive epochs re-key everything: almost all docs move
+    assert sum(1 for k in a if a[k] != c[k]) > 250
+    # per-shard positions are contiguous 1..len
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in a.values():
+        by_shard[shard].append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.epoch_shuffle(df, epoch=1, n_shards=0)
