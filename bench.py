@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     # one key for the family — EMA is the recurrence primitive the
     # other seven compose)
     "q_ta_ema",
+    # round-7 incremental dedup (persisted MinHash index: build +
+    # broadcast-probe + exact-truth recall contract) and the
+    # per-epoch deterministic training shuffle
+    "q_dedup_incremental",
+    "q_epoch_shuffle",
 ]
 
 
@@ -140,7 +145,27 @@ def _bench_ops():
                 "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("cluster_id")
             ),
         ),
+        # operator-only (round 7): the catalog entry re-runs the exact
+        # n-gram-Jaccard gold tier for its cross-pair recall contract;
+        # the sweep times what a user pays — index build over the
+        # corpus slice + the broadcast probe of the batch
+        "q_dedup_incremental": lambda s, d: _mhindex_build_probe(s, d),
     }
+
+
+def _mhindex_build_probe(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.dedup import MinHashIndex
+    from cflux_spark.sources.readers import load_table
+
+    dd = load_table(spark, sf_dir, "documents")
+    idx = MinHashIndex.build(
+        spark, dd.filter(F.col("doc_id") % 5 != 0), tempfile.mkdtemp(prefix="mhbench_")
+    )
+    return idx.probe(dd.filter(F.col("doc_id") % 5 == 0), threshold=0.5)
 
 
 def _bucketed_probe(spark, n_rows: int = 10_000_000) -> dict:
