@@ -639,13 +639,19 @@ class MinHashIndex:
         threshold: float = 0.5,
         text_col: str = "text",
         id_col: str = "doc_id",
+        exclude_same_id: bool = False,
     ) -> DataFrame:
         """Near-duplicate matches of ``batch`` docs against the
         indexed corpus → (batch_id, corpus_id, est_jaccard ≥
         threshold). est_jaccard is the matching-component fraction of
         the two full signatures — same estimator as
         :func:`minhash_lsh_pairs`, so a batch-vs-corpus probe and a
-        one-shot corpus run agree on shared pairs bit for bit."""
+        one-shot corpus run agree on shared pairs bit for bit.
+
+        ``exclude_same_id=True`` drops batch_id == corpus_id matches —
+        for re-probing docs whose signatures are already indexed
+        (crash-replayed streaming batches must not match themselves
+        and vanish)."""
         bsig = minhash_signatures(
             shingles(batch, self.n, text_col, id_col, distinct=False),
             self.num_hashes,
@@ -663,6 +669,8 @@ class MinHashIndex:
             .select("batch_id", "corpus_id")
             .distinct()
         )
+        if exclude_same_id:
+            cand = cand.filter(F.col("batch_id") != F.col("corpus_id"))
         hits = cand.select("corpus_id").distinct().withColumnRenamed("corpus_id", "doc_id")
         a = isig.join(F.broadcast(hits), "doc_id", "left_semi").select(
             F.col("doc_id").alias("corpus_id"),

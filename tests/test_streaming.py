@@ -284,3 +284,86 @@ def test_kafka_transform_chain_parse_parity(spark):
         )
 
     assert canon(via_kafka) == canon(file_shaped)
+
+
+# ------------------------------------------- streaming dedup (round 7)
+
+
+def test_streaming_dedup_screens_across_batches(spark, tmp_path):
+    """Two micro-batches of documents: batch 1's near-dup of the
+    standing corpus is dropped; batch 2's near-dup of a batch-1
+    SURVIVOR is dropped too (the index grew between batches); novel
+    docs and in-batch dups behave per the batch operator."""
+    import json
+
+    from cflux_spark.extensions.dedup import MinHashIndex
+    from cflux_spark.streaming.dedup_stream import StreamingDedup
+
+    base = "the standing corpus document about shuffle partitions " * 8
+    novel = "a brand new crawl page discussing parquet bloom filters " * 8
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx = MinHashIndex.build(spark, corpus, str(tmp_path / "idx"))
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src, exist_ok=True)
+
+    def write_docs(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    stream_schema = "doc_id long, text string"
+    sd = StreamingDedup(
+        idx, str(tmp_path / "out"), str(tmp_path / "ckpt"), threshold=0.5
+    )
+
+    # batch 1: corpus dup (10), novel survivor (11), in-batch dup of 11 (12)
+    write_docs("b1.json", [
+        (10, base.replace("shuffle", "shufle", 1)),
+        (11, novel),
+        (12, novel.replace("bloom", "blom", 1)),
+    ])
+    q = sd.start(spark.readStream.schema(stream_schema).json(src), available_now=True)
+    q.awaitTermination(120)
+
+    # batch 2: near-dup of batch-1 survivor (20), novel (21)
+    write_docs("b2.json", [
+        (20, novel.replace("parquet", "parkay", 1)),
+        (21, "entirely fresh content on broadcast joins and skew salting " * 8),
+    ])
+    q = sd.start(spark.readStream.schema(stream_schema).json(src), available_now=True)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r.doc_id for r in out.collect()) == [11, 21]
+    # the index holds corpus + both survivors
+    assert sorted(r.doc_id for r in idx.signatures().select("doc_id").collect()) == [1, 11, 21]
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch must not match its own
+    first-attempt signatures and vanish (exclude_same_id), and must
+    overwrite only its own output partition."""
+    from cflux_spark.extensions.dedup import MinHashIndex
+    from cflux_spark.streaming.dedup_stream import StreamingDedup
+
+    corpus = spark.createDataFrame(
+        [(1, "the standing corpus document about shuffle partitions " * 8)],
+        "doc_id long, text string",
+    )
+    idx = MinHashIndex.build(spark, corpus, str(tmp_path / "idx"))
+    sd = StreamingDedup(idx, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+
+    batch = spark.createDataFrame(
+        [(11, "a brand new crawl page discussing parquet bloom filters " * 8)],
+        "doc_id long, text string",
+    )
+    sd._process_batch(batch, 0)
+    sd._process_batch(batch, 0)  # replay after simulated crash
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert [r.doc_id for r in out.collect()] == [11]  # one row, not two
+    # signatures appended twice (at-least-once) — harmless: identical
+    # rows produce identical candidates, and future probes still hit
+    sigs = [r.doc_id for r in idx.signatures().select("doc_id").collect()]
+    assert sorted(sigs) == [1, 11, 11]
