@@ -3408,9 +3408,9 @@ class InfluxQLEngine:
         prepared = self._subquery_frame(stmt.subquery, store, reg)
         if prepared is None:
             return []
-        inner_df, igtags, itkeys, inner_col = prepared
+        inner_df, igtags, itkeys, outputs = prepared
 
-        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, inner_col, stmt)
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, outputs, stmt)
 
         ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
         missing = [t for t in ogtags if t not in igtags]
@@ -3418,55 +3418,19 @@ class InfluxQLEngine:
             raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
         okeys = [itkeys[igtags.index(t)] for t in ogtags]
 
+        # SELECT * over a subquery re-selects every output column
+        specs = list(stmt.fields)
+        if any(sp.name == "*" and sp.agg is None and sp.tx is None and sp.expr is None
+               for sp in specs):
+            if len(specs) != 1:
+                raise InfluxQLError("'*' over a subquery cannot mix with other fields")
+            specs = [FieldSpec(None, name) for name, _src in outputs]
+        multi = len(specs) > 1
+        colmap = dict(outputs)
+
         series: list[dict] = []
-        for spec in stmt.fields:
-            if spec.name != inner_col:
-                raise InfluxQLError(
-                    f"outer field {spec.name!r} does not match subquery output {inner_col!r}"
-                )
-            multi = len(stmt.fields) > 1
-            if spec.agg is None and spec.tx is None:
-                # raw re-selection of the subquery's output — the
-                # HAVING idiom (round 7; previously "must aggregate"):
-                # SELECT mean_v FROM (SELECT mean(v) AS mean_v ...)
-                # WHERE mean_v > τ. The inner series the outer GROUP
-                # BY does not carry merge into one output series,
-                # ordered by time, like any merged raw select.
-                if stmt.group_by_time_s is not None:
-                    raise InfluxQLError(
-                        "GROUP BY time() over a subquery requires an aggregate"
-                    )
-                grouped = inner_df.select(*okeys, "ts_ms", "val")
-                colname = spec.alias or inner_col
-            elif spec.agg is None:
-                # transform straight over the subquery's bucketed
-                # output (round 7; previously rejected): SELECT
-                # derivative(mean_v) FROM (SELECT mean(v) AS mean_v
-                # ... GROUP BY time(1m), host). Per OUTPUT series —
-                # inner tags the outer does not group by merge first.
-                grouped = inner_df.select(*okeys, "ts_ms", "val")
-                grouped = self._apply_tx_bucketed(grouped, stmt, spec, okeys)
-                colname = spec.alias or (f"{spec.tx}_{spec.name}" if multi else spec.tx)
-            else:
-                obucket = _bucket_ms(
-                    stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz,
-                    src="ts_ms",
-                )
-                agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
-                grouped = inner_df.groupBy(*okeys, obucket.alias("ts_ms")).agg(
-                    F.round(agg, 6).alias("val")
-                )
-                # outer fill() composes onto the outer bucket grid the
-                # same way it does over a base aggregate (round 5;
-                # previously rejected — InfluxDB 1.2 allows it)
-                grouped = self._apply_fill(grouped, stmt, okeys, stmt.group_by_time_s or 60)
-                # outer agg + transform (round 7):
-                # cumulative_sum(sum(mean_v)) composes the transform
-                # onto the outer bucketed aggregate, as in the base
-                # path
-                grouped = self._apply_tx_bucketed(grouped, stmt, spec, okeys)
-                fn = spec.tx or spec.agg
-                colname = spec.alias or (f"{fn}_{spec.name}" if multi else _DISPLAY.get(fn, fn))
+        for spec in specs:
+            grouped, colname = self._spec_frame_over(stmt, spec, inner_df, colmap, okeys, multi)
             grouped = grouped.orderBy(
                 *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
             )
@@ -3477,12 +3441,125 @@ class InfluxQLEngine:
             )
         return series
 
+    def _spec_frame_over(
+        self,
+        stmt: SelectStmt,
+        spec: FieldSpec,
+        inner_df: DataFrame,
+        colmap: dict[str, str],
+        tkeys: list[str],
+        multi: bool,
+    ) -> tuple[DataFrame, str]:
+        """One SELECT expression of a statement whose FROM is a
+        subquery, evaluated over the subquery's output frame
+        ``[*tkeys, ts_ms, <colmap values>]`` → ([*tkeys, ts_ms, val],
+        envelope column name). Shared by the outer statement and
+        (multi-field, round 7) middle nesting levels. Forms:
+
+        - raw re-selection (HAVING idiom): ``SELECT mean_v FROM (...)
+          WHERE mean_v > τ`` — the frame column, null rows dropped
+          only when the frame is a multi-column outer join (those
+          nulls are grid artifacts; a single-column fill(null) grid
+          keeps its intentional nulls);
+        - transform over output: ``derivative(mean_v)``;
+        - aggregate (+fill, +transform): ``mean(max)``,
+          ``cumulative_sum(sum(mean_v))``;
+        - arithmetic over outputs (round 7): raw kind ``max - min``
+          combines the frame columns pointwise per bucket row;
+          aggregate kind ``mean(a_max) - mean(b_max)`` re-buckets one
+          outer aggregate per distinct leaf and joins, mirroring
+          _arith_agg_frame."""
+
+        def col_of(name: str) -> str:
+            if name not in colmap:
+                raise InfluxQLError(
+                    f"field {name!r} does not match subquery output "
+                    f"{sorted(colmap) if len(colmap) > 1 else repr(next(iter(colmap)))}"
+                )
+            return colmap[name]
+
+        drop_join_nulls = len(colmap) > 1
+        if spec.expr is not None:
+            aleaves: list[tuple] = []
+            for lf in _arith_leaves(spec.expr, "agg"):
+                if lf not in aleaves:
+                    aleaves.append(lf)
+            if aleaves:
+                from functools import reduce
+
+                obucket = _bucket_ms(
+                    stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz,
+                    src="ts_ms",
+                )
+                frames = []
+                for i, (_, fn, fieldname, arg) in enumerate(aleaves):
+                    if fn in _SEL_FNS or fn in ("distinct", "elapsed", "sample"):
+                        raise InfluxQLError(
+                            f"{fn}() may not appear in SELECT arithmetic "
+                            "(point-emitting selector)"
+                        )
+                    agg = _agg_expr(fn, col_of(fieldname), arg, ts_col="ts_ms")
+                    frames.append(
+                        inner_df.groupBy(*tkeys, obucket.alias("ts_ms")).agg(
+                            F.round(agg, 6).alias(f"_v{i}")
+                        )
+                    )
+                joined = (
+                    reduce(lambda a, b: a.join(b, [*tkeys, "ts_ms"], "full_outer"), frames)
+                    if len(frames) > 1
+                    else frames[0]
+                )
+                idx = {lf: i for i, lf in enumerate(aleaves)}
+                val = F.round(self._arith_col(spec.expr, lambda lf: F.col(f"_v{idx[lf]}")), 6)
+                grouped = joined.select(*tkeys, "ts_ms", val.alias("val"))
+                grouped = self._apply_fill(grouped, stmt, tkeys, stmt.group_by_time_s or 60)
+                if stmt.fill is None or stmt.fill == "none":
+                    grouped = grouped.filter(F.col("val").isNotNull())
+                return grouped, (spec.alias or spec.name)
+            if stmt.group_by_time_s is not None:
+                raise InfluxQLError("GROUP BY time() over a subquery requires an aggregate")
+            val = F.round(self._arith_col(spec.expr, lambda lf: F.col(col_of(lf[1]))), 6)
+            grouped = inner_df.select(*tkeys, "ts_ms", val.alias("val")).filter(
+                F.col("val").isNotNull()
+            )
+            return grouped, (spec.alias or spec.name)
+
+        src = col_of(spec.name)
+        if spec.agg is None and spec.tx is None:
+            if stmt.group_by_time_s is not None:
+                raise InfluxQLError("GROUP BY time() over a subquery requires an aggregate")
+            grouped = inner_df.select(*tkeys, "ts_ms", F.col(src).alias("val"))
+            if drop_join_nulls:
+                grouped = grouped.filter(F.col("val").isNotNull())
+            return grouped, (spec.alias or spec.name)
+        if spec.agg is None:
+            grouped = inner_df.select(*tkeys, "ts_ms", F.col(src).alias("val"))
+            if drop_join_nulls:
+                grouped = grouped.filter(F.col("val").isNotNull())
+            grouped = self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
+            return grouped, (spec.alias or (f"{spec.tx}_{spec.name}" if multi else spec.tx))
+        obucket = _bucket_ms(
+            stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
+        )
+        agg = _agg_expr(spec.agg, src, spec.agg_arg, ts_col="ts_ms")
+        grouped = inner_df.groupBy(*tkeys, obucket.alias("ts_ms")).agg(
+            F.round(agg, 6).alias("val")
+        )
+        # fill() composes onto the bucket grid the same way it does
+        # over a base aggregate (round 5; previously rejected —
+        # InfluxDB 1.2 allows it); a trailing transform composes onto
+        # the filled aggregate, as in the base path (round 7)
+        grouped = self._apply_fill(grouped, stmt, tkeys, stmt.group_by_time_s or 60)
+        grouped = self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
+        fn = spec.tx or spec.agg
+        return grouped, (spec.alias or (f"{fn}_{spec.name}" if multi else _DISPLAY.get(fn, fn)))
+
     def _filter_subquery_output(
         self,
         inner_df: DataFrame,
         igtags: list[str],
         itkeys: list[str],
-        inner_col: str,
+        outputs: list[tuple[str, str]],
         stmt: SelectStmt,
     ) -> DataFrame:
         """WHERE clauses of a statement whose FROM is a subquery apply
@@ -3520,19 +3597,20 @@ class InfluxQLEngine:
             inner_df = inner_df.filter(cond)
 
         if stmt.field_filters or stmt.field_or_groups:
+            colmap = dict(outputs)
 
             def _valpred(fname, fop, fval):
-                if fname != inner_col:
+                if fname not in colmap:
                     raise InfluxQLError(
                         f"outer field filter on {fname!r} does not match "
-                        f"subquery output {inner_col!r}"
+                        f"subquery output {sorted(colmap)}"
                     )
                 if isinstance(fval, bool):
                     raise InfluxQLError(
                         "boolean field filters do not apply to subquery "
                         "output (aggregates are numeric)"
                     )
-                v = F.col("val")
+                v = F.col(colmap[fname])
                 return {
                     ">": v > fval, ">=": v >= fval, "<": v < fval,
                     "<=": v <= fval, "=": v == fval, "!=": v != fval,
@@ -3555,89 +3633,120 @@ class InfluxQLEngine:
 
     def _subquery_frame(
         self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None, depth: int = 1
-    ) -> tuple[DataFrame, list[str], list[str], str] | None:
+    ) -> tuple[DataFrame, list[str], list[str], list[tuple[str, str]]] | None:
         """Recursively build the bucketed frame of a (possibly nested)
-        subquery level → (frame[*tkeys, ts_ms, val], gtags, tkeys,
-        output column name). Each nesting level composes as one more
-        groupBy on the SAME Catalyst plan — N-deep nesting is scan →
-        N+1 agg shuffles, nothing collected between levels (round 5:
-        previously capped at one level; InfluxDB 1.2+ allows deeper).
-        The depth cap is an anti-footgun, not a semantics limit."""
+        subquery level → (frame[*tkeys, ts_ms, <cols>], gtags, tkeys,
+        outputs). ``outputs`` is [(output name, frame column)] — one
+        entry per SELECT field (multi-field subqueries, round 7;
+        previously "exactly one aggregated field"). Multi-field frames
+        full-outer-join the per-field bucket frames on
+        (series key, bucket), the same plan family as base multi-field
+        aggregates. Each nesting level composes as more groupBys on
+        the SAME Catalyst plan — nothing is collected between levels
+        (round 5: previously capped at one level). The depth cap is an
+        anti-footgun, not a semantics limit."""
         if depth > self._MAX_SUBQUERY_DEPTH:
             raise InfluxQLError(
                 f"subquery nesting deeper than {self._MAX_SUBQUERY_DEPTH} is not supported"
             )
-        if len(stmt.fields) != 1 or (
-            stmt.subquery is None
-            and stmt.fields[0].agg is None
-            and stmt.fields[0].expr is None
-        ):
-            raise InfluxQLError("subquery must contain exactly one aggregated field")
-        spec = stmt.fields[0]
+        if not stmt.fields:
+            raise InfluxQLError("subquery must select at least one field")
+
         if stmt.subquery is None:
             facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
             if facts is None:
                 return None
-            if spec.expr is not None:
-                # arithmetic subqueries (round 5): the Grafana idiom
-                # SELECT mean(usage) FROM (SELECT user + sys AS usage
-                # FROM cpu) — raw arithmetic yields a point frame the
-                # outer buckets; aggregate arithmetic yields its own
-                # bucketed frame
-                name = spec.alias or spec.name
-                if _arith_leaves(spec.expr, "agg"):
-                    return (
-                        self._arith_agg_frame(stmt, spec, facts, tkeys),
-                        gtags, tkeys, name,
-                    )
-                if stmt.group_by_time_s is not None:
-                    raise InfluxQLError(
-                        "GROUP BY time() requires aggregated SELECT expressions"
-                    )
-                frame = self._arith_raw_frame(spec, facts, tkeys, reg)
+
+            def leaf_frame(sp: FieldSpec) -> tuple[DataFrame | None, str]:
+                if sp.expr is not None:
+                    # arithmetic subqueries (round 5): the Grafana
+                    # idiom SELECT mean(usage) FROM (SELECT user + sys
+                    # AS usage FROM cpu) — raw arithmetic yields a
+                    # point frame the outer buckets; aggregate
+                    # arithmetic yields its own bucketed frame
+                    name = sp.alias or sp.name
+                    if _arith_leaves(sp.expr, "agg"):
+                        return self._arith_agg_frame(stmt, sp, facts, tkeys), name
+                    if stmt.group_by_time_s is not None:
+                        raise InfluxQLError(
+                            "GROUP BY time() requires aggregated SELECT expressions"
+                        )
+                    return self._arith_raw_frame(sp, facts, tkeys, reg), name
+                if sp.agg is None:
+                    raise InfluxQLError("every subquery field must aggregate")
+                ff = facts.filter(F.col("field") == sp.name)
+                return (
+                    self._aggregated_frame(stmt, sp, ff, tkeys),
+                    sp.alias or sp.tx or sp.agg or "mean",
+                )
+
+            if len(stmt.fields) == 1:
+                frame, name = leaf_frame(stmt.fields[0])
                 if frame is None:
                     return None
-                return frame, gtags, tkeys, name
-            ff = facts.filter(F.col("field") == spec.name)
-            frame = self._aggregated_frame(stmt, spec, ff, tkeys)
-            return frame, gtags, tkeys, (spec.alias or spec.tx or spec.agg or "mean")
+                return frame, gtags, tkeys, [(name, "val")]
+            return self._merge_level_frames(
+                stmt, [leaf_frame(sp) for sp in stmt.fields], gtags, tkeys
+            )
+
         prepared = self._subquery_frame(stmt.subquery, store, reg, depth + 1)
         if prepared is None:
             return None
-        inner_df, igtags, itkeys, inner_col = prepared
-        if spec.name != inner_col:
-            raise InfluxQLError(
-                f"subquery field {spec.name!r} does not match inner output {inner_col!r}"
-            )
+        inner_df, igtags, itkeys, outputs = prepared
         # a mid-level's own WHERE applies to ITS subquery's output —
         # previously tag filters and field-value predicates on middle
         # nesting levels were silently dropped (round 7)
-        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, inner_col, stmt)
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, outputs, stmt)
         gtags = igtags if stmt.group_by_star else stmt.group_by_tags
         missing = [t for t in gtags if t not in igtags]
         if missing:
             raise InfluxQLError(f"GROUP BY tag(s) {missing} not grouped in the inner subquery")
         tkeys = [itkeys[igtags.index(t)] for t in gtags]
-        if spec.agg is None:
-            # mid-level transform (round 7; previously rejected):
-            # SELECT mean(d) FROM (SELECT derivative(mean_v) AS d FROM
-            # (...)) — the transform runs per output series of THIS
-            # level, over the inner level's buckets
-            if spec.tx is None:
-                raise InfluxQLError("subquery must contain exactly one aggregated field")
-            frame = inner_df.select(*tkeys, "ts_ms", "val")
-            frame = self._apply_tx_bucketed(frame, stmt, spec, tkeys)
-            return frame, gtags, tkeys, (spec.alias or spec.tx)
-        bucket = _bucket_ms(
-            stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
+        colmap = dict(outputs)
+        if len(stmt.fields) == 1:
+            frame, name = self._spec_frame_over(
+                stmt, stmt.fields[0], inner_df, colmap, tkeys, multi=False
+            )
+            return frame, gtags, tkeys, [(name, "val")]
+        return self._merge_level_frames(
+            stmt,
+            [
+                self._spec_frame_over(stmt, sp, inner_df, colmap, tkeys, multi=True)
+                for sp in stmt.fields
+            ],
+            gtags,
+            tkeys,
         )
-        agg = _agg_expr(spec.agg, "val", spec.agg_arg, ts_col="ts_ms")
-        frame = inner_df.groupBy(*tkeys, bucket.alias("ts_ms")).agg(
-            F.round(agg, 6).alias("val")
-        )
-        frame = self._apply_fill(frame, stmt, tkeys, stmt.group_by_time_s or 60)
-        frame = self._apply_tx_bucketed(frame, stmt, spec, tkeys)
-        return frame, gtags, tkeys, (spec.alias or spec.tx or spec.agg)
+
+    def _merge_level_frames(
+        self,
+        stmt: SelectStmt,
+        framed: list[tuple[DataFrame | None, str]],
+        gtags: list[str],
+        tkeys: list[str],
+    ) -> tuple[DataFrame, list[str], list[str], list[tuple[str, str]]] | None:
+        """Merge one subquery level's per-field [*tkeys, ts_ms, val]
+        frames into the level's multi-column output frame: a
+        (series key, bucket)-keyed full outer join, so a bucket
+        carrying any field appears and the others read null there.
+        Output names must be distinct — the level above references
+        columns BY NAME, so `max(a), max(b)` needs aliases (loud, vs
+        InfluxDB's positional max/max_1 renumbering, which an outer
+        reference cannot target anyway)."""
+        from functools import reduce
+
+        frames, outs = [], []
+        for i, (fr, name) in enumerate(framed):
+            if fr is None:
+                return None
+            if name in (n for n, _src in outs):
+                raise InfluxQLError(
+                    f"duplicate subquery output column {name!r}: alias one (AS ...)"
+                )
+            frames.append(fr.withColumnRenamed("val", f"_c{i}"))
+            outs.append((name, f"_c{i}"))
+        joined = reduce(lambda a, b: a.join(b, [*tkeys, "ts_ms"], "full_outer"), frames)
+        return joined, gtags, tkeys, outs
 
     def _apply_fill(
         self, grouped: DataFrame, stmt: SelectStmt, tkeys: list[str], bucket_s: float

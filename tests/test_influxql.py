@@ -2484,3 +2484,57 @@ def test_duplicate_select_columns_disambiguate(engine):
     # raw multi-field path suffixes too (point-identity merged frame)
     res = engine.execute("SELECT user, user FROM cpu WHERE host = 'a'", db="mydb")
     assert res["results"][0]["series"][0]["columns"] == ["time", "user", "user_1"]
+
+
+def test_subquery_multi_field(engine):
+    """Multi-field subqueries (round 7; previously 'exactly one
+    aggregated field'): per-field bucket frames full-outer-join on
+    (series key, bucket), and the outer references columns by name."""
+    # the spread idiom: raw arithmetic over two inner aggregates
+    res = engine.execute(
+        "SELECT max - min FROM (SELECT max(user), min(user) FROM cpu GROUP BY time(60s))",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.6], [1704067260000, 0.0]]
+    # outer aggregates over two aliased inner columns merge into one
+    # column-aligned series
+    res2 = engine.execute(
+        "SELECT mean(mx), sum(mn) FROM (SELECT max(user) AS mx, min(user) AS mn "
+        "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    s = res2["results"][0]["series"][0]
+    assert s["columns"] == ["time", "mean_mx", "sum_mn"]
+    assert s["values"] == [[1704067200000, 0.5, 0.8], [1704067260000, 0.5, 0.5]]
+    # aggregate arithmetic over subquery outputs
+    res3 = engine.execute(
+        "SELECT mean(mx) - mean(mn) FROM (SELECT max(user) AS mx, min(user) AS mn "
+        "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res3) == [[1704067200000, 0.1], [1704067260000, 0.0]]
+
+
+def test_subquery_star_and_filters_multi(engine):
+    """SELECT * over a subquery expands every output column; a value
+    filter may reference ANY output column (filter on mn, select mx);
+    duplicate unaliased outputs reject loudly."""
+    res = engine.execute(
+        "SELECT * FROM (SELECT max(user), min(user) FROM cpu GROUP BY time(60s))",
+        db="mydb",
+    )
+    s = res["results"][0]["series"][0]
+    assert s["columns"] == ["time", "max", "min"]
+    assert s["values"] == [[1704067200000, 0.7, 0.1], [1704067260000, 0.5, 0.5]]
+    res2 = engine.execute(
+        "SELECT mx FROM (SELECT max(user) AS mx, min(user) AS mn "
+        "FROM cpu GROUP BY time(60s), host) WHERE mn > 0.2",
+        db="mydb",
+    )
+    assert _values(res2) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    with pytest.raises(InfluxQLError, match="duplicate subquery output"):
+        engine.execute(
+            "SELECT mean(max) FROM (SELECT max(user), max(sys) FROM cpu "
+            "GROUP BY time(60s))",
+            db="mydb",
+        )
