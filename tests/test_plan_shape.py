@@ -32,6 +32,26 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final_plan(df) -> str:
+    """Executed sections only: AQE's toString nests an
+    "== Initial Plan ==" block per adaptive node (broadcast subtrees
+    have their own), still showing pre-adaptive operators the runtime
+    replaced — drop each block by indentation, since the enclosing
+    Final plan resumes at a shallower indent without a new marker."""
+    lines, skip_indent = [], None
+    for line in _plan(df).splitlines():
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        lines.append(line)
+    return "\n".join(lines)
+
+
 def test_ns_time_predicate_pushed_to_scan(store):
     """F2: the raw ts_ns long filter must reach PushedFilters — at
     100 TB this is row-group skipping vs a full scan."""
@@ -207,23 +227,7 @@ def test_minhash_index_probe_never_shuffles_index(spark, tmp_path):
     )
     out = idx.probe(df.filter(F.col("doc_id") % 5 == 0), threshold=0.1)
     out.collect()
-    # keep only the executed sections: AQE's toString nests an
-    # "== Initial Plan ==" block per adaptive node (broadcast
-    # subtrees have their own), still showing the SMJs the runtime
-    # replaced — drop each block by indentation, since the enclosing
-    # Final plan resumes at a shallower indent without a new marker
-    lines, skip_indent = [], None
-    for line in _plan(out).splitlines():
-        indent = len(line) - len(line.lstrip())
-        if skip_indent is not None:
-            if indent > skip_indent:
-                continue
-            skip_indent = None
-        if "== Initial Plan ==" in line:
-            skip_indent = indent
-            continue
-        lines.append(line)
-    plan = "\n".join(lines)
+    plan = _final_plan(out)
     assert "BroadcastHashJoin [band_id" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "LeftSemi, BuildRight" in plan, plan  # candidate-id fetch is broadcast
@@ -234,3 +238,35 @@ def test_minhash_index_probe_never_shuffles_index(spark, tmp_path):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "bh#" not in line and "band_id#" not in line, line
+
+
+def test_subquery_nesting_is_one_plan(spark, store):
+    """A 3-level subquery must compose as ONE Catalyst plan — scan →
+    inner agg → mid agg → outer agg — with nothing collected between
+    levels: the frame the engine would collect at the envelope edge
+    plans as a chain of hash aggregates over one parquet scan."""
+    from cflux_spark.plans.influxql import InfluxQLEngine, parse_select
+
+    eng = InfluxQLEngine(spark, store.root)
+    stmt = parse_select(
+        "SELECT max(mean) FROM ("
+        " SELECT mean(max) FROM ("
+        "  SELECT max(user) FROM cpu GROUP BY time(30s), host"
+        " ) GROUP BY time(60s), host"
+        ") GROUP BY time(60s)"
+    )
+    stmt.db = "plan"
+    st = eng._stmt_store(stmt, "plan")
+    frame, _g, _t, outputs = eng._subquery_frame(stmt.subquery, st, st.read_registry())
+    colmap = dict(outputs)
+    grouped, _name = eng._spec_frame_over(stmt, stmt.fields[0], frame, colmap, [], False)
+    grouped.collect()
+    plan = _final_plan(grouped)
+    # one parquet scan of the facts (the registry broadcast for the
+    # inner GROUP BY host is the only other scan); no Python, no
+    # driver round-trip between levels
+    fact_scans = [l for l in plan.splitlines() if "Scan parquet" in l and "samples" in l]
+    assert len(fact_scans) == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan and "mapInPandas" not in plan.lower(), plan
+    # three aggregation levels = three partial/final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 6, plan
