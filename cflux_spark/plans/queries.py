@@ -3216,6 +3216,35 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_export_tar",
+    """
+    SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                % 4 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS text_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_export_tar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard export census (round 7,
+    extensions/sampling.py export_tar_shards): the corpus lands as
+    byte-identical-on-rerun tar shards (content-keyed placement,
+    pinned headers) and the operator RETURNS the per-shard census,
+    which the oracle recomputes from the raw table — a shard count or
+    byte-sum mismatch means the writer dropped or duplicated members.
+    The tars themselves are round-tripped and hash-pinned in
+    tests/test_extensions.py."""
+    import tempfile
+
+    from cflux_spark.extensions import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return sampling.export_tar_shards(
+        docs, tempfile.mkdtemp(prefix="tars_"), n_shards=4
+    )
+
+
+@q(
     "q_domain_cap",
     """
     WITH r AS (
@@ -3785,6 +3814,7 @@ _VERIFY_FIRST = [
     "q_subquery_having",
     "q_dedup_incremental",
     "q_epoch_shuffle",
+    "q_export_tar",
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",

@@ -1843,3 +1843,52 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
         assert sorted(ps) == list(range(1, len(ps) + 1)), shard
     with pytest.raises(ValueError, match="n_shards"):
         sampling.epoch_shuffle(df, epoch=1, n_shards=0)
+
+
+# --------------------------------------------- export_tar_shards (round 7)
+
+
+def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Tars must contain every doc exactly once as <key>.txt +
+    <key>.json, the census must match, and a re-export must be
+    byte-identical (pinned headers + content-keyed placement)."""
+    import hashlib
+    import json as _json
+    import tarfile
+
+    from cflux_spark.extensions import sampling
+
+    rows = [(i, f"body {i} " * (i % 7 + 1), f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = str(tmp_path / "tars")
+    census = {r.shard: (r.n_docs, r.text_bytes) for r in
+              sampling.export_tar_shards(df, out, n_shards=4).collect()}
+
+    seen, per_shard = {}, {}
+    for p in sorted(os.listdir(out)):
+        shard = int(p.split("-")[1].split(".")[0])
+        with tarfile.open(os.path.join(out, p)) as tar:
+            members = tar.getmembers()
+            for m in members:
+                assert m.mtime == 0 and m.uid == 0
+                if m.name.endswith(".txt"):
+                    doc_id = int(m.name[:-4])
+                    seen[doc_id] = tar.extractfile(m).read().decode()
+                    per_shard[shard] = per_shard.get(shard, 0) + 1
+                else:
+                    meta = _json.loads(tar.extractfile(m).read())
+                    assert set(meta) == {"source"}
+    assert seen == {i: rows[i][1] for i in range(60)}
+    assert {s: c for s, c in per_shard.items()} == {s: n for s, (n, _b) in census.items()}
+    assert sum(b for _n, b in census.values()) == sum(len(t.encode()) for t in seen.values())
+
+    def tar_hashes(d):
+        return {
+            p: hashlib.md5(open(os.path.join(d, p), "rb").read()).hexdigest()
+            for p in sorted(os.listdir(d))
+        }
+
+    h1 = tar_hashes(out)
+    out2 = str(tmp_path / "tars2")
+    sampling.export_tar_shards(df, out2, n_shards=4).collect()
+    assert tar_hashes(out2) == h1  # byte-identical re-export
