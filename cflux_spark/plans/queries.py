@@ -3806,11 +3806,13 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    # (a) new / changed this round (TA transforms land ahead of the
-    # r05 backlog; the entries they displace from the 50-row window —
-    # q_approx_distinct, q_resample_fill, q_quantize_embeddings,
-    # q_time_absolute — move to the r08 head and stay
-    # CI-parity-checked meanwhile)
+    # (a) new / changed this round (TA transforms + the session-2
+    # additions land ahead of the r05 backlog; the nine r05-green
+    # entries they displace from the 50-row window —
+    # q_repetition_stats, q_shard_assign, q_domain_cap, q_sessionize,
+    # q_histogram, q_approx_distinct, q_resample_fill,
+    # q_quantize_embeddings, q_time_absolute — move to the r08 head
+    # and stay CI-parity-checked meanwhile)
     "q_subquery_having",
     "q_dedup_incremental",
     "q_epoch_shuffle",
