@@ -436,7 +436,10 @@ def epoch_shuffle(
     shards are balanced whatever the key distribution) + a per-shard
     rank window — no global sort. Shard size ≈ corpus/n_shards; size
     n_shards so a shard fits an executor (10^5 shards at 100 TB ≈
-    1 GB each)."""
+    1 GB each).
+
+    ``key_col`` must be unique per row: duplicate keys share an order
+    key, so their RELATIVE positions would tie-break arbitrarily."""
     from pyspark.sql import Window
 
     if n_shards < 1:
