@@ -1930,19 +1930,32 @@ class InfluxQLEngine:
                 stmt = None
             if (
                 stmt is not None
-                and stmt.subquery is None
                 and stmt.measurement_regex is None
                 and not stmt.slimit
                 and not stmt.soffset
             ):
-                if stmt.group_by_time_s is None and all(
+                if stmt.subquery is not None:
+                    if len(stmt.fields) == 1 and stmt.fields[0].name != "*":
+                        # subquery statements stream too (round 7 —
+                        # previously single-envelope fallback): raw
+                        # re-selection of the subquery's output (the
+                        # HAVING idiom over years of buckets) is as
+                        # unbounded as a raw select. Multi-field /
+                        # wildcard outer selects still fall back (they
+                        # need the whole-result merged column grid).
+                        yield from self._select_subquery_chunked(
+                            stmt, db, max(1, int(chunk_size))
+                        )
+                        return
+                elif stmt.group_by_time_s is None and all(
                     sp.agg is None and sp.tx is None and sp.expr is None
                     for sp in stmt.fields
                 ):
                     yield from self._select_raw_chunked(stmt, db, max(1, int(chunk_size)))
                     return
                 if (
-                    len(stmt.fields) == 1
+                    stmt.subquery is None
+                    and len(stmt.fields) == 1
                     and stmt.fields[0].agg in (*_SEL_FNS, "distinct", "elapsed")
                     and stmt.fields[0].expr is None
                     and stmt.fields[0].tx is None
@@ -1959,7 +1972,7 @@ class InfluxQLEngine:
                     # them through the shared chunk pump.
                     yield from self._select_special_chunked(stmt, db, max(1, int(chunk_size)))
                     return
-                if stmt.group_by_time_s is not None and all(
+                if stmt.subquery is None and stmt.group_by_time_s is not None and all(
                     sp.agg not in _SEL_FNS
                     and sp.agg not in ("distinct", "elapsed")
                     and sp.expr is None
@@ -1972,6 +1985,38 @@ class InfluxQLEngine:
                     yield from self._select_agg_chunked(stmt, db, max(1, int(chunk_size)))
                     return
         yield self.execute(q, db)
+
+    def _select_subquery_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
+        """Chunked single-field subquery statements (round 7): the
+        outer result is already one distributed [*okeys, ts_ms, val]
+        frame (_spec_frame_over — raw re-selection, aggregate,
+        transform, or arithmetic over the subquery's output), so it
+        drains through the shared chunk pump like any other frame; the
+        max_result_rows guard does not apply."""
+        store = self._stmt_store(stmt, db)
+        reg = store.read_registry()
+        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        if prepared is None:
+            yield _envelope([])
+            return
+        inner_df, igtags, itkeys, outputs = prepared
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, outputs, stmt)
+        ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        missing = [t for t in ogtags if t not in igtags]
+        if missing:
+            raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
+        okeys = [itkeys[igtags.index(t)] for t in ogtags]
+        grouped, colname = self._spec_frame_over(
+            stmt, stmt.fields[0], inner_df, dict(outputs), okeys, False
+        )
+        grouped = grouped.orderBy(
+            *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+        )
+        grouped = _apply_slice(grouped, okeys, stmt)
+        yield from self._stream_chunked(
+            iter([(grouped, colname)]), stmt, ogtags, okeys, chunk_size,
+            lambda r: [r.ts_ms, r.val],
+        )
 
     def _select_special_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
         """Chunked single-field selector/distinct/elapsed statements

@@ -906,6 +906,22 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT exponential_moving_average(mean(user), 3), mean(user) "
         "FROM cpu GROUP BY time(60s)",
         "SELECT holt_winters(mean(user), 3, 0) FROM cpu GROUP BY time(60s)",
+        # round 7: single-field subquery statements STREAM through the
+        # pump (raw re-selection / HAVING / transform / outer agg /
+        # arithmetic over outputs); multi-field falls back — equal
+        # either way
+        "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s))",
+        "SELECT mean_v FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host) WHERE mean_v > 0.3",
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) "
+        "GROUP BY time(60s)",
+        "SELECT derivative(mean_v) FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY host",
+        "SELECT max - min FROM (SELECT max(user), min(user) FROM cpu GROUP BY time(60s))",
+        "SELECT mean(mx), sum(mn) FROM (SELECT max(user) AS mx, min(user) AS mn "
+        "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
+        "SELECT * FROM (SELECT max(user), min(user) FROM cpu GROUP BY time(60s))",
+        "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s)) LIMIT 1",
         # round 7: duplicate output columns disambiguate (_1 suffix)
         "SELECT user, user FROM cpu",
         "SELECT mean(user), mean(user) FROM cpu GROUP BY time(60s)",
