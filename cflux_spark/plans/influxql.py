@@ -3578,11 +3578,28 @@ class InfluxQLEngine:
                 grouped = grouped.filter(F.col("val").isNotNull())
             return grouped, (spec.alias or spec.name)
         if spec.agg is None:
+            if stmt.group_by_time_s is not None and spec.tx not in _FORECAST_FNS:
+                # `derivative(mean_v) ... GROUP BY time(30s)` has no
+                # aggregate to re-bucket the output with — silently
+                # transforming over the INNER buckets would ignore the
+                # stated interval (holt_winters is the exception: its
+                # forecast needs the statement's interval, which
+                # _apply_tx_bucketed reads from the GROUP BY)
+                raise InfluxQLError(
+                    f"{spec.tx}({spec.name}) over a subquery with GROUP BY time() "
+                    "requires an aggregate argument, e.g. "
+                    f"{spec.tx}(mean({spec.name}))"
+                )
             grouped = inner_df.select(*tkeys, "ts_ms", F.col(src).alias("val"))
             if drop_join_nulls:
                 grouped = grouped.filter(F.col("val").isNotNull())
             grouped = self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
             return grouped, (spec.alias or (f"{spec.tx}_{spec.name}" if multi else spec.tx))
+        if spec.agg in _SEL_FNS or spec.agg in ("distinct", "elapsed"):
+            # point-emitting selectors need the points' own
+            # timestamps, which the bucketed subquery frame has
+            # already folded away
+            raise InfluxQLError(f"{spec.agg}() over a subquery is not supported")
         obucket = _bucket_ms(
             stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
         )

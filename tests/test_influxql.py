@@ -2554,3 +2554,21 @@ def test_subquery_star_and_filters_multi(engine):
             "GROUP BY time(60s))",
             db="mydb",
         )
+
+
+def test_subquery_rejections_are_loud(engine):
+    """Selectors over a subquery (timestamps already folded away) and
+    transform-only fields under an outer GROUP BY time (no aggregate
+    to re-bucket with) reject loudly instead of silently computing
+    something else."""
+    with pytest.raises(InfluxQLError, match="over a subquery is not supported"):
+        engine.execute(
+            "SELECT top(max, 2) FROM (SELECT max(user) FROM cpu GROUP BY time(60s))",
+            db="mydb",
+        )
+    with pytest.raises(InfluxQLError, match="requires an aggregate argument"):
+        engine.execute(
+            "SELECT derivative(max) FROM (SELECT max(user) FROM cpu GROUP BY time(30s)) "
+            "GROUP BY time(60s)",
+            db="mydb",
+        )
