@@ -633,6 +633,32 @@ class MinHashIndex:
             self.path + "/signatures"
         )
 
+    def compact(self) -> int:
+        """Rewrite the signature table once: appended micro-batches
+        accumulate small parquet files (one per batch per partition)
+        and at-least-once replays can append a doc's identical
+        signature twice — both only cost scan time, but a
+        long-running streaming index should compact periodically.
+        Dedups by doc_id (signatures of a given doc are identical by
+        construction — same text, same hash family) and rewrites via
+        a temp directory + atomic swap so concurrent probes never see
+        a half-written table. Returns the compacted row count."""
+        import os
+        import shutil
+
+        sig = self.signatures().groupBy("doc_id").agg(
+            *[F.first(f"h{i}").alias(f"h{i}") for i in range(self.num_hashes)]
+        )
+        tmp = self.path + "/signatures.compact"
+        sig.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        old = self.path + "/signatures.old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(self.path + "/signatures", old)
+        os.replace(tmp, self.path + "/signatures")
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
     def probe(
         self,
         batch: DataFrame,

@@ -1892,3 +1892,26 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     out2 = str(tmp_path / "tars2")
     sampling.export_tar_shards(df, out2, n_shards=4).collect()
     assert tar_hashes(out2) == h1  # byte-identical re-export
+
+
+def test_minhash_index_compact_dedups_replayed_signatures(spark, tmp_path):
+    """compact() collapses replay-duplicated signatures and the index
+    answers identically afterwards."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    corpus = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    idx = dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "mhc"))
+    extra = spark.createDataFrame(
+        [(2, "totally different words about columnar storage layouts " * 6)],
+        "doc_id long, text string",
+    )
+    idx.append(extra)
+    idx.append(extra)  # simulated at-least-once replay
+    assert idx.signatures().count() == 3
+    batch = spark.createDataFrame(
+        [(10, base.replace("zeta", "zzeta", 1))], "doc_id long, text string"
+    )
+    before = {(r.batch_id, r.corpus_id) for r in idx.probe(batch, 0.5).collect()}
+    assert idx.compact() == 2
+    assert idx.signatures().count() == 2
+    after = {(r.batch_id, r.corpus_id) for r in idx.probe(batch, 0.5).collect()}
+    assert after == before == {(10, 1)}
