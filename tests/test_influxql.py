@@ -2572,3 +2572,18 @@ def test_subquery_rejections_are_loud(engine):
             "GROUP BY time(60s)",
             db="mydb",
         )
+
+
+def test_chunked_subquery_bypasses_result_guard(spark, engine):
+    """A subquery result over max_result_rows fails loudly unchunked
+    but STREAMS chunked (round 7) — the HAVING idiom's output can be
+    bucket-grid sized, and streaming is the sanctioned unbounded
+    path."""
+    capped = InfluxQLEngine(spark, engine.root, max_result_rows=1)
+    q = "SELECT mean_v FROM (SELECT mean(user) AS mean_v FROM cpu GROUP BY time(30s), host)"
+    with pytest.raises(InfluxQLError, match="max_result_rows"):
+        capped.execute(q, db="mydb")
+    envs = list(capped.execute_chunked(q, db="mydb", chunk_size=2))
+    assert envs[0]["results"][0].get("partial") is True
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(engine.execute(q, db="mydb"))
