@@ -800,8 +800,10 @@ def test_chunked_selectors_stream(engine):
     """Selectors stream through the chunk pump (round 7 — previously
     single-envelope fallback): ≤chunk_size rows per envelope, all but
     the last partial, concatenation equal to the unchunked result.
-    Genuinely non-chunkable shapes (subqueries) still fall back to
-    one ordinary envelope."""
+    Single-field subquery statements stream the same way (late
+    round 7 — previously a single-envelope fallback); multi-field
+    outer selects over subqueries still fall back (they need the
+    whole-result merged column grid)."""
     q = "SELECT top(user, 2) FROM cpu WHERE host = 'a'"
     unchunked = engine.execute(q, db="mydb")
     envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
@@ -812,7 +814,15 @@ def test_chunked_selectors_stream(engine):
     assert vals == _values(unchunked)
     sub = "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)"
     envs = list(engine.execute_chunked(sub, db="mydb", chunk_size=1))
-    assert len(envs) == 1 and envs[0] == engine.execute(sub, db="mydb")
+    assert len(envs) == 2 and envs[0]["results"][0].get("partial") is True
+    vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert vals == _values(engine.execute(sub, db="mydb"))
+    multi = (
+        "SELECT mean(mx), sum(mn) FROM (SELECT max(user) AS mx, min(user) AS mn "
+        "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)"
+    )
+    envs = list(engine.execute_chunked(multi, db="mydb", chunk_size=1))
+    assert len(envs) == 1 and envs[0] == engine.execute(multi, db="mydb")
 
 
 def test_chunked_respects_group_by_tag(engine):
