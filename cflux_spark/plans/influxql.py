@@ -792,13 +792,25 @@ def parse_select(q: str) -> SelectStmt:
         outer.db = inner.db
         # InfluxDB propagates the outer time range into the subquery —
         # down the WHOLE chain (each level parsed before the outer
-        # bounds existed, so a one-level copy would strand depth ≥ 3)
+        # bounds existed, so a one-level copy would strand depth ≥ 3).
+        # When BOTH levels carry a bound, INTERSECT (max lo, min hi):
+        # fill-if-missing alone silently ignored an outer range
+        # tighter than the inner's, returning buckets the outer WHERE
+        # time excluded (late round 7)
         lvl = inner
         while lvl is not None:
-            if lvl.time_lo_ns is None and outer.time_lo_ns is not None:
-                lvl.time_lo_ns = outer.time_lo_ns
-            if lvl.time_hi_ns is None and outer.time_hi_ns is not None:
-                lvl.time_hi_ns = outer.time_hi_ns
+            if outer.time_lo_ns is not None:
+                lvl.time_lo_ns = (
+                    outer.time_lo_ns
+                    if lvl.time_lo_ns is None
+                    else max(lvl.time_lo_ns, outer.time_lo_ns)
+                )
+            if outer.time_hi_ns is not None:
+                lvl.time_hi_ns = (
+                    outer.time_hi_ns
+                    if lvl.time_hi_ns is None
+                    else min(lvl.time_hi_ns, outer.time_hi_ns)
+                )
             if lvl.relative_s is None and outer.relative_s is not None:
                 lvl.relative_s = outer.relative_s
                 lvl.relative_lo_inclusive = outer.relative_lo_inclusive

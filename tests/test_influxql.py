@@ -2597,3 +2597,26 @@ def test_chunked_subquery_bypasses_result_guard(spark, engine):
     assert envs[0]["results"][0].get("partial") is True
     vals = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
     assert vals == _values(engine.execute(q, db="mydb"))
+
+
+def test_subquery_time_ranges_intersect(engine):
+    """When both the inner and outer statements carry time bounds,
+    they INTERSECT (max lo, min hi) — fill-if-missing alone silently
+    ignored a tighter outer range (late round 7)."""
+    # inner covers everything from :30; outer tightens to >= 1:00 —
+    # only the minute-1 bucket survives
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu "
+        "WHERE time >= 1704067230000000000 GROUP BY time(60s), host) "
+        "WHERE time >= 1704067260000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067260000, 0.5]]
+    # and the inner bound still applies when it is the tighter one
+    res2 = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu "
+        "WHERE time >= 1704067260000000000 GROUP BY time(60s), host) "
+        "WHERE time >= 1704067200000000000 GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res2) == [[1704067260000, 0.5]]
