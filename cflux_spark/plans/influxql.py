@@ -3758,6 +3758,7 @@ class InfluxQLEngine:
                 frame, name = leaf_frame(stmt.fields[0])
                 if frame is None:
                     return None
+                frame = self._slice_level(frame, tkeys, stmt)
                 return frame, gtags, tkeys, [(name, "val")]
             return self._merge_level_frames(
                 stmt, [leaf_frame(sp) for sp in stmt.fields], gtags, tkeys
@@ -3781,6 +3782,7 @@ class InfluxQLEngine:
             frame, name = self._spec_frame_over(
                 stmt, stmt.fields[0], inner_df, colmap, tkeys, multi=False
             )
+            frame = self._slice_level(frame, tkeys, stmt)
             return frame, gtags, tkeys, [(name, "val")]
         return self._merge_level_frames(
             stmt,
@@ -3820,7 +3822,24 @@ class InfluxQLEngine:
             frames.append(fr.withColumnRenamed("val", f"_c{i}"))
             outs.append((name, f"_c{i}"))
         joined = reduce(lambda a, b: a.join(b, [*tkeys, "ts_ms"], "full_outer"), frames)
+        # the level's own LIMIT/OFFSET count MERGED rows (the round-6
+        # multi-field lesson, applied to subquery levels)
+        joined = self._slice_level(joined, tkeys, stmt)
         return joined, gtags, tkeys, outs
+
+    def _slice_level(self, frame: DataFrame, tkeys: list[str], stmt: SelectStmt) -> DataFrame:
+        """A subquery level's own LIMIT/OFFSET (late round 7;
+        previously silently IGNORED — ``FROM (SELECT ... ORDER BY time
+        DESC LIMIT 1)`` is the InfluxDB last-bucket idiom). Per-series
+        rank slice when the level groups by tags; otherwise order by
+        the level's time direction and slice globally."""
+        if not (stmt.limit or stmt.offset):
+            return frame
+        if not tkeys:
+            frame = frame.orderBy(
+                F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+        return _apply_slice(frame, tkeys, stmt)
 
     def _apply_fill(
         self, grouped: DataFrame, stmt: SelectStmt, tkeys: list[str], bucket_s: float

@@ -2620,3 +2620,34 @@ def test_subquery_time_ranges_intersect(engine):
         db="mydb",
     )
     assert _values(res2) == [[1704067260000, 0.5]]
+
+
+def test_subquery_inner_limit_applies(engine):
+    """A subquery level's own LIMIT/OFFSET slices THAT level's output
+    (late round 7; previously silently ignored): ORDER BY time DESC
+    LIMIT 1 inside FROM is the InfluxDB last-bucket idiom."""
+    res = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s) LIMIT 1)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.7]]
+    res_desc = engine.execute(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s) "
+        "ORDER BY time DESC LIMIT 1)",
+        db="mydb",
+    )
+    assert _values(res_desc) == [[1704067260000, 0.5]]
+    res_off = engine.execute(
+        "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s) LIMIT 1 OFFSET 1)",
+        db="mydb",
+    )
+    assert _values(res_off) == [[1704067260000, 0.5]]
+    # per-series when the level groups by tags: each host keeps its
+    # own first bucket
+    res_tag = engine.execute(
+        "SELECT sum(max) FROM (SELECT max(user) FROM cpu GROUP BY time(60s), host "
+        "LIMIT 1) GROUP BY time(60s)",
+        db="mydb",
+    )
+    # host=a min0 max=0.3, host=b min0 max=0.7 -> sum 1.0; a's min1 sliced away
+    assert _values(res_tag) == [[1704067200000, 1.0]]
