@@ -811,7 +811,11 @@ def parse_select(q: str) -> SelectStmt:
                     if lvl.time_hi_ns is None
                     else min(lvl.time_hi_ns, outer.time_hi_ns)
                 )
-            if lvl.relative_s is None and outer.relative_s is not None:
+            if outer.relative_s is not None and (
+                lvl.relative_s is None or outer.relative_s < lvl.relative_s
+            ):
+                # now()-relative windows intersect the same way: the
+                # smaller lookback is the tighter lower bound
                 lvl.relative_s = outer.relative_s
                 lvl.relative_lo_inclusive = outer.relative_lo_inclusive
             lvl = lvl.subquery
@@ -3725,6 +3729,10 @@ class InfluxQLEngine:
             )
         if not stmt.fields:
             raise InfluxQLError("subquery must select at least one field")
+        if stmt.slimit is not None or stmt.soffset:
+            # series-level slicing needs the whole-result series list;
+            # ignoring it inside a level would be silently wrong
+            raise InfluxQLError("SLIMIT/SOFFSET inside a subquery is not supported")
 
         if stmt.subquery is None:
             facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)

@@ -2651,3 +2651,27 @@ def test_subquery_inner_limit_applies(engine):
     )
     # host=a min0 max=0.3, host=b min0 max=0.7 -> sum 1.0; a's min1 sliced away
     assert _values(res_tag) == [[1704067200000, 1.0]]
+
+
+def test_subquery_relative_ranges_intersect_and_slimit_rejects(engine):
+    """now()-relative lookbacks intersect like absolute bounds (the
+    smaller window wins); SLIMIT inside a subquery rejects loudly
+    instead of being silently ignored."""
+    from cflux_spark.plans.influxql import parse_select
+
+    s = parse_select(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu "
+        "WHERE time > now() - 1h GROUP BY time(60s)) WHERE time > now() - 60s"
+    )
+    assert s.subquery.relative_s == 60.0
+    s2 = parse_select(
+        "SELECT mean(max) FROM (SELECT max(user) FROM cpu "
+        "WHERE time > now() - 60s GROUP BY time(60s)) WHERE time > now() - 1h"
+    )
+    assert s2.subquery.relative_s == 60.0
+    with pytest.raises(InfluxQLError, match="SLIMIT/SOFFSET inside a subquery"):
+        engine.execute(
+            "SELECT mean(max) FROM (SELECT max(user) FROM cpu "
+            "GROUP BY time(60s), host SLIMIT 1)",
+            db="mydb",
+        )
