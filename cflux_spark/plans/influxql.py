@@ -783,6 +783,11 @@ def parse_select(q: str) -> SelectStmt:
         inner = parse_select(q[start + 1 : end])
         outer = parse_select(f"SELECT {sub.group('fields')} FROM __sub__ {q[end + 1 :]}")
         outer.subquery = inner
+        # the INTO clause was carved from the original text above —
+        # re-attach it (late round 7: it was silently dropped, so
+        # INTO-from-subquery ran as a plain SELECT)
+        outer.into = into
+        outer.into_db = into_db
         # tz() applies to the whole statement: inner buckets shift too
         outer.tz = tzname
         if inner.tz is None:
@@ -2450,8 +2455,6 @@ class InfluxQLEngine:
         InfluxDB bulk-downsample idiom). A backreference without a
         distinct target db rejects loudly: with RP prefixes ignored it
         would append aggregates back into its own source measurement."""
-        if stmt.subquery is not None:
-            raise InfluxQLError("INTO does not support subqueries")
         backref = stmt.into == ":MEASUREMENT"
         if backref:
             src_db = stmt.db or db or "default"
@@ -2487,6 +2490,12 @@ class InfluxQLEngine:
             from dataclasses import replace as _replace
 
             stmt = _replace(stmt, into=stmt.measurement)
+        if stmt.subquery is not None:
+            # INTO from a subquery (late round 7; previously rejected):
+            # the outer frame over the subquery's output writes back
+            # like any downsample — still ONE distributed plan, the
+            # nesting chain composing as extra aggregation levels
+            return self._subquery_into(stmt, store, reg)
         facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
         if facts is None:
             return _envelope([_series("result", ["time", "written"], [[0, 0]])])
@@ -2579,6 +2588,56 @@ class InfluxQLEngine:
             out = out.unionByName(fr)
         # three-part INTO prefix targets another database's store
         # (lazily created, S5); plain INTO stays in the source store
+        target = self.store(stmt.into_db) if stmt.into_db else store
+        stats = target.write_samples(out)
+        return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])
+
+    def _subquery_into(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> dict:
+        """``SELECT ... INTO <m> FROM (SELECT ...)`` — the outer
+        specs evaluate over the subquery's output frame
+        (_spec_frame_over: aggregate / transform / arithmetic / raw
+        re-selection) and the bucketed result writes back under the
+        same field-naming rules as a base INTO."""
+        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        if prepared is None:
+            return _envelope([_series("result", ["time", "written"], [[0, 0]])])
+        inner_df, igtags, itkeys, outputs = prepared
+        inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, outputs, stmt)
+        ogtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        missing = [t for t in ogtags if t not in igtags]
+        if missing:
+            raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
+        okeys = [itkeys[igtags.index(t)] for t in ogtags]
+        specs = list(stmt.fields)
+        if any(sp.name == "*" and sp.agg is None and sp.tx is None and sp.expr is None
+               for sp in specs):
+            if len(specs) != 1:
+                raise InfluxQLError("'*' over a subquery cannot mix with other fields")
+            specs = [FieldSpec(None, name) for name, _src in outputs]
+        if ogtags:
+            tag_map = F.map_from_arrays(
+                F.array(*[F.lit(t) for t in ogtags]), F.array(*[F.col(k) for k in okeys])
+            )
+        else:
+            tag_map = F.from_json(F.lit("{}"), "map<string,string>")
+        colmap = dict(outputs)
+        multi = len(specs) > 1
+        frames = []
+        for spec in specs:
+            grouped, colname = self._spec_frame_over(stmt, spec, inner_df, colmap, okeys, multi)
+            frames.append(
+                grouped.select(
+                    F.lit(stmt.into).alias("measurement"),
+                    tag_map.alias("tags"),
+                    (F.col("ts_ms") * 1_000_000).cast("long").alias("ts_ns"),
+                    F.lit(colname).alias("field"),
+                    F.col("val").cast("double").alias("value"),
+                    F.lit(None).cast("string").alias("message"),
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
         target = self.store(stmt.into_db) if stmt.into_db else store
         stats = target.write_samples(out)
         return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])

@@ -2675,3 +2675,29 @@ def test_subquery_relative_ranges_intersect_and_slimit_rejects(engine):
             "GROUP BY time(60s), host SLIMIT 1)",
             db="mydb",
         )
+
+
+def test_select_into_from_subquery(engine):
+    """INTO from a subquery (late round 7; previously the carved INTO
+    clause was silently dropped and the statement ran as a plain
+    SELECT): the outer aggregate over the subquery's output writes
+    back and reads back like any downsample."""
+    res = engine.execute(
+        "SELECT mean(max) INTO dst_sub FROM (SELECT max(user) FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert res["results"][0]["series"][0]["values"] == [[0, 2]]
+    back = engine.execute("SELECT mean FROM dst_sub", db="mydb")
+    assert _values(back) == [[1704067200000, 0.5], [1704067260000, 0.5]]
+    # multi-field: both output columns write under their field keys
+    res2 = engine.execute(
+        "SELECT mean(mx), sum(mn) INTO dst_sub2 FROM (SELECT max(user) AS mx, "
+        "min(user) AS mn FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert res2["results"][0]["series"][0]["values"] == [[0, 4]]
+    back2 = engine.execute("SELECT mean_mx, sum_mn FROM dst_sub2", db="mydb")
+    s = back2["results"][0]["series"][0]
+    assert s["columns"] == ["time", "mean_mx", "sum_mn"]
+    assert s["values"] == [[1704067200000, 0.5, 0.8], [1704067260000, 0.5, 0.5]]
