@@ -2430,6 +2430,21 @@ class InfluxQLEngine:
                     time_lo_ns=max(wm, stmt.time_lo_ns or 0),
                     time_hi_ns=min(hi, stmt.time_hi_ns) if stmt.time_hi_ns else hi,
                 )
+                # subquery CQs (late round 7): the incremental bounds
+                # must reach the LEAF scan — parse-time propagation
+                # already ran, so push the run window down the chain
+                # (the re-parsed levels are fresh objects, safe to
+                # mutate) or every run would re-materialize all
+                # history and append duplicates
+                lvl = run_stmt.subquery
+                while lvl is not None:
+                    lvl.time_lo_ns = max(run_stmt.time_lo_ns, lvl.time_lo_ns or 0)
+                    lvl.time_hi_ns = (
+                        min(run_stmt.time_hi_ns, lvl.time_hi_ns)
+                        if lvl.time_hi_ns
+                        else run_stmt.time_hi_ns
+                    )
+                    lvl = lvl.subquery
                 reg = store.read_registry()
                 res = self._select_into(run_stmt, store, reg, cq_db)
                 out[name] = res["results"][0]["series"][0]["values"][0][1]

@@ -2701,3 +2701,40 @@ def test_select_into_from_subquery(engine):
     s = back2["results"][0]["series"][0]
     assert s["columns"] == ["time", "mean_mx", "sum_mn"]
     assert s["values"] == [[1704067200000, 0.5, 0.8], [1704067260000, 0.5, 0.5]]
+
+
+def test_continuous_query_over_subquery_incremental(spark, tmp_path):
+    """A CQ whose body aggregates over a subquery materializes only
+    newly CLOSED buckets per run (late round 7: the incremental run
+    window must reach the leaf scan — without pushing it down the
+    nesting chain every run re-materialized all history and appended
+    duplicates)."""
+    root = str(tmp_path / "cqsub")
+    store = LPStore(spark, root, db="mydb")
+    lines = [
+        "cpu,host=a user=0.10 1704067200000000000",
+        "cpu,host=a user=0.30 1704067230000000000",
+        "cpu,host=a user=0.50 1704067290000000000",
+        "cpu,host=b user=0.70 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute(
+        "CREATE CONTINUOUS QUERY cqsub ON mydb BEGIN "
+        "SELECT mean(max) INTO dstcq FROM (SELECT max(user) FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY time(60s) END",
+        db="mydb",
+    )
+    assert eng.run_continuous_queries() == {"cqsub": 1}  # closed minute 0
+    assert eng.run_continuous_queries() == {"cqsub": 0}  # idempotent
+    back = eng.execute("SELECT mean FROM dstcq", db="mydb")
+    assert _values(back) == [[1704067200000, 0.5]]
+    # a later point closes minute 1; only that bucket is added
+    store.write_batch(
+        spark.createDataFrame(
+            [("cpu,host=a user=0.90 1704067330000000000",)], "line string"
+        )
+    )
+    assert eng.run_continuous_queries() == {"cqsub": 1}
+    back = eng.execute("SELECT mean FROM dstcq", db="mydb")
+    assert _values(back) == [[1704067200000, 0.5], [1704067260000, 0.5]]
