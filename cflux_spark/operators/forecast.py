@@ -134,35 +134,43 @@ def _fit_hw(
 
 
 def _forecast_series(
-    y: np.ndarray, n: int, m: int
+    y: np.ndarray, n: int, m: int, params: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Fit + forecast one series: returns (fitted, predictions[n])."""
+    """Fit + forecast one series: returns (fitted, predictions[n]).
+    With ``params`` given the smoothing constants are used as-is
+    (no optimizer) — the fixed-parameter evaluation path, a pure
+    linear-recurrence pass that a recursive CTE can replay exactly
+    (the oracle story for ``q_holt_winters``)."""
     if m > 1:
         if len(y) < 2 * m:
             return np.empty(0), np.empty(0)  # under two seasons: no fit
 
-        def sse(p):
-            pc = _clamp01(p)
-            penalty = 1e6 * float(np.sum((p - pc) ** 2))
-            f, *_ = _fit_hw(y, m, pc)
-            return float(np.sum((f - y) ** 2)) + penalty
+        if params is None:
 
-        best = _clamp01(_nelder_mead(sse, np.array([0.5, 0.1, 0.1])))
-        fitted, level, trend, seas = _fit_hw(y, m, best)
+            def sse(p):
+                pc = _clamp01(p)
+                penalty = 1e6 * float(np.sum((p - pc) ** 2))
+                f, *_ = _fit_hw(y, m, pc)
+                return float(np.sum((f - y) ** 2)) + penalty
+
+            params = _clamp01(_nelder_mead(sse, np.array([0.5, 0.1, 0.1])))
+        fitted, level, trend, seas = _fit_hw(y, m, params)
         ks = np.arange(1, n + 1)
         preds = (level + ks * trend) * seas[(len(y) + ks - 1) % m]
     else:
         if len(y) < 3:
             return np.empty(0), np.empty(0)
 
-        def sse(p):
-            pc = _clamp01(p)
-            penalty = 1e6 * float(np.sum((p - pc) ** 2))
-            f, *_ = _fit_holt(y, pc)
-            return float(np.sum((f - y) ** 2)) + penalty
+        if params is None:
 
-        best = _clamp01(_nelder_mead(sse, np.array([0.5, 0.1])))
-        fitted, level, trend = _fit_holt(y, best)
+            def sse(p):
+                pc = _clamp01(p)
+                penalty = 1e6 * float(np.sum((p - pc) ** 2))
+                f, *_ = _fit_holt(y, pc)
+                return float(np.sum((f - y) ** 2)) + penalty
+
+            params = _clamp01(_nelder_mead(sse, np.array([0.5, 0.1])))
+        fitted, level, trend = _fit_holt(y, params)
         preds = level + np.arange(1, n + 1) * trend
     return fitted, preds
 
@@ -177,6 +185,7 @@ def holt_winters(
     interval: int,
     with_fit: bool = False,
     out_col: str = "_hw",
+    params: tuple[float, ...] | None = None,
 ) -> DataFrame:
     """HOLT_WINTERS over a bucketed per-series frame: emit ``n``
     forecast rows per series at ``interval`` spacing past the last
@@ -186,7 +195,15 @@ def holt_winters(
     first (fill() upstream provides dense grids when wanted — same
     contract InfluxDB documents). Series with fewer than two complete
     seasons (m>1) or three points (m<=1) emit nothing, matching
-    InfluxDB's insufficient-data behavior."""
+    InfluxDB's insufficient-data behavior.
+
+    ``params`` fixes the smoothing constants — ``(alpha, beta)`` for
+    Holt's linear (season <= 1), ``(alpha, beta, gamma)`` for seasonal
+    HW — and skips the Nelder-Mead fit entirely. The fixed-parameter
+    pass is a deterministic linear recurrence over the sorted buckets,
+    so a recursive CTE can replay it exactly (the DuckDB oracle for
+    ``q_holt_winters`` uses this path); omit it for InfluxDB's fitted
+    behavior."""
     if n < 1:
         raise ValueError(f"holt_winters N must be >= 1, got {n}")
     if n > 1_000_000:
@@ -195,6 +212,17 @@ def holt_winters(
         raise ValueError(f"holt_winters N capped at 1,000,000 forecast points, got {n}")
     if season < 0:
         raise ValueError(f"holt_winters seasonal pattern must be >= 0, got {season}")
+    fixed: np.ndarray | None = None
+    if params is not None:
+        want = 3 if season > 1 else 2
+        if len(params) != want:
+            raise ValueError(
+                f"holt_winters fixed params need {want} smoothing constants "
+                f"for season={season}, got {len(params)}"
+            )
+        if any(not (0.0 <= p <= 1.0) for p in params):
+            raise ValueError(f"holt_winters smoothing constants must be in [0, 1]: {params}")
+        fixed = np.asarray(params, dtype=float)
     import pyspark.sql.functions as F
 
     if not keys:
@@ -204,7 +232,7 @@ def holt_winters(
         tagged = df.withColumn("_g", F.lit(1))
         return holt_winters(
             tagged, ["_g"], order_col, val_col, n, season, interval,
-            with_fit=with_fit, out_col=out_col,
+            with_fit=with_fit, out_col=out_col, params=params,
         ).drop("_g")
 
     df = df.filter(F.col(val_col).isNotNull())
@@ -225,7 +253,7 @@ def holt_winters(
         pdf = pdf.sort_values(o_name, kind="stable").reset_index(drop=True)
         y = pdf[v_name].to_numpy(dtype=float)
         ts = pdf[o_name].to_numpy(dtype="int64")
-        fitted, preds = _forecast_series(y, n, m)
+        fitted, preds = _forecast_series(y, n, m, params=fixed)
         if len(preds) == 0:
             return pd.DataFrame({c.name: pd.Series(dtype=object) for c in out_schema})
         last = ts[-1]

@@ -869,18 +869,102 @@ def q_ta_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("q_holt_winters")  # rows-only: iterative Nelder-Mead fit is not
-# SQL-expressible; model contracts (synthetic-series recovery,
-# determinism, emission counts) live in tests/test_forecast.py
+@q(
+    "q_holt_winters",
+    f"""
+    WITH RECURSIVE h AS ({_HOURLY_SQL}),
+    r AS (
+      SELECT event_type, hour, mv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+             count(*) OVER (PARTITION BY event_type) AS tn
+      FROM h
+    ),
+    sa AS (
+      SELECT event_type, (t - 1) // 24 AS i, avg(mv) AS savg
+      FROM r WHERE t <= (tn // 24) * 24
+      GROUP BY 1, 2
+    ),
+    ix AS (
+      SELECT r.event_type, (r.t - 1) % 24 AS j,
+             coalesce(avg(CASE WHEN sa.savg <> 0 THEN r.mv / sa.savg END), 1.0) AS idx0
+      FROM r JOIN sa ON sa.event_type = r.event_type AND sa.i = (r.t - 1) // 24
+      WHERE r.t <= (r.tn // 24) * 24
+      GROUP BY 1, 2
+    ),
+    s0 AS (
+      SELECT event_type,
+             list(CASE WHEN idx0 = 0 THEN 1.0 ELSE idx0 END ORDER BY j) AS seas
+      FROM ix GROUP BY 1
+    ),
+    ini AS (
+      SELECT event_type,
+             avg(mv) FILTER (t <= 24) AS lvl,
+             avg((mv - lag24) / 24.0) FILTER (t BETWEEN 25 AND 48) AS tr
+      FROM (SELECT event_type, t, mv,
+                   lag(mv, 24) OVER (PARTITION BY event_type ORDER BY t) AS lag24
+            FROM r)
+      GROUP BY 1
+    ),
+    k AS (
+      SELECT ini.event_type AS event_type, 24 AS t,
+             ini.lvl AS level, ini.tr AS trend, s0.seas AS seas
+      FROM ini JOIN s0 USING (event_type)
+      UNION ALL
+      SELECT event_type, t, nl,
+             0.25 * (nl - level) + 0.75 * trend,
+             seas[1:ph] ||
+               [0.25 * mv / (CASE WHEN nl = 0 THEN 1.0 ELSE nl END) + 0.75 * sph] ||
+               seas[ph + 2 : 24]
+      FROM (
+        SELECT *,
+               0.5 * mv / (CASE WHEN sph = 0 THEN 1.0 ELSE sph END)
+                 + 0.5 * (level + trend) AS nl
+        FROM (
+          SELECT k.event_type AS event_type, r.t AS t, r.mv AS mv,
+                 k.level AS level, k.trend AS trend, k.seas AS seas,
+                 CAST((r.t - 1) % 24 AS INTEGER) AS ph,
+                 k.seas[CAST((r.t - 1) % 24 AS INTEGER) + 1] AS sph
+          FROM k JOIN r ON r.event_type = k.event_type AND r.t = k.t + 1
+        )
+      )
+    ),
+    lastb AS (
+      SELECT event_type, max(epoch_ms(hour)) AS last_ms, max(t) AS tn
+      FROM r GROUP BY 1
+    ),
+    fin AS (
+      SELECT k.* FROM k JOIN lastb l
+      ON l.event_type = k.event_type AND k.t = l.tn
+    )
+    SELECT f.event_type AS event_type,
+           l.last_ms + 3600000 * g.kk AS ts_ms,
+           round((f.level + CAST(g.kk AS DOUBLE) * f.trend)
+                 * f.seas[CAST((l.tn + g.kk - 1) % 24 AS INTEGER) + 1], 6) AS forecast
+    FROM fin f JOIN lastb l USING (event_type)
+    CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS kk) g
+    """,
+)
 def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HOLT_WINTERS(mean, 24, 24) per event_type over the hourly mean
-    series: one day of hourly forecasts ahead of the data, daily
-    seasonality. Per-series Arrow kernel over the bounded bucket
-    frame (operators/forecast.py); parallelism = #series."""
+    series with FIXED smoothing constants (0.5, 0.25, 0.25 — all
+    binary-exact): one day of hourly forecasts ahead of the data,
+    daily seasonality. The fixed-parameter pass is a pure linear
+    recurrence, so the oracle replays the whole model — seasonal-index
+    and level/trend initialization, the (level, trend, 24-index)
+    state recursion with its exact fp shapes, and the forecast
+    projection — as a recursive CTE carrying the seasonal state as a
+    LIST column (q_ta_kama pattern, upgraded from scalar to vector
+    state). Bit-identical at round-6 at sf0.01 AND sf0.1. The FITTED
+    variant (Nelder-Mead, no SQL twin) keeps its model contracts in
+    tests/test_forecast.py. Per-series Arrow kernel over the bounded
+    bucket frame (operators/forecast.py); parallelism = #series."""
     from cflux_spark.operators.forecast import holt_winters
 
     h = _hourly_means(spark, sf_dir)
-    out = holt_winters(h, ["event_type"], "_oc", "mv", 24, 24, interval=3_600_000)
+    out = holt_winters(
+        h, ["event_type"], "_oc", "mv", 24, 24, interval=3_600_000,
+        params=(0.5, 0.25, 0.25),
+    )
     return out.select(
         "event_type", F.col("_oc").alias("ts_ms"), F.round(F.col("_hw"), 6).alias("forecast")
     )

@@ -39,6 +39,59 @@ def test_insufficient_data_emits_nothing():
     assert len(_forecast_series(np.array([1.0, 2.0]), 3, 0)[1]) == 0  # < 3 points
 
 
+def test_fixed_params_skip_fit():
+    """params= evaluates the recurrence with the given constants —
+    results differ from the fitted pass and replay the hand-computed
+    recursion exactly (the q_holt_winters oracle contract)."""
+    rng = np.random.default_rng(11)
+    y = (10 + 0.3 * np.arange(36)) * np.tile([1.1, 0.9, 1.0], 12) + rng.normal(0, 0.1, 36)
+    m, a, b, g = 3, 0.5, 0.25, 0.25
+    _, preds = _forecast_series(y, 6, m, params=np.array([a, b, g]))
+
+    # hand replay (same init + recursion as _fit_hw, written independently)
+    n_seasons = len(y) // m
+    savg = [y[i * m : (i + 1) * m].mean() for i in range(n_seasons)]
+    seas = np.array(
+        [np.mean([y[i * m + j] / savg[i] for i in range(n_seasons) if savg[i] != 0])
+         for j in range(m)]
+    )
+    seas[seas == 0] = 1.0
+    level = y[:m].mean()
+    trend = np.mean((y[m : 2 * m] - y[:m]) / m)
+    for t in range(m, len(y)):
+        ph = t % m
+        denom = seas[ph] if seas[ph] != 0 else 1.0
+        nl = a * y[t] / denom + (1 - a) * (level + trend)
+        trend = b * (nl - level) + (1 - b) * trend
+        lv = nl if nl != 0 else 1.0
+        seas[ph] = g * y[t] / lv + (1 - g) * seas[ph]
+        level = nl
+    ks = np.arange(1, 7)
+    truth = (level + ks * trend) * seas[(len(y) + ks - 1) % m]
+    np.testing.assert_array_equal(preds, truth)
+
+    # differs from the fitted pass (the optimizer moves off (a,b,g))
+    _, fitted_preds = _forecast_series(y, 6, m)
+    assert not np.array_equal(preds, fitted_preds)
+
+
+def test_fixed_params_holt_linear():
+    y = 5.0 + 1.5 * np.arange(30)
+    _, preds = _forecast_series(y, 5, 0, params=np.array([0.5, 0.5]))
+    # a perfect line is reproduced exactly by Holt regardless of constants
+    np.testing.assert_allclose(preds, 5.0 + 1.5 * np.arange(30, 35), rtol=1e-9)
+
+
+def test_df_fixed_params_validation(spark):
+    df = spark.createDataFrame([("a", 0, 1.0)], "k string, ts_ms long, val double")
+    with pytest.raises(ValueError, match="smoothing constants"):
+        holt_winters(df, ["k"], "ts_ms", "val", 2, 4, interval=1, params=(0.5, 0.5))
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        holt_winters(df, ["k"], "ts_ms", "val", 2, 4, interval=1, params=(0.5, 0.5, 1.5))
+    with pytest.raises(ValueError, match="smoothing constants"):
+        holt_winters(df, ["k"], "ts_ms", "val", 2, 0, interval=1, params=(0.5, 0.5, 0.5))
+
+
 def test_kernel_deterministic():
     rng = np.random.default_rng(7)
     y = (10 + 0.3 * np.arange(36)) * np.tile([1.1, 0.9, 1.0], 12) + rng.normal(0, 0.1, 36)
