@@ -575,7 +575,16 @@ class MinHashIndex:
          broadcast-semi-join the signature table to pull just those
          rows for the est_jaccard check.
     The batch is small by construction relative to the corpus;
-    nothing quadratic, nothing driver-side."""
+    nothing quadratic, nothing driver-side. ``probe`` enforces the
+    small-batch contract loudly (``MAX_BROADCAST_BAND_ROWS``) instead
+    of letting an oversized broadcast OOM the executors."""
+
+    #: banded keys a probe batch may broadcast (docs × bands); past
+    #: this the probe raises with the big-batch alternatives rather
+    #: than OOMing executors on the broadcast (the repo's
+    #: guarded-collect discipline — cf. bpe.word_frequencies,
+    #: similarity sample caps).
+    MAX_BROADCAST_BAND_ROWS = 2_000_000
 
     def __init__(self, spark, path: str):
         import json
@@ -642,7 +651,13 @@ class MinHashIndex:
         Dedups by doc_id (signatures of a given doc are identical by
         construction — same text, same hash family) and rewrites via
         a temp directory + atomic swap so concurrent probes never see
-        a half-written table. Returns the compacted row count."""
+        a half-written table. Returns the compacted row count.
+
+        The swap relies on POSIX rename atomicity (``os.replace``) —
+        correct on local/NFS/HDFS-mounted stores; on an OBJECT store
+        (S3A et al.) rename is copy+delete and NOT atomic, so there
+        compact during a probe-quiet window or front the table with a
+        manifest pointer instead."""
         import os
         import shutil
 
@@ -683,6 +698,16 @@ class MinHashIndex:
             self.num_hashes,
             id_col,
         ).cache()
+        n_band_rows = bsig.count() * self.bands
+        if n_band_rows > self.MAX_BROADCAST_BAND_ROWS:
+            raise ValueError(
+                f"probe batch expands to {n_band_rows:,} banded keys "
+                f"(cap {self.MAX_BROADCAST_BAND_ROWS:,}): the probe broadcasts "
+                "the batch's bands into the index scan, which assumes "
+                "batch ≪ corpus. Slice the batch and dedup_batch() per "
+                "slice, or raise MinHashIndex.MAX_BROADCAST_BAND_ROWS if the "
+                "executors can hold the broadcast."
+            )
         isig = self.signatures()
         ibands = _band_stack(isig, self.num_hashes, self.bands, "doc_id").withColumnRenamed(
             "doc_id", "corpus_id"

@@ -3173,11 +3173,14 @@ class InfluxQLEngine:
         )
 
     def _arith_raw_frame(
-        self, spec: FieldSpec, facts: DataFrame, tkeys, reg, ns: bool = False
+        self, spec: FieldSpec, facts: DataFrame, tkeys, reg, ns: bool = False,
+        keyed: bool = False,
     ) -> DataFrame | None:
         """Raw-point arithmetic frame → [*tkeys, ts_ms, val double]
         (``ns=True`` keeps the exact epoch-ns timestamp instead — the
-        INTO writer stores full precision, round 6).
+        INTO writer stores full precision, round 6; ``keyed=True``
+        returns [_skey, ts_ns, *tkeys, val] so a raw multi-field
+        subquery level can align it on point identity, round 8).
         One field (``user * 100``) is a pointwise map. Multiple fields
         (``user + sys``) align on POINT identity — rows are stored
         one-per-field and fingerprints include the field name, so the
@@ -3192,13 +3195,27 @@ class InfluxQLEngine:
             if lf[1] not in fields_used:
                 fields_used.append(lf[1])
         tcol = F.col("ts_ns") if ns else F.expr("ts_ns div 1000000").alias("ts_ms")
-        if len(fields_used) == 1:
+        if len(fields_used) == 1 and not keyed:
             fname = fields_used[0]
             base = facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
             val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
             return base.select(*tkeys, tcol, val.alias("val"))
         if reg is None:
             return None
+        if len(fields_used) == 1:
+            skey1 = F.xxhash64(
+                F.to_json(
+                    F.array_sort(
+                        F.map_entries(F.coalesce(F.col("tags"), F.create_map()))
+                    )
+                )
+            )
+            fp2s1 = reg.select("fingerprint", skey1.alias("_skey")).distinct()
+            base = facts.filter(
+                (F.col("field") == fields_used[0]) & F.col("value").isNotNull()
+            ).join(F.broadcast(fp2s1), "fingerprint")
+            val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
+            return base.select("_skey", "ts_ns", *tkeys, val.alias("val"))
         skey = F.xxhash64(
             F.to_json(
                 F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
@@ -3220,6 +3237,8 @@ class InfluxQLEngine:
             joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"])
         idx = {f: i for i, f in enumerate(fields_used)}
         val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
+        if keyed:
+            return joined.select("_skey", "ts_ns", *tkeys, val.alias("val"))
         return joined.select(*tkeys, tcol, val.alias("val"))
 
     def _arith_raw_series(
@@ -3812,24 +3831,57 @@ class InfluxQLEngine:
             facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
             if facts is None:
                 return None
+            if any(sp.tag for sp in stmt.fields):
+                raise InfluxQLError("::tag columns inside a subquery are not supported")
+            self._expand_wildcard(stmt, facts)
+
+            def _is_plain_raw(sp: FieldSpec) -> bool:
+                return (
+                    sp.agg is None
+                    and sp.tx is None
+                    and (sp.expr is None or not _arith_leaves(sp.expr, "agg"))
+                )
+
+            raw_kind = [sp for sp in stmt.fields if _is_plain_raw(sp)]
+            if raw_kind and len(raw_kind) != len(stmt.fields):
+                # same fence as the base path: a silent ts-merge of a
+                # raw point stream with a bucketed aggregate would
+                # misalign shapes
+                raise InfluxQLError(
+                    "mixing aggregate and non-aggregate fields in a "
+                    "subquery is not supported"
+                )
+            if raw_kind:
+                # raw innermost subquery (round 8; previously rejected
+                # with "every subquery field must aggregate"): InfluxDB
+                # 1.2+ accepts SELECT mean(user) FROM (SELECT user FROM
+                # cpu WHERE host='a') — a per-point passthrough frame
+                # with field projection/rename + WHERE, timestamps
+                # floored to ms (the subquery frame's time unit; exact
+                # for any integer-ms outer bucket since boundaries are
+                # integer ms)
+                if stmt.group_by_time_s is not None:
+                    raise InfluxQLError(
+                        "GROUP BY time() requires aggregated SELECT expressions"
+                    )
+                return self._raw_level_frame(stmt, facts, gtags, tkeys, reg)
 
             def leaf_frame(sp: FieldSpec) -> tuple[DataFrame | None, str]:
                 if sp.expr is not None:
-                    # arithmetic subqueries (round 5): the Grafana
-                    # idiom SELECT mean(usage) FROM (SELECT user + sys
-                    # AS usage FROM cpu) — raw arithmetic yields a
-                    # point frame the outer buckets; aggregate
-                    # arithmetic yields its own bucketed frame
+                    # aggregate arithmetic (round 5): SELECT
+                    # mean(a) - mean(b) inside a subquery yields its
+                    # own bucketed frame (raw arithmetic routes through
+                    # _raw_level_frame above)
                     name = sp.alias or sp.name
-                    if _arith_leaves(sp.expr, "agg"):
-                        return self._arith_agg_frame(stmt, sp, facts, tkeys), name
-                    if stmt.group_by_time_s is not None:
-                        raise InfluxQLError(
-                            "GROUP BY time() requires aggregated SELECT expressions"
-                        )
-                    return self._arith_raw_frame(sp, facts, tkeys, reg), name
+                    return self._arith_agg_frame(stmt, sp, facts, tkeys), name
                 if sp.agg is None:
-                    raise InfluxQLError("every subquery field must aggregate")
+                    # sp.tx without an aggregate: transforms over raw
+                    # points inside a subquery need a point-level
+                    # transform frame — loud until built
+                    raise InfluxQLError(
+                        f"{sp.tx}({sp.name}) inside a subquery requires an "
+                        f"aggregate argument, e.g. {sp.tx}(mean({sp.name}))"
+                    )
                 ff = facts.filter(F.col("field") == sp.name)
                 return (
                     self._aggregated_frame(stmt, sp, ff, tkeys),
@@ -3875,6 +3927,89 @@ class InfluxQLEngine:
             gtags,
             tkeys,
         )
+
+    def _raw_level_frame(
+        self,
+        stmt: SelectStmt,
+        facts: DataFrame,
+        gtags: list[str],
+        tkeys: list[str],
+        reg: DataFrame | None,
+    ) -> tuple[DataFrame, list[str], list[str], list[tuple[str, str]]] | None:
+        """Innermost RAW subquery level (round 8): every SELECT field
+        is a plain field passthrough or raw arithmetic — per-point
+        frame ``[*tkeys, ts_ms, <cols>]``, one output column per field.
+
+        Multi-field levels align on POINT identity — rows are stored
+        one-per-field, so the cross-field key is (tag-set hash, ts_ns),
+        the same registry-derived series key raw arithmetic and WHERE
+        field predicates use; a full outer join keeps a point that
+        carries any of the fields (nulls elsewhere, InfluxDB raw
+        multi-field semantics). Joining on bare ts_ms instead would
+        cross-join distinct series that share a millisecond."""
+        names: list[str] = []
+        for sp in stmt.fields:
+            name = sp.alias or sp.name
+            if name in names:
+                raise InfluxQLError(
+                    f"duplicate subquery output column {name!r}: alias one (AS ...)"
+                )
+            names.append(name)
+        if len(stmt.fields) == 1:
+            sp = stmt.fields[0]
+            if sp.expr is not None:
+                frame = self._arith_raw_frame(sp, facts, tkeys, reg)
+                if frame is None:
+                    return None
+            else:
+                ff = facts.filter(
+                    (F.col("field") == sp.name) & F.col("value").isNotNull()
+                )
+                frame = ff.select(
+                    *tkeys,
+                    F.expr("ts_ns div 1000000").alias("ts_ms"),
+                    F.col("value").alias("val"),
+                )
+            frame = self._slice_level(frame, tkeys, stmt)
+            return frame, gtags, tkeys, [(names[0], "val")]
+
+        if reg is None:
+            return None
+        skey = F.xxhash64(
+            F.to_json(
+                F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
+            )
+        )
+        fp2s = reg.select("fingerprint", skey.alias("_skey")).distinct()
+        base = facts.join(F.broadcast(fp2s), "fingerprint")
+        joined = None
+        n = len(stmt.fields)
+        for i, sp in enumerate(stmt.fields):
+            if sp.expr is not None:
+                d = self._arith_raw_frame(sp, facts, tkeys, reg, keyed=True)
+                if d is None:
+                    return None
+                d = d.withColumnRenamed("val", f"_c{i}")
+            else:
+                d = base.filter(
+                    (F.col("field") == sp.name) & F.col("value").isNotNull()
+                ).select("_skey", "ts_ns", *tkeys, F.col("value").alias(f"_c{i}"))
+            d = d.select(
+                "_skey", "ts_ns",
+                *[F.col(t).alias(f"{t}__{i}") for t in tkeys],
+                f"_c{i}",
+            )
+            joined = d if joined is None else joined.join(d, ["_skey", "ts_ns"], "full_outer")
+        tsel = [
+            F.coalesce(*[F.col(f"{t}__{i}") for i in range(n)]).alias(t) for t in tkeys
+        ]
+        frame = joined.select(
+            *tsel,
+            F.expr("ts_ns div 1000000").alias("ts_ms"),
+            *[f"_c{i}" for i in range(n)],
+        )
+        frame = self._slice_level(frame, tkeys, stmt)
+        return frame, gtags, tkeys, [(nm, f"_c{i}") for i, nm in enumerate(names)]
 
     def _merge_level_frames(
         self,

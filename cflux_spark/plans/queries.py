@@ -1052,6 +1052,40 @@ def q_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_subquery_raw_inner",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(sum(CAST(round(u * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100 AS mean_u,
+           CAST(count(*) AS INT) AS n
+    FROM (
+      SELECT ts, value AS u FROM events
+      WHERE event_type = 'click' AND value > 0.25
+    ) GROUP BY 1
+    """,
+)
+def q_subquery_raw_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (non-aggregated) innermost subquery (round 8): ``SELECT
+    mean(u) FROM (SELECT value AS u FROM events WHERE type='click' AND
+    value > 0.25) GROUP BY time(1h)`` — InfluxDB 1.2+'s field
+    filter/rename passthrough, the last common InfluxQL shape this
+    engine rejected (plans/influxql.py _raw_level_frame; engine-level
+    conformance in tests/test_influxql.py::test_subquery_raw_inner*).
+    Mechanically the inner level is a per-point projection, so
+    Catalyst collapses the whole statement into ONE filtered scan →
+    aggregate — no materialization between levels."""
+    ev = _events(spark, sf_dir)
+    inner = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 0.25)
+    ).select("ts", F.col("value").alias("u"))
+    cents = F.round(F.col("u") * 100).cast("long")
+    return inner.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        (F.sum(cents).cast("double") / F.count("*") / 100).alias("mean_u"),
+        F.count("*").cast("int").alias("n"),
+    )
+
+
+@q(
     "q_count_distinct",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n

@@ -1820,6 +1820,30 @@ def test_minhash_index_meta_roundtrip(spark, tmp_path):
         dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "bad"), bands=7)
 
 
+def test_minhash_index_probe_batch_guard(spark, tmp_path, monkeypatch):
+    """probe broadcasts the batch's banded keys — a batch past the
+    band-row cap must fail LOUDLY with the big-batch alternatives
+    instead of OOMing executors on the broadcast (round 8; the repo's
+    guarded-collect discipline)."""
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight " * 4)],
+        "doc_id long, text string",
+    )
+    idx = dedup.MinHashIndex.build(spark, corpus, str(tmp_path / "mhguard"))
+    batch = spark.createDataFrame(
+        [(i, f"document number {i} body " * 8) for i in range(10, 16)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dedup.MinHashIndex, "MAX_BROADCAST_BAND_ROWS", 16)
+    with pytest.raises(ValueError, match="banded keys"):
+        idx.probe(batch)
+    # at/under the cap the probe runs
+    monkeypatch.setattr(
+        dedup.MinHashIndex, "MAX_BROADCAST_BAND_ROWS", 6 * idx.bands
+    )
+    assert idx.probe(batch).count() == 0  # no near-dups, but it ran
+
+
 # ------------------------------------------------- epoch_shuffle (round 7)
 
 

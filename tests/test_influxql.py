@@ -594,6 +594,143 @@ def test_subquery_midlevel_where_applies(engine):
     assert _values(res) == [[1704067200000, 0.3], [1704067260000, 0.5]]
 
 
+def test_subquery_raw_inner(engine):
+    """Raw (non-aggregated) innermost subqueries (round 8; previously
+    rejected with "every subquery field must aggregate"): InfluxDB
+    1.2+ field filter / rename passthrough — SELECT mean(user) FROM
+    (SELECT user FROM cpu WHERE host = 'a')."""
+    res = engine.execute(
+        "SELECT mean(user) FROM (SELECT user FROM cpu WHERE host = 'a') "
+        "GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+    # rename passthrough: the outer references the alias
+    res_r = engine.execute(
+        "SELECT mean(u) FROM (SELECT user AS u FROM cpu WHERE host = 'a') "
+        "GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res_r) == _values(res)
+    # ...and the ORIGINAL name no longer matches
+    with pytest.raises(InfluxQLError, match="does not match"):
+        engine.execute(
+            "SELECT mean(user) FROM (SELECT user AS u FROM cpu)", db="mydb"
+        )
+
+
+def test_subquery_raw_inner_reselection_and_having(engine):
+    """Raw re-selection and value predicates over a raw inner frame."""
+    res = engine.execute(
+        "SELECT u FROM (SELECT user AS u FROM cpu WHERE host = 'b')", db="mydb"
+    )
+    assert _values(res) == [[1704067200000, 0.7]]
+    # outer WHERE value predicate filters the inner POINTS
+    res_h = engine.execute(
+        "SELECT user FROM (SELECT user FROM cpu) WHERE user > 0.4", db="mydb"
+    )
+    assert _values(res_h) == [[1704067200000, 0.7], [1704067290000, 0.5]]
+
+
+def test_subquery_raw_inner_group_by_tag(engine):
+    """The raw level carries the inner GROUP BY <tag> keys so the
+    outer can group on them."""
+    res = engine.execute(
+        "SELECT mean(user) FROM (SELECT user FROM cpu GROUP BY host) "
+        "GROUP BY time(1h), host",
+        db="mydb",
+    )
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host["a"] == [[1704067200000, 0.3]]  # (0.1+0.3+0.5)/3
+    assert by_host["b"] == [[1704067200000, 0.7]]
+
+
+def test_subquery_raw_inner_multi_field(engine):
+    """Multi-field raw levels align on POINT identity (tag-set hash,
+    ts_ns) — joining on bare ms timestamps would cross-join distinct
+    series sharing a millisecond (host=a and host=b both have points
+    at t0; a naive ts-join would duplicate user rows and corrupt the
+    outer means)."""
+    res = engine.execute(
+        "SELECT mean(user) AS mu, mean(sys) AS ms FROM "
+        "(SELECT user, sys FROM cpu) GROUP BY time(60s)",
+        db="mydb",
+    )
+    series = res["results"][0]["series"][0]
+    assert series["columns"] == ["time", "mu", "ms"]
+    # minute 0: user (0.1+0.3+0.7)/3, sys 0.01; minute 1: user 0.5
+    assert series["values"] == [
+        [1704067200000, 0.366667, 0.01],
+        [1704067260000, 0.5, None],
+    ]
+
+
+def test_subquery_raw_inner_wildcard(engine):
+    """SELECT * inside a subquery expands to the measurement's field
+    keys (previously '*' matched no stored field name and returned
+    silently empty)."""
+    res = engine.execute(
+        "SELECT mean(user) FROM (SELECT * FROM cpu WHERE host = 'a') "
+        "GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+
+
+def test_subquery_raw_inner_nested(engine):
+    """Three levels with a raw innermost — the shape the round-7
+    grammar fence rejected."""
+    res = engine.execute(
+        "SELECT mean(mean_v) FROM (SELECT mean(u) AS mean_v FROM "
+        "(SELECT user AS u FROM cpu WHERE host = 'a') GROUP BY time(60s)) "
+        "GROUP BY time(120s)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067200000, 0.35]]  # mean(0.2, 0.5)
+
+
+def test_subquery_raw_inner_level_slice(engine):
+    """A raw level's own ORDER BY time DESC LIMIT 1 slices the POINTS
+    (the last-point idiom, at full point granularity)."""
+    res = engine.execute(
+        "SELECT u FROM (SELECT user AS u FROM cpu WHERE host = 'a' "
+        "ORDER BY time DESC LIMIT 1)",
+        db="mydb",
+    )
+    assert _values(res) == [[1704067290000, 0.5]]
+
+
+def test_subquery_raw_inner_rejections(engine):
+    # mixing raw and aggregated fields at one level
+    with pytest.raises(InfluxQLError, match="mixing aggregate and non-aggregate"):
+        engine.execute("SELECT mean(user) FROM (SELECT user, mean(sys) FROM cpu)", db="mydb")
+    # raw level under GROUP BY time()
+    with pytest.raises(InfluxQLError, match="requires aggregated"):
+        engine.execute(
+            "SELECT mean(user) FROM (SELECT user FROM cpu GROUP BY time(60s))",
+            db="mydb",
+        )
+    # transform over raw points inside a subquery: loud, with the fix
+    with pytest.raises(InfluxQLError, match="requires an aggregate argument"):
+        engine.execute(
+            "SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu)", db="mydb"
+        )
+    # ::tag columns inside a subquery
+    with pytest.raises(InfluxQLError, match="::tag"):
+        engine.execute("SELECT host FROM (SELECT user, host::tag FROM cpu)", db="mydb")
+
+
+def test_subquery_raw_inner_into(engine, spark):
+    """INTO composes over a raw innermost subquery."""
+    engine.execute(
+        "SELECT mean(u) AS m INTO raw_sub_dst FROM "
+        "(SELECT user AS u FROM cpu WHERE host = 'a') GROUP BY time(60s)",
+        db="mydb",
+    )
+    res = engine.execute("SELECT m FROM raw_sub_dst", db="mydb")
+    assert _values(res) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+
+
 # ---------------------------------------------------------------- round 2b fns
 
 
@@ -746,7 +883,6 @@ def test_selector_respects_limit_offset(engine):
         "SELECT mean(user) FROM cpu GROUP BY time(10parsecs)",
         "SELECT mean(user) FROM cpu WHERE time > now() - 10parsecs",
         "SELECT top(user, 1.5) FROM cpu",
-        "SELECT mean(user) FROM (SELECT mean(user) FROM (SELECT user FROM cpu))",
         "SELECT FROM cpu",
         "DROP MEASUREMENT /cpu/",  # regex illegal here (round 6)
     ],
@@ -932,6 +1068,17 @@ def test_chunked_select_star_expands_wildcard(engine):
         "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)",
         "SELECT * FROM (SELECT max(user), min(user) FROM cpu GROUP BY time(60s))",
         "SELECT max FROM (SELECT max(user) FROM cpu GROUP BY time(60s)) LIMIT 1",
+        # round 8: raw innermost subqueries through the same pump
+        "SELECT mean(user) FROM (SELECT user FROM cpu WHERE host = 'a') "
+        "GROUP BY time(60s)",
+        "SELECT u FROM (SELECT user AS u FROM cpu)",
+        "SELECT user FROM (SELECT user FROM cpu) WHERE user > 0.4",
+        "SELECT mean(u) FROM (SELECT user AS u FROM cpu GROUP BY host) "
+        "GROUP BY time(60s), host",
+        "SELECT mean(user) FROM (SELECT user, sys FROM cpu) GROUP BY time(60s)",
+        "SELECT mean(mean_v) FROM (SELECT mean(u) AS mean_v FROM "
+        "(SELECT user AS u FROM cpu WHERE host = 'a') GROUP BY time(60s)) "
+        "GROUP BY time(120s)",
         # round 7: duplicate output columns disambiguate (_1 suffix)
         "SELECT user, user FROM cpu",
         "SELECT mean(user), mean(user) FROM cpu GROUP BY time(60s)",
@@ -2738,3 +2885,38 @@ def test_continuous_query_over_subquery_incremental(spark, tmp_path):
     assert eng.run_continuous_queries() == {"cqsub": 1}
     back = eng.execute("SELECT mean FROM dstcq", db="mydb")
     assert _values(back) == [[1704067200000, 0.5], [1704067260000, 0.5]]
+
+
+def test_continuous_query_over_raw_subquery(spark, tmp_path):
+    """CQ composition over a RAW innermost subquery (round 8): the
+    incremental run window pushes through the raw passthrough level to
+    the leaf scan, so each run materializes only newly closed
+    buckets."""
+    root = str(tmp_path / "cqraw")
+    store = LPStore(spark, root, db="mydb")
+    lines = [
+        "cpu,host=a user=0.10 1704067200000000000",
+        "cpu,host=a user=0.30 1704067230000000000",
+        "cpu,host=a user=0.50 1704067290000000000",
+        "cpu,host=b user=0.70 1704067200000000000",
+    ]
+    store.write_batch(spark.createDataFrame([(l,) for l in lines], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute(
+        "CREATE CONTINUOUS QUERY cqraw ON mydb BEGIN "
+        "SELECT mean(u) INTO dstraw FROM (SELECT user AS u FROM cpu "
+        "WHERE host = 'a') GROUP BY time(60s) END",
+        db="mydb",
+    )
+    assert eng.run_continuous_queries() == {"cqraw": 1}  # closed minute 0
+    assert eng.run_continuous_queries() == {"cqraw": 0}  # idempotent
+    back = eng.execute("SELECT mean FROM dstraw", db="mydb")
+    assert _values(back) == [[1704067200000, 0.2]]  # mean(0.1, 0.3)
+    store.write_batch(
+        spark.createDataFrame(
+            [("cpu,host=a user=0.90 1704067330000000000",)], "line string"
+        )
+    )
+    assert eng.run_continuous_queries() == {"cqraw": 1}  # closes minute 1
+    back = eng.execute("SELECT mean FROM dstraw", db="mydb")
+    assert _values(back) == [[1704067200000, 0.2], [1704067260000, 0.5]]
