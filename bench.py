@@ -5,6 +5,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced end-to-end with the `noop` sink (full physical
 execution, no driver collect bottleneck). Session startup is excluded
 from per-query numbers but included in `total_wall_sec` for honesty.
+Per-query numbers and ingest throughput are MEDIANS of N_RUNS
+interleaved sweeps (round 8) so one loaded window on a shared box
+cannot become the signal of record.
 """
 
 from __future__ import annotations
@@ -15,6 +18,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: runs per sweep key and per ingest pipeline; the artifact records the
+#: MEDIAN so ambient load on a shared box can't masquerade as a code
+#: regression (the r7 artifact's uniform 1.35x inflation). Override
+#: with SPARK_GRAFT_BENCH_RUNS=1 for a quick iteration loop.
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # the representative slice of the catalog: one per operator family,
 # weighted toward the scale-sensitive ops (joins, window, dedup, ANN)
@@ -286,10 +295,17 @@ def main() -> int:
     from cflux_spark.sources.ingest import parse_lp_df
 
     parse_lp_df(lines.limit(5000)).count()
-    with tempfile.TemporaryDirectory() as tmp:
-        t = time.monotonic()
-        LPStore(spark, tmp, db="bench").write_batch(lines, collect_stats=False)
-        ingest_dt = time.monotonic() - t
+    # median of N_RUNS full write pipelines: the recorded r7 artifact
+    # aliased ambient VM load on the shared box into a 1.35x uniform
+    # inflation (VERDICT r7 next #6) — medians keep one loaded window
+    # from becoming the signal of record
+    ingest_runs = []
+    for _ in range(N_RUNS):
+        with tempfile.TemporaryDirectory() as tmp:
+            t = time.monotonic()
+            LPStore(spark, tmp, db="bench").write_batch(lines, collect_stats=False)
+            ingest_runs.append(time.monotonic() - t)
+    ingest_dt = sorted(ingest_runs)[len(ingest_runs) // 2]
     lines.unpersist()
 
 
@@ -315,17 +331,28 @@ def main() -> int:
             stream_median_ms = durs[len(durs) // 2]
             stream_max_ms = durs[-1]
 
-    timings: dict[str, float] = {}
+    # per-key MEDIAN of N_RUNS (VERDICT r7 next #6): one loaded window
+    # on the shared box must not alias into the signal of record.
+    # Runs interleave full sweeps (A B C, A B C, ...) rather than
+    # repeating each key back-to-back, so a transient load spike hits
+    # each key at most once.
+    _mhindex_prepare(spark, sf_dir)  # standing index: built outside timing
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     ops = _bench_ops()
-    for name in BENCH_QUERIES:
-        fn = ops.get(name) or QUERIES[name]
-        t = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t, 3)
-        # isolate queries: some operators cache intermediates (e.g.
-        # minhash signatures); don't let one query's cache pressure the next
-        spark.catalog.clearCache()
+    for _ in range(N_RUNS):
+        for name in BENCH_QUERIES:
+            fn = ops.get(name) or QUERIES[name]
+            t = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.monotonic() - t, 3))
+            # isolate queries: some operators cache intermediates (e.g.
+            # minhash signatures); don't let one query's cache pressure
+            # the next
+            spark.catalog.clearCache()
+    timings = {
+        name: sorted(ts)[len(ts) // 2] for name, ts in runs.items()
+    }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -335,8 +362,11 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "n_runs_per_query": N_RUNS,
+        "aggregation": "median",
         "cpus": cpus,
         "ingest_rows_per_sec": int(n_lines / ingest_dt),
+        "ingest_rows_per_sec_runs": [int(n_lines / d) for d in ingest_runs],
         "ingest_lines": n_lines,
         "streaming_batch_ms_median": stream_median_ms,
         "streaming_batch_ms_max": stream_max_ms,
