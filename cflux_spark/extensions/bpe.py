@@ -48,12 +48,26 @@ from pyspark.sql.functions import pandas_udf
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
-def word_frequencies(df: DataFrame, text_col: str = "text", max_words: int = 1_000_000) -> dict[str, int]:
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+    min_count: int = 1,
+) -> dict[str, int]:
     """(word → count) over a corpus, the input :func:`bpe_train`
     needs: one groupBy on the exploded word stream, guarded collect
     of the DOMAIN-sized result (natural-language vocabularies are
     ~10^5-10^6 words regardless of corpus size; past ``max_words``
-    raise rather than collect unbounded)."""
+    raise rather than collect unbounded).
+
+    ``min_count`` prunes the long tail INSIDE the aggregation (a
+    HAVING on the distributed groupBy, before anything reaches the
+    driver) — real web corpora carry unbounded typo/hash/serial-number
+    tails that blow past any vocabulary cap, while BPE merge counts
+    are dominated by frequent words; dropping singletons changes
+    merges negligibly and keeps training vocabulary-sized on ANY
+    corpus (round 8, VERDICT r7 next #7). The guard message names this
+    escape hatch."""
     words = (
         df.select(
             F.explode(
@@ -66,10 +80,14 @@ def word_frequencies(df: DataFrame, text_col: str = "text", max_words: int = 1_0
         .groupBy("w")
         .count()
     )
+    if min_count > 1:
+        words = words.filter(F.col("count") >= min_count)
     if words.limit(max_words + 1).count() > max_words:
         raise ValueError(
-            f"word_frequencies: more than {max_words} distinct words — "
-            "cap with a frequency threshold before training"
+            f"word_frequencies: more than {max_words} distinct words "
+            f"(min_count={min_count}) — raise min_count to prune the "
+            "frequency tail inside the aggregation, or raise max_words "
+            "if the driver can hold the table"
         )
     return {r.w: r["count"] for r in words.collect()}
 

@@ -487,30 +487,57 @@ def export_tar_shards(
     writer — each task owns a whole shard, so ``path`` must be shared
     storage on a real cluster and n_shards must size shards to
     executor memory (100 TB / 1 GB shards → 10^5 shards; the tar
-    write itself streams member-at-a-time)."""
+    write itself streams member-at-a-time). The shared-storage
+    precondition is PROBED, not just documented (round 8): the driver
+    drops a tokened marker under ``path`` and every writer task
+    re-reads it — a non-shared path fails loudly on every task instead
+    of silently scattering partial shards across executor-local
+    disks."""
     import json
     import os
     import tarfile
+    import uuid
 
     import pandas as pd
 
     metas = list(meta_cols or [c for c in df.columns if c not in (key_col, text_col)])
     width = 5
     os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "_shared.marker")
+    token = uuid.uuid4().hex
+    with open(marker, "w") as fh:
+        fh.write(token)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import io
 
+        try:
+            with open(marker) as fh:
+                shared = fh.read() == token
+        except OSError:
+            shared = False
+        if not shared:
+            raise RuntimeError(
+                f"export_tar_shards: driver marker {marker!r} is not visible "
+                "from this task — the export path must be SHARED storage "
+                "(NFS/HDFS/object mount). A node-local path would silently "
+                "scatter partial shards across executors."
+            )
         shard = int(pdf["shard"].iloc[0])
         pdf = pdf.sort_values(key_col)
+        cols = list(pdf.columns)
+        ki, ti = cols.index(key_col), cols.index(text_col)
+        mi = [(c, cols.index(c)) for c in metas]
         out = os.path.join(path, f"shard-{shard:0{width}d}.tar")
         n_bytes = 0
         with tarfile.open(out + ".tmp", "w") as tar:
-            for _, row in pdf.iterrows():
-                key = str(row[key_col])
-                body = ("" if row[text_col] is None else str(row[text_col])).encode()
+            # itertuples, not iterrows: no per-row Series construction
+            # (~5x cheaper; tar members are inherently per-row)
+            for row in pdf.itertuples(index=False, name=None):
+                key = str(row[ki])
+                body = ("" if row[ti] is None else str(row[ti])).encode()
                 meta = json.dumps(
-                    {c: _json_safe(row[c]) for c in metas}, sort_keys=True
+                    {c: _json_safe(row[i]) for c, i in mi}, sort_keys=True
                 ).encode()
                 for suffix, blob in ((".txt", body), (".json", meta)):
                     info = tarfile.TarInfo(key + suffix)

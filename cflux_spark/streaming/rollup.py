@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -142,6 +143,165 @@ def _make_ema_fn(n: int):
         yield pd.DataFrame(rows, columns=["series_key", "ts", "value", "ema"])
 
     return _ema_fn
+
+
+_RSI_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("rsi", DoubleType(), True),
+    ]
+)
+# (points seen, last value, warmup gain/loss sums, Wilder averages):
+# O(1) per series. The sums matter only until the seed at the n-th
+# difference; afterwards the two averages ARE the whole recurrence
+# state (operators/ta.py RSI — Wilder smoothing seeded with the
+# first-n simple means).
+_RSI_STATE = StructType(
+    [
+        StructField("t", LongType(), True),
+        StructField("last", DoubleType(), True),
+        StructField("sg", DoubleType(), True),
+        StructField("sl", DoubleType(), True),
+        StructField("ag", DoubleType(), True),
+        StructField("al", DoubleType(), True),
+    ]
+)
+
+
+def _make_rsi_fn(n: int):
+    wa = (n - 1) / float(n)
+
+    def _rsi_fn(key: Any, pdfs, state: GroupState):
+        (series_key,) = key
+        t, last, sg, sl, ag, al = (
+            state.get if state.exists else (0, None, 0.0, 0.0, None, None)
+        )
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for r in pdf.itertuples():
+                t += 1
+                v = float(r.value)
+                if last is not None:
+                    d = v - last
+                    g, lo = max(d, 0.0), max(-d, 0.0)
+                    u = t - 1  # diff index, as in the batch operator
+                    if u < n:
+                        sg, sl = sg + g, sl + lo
+                    elif u == n:
+                        # seed: simple means of the first n gains/losses
+                        ag, al = (sg + g) / n, (sl + lo) / n
+                    else:
+                        # Wilder recurrence, same fp shape as the batch
+                        # scan (a*prev + b with b = g/n)
+                        ag = wa * ag + g / n
+                        al = wa * al + lo / n
+                    if u >= n:
+                        rsi = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+                        rows.append((series_key, r.ts, r.value, rsi))
+                last = v
+        state.update((t, last, sg, sl, ag, al))
+        yield pd.DataFrame(rows, columns=["series_key", "ts", "value", "rsi"])
+
+    return _rsi_fn
+
+
+def stateful_rsi(facts: DataFrame, n: int, key_col: str = "series_key") -> DataFrame:
+    """Streaming RELATIVE_STRENGTH_INDEX per series (round 8,
+    completing the stateful TA trio with ``stateful_ema``): Wilder
+    gain/loss averages seeded with the first-n simple means, emitting
+    from the (n+1)-th point — identical semantics and fp shapes to
+    ``operators.ta.ta_transform(..., "relative_strength_index")``,
+    with state carried across micro-batches. State is O(1) per series
+    (six scalars); batch parity pinned by
+    tests/test_streaming_rollup.py."""
+    if n < 1:
+        raise ValueError(f"stateful_rsi period must be >= 1, got {n}")
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _make_rsi_fn(int(n)),
+        outputStructType=_RSI_OUTPUT,
+        stateStructType=_RSI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_KAMA_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("kama", DoubleType(), True),
+    ]
+)
+# (points seen, last n+1 values, running kama): KAMA's efficiency
+# ratio looks back n points, so the state is BOUNDED at n+1 doubles
+# per series — the one stateful TA whose state is not a scalar pair.
+_KAMA_STATE = StructType(
+    [
+        StructField("t", LongType(), True),
+        StructField("vals", ArrayType(DoubleType()), True),
+        StructField("kama", DoubleType(), True),
+    ]
+)
+
+
+def _make_kama_fn(n: int):
+    # Kaufman's standard fast/slow constants, as in operators/ta.py
+    fast, slow = 2.0 / (2 + 1), 2.0 / (30 + 1)
+
+    def _kama_fn(key: Any, pdfs, state: GroupState):
+        (series_key,) = key
+        t, vals, kama = state.get if state.exists else (0, [], None)
+        vals = list(vals or [])
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for r in pdf.itertuples():
+                t += 1
+                v = float(r.value)
+                vals.append(v)
+                if len(vals) > n + 1:
+                    vals.pop(0)
+                if t >= n + 1:
+                    direction = abs(v - vals[0])
+                    vol = 0.0
+                    for i in range(len(vals) - 1):
+                        vol += abs(vals[i + 1] - vals[i])
+                    er = 0.0 if vol == 0 else direction / vol
+                    sc_base = er * (fast - slow) + slow
+                    sc = sc_base * sc_base  # explicit product (ta.py)
+                    if t == n + 1:
+                        kama = v  # seed row, as in the batch scan
+                    else:
+                        kama = (1.0 - sc) * kama + sc * v
+                    rows.append((series_key, r.ts, r.value, kama))
+        state.update((t, vals, kama))
+        yield pd.DataFrame(rows, columns=["series_key", "ts", "value", "kama"])
+
+    return _kama_fn
+
+
+def stateful_kama(facts: DataFrame, n: int, key_col: str = "series_key") -> DataFrame:
+    """Streaming KAUFMANS_ADAPTIVE_MOVING_AVERAGE per series: the
+    data-dependent-coefficient recurrence (efficiency ratio over the
+    last n points sets the smoothing constant), emitting from the
+    (n+1)-th point — same semantics and fp shapes as
+    ``operators.ta.ta_transform(..., "kaufmans_adaptive_moving_average")``.
+    State is BOUNDED: the last n+1 values plus the running average;
+    batch parity across micro-batch boundaries pinned by
+    tests/test_streaming_rollup.py."""
+    if n < 1:
+        raise ValueError(f"stateful_kama period must be >= 1, got {n}")
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _make_kama_fn(int(n)),
+        outputStructType=_KAMA_OUTPUT,
+        stateStructType=_KAMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def stateful_ema(facts: DataFrame, n: int, key_col: str = "series_key") -> DataFrame:

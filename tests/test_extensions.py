@@ -1743,6 +1743,28 @@ def test_bpe_train_encode_and_count(spark):
         bpe.word_frequencies(df.filter("text IS NOT NULL"), max_words=1)
 
 
+def test_bpe_word_frequencies_min_count_prunes_tail(spark):
+    """min_count prunes the frequency tail INSIDE the aggregation
+    (round 8): a corpus whose distinct-word count exceeds the cap
+    still trains once singletons are dropped, and the kept counts
+    equal the unpruned ones."""
+    from pyspark.sql import Row
+
+    from cflux_spark.extensions import bpe
+
+    # 3 frequent words + a 50-word singleton tail
+    rows = [Row(doc_id=i, text="alpha beta gamma") for i in range(5)]
+    rows += [Row(doc_id=100 + j, text=f"tailword{j}") for j in range(50)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="min_count"):
+        bpe.word_frequencies(df, max_words=10)
+    wf = bpe.word_frequencies(df, max_words=10, min_count=2)
+    assert wf == {"alpha": 5, "beta": 5, "gamma": 5}
+    # pruned frequencies train a usable vocab
+    merges = bpe.bpe_train(wf, n_merges=8)
+    assert ("a", "l") in merges or len(merges) == 8
+
+
 # ------------------------------------------------- MinHashIndex (round 7)
 
 
@@ -1890,6 +1912,8 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
 
     seen, per_shard = {}, {}
     for p in sorted(os.listdir(out)):
+        if not p.endswith(".tar"):
+            continue  # the shared-storage marker (round 8)
         shard = int(p.split("-")[1].split(".")[0])
         with tarfile.open(os.path.join(out, p)) as tar:
             members = tar.getmembers()
@@ -1910,12 +1934,30 @@ def test_export_tar_shards_roundtrip_and_determinism(spark, tmp_path):
         return {
             p: hashlib.md5(open(os.path.join(d, p), "rb").read()).hexdigest()
             for p in sorted(os.listdir(d))
+            if p.endswith(".tar")
         }
 
     h1 = tar_hashes(out)
     out2 = str(tmp_path / "tars2")
     sampling.export_tar_shards(df, out2, n_shards=4).collect()
     assert tar_hashes(out2) == h1  # byte-identical re-export
+
+
+def test_export_tar_shards_probes_shared_storage(spark, tmp_path):
+    """The driver's tokened marker must be visible from every writer
+    task — a non-shared export path fails LOUDLY instead of silently
+    scattering partial shards (round 8). Simulated by removing the
+    marker between plan construction and execution."""
+    from cflux_spark.extensions import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(8)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "tars_unshared")
+    census = sampling.export_tar_shards(df, out, n_shards=2)  # lazy
+    os.remove(os.path.join(out, "_shared.marker"))
+    with pytest.raises(Exception, match="SHARED storage"):
+        census.collect()
 
 
 def test_minhash_index_compact_dedups_replayed_signatures(spark, tmp_path):

@@ -218,6 +218,109 @@ def test_sessionize_streaming_matches_batch_and_drops_late(spark, tmp_path):
     assert closed <= got
 
 
+def _stream_ta_harness(spark, tmp_path, tag, op, out_field, vals, split=3):
+    """Feed ``vals`` as two micro-batches through a file stream into
+    stateful operator ``op``; return {value: out_field} after all rows
+    emit their expected count."""
+    src = str(tmp_path / f"in_{tag}")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for key, ts_ns, val in rows:
+                f.write(f"{key},{ts_ns},{val}\n")
+
+    write_batch("b1.csv", [("s1", (i + 1) * 10**9, v) for i, v in enumerate(vals[:split])])
+    lines = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].alias("series_key"),
+            F.col("p")[1].cast("long").alias("ts_ns"),
+            F.timestamp_micros((F.col("p")[1].cast("long") / 1000).cast("long")).alias("ts"),
+            F.col("p")[2].cast("double").alias("value"),
+        )
+    )
+    q = (
+        op(lines).writeStream.format("memory")
+        .queryName(f"ta_{tag}")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        _wait_rows(spark, f"ta_{tag}", 1, timeout=90)
+        write_batch(
+            "b2.csv",
+            [("s1", (i + 1 + split) * 10**9, v) for i, v in enumerate(vals[split:])],
+        )
+        # emission count depends on the operator's warmup; wait for
+        # all rows that CAN emit, then read what arrived
+        time.sleep(6)
+        rows = spark.sql(f"SELECT * FROM ta_{tag}").collect()
+    finally:
+        q.stop()
+    return {float(r.value): getattr(r, out_field) for r in rows}, rows
+
+
+def _batch_ta_reference(spark, vals, fn, n):
+    """The batch TA operator on the same points — the parity oracle."""
+    from cflux_spark.operators.ta import ta_transform
+
+    df = spark.createDataFrame(
+        [("s1", (i + 1) * 10**9, v) for i, v in enumerate(vals)],
+        "series_key string, ts_ns long, value double",
+    )
+    out = ta_transform(df, ["series_key"], "ts_ns", "value", fn, n)
+    return {float(r.value): r._ta for r in out.collect()}
+
+
+def test_stateful_rsi_matches_batch_across_batches(spark, tmp_path):
+    """Streaming RSI == batch RSI on the same points, with the Wilder
+    averages carried ACROSS micro-batches (the seed window spans the
+    batch boundary: n=3 needs 4 points, batch 1 has 3)."""
+    from cflux_spark.streaming.rollup import stateful_rsi
+
+    vals = [10.0, 13.0, 11.0, 16.0, 12.0, 14.0, 9.0]
+    got, rows = _stream_ta_harness(
+        spark, tmp_path, "rsi", lambda df: stateful_rsi(df, n=3), "rsi", vals
+    )
+    want = _batch_ta_reference(spark, vals, "relative_strength_index", 3)
+    # emission starts at the (n+1)-th point = 16.0
+    assert set(want) == {16.0, 12.0, 14.0, 9.0}
+    assert got == want, (got, want)  # bit-equal: same fp shapes
+
+
+def test_stateful_kama_matches_batch_across_batches(spark, tmp_path):
+    """Streaming KAMA == batch KAMA bit-for-bit — the data-dependent
+    coefficient (efficiency ratio over the last n points) must see the
+    same lookback window across the micro-batch boundary."""
+    from cflux_spark.streaming.rollup import stateful_kama
+
+    vals = [10.0, 13.0, 11.0, 16.0, 12.0, 14.0, 9.0, 15.0]
+    got, rows = _stream_ta_harness(
+        spark, tmp_path, "kama", lambda df: stateful_kama(df, n=3), "kama", vals
+    )
+    want = _batch_ta_reference(spark, vals, "kaufmans_adaptive_moving_average", 3)
+    assert set(want) == {16.0, 12.0, 14.0, 9.0, 15.0}
+    assert got == want, (got, want)
+
+
+def test_stateful_ta_rejections(spark):
+    from cflux_spark.streaming.rollup import stateful_kama, stateful_rsi
+
+    df = spark.createDataFrame(
+        [("s1", 1, None, 1.0)], "series_key string, ts_ns long, ts timestamp, value double"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        stateful_rsi(df, 0)
+    with pytest.raises(ValueError, match=">= 1"):
+        stateful_kama(df, 0)
+
+
 def test_stateful_ema_matches_batch_across_batches(spark, tmp_path):
     """Streaming EMA must equal the batch TA operator on the same
     points, with state carried ACROSS micro-batches (round 7)."""
