@@ -3909,38 +3909,97 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-7 rotation (policy above). Window = (a) the entries NEW or
-# whose implementation changed this round — q_pack_bpe (new BPE
-# budgets), q_pipeline_export (semantic gate composed in),
-# q_cosine_pairs_bulk (grid tier), q_decontam_semantic (broadcast
-# tier), q_dedup_canonical (left-join singleton fix),
-# q_length_buckets (method tiers), q_dedup_clusters /
-# q_split_leakage_safe (shared memoized labeling); (b) the four
-# entries whose last driver record is r04 (VERDICT r6 #6:
-# q_hour_bucket, q_distinct_groupby, q_labels_json, q_union_sorted);
-# (c) 38 of the 49 entries last recorded in r05. The 11 r05-green
-# entries in _VERIFY_LAST defer to the r08 window (each has an
-# in-window twin carrying its mechanics this round) and stay
+# Round-8 rotation (policy above). Window = (a) entries NEW or whose
+# implementation changed this round — q_subquery_raw_inner (raw
+# innermost subqueries), q_holt_winters (reshaped onto the
+# fixed-parameter path with a full recursive-CTE oracle),
+# q_dedup_incremental (probe batch-broadcast guard), q_export_tar
+# (itertuples writer + shared-storage marker probe), q_pack_bpe /
+# q_token_bpe (word_frequencies min_count pruning); (b) the nine
+# r05-green entries displaced from the r07 window; (c) the ten
+# entries deferred by round 7's _VERIFY_LAST; (d) 25 of the 44
+# entries last recorded in r06. The 19 r06-green entries that do not
+# fit defer to the r09 head (each has an in-window twin carrying its
+# mechanics: q_time_relative/q_time_iso = q_time_absolute's range
+# carving; q_label_matchers = q_tag_filter_or; q_series_difference =
+# q_series_rate; q_except = q_intersect mirrored; the three SHOW
+# key/value forms = q_show_measurements/q_show_series carving +
+# q_show_cardinality; q_fingerprint_stable = q_labels_json;
+# q_ts_convert = q_hour_bucket; q_dedup_edit = q_dedup_jaccard's
+# verify tier; q_vector_lsh/q_vector_ivf = q_vector_pq/q_vector_ivfpq
+# index family; q_normalize_text/q_project_embeddings/
+# q_chunk_documents = map-only text/embedding ops twinned by
+# q_quantize_embeddings; q_dup_spans = q_span_cuts' detection stage;
+# q_pack_sequences = q_pack_bpe with stand-in budgets;
+# q_curation_verdict = q_pipeline_export's gate) and stay
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    # (a) new / changed this round (TA transforms + the session-2
-    # additions land ahead of the r05 backlog; the nine r05-green
-    # entries they displace from the 50-row window —
-    # q_repetition_stats, q_shard_assign, q_domain_cap, q_sessionize,
-    # q_histogram, q_approx_distinct, q_resample_fill,
-    # q_quantize_embeddings, q_time_absolute — move to the r08 head
-    # and stay CI-parity-checked meanwhile)
-    "q_subquery_having",
+    # (a) new / changed this round
+    "q_subquery_raw_inner",
+    "q_holt_winters",
     "q_dedup_incremental",
-    "q_epoch_shuffle",
     "q_export_tar",
+    "q_pack_bpe",
+    "q_token_bpe",
+    # (b) displaced from the r07 window (last record r05)
+    "q_repetition_stats",
+    "q_shard_assign",
+    "q_domain_cap",
+    "q_sessionize",
+    "q_histogram",
+    "q_approx_distinct",
+    "q_resample_fill",
+    "q_quantize_embeddings",
+    "q_time_absolute",
+    # (c) deferred by round 7 (last record r05)
+    "q_tag_filter_or",
+    "q_series_semijoin",
+    "q_asof_forward",
+    "q_series_rate",
+    "q_show_cardinality",
+    "q_sample_stratified",
+    "q_approx_quantile",
+    "q_multimodal_decode",
+    "q_multimodal_audio",
+    "q_ingest_smoke",
+    # (d) last recorded r06
+    "q_minute_avg",
+    "q_orders_join",
+    "q_moving_average",
+    "q_elapsed",
+    "q_integral",
+    "q_top_per_bucket",
+    "q_count_distinct",
+    "q_union_fields",
+    "q_rollup",
+    "q_intersect",
+    "q_limit",
+    "q_explode_tags",
+    "q_tpch_q1",
+    "q_tpch_q5ish",
+    "q_dedup_exact",
+    "q_dedup_jaccard",
+    "q_dedup_near",
+    "q_simhash_near",
+    "q_dedup_embedding",
+    "q_vector_pq",
+    "q_vector_ivfpq",
+    "q_embed_cluster",
+    "q_sample_weighted",
+    "q_span_cuts",
+    "q_frequent_ngrams",
+]
+
+# r07-green entries rotate behind the 19 deferred r06 entries (which
+# sit at positions 51-69 in definition order and head the r09 window).
+_VERIFY_LAST: list[str] = [
+    "q_subquery_having",
+    "q_epoch_shuffle",
     "q_ta_ema",
     "q_ta_rsi",
     "q_ta_cmo",
     "q_ta_kama",
-    "q_holt_winters",
-    "q_pack_bpe",
     "q_pipeline_export",
     "q_cosine_pairs_bulk",
     "q_decontam_semantic",
@@ -3948,12 +4007,10 @@ _VERIFY_FIRST = [
     "q_length_buckets",
     "q_dedup_clusters",
     "q_split_leakage_safe",
-    # (b) stale since r04
     "q_hour_bucket",
     "q_distinct_groupby",
     "q_labels_json",
     "q_union_sorted",
-    # (c) last recorded r05
     "q_time_bucket_param",
     "q_tag_filter",
     "q_name_filter",
@@ -3970,7 +4027,6 @@ _VERIFY_FIRST = [
     "q_vector_pq_bulk",
     "q_semdedup",
     "q_text_tokens",
-    "q_token_bpe",
     "q_quality_score",
     "q_lang_filter",
     "q_lang_id",
@@ -3983,39 +4039,6 @@ _VERIFY_FIRST = [
     "q_lp_parse",
     "q_series_pivot",
     "q_contamination",
-    "q_repetition_stats",
-    "q_shard_assign",
-    "q_domain_cap",
-    "q_sessionize",
-    "q_histogram",
-    "q_approx_distinct",
-    "q_resample_fill",
-    "q_quantize_embeddings",
-    "q_time_absolute",
-]
-
-# r05-green entries deferred to the r08 window — each has an
-# in-window twin carrying its mechanics this round: q_tag_filter_or
-# = q_tag_filter's matcher with OR groups; q_series_semijoin =
-# q_series_join's anti-shape; q_asof_forward = q_asof_join mirrored;
-# q_series_rate = q_series_difference_seg over dt; q_show_cardinality
-# = q_show_measurements/q_show_series counts; q_sample_stratified =
-# q_sample_hash per stratum; q_approx_quantile = q_approx_distinct's
-# sketch family; q_multimodal_decode/audio = q_multimodal_features'
-# mapInPandas plumbing on other codecs; q_ingest_smoke is rows-only
-# by design. All stay oracle-verified (or contract-tested) every CI
-# run via tests/test_oracle_parity.py + tests/test_extensions.py.
-_VERIFY_LAST: list[str] = [
-    "q_tag_filter_or",
-    "q_series_semijoin",
-    "q_asof_forward",
-    "q_series_rate",
-    "q_show_cardinality",
-    "q_sample_stratified",
-    "q_approx_quantile",
-    "q_multimodal_decode",
-    "q_multimodal_audio",
-    "q_ingest_smoke",
 ]
 
 
