@@ -3307,15 +3307,31 @@ class InfluxQLEngine:
     def _raw_transform_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
     ) -> list[dict]:
+        """Envelope form of :meth:`_raw_transform_frame`."""
+        sel = self._raw_transform_frame(stmt, spec, ff, tkeys)
+        sel = sel.orderBy(
+            *tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+        )
+        sel = _apply_slice(sel, tkeys, stmt)
+        rows = self._bounded_collect(sel)
+        colname = spec.alias or (f"{spec.tx}_{spec.name}" if len(stmt.fields) > 1 else spec.tx)
+        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+
+    def _raw_transform_frame(
+        self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, tkeys
+    ) -> DataFrame:
         """derivative / non_negative_derivative / difference /
-        non_negative_difference / cumulative_sum / moving_average over
-        RAW points (no inner aggregate, no GROUP BY time) — InfluxDB
-        applies these per series at the points' own timestamps. Same
-        per-series window shape as elapsed(); string fields are
-        skipped (InfluxDB transforms ignore string fields); semantics
-        mirror the bucketed-transform path in _aggregated_frame so
-        ``derivative(v)`` and ``derivative(mean(v)) GROUP BY time``
-        agree on regularly-spaced data."""
+        non_negative_difference / cumulative_sum / moving_average /
+        the TA family over RAW points (no inner aggregate, no GROUP BY
+        time) — InfluxDB applies these per series at the points' own
+        timestamps. Same per-series window shape as elapsed(); string
+        fields are skipped (InfluxDB transforms ignore string fields);
+        semantics mirror the bucketed-transform path in
+        _aggregated_frame so ``derivative(v)`` and
+        ``derivative(mean(v)) GROUP BY time`` agree on
+        regularly-spaced data. Returns the unordered frame
+        ``[*tkeys, ts_ms, val]`` — shared by the envelope path and
+        (round 8) raw-transform subquery levels."""
         from pyspark.sql import Window as _W
 
         from cflux_spark.operators.windows import merged_running_sum, merged_window_stage
@@ -3385,13 +3401,9 @@ class InfluxQLEngine:
                 if spec.tx == "non_negative_derivative":
                     sel = sel.filter(F.col("_v") >= 0)
             sel = fin(sel)
-        sel = sel.select(
+        return sel.select(
             *tkeys, F.expr("ts_ns div 1000000").alias("ts_ms"), F.col("_v").alias("val")
-        ).orderBy(*tkeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms"))
-        sel = _apply_slice(sel, tkeys, stmt)
-        rows = self._bounded_collect(sel)
-        colname = spec.alias or (f"{spec.tx}_{spec.name}" if len(stmt.fields) > 1 else spec.tx)
-        return _tag_series(rows, gtags, tkeys, stmt, colname, lambda r: [r.ts_ms, r.val])
+        )
 
     def _selector_series(
         self, stmt: SelectStmt, spec: FieldSpec, ff: DataFrame, gtags, tkeys
@@ -3866,6 +3878,32 @@ class InfluxQLEngine:
                     )
                 return self._raw_level_frame(stmt, facts, gtags, tkeys, reg)
 
+            tx_raw = [sp for sp in stmt.fields if sp.agg is None and sp.tx is not None]
+            if tx_raw:
+                # transforms over raw points inside a subquery
+                # (round 8): SELECT mean(d) FROM (SELECT
+                # derivative(user) AS d FROM cpu) — the same per-point
+                # transform frame the base path emits, as a subquery
+                # level. One field per level: a second transformed
+                # field would need point-identity re-alignment of rows
+                # that no longer share timestamps (loud, not silent)
+                if len(stmt.fields) != 1:
+                    raise InfluxQLError(
+                        "a transform over raw points inside a subquery "
+                        "must be the level's only field"
+                    )
+                if stmt.group_by_time_s is not None:
+                    raise InfluxQLError(
+                        f"{tx_raw[0].tx}({tx_raw[0].name}) inside a subquery with "
+                        "GROUP BY time() requires an aggregate argument, e.g. "
+                        f"{tx_raw[0].tx}(mean({tx_raw[0].name}))"
+                    )
+                sp = stmt.fields[0]
+                ff = facts.filter(F.col("field") == sp.name)
+                frame = self._raw_transform_frame(stmt, sp, ff, tkeys)
+                frame = self._slice_level(frame, tkeys, stmt)
+                return frame, gtags, tkeys, [(sp.alias or sp.tx, "val")]
+
             def leaf_frame(sp: FieldSpec) -> tuple[DataFrame | None, str]:
                 if sp.expr is not None:
                     # aggregate arithmetic (round 5): SELECT
@@ -3874,14 +3912,6 @@ class InfluxQLEngine:
                     # _raw_level_frame above)
                     name = sp.alias or sp.name
                     return self._arith_agg_frame(stmt, sp, facts, tkeys), name
-                if sp.agg is None:
-                    # sp.tx without an aggregate: transforms over raw
-                    # points inside a subquery need a point-level
-                    # transform frame — loud until built
-                    raise InfluxQLError(
-                        f"{sp.tx}({sp.name}) inside a subquery requires an "
-                        f"aggregate argument, e.g. {sp.tx}(mean({sp.name}))"
-                    )
                 ff = facts.filter(F.col("field") == sp.name)
                 return (
                     self._aggregated_frame(stmt, sp, ff, tkeys),

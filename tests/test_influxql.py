@@ -710,14 +710,55 @@ def test_subquery_raw_inner_rejections(engine):
             "SELECT mean(user) FROM (SELECT user FROM cpu GROUP BY time(60s))",
             db="mydb",
         )
-    # transform over raw points inside a subquery: loud, with the fix
-    with pytest.raises(InfluxQLError, match="requires an aggregate argument"):
-        engine.execute(
-            "SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu)", db="mydb"
-        )
     # ::tag columns inside a subquery
     with pytest.raises(InfluxQLError, match="::tag"):
         engine.execute("SELECT host FROM (SELECT user, host::tag FROM cpu)", db="mydb")
+
+
+def test_subquery_raw_transform_inner(engine):
+    """Transforms over raw points INSIDE a subquery (round 8):
+    SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu ...) —
+    the per-point transform frame as a subquery level."""
+    res = engine.execute(
+        "SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu "
+        "WHERE host = 'a')",
+        db="mydb",
+    )
+    # derivative: 0.2/30s then 0.2/60s, mean'd into default 1m buckets
+    assert _values(res) == [[1704067200000, 0.006667], [1704067260000, 0.003333]]
+    # raw re-selection of a transformed level keeps point timestamps
+    res_d = engine.execute(
+        "SELECT d FROM (SELECT difference(user) AS d FROM cpu WHERE host = 'a')",
+        db="mydb",
+    )
+    assert _values(res_d) == [[1704067230000, 0.2], [1704067290000, 0.2]]
+    # TA transforms ride the same frame
+    res_e = engine.execute(
+        "SELECT e FROM (SELECT exponential_moving_average(user, 3) AS e "
+        "FROM cpu WHERE host = 'a') WHERE e > 0.15",
+        db="mydb",
+    )
+    # ema: 0.1 (seed), 0.233333, 0.366667 — the > 0.15 filter drops the seed
+    assert [v[1] for v in _values(res_e)] == [0.233333, 0.366667]
+    # a second field alongside a raw transform rejects loudly
+    with pytest.raises(InfluxQLError, match="only field"):
+        engine.execute(
+            "SELECT mean(d) FROM (SELECT derivative(user) AS d, "
+            "difference(user) AS d2 FROM cpu)",
+            db="mydb",
+        )
+    with pytest.raises(InfluxQLError, match="mixing aggregate and non-aggregate"):
+        engine.execute(
+            "SELECT mean(d) FROM (SELECT derivative(user) AS d, user FROM cpu)",
+            db="mydb",
+        )
+    # raw transform under an inner GROUP BY time() still rejects
+    with pytest.raises(InfluxQLError, match="requires an aggregate argument"):
+        engine.execute(
+            "SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu "
+            "GROUP BY time(60s))",
+            db="mydb",
+        )
 
 
 def test_subquery_raw_inner_into(engine, spark):
