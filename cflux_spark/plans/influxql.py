@@ -1956,18 +1956,19 @@ class InfluxQLEngine:
                 and not stmt.soffset
             ):
                 if stmt.subquery is not None:
-                    if len(stmt.fields) == 1 and stmt.fields[0].name != "*":
-                        # subquery statements stream too (round 7 —
-                        # previously single-envelope fallback): raw
-                        # re-selection of the subquery's output (the
-                        # HAVING idiom over years of buckets) is as
-                        # unbounded as a raw select. Multi-field /
-                        # wildcard outer selects still fall back (they
-                        # need the whole-result merged column grid).
-                        yield from self._select_subquery_chunked(
-                            stmt, db, max(1, int(chunk_size))
-                        )
-                        return
+                    # subquery statements stream too (round 7; round 8
+                    # extended to multi-field and wildcard outer
+                    # selects): raw re-selection of the subquery's
+                    # output (the HAVING idiom over years of buckets)
+                    # is as unbounded as a raw select; multi-field
+                    # outers stream ONE bucket-aligned merged frame
+                    # (per-spec frames full-outer-joined on
+                    # (series key, bucket) — the _select_agg_chunked
+                    # shape, fully distributed).
+                    yield from self._select_subquery_chunked(
+                        stmt, db, max(1, int(chunk_size))
+                    )
+                    return
                 elif stmt.group_by_time_s is None and all(
                     sp.agg is None and sp.tx is None and sp.expr is None
                     for sp in stmt.fields
@@ -2008,12 +2009,18 @@ class InfluxQLEngine:
         yield self.execute(q, db)
 
     def _select_subquery_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
-        """Chunked single-field subquery statements (round 7): the
-        outer result is already one distributed [*okeys, ts_ms, val]
-        frame (_spec_frame_over — raw re-selection, aggregate,
-        transform, or arithmetic over the subquery's output), so it
-        drains through the shared chunk pump like any other frame; the
-        max_result_rows guard does not apply."""
+        """Chunked subquery statements (round 7; multi-field/wildcard
+        round 8): the outer result is one distributed
+        [*okeys, ts_ms, val] frame per spec (_spec_frame_over — raw
+        re-selection, aggregate, transform, or arithmetic over the
+        subquery's output), so it drains through the shared chunk pump
+        like any other frame; the max_result_rows guard does not
+        apply. Multi-field outers mirror the UNCHUNKED merge exactly:
+        per-spec frames slice internally (LIMIT/OFFSET per spec, as
+        _select_subquery does), full-outer-join on
+        (series key, bucket) into the statement-wide column grid, and
+        LIMIT re-caps the merged rows (offset already consumed
+        per-spec — _merge_series_columns semantics)."""
         store = self._stmt_store(stmt, db)
         reg = store.read_registry()
         prepared = self._subquery_frame(stmt.subquery, store, reg)
@@ -2027,16 +2034,50 @@ class InfluxQLEngine:
         if missing:
             raise InfluxQLError(f"outer GROUP BY tag(s) {missing} not grouped in the subquery")
         okeys = [itkeys[igtags.index(t)] for t in ogtags]
-        grouped, colname = self._spec_frame_over(
-            stmt, stmt.fields[0], inner_df, dict(outputs), okeys, False
-        )
-        grouped = grouped.orderBy(
+        specs = list(stmt.fields)
+        if any(
+            sp.name == "*" and sp.agg is None and sp.tx is None and sp.expr is None
+            for sp in specs
+        ):
+            if len(specs) != 1:
+                raise InfluxQLError("'*' over a subquery cannot mix with other fields")
+            specs = [FieldSpec(None, name) for name, _src in outputs]
+        colmap = dict(outputs)
+        if len(specs) == 1:
+            grouped, colname = self._spec_frame_over(
+                stmt, specs[0], inner_df, colmap, okeys, False
+            )
+            grouped = grouped.orderBy(
+                *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            grouped = _apply_slice(grouped, okeys, stmt)
+            yield from self._stream_chunked(
+                iter([(grouped, colname)]), stmt, ogtags, okeys, chunk_size,
+                lambda r: [r.ts_ms, r.val],
+            )
+            return
+        from dataclasses import replace as _replace
+        from functools import reduce
+
+        frames_, names = [], []
+        for i, sp in enumerate(specs):
+            fr, nm = self._spec_frame_over(stmt, sp, inner_df, colmap, okeys, True)
+            fr = fr.orderBy(
+                *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
+            )
+            fr = _apply_slice(fr, okeys, stmt)
+            frames_.append(fr.withColumnRenamed("val", f"_v{i}"))
+            names.append(nm)
+        joined = reduce(lambda a, b: a.join(b, [*okeys, "ts_ms"], "full_outer"), frames_)
+        sel = joined.orderBy(
             *okeys, F.col("ts_ms").desc() if stmt.order_desc else F.col("ts_ms")
         )
-        grouped = _apply_slice(grouped, okeys, stmt)
+        if stmt.limit:
+            sel = _apply_slice(sel, okeys, _replace(stmt, offset=0))
+        n = len(specs)
         yield from self._stream_chunked(
-            iter([(grouped, colname)]), stmt, ogtags, okeys, chunk_size,
-            lambda r: [r.ts_ms, r.val],
+            iter([(sel, _dedup_names(names))]), stmt, ogtags, okeys, chunk_size,
+            lambda r: [r.ts_ms, *[getattr(r, f"_v{i}") for i in range(n)]],
         )
 
     def _select_special_chunked(self, stmt: SelectStmt, db: str | None, chunk_size: int):
