@@ -270,3 +270,42 @@ def test_subquery_nesting_is_one_plan(spark, store):
     assert "FlatMapGroupsInPandas" not in plan and "mapInPandas" not in plan.lower(), plan
     # three aggregation levels = three partial/final HashAggregate pairs
     assert plan.count("HashAggregate") >= 6, plan
+
+
+def test_subquery_raw_inner_collapses_to_filtered_agg(spark, store):
+    """A RAW innermost subquery (round 8) is a per-point projection —
+    Catalyst must collapse SELECT mean(u) FROM (SELECT user AS u FROM
+    cpu WHERE host='h1') GROUP BY time(60s) into ONE filtered scan →
+    aggregate, indistinguishable from the non-subquery statement: one
+    fact scan, no extra Exchange for the passthrough level, no
+    Python."""
+    from cflux_spark.plans.influxql import InfluxQLEngine, parse_select
+
+    eng = InfluxQLEngine(spark, store.root)
+    stmt = parse_select(
+        "SELECT mean(u) FROM (SELECT user AS u FROM cpu WHERE host = 'h1') "
+        "GROUP BY time(60s)"
+    )
+    stmt.db = "plan"
+    st = eng._stmt_store(stmt, "plan")
+    frame, _g, _t, outputs = eng._subquery_frame(stmt.subquery, st, st.read_registry())
+    grouped, _name = eng._spec_frame_over(
+        stmt, stmt.fields[0], frame, dict(outputs), [], False
+    )
+    grouped.collect()
+    plan = _final_plan(grouped)
+    fact_scans = [l for l in plan.splitlines() if "Scan parquet" in l and "samples" in l]
+    assert len(fact_scans) == 1, plan
+    assert "FlatMapGroupsInPandas" not in plan and "mapInPandas" not in plan.lower(), plan
+    # field/measurement filters reach the parquet scan through the
+    # passthrough level
+    assert "EqualTo(field,user)" in plan and "EqualTo(measurement,cpu)" in plan, plan
+    # exactly one aggregation level on the FACT path: the outer
+    # bucketed mean — the raw level contributes a filter/project, not
+    # a shuffle (any other Exchange belongs to the registry build side
+    # of the broadcast tag-filter semi-join, keyed by fingerprint)
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    agg_ex = [l for l in exchanges if "_groupingexpression" in l]
+    assert len(agg_ex) == 1, plan
+    for line in exchanges:
+        assert "_groupingexpression" in line or "fingerprint#" in line, line
