@@ -3757,6 +3757,23 @@ class InfluxQLEngine:
                 grouped = grouped.filter(F.col("val").isNotNull())
             grouped = self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
             return grouped, (spec.alias or (f"{spec.tx}_{spec.name}" if multi else spec.tx))
+        if (
+            spec.agg in ("max", "min", "first", "last", "percentile")
+            and stmt.group_by_time_s is None
+            and spec.tx is None
+            and len(stmt.fields) == 1
+        ):
+            # lone ungrouped selector over subquery output (round 8):
+            # InfluxDB returns the single frame row per series group
+            # AT ITS ORIGINAL (frame) timestamp — the same round-7
+            # conformance rule the base path applies, which the
+            # subquery path used to miss by folding into the
+            # reference's default 1-minute buckets (shifting the
+            # emitted timestamp and, for sub-minute frames, the row
+            # count). Scope matches InfluxDB's own rule: multiple
+            # fields, tx-wrapped selectors, or GROUP BY time lose
+            # point-ness and stay on the bucketed path.
+            return self._frame_selector(stmt, spec, inner_df, src, tkeys)
         if spec.agg in _SEL_FNS or spec.agg in ("distinct", "elapsed"):
             # point-emitting selectors need the points' own
             # timestamps, which the bucketed subquery frame has
@@ -3777,6 +3794,61 @@ class InfluxQLEngine:
         grouped = self._apply_tx_bucketed(grouped, stmt, spec, tkeys)
         fn = spec.tx or spec.agg
         return grouped, (spec.alias or (f"{fn}_{spec.name}" if multi else _DISPLAY.get(fn, fn)))
+
+    def _frame_selector(
+        self,
+        stmt: SelectStmt,
+        spec: FieldSpec,
+        inner_df: DataFrame,
+        src: str,
+        tkeys: list[str],
+    ) -> tuple[DataFrame, str]:
+        """Lone ungrouped max/min/first/last/percentile over a
+        subquery's output frame ``[*tkeys, ts_ms, src]`` → the single
+        frame row per series group at its own timestamp (mirrors
+        :meth:`_selector_frame` / :meth:`_percentile_point_frame`,
+        which operate on raw facts; same orderings and tiebreaks, with
+        the frame's ``ts_ms`` standing in for ``ts_ns``)."""
+        from pyspark.sql import Window as _W
+
+        v = F.col(src)
+        base = inner_df.filter(v.isNotNull())
+        if spec.agg == "percentile":
+            p_colname = spec.alias or "percentile"
+            if tkeys:
+                wo = _W.partitionBy(*tkeys).orderBy(v.asc(), F.col("ts_ms").asc())
+                wa = _W.partitionBy(*tkeys)
+                p = (spec.agg_arg if spec.agg_arg is not None else 50) / 100.0
+                idx = F.floor(F.count("*").over(wa) * F.lit(p) + F.lit(0.5)).cast("int")
+                picked = (
+                    base.withColumn("_rn", F.row_number().over(wo))
+                    .withColumn("_idx", idx)
+                    .filter((F.col("_idx") >= 1) & (F.col("_rn") == F.col("_idx")))
+                )
+            else:
+                pv = base.agg(
+                    _agg_expr("percentile", src, spec.agg_arg, ts_col="ts_ms").alias("_pv")
+                ).filter(F.col("_pv").isNotNull())
+                picked = (
+                    base.join(F.broadcast(pv), v == F.col("_pv"))
+                    .orderBy(F.col("ts_ms").asc())
+                    .limit(1)
+                )
+            return picked.select(*tkeys, "ts_ms", v.alias("val")), p_colname
+        if spec.agg == "first":
+            order = [F.col("ts_ms").asc()]
+        elif spec.agg == "last":
+            order = [F.col("ts_ms").desc()]
+        else:
+            order = [v.desc() if spec.agg == "max" else v.asc()]
+        order += [F.col("ts_ms").asc(), v.asc_nulls_last()]
+        if tkeys:
+            rn = F.row_number().over(_W.partitionBy(*tkeys).orderBy(*order))
+            picked = base.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+        else:
+            picked = base.orderBy(*order).limit(1)
+        grouped = picked.select(*tkeys, "ts_ms", v.alias("val"))
+        return grouped, (spec.alias or _DISPLAY.get(spec.agg, spec.agg))
 
     def _filter_subquery_output(
         self,

@@ -715,6 +715,41 @@ def test_subquery_raw_inner_rejections(engine):
         engine.execute("SELECT host FROM (SELECT user, host::tag FROM cpu)", db="mydb")
 
 
+def test_subquery_lone_selector_original_timestamp(engine):
+    """Lone ungrouped max/min/first/last/percentile over subquery
+    output return the single frame row AT ITS OWN timestamp (round 8
+    — the round-7 base-path conformance rule extended to subqueries;
+    previously folded into default 1-minute buckets)."""
+    sub = "(SELECT mean(user) AS mean_v FROM cpu GROUP BY time(60s), host)"
+    # frame rows: (a, min0, 0.2), (a, min1, 0.5), (b, min0, 0.7)
+    res = engine.execute(f"SELECT max(mean_v) FROM {sub}", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7]]
+    res = engine.execute(f"SELECT first(mean_v) FROM {sub}", db="mydb")
+    assert _values(res) == [[1704067200000, 0.2]]  # ts tie -> value asc
+    res = engine.execute(f"SELECT last(mean_v) FROM {sub}", db="mydb")
+    assert _values(res) == [[1704067260000, 0.5]]
+    res = engine.execute(
+        f"SELECT percentile(mean_v, 50) FROM {sub}", db="mydb"
+    )
+    assert _values(res) == [[1704067260000, 0.5]]  # nearest-rank idx 2 of 3
+    # grouped: one point per host
+    res = engine.execute(f"SELECT max(mean_v) FROM {sub} GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host == {
+        "a": [[1704067260000, 0.5]],
+        "b": [[1704067200000, 0.7]],
+    }
+    # over a RAW inner frame the selector matches the base statement
+    res_sub = engine.execute("SELECT max(u) FROM (SELECT user AS u FROM cpu)", db="mydb")
+    res_base = engine.execute("SELECT max(user) FROM cpu", db="mydb")
+    assert _values(res_sub) == _values(res_base) == [[1704067200000, 0.7]]
+    # GROUP BY time keeps the bucketed path (one max per minute)
+    res_b = engine.execute(
+        f"SELECT max(mean_v) FROM {sub} GROUP BY time(60s)", db="mydb"
+    )
+    assert _values(res_b) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+
+
 def test_subquery_raw_transform_inner(engine):
     """Transforms over raw points INSIDE a subquery (round 8):
     SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu ...) —
@@ -1120,6 +1155,11 @@ def test_chunked_select_star_expands_wildcard(engine):
         "SELECT mean(mean_v) FROM (SELECT mean(u) AS mean_v FROM "
         "(SELECT user AS u FROM cpu WHERE host = 'a') GROUP BY time(60s)) "
         "GROUP BY time(120s)",
+        # round 8: lone selectors over subquery output (point-ts rows)
+        "SELECT max(mean_v) FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host)",
+        "SELECT percentile(mean_v, 50) FROM (SELECT mean(user) AS mean_v "
+        "FROM cpu GROUP BY time(60s), host) GROUP BY host",
         # round 7: duplicate output columns disambiguate (_1 suffix)
         "SELECT user, user FROM cpu",
         "SELECT mean(user), mean(user) FROM cpu GROUP BY time(60s)",
