@@ -3775,10 +3775,15 @@ class InfluxQLEngine:
             # point-ness and stay on the bucketed path.
             return self._frame_selector(stmt, spec, inner_df, src, tkeys)
         if spec.agg in _SEL_FNS or spec.agg in ("distinct", "elapsed"):
-            # point-emitting selectors need the points' own
-            # timestamps, which the bucketed subquery frame has
-            # already folded away
-            raise InfluxQLError(f"{spec.agg}() over a subquery is not supported")
+            # point emitters over subquery output (round 8; previously
+            # rejected): the FRAME ROWS are the points — top/bottom/
+            # sample rank them, distinct de-dups values, elapsed gaps
+            # consecutive frame timestamps
+            if len(stmt.fields) != 1:
+                raise InfluxQLError(
+                    f"{spec.agg}() over a subquery must be the statement's only field"
+                )
+            return self._frame_point_emitter(stmt, spec, inner_df, src, tkeys)
         obucket = _bucket_ms(
             stmt.group_by_time_s or 60, stmt.group_by_time_offset_s, stmt.tz, src="ts_ms"
         )
@@ -3849,6 +3854,93 @@ class InfluxQLEngine:
             picked = base.orderBy(*order).limit(1)
         grouped = picked.select(*tkeys, "ts_ms", v.alias("val"))
         return grouped, (spec.alias or _DISPLAY.get(spec.agg, spec.agg))
+
+    def _frame_point_emitter(
+        self,
+        stmt: SelectStmt,
+        spec: FieldSpec,
+        inner_df: DataFrame,
+        src: str,
+        tkeys: list[str],
+    ) -> tuple[DataFrame, str]:
+        """top/bottom/sample/distinct/elapsed over a subquery's output
+        frame ``[*tkeys, ts_ms, src]`` (round 8): the frame rows ARE
+        the points, so the raw-fact machinery's semantics transfer
+        with ``ts_ms`` standing in for ``ts_ns`` — top/bottom rank per
+        (series group[, time bucket]) keeping the rows' own
+        timestamps; sample picks deterministically by md5 of the
+        frame-row identity (the hash_sample discipline); distinct
+        de-dups values (epoch 0 ungrouped, bucket start under GROUP BY
+        time); elapsed gaps consecutive frame timestamps per series
+        (ms-derived, exact since frame time is ms). Null frame values
+        drop first (grid artifacts on multi-column frames; InfluxDB
+        point emitters skip absent values)."""
+        from pyspark.sql import Window as _W
+
+        v = F.col(src)
+        base = inner_df.filter(v.isNotNull())
+        if spec.agg == "distinct":
+            bucket = (
+                _bucket_ms(
+                    stmt.group_by_time_s, stmt.group_by_time_offset_s, stmt.tz,
+                    src="ts_ms",
+                )
+                if stmt.group_by_time_s
+                else F.lit(0).cast("long")
+            )
+            grouped = base.select(*tkeys, bucket.alias("ts_ms"), v.alias("val")).distinct()
+            return grouped, (spec.alias or "distinct")
+        if spec.agg == "elapsed":
+            if stmt.group_by_time_s is not None:
+                raise InfluxQLError("elapsed() does not support GROUP BY time()")
+            unit_ns = max(1, int(round((spec.agg_arg or 1e-9) * 1e9)))
+            if tkeys:
+                w = _W.partitionBy(*tkeys).orderBy("ts_ms")
+                staged, fin = base, (lambda d: d)
+            else:
+                from cflux_spark.operators.windows import merged_window_stage
+
+                staged, w, fin = merged_window_stage(
+                    base, order_col="ts_ms", carry_rows=1, segment_span=3600 * 1000
+                )
+            grouped = (
+                fin(
+                    staged.withColumn(
+                        "_dt",
+                        (F.col("ts_ms") - F.lag("ts_ms").over(w)) * F.lit(1_000_000),
+                    )
+                )
+                .filter(F.col("_dt").isNotNull())
+                .select(*tkeys, "ts_ms", F.expr(f"_dt div {unit_ns}").alias("val"))
+            )
+            return grouped, (spec.alias or "elapsed")
+        k = int(spec.agg_arg or 1)
+        if k < 1:
+            raise InfluxQLError(f"{spec.agg}(field, N) requires N >= 1")
+        if spec.agg == "sample":
+            val_order = F.md5(
+                F.concat_ws("|", *[F.col(t) for t in tkeys], F.col("ts_ms"))
+            ).asc()
+        else:
+            val_order = v.desc() if spec.agg == "top" else v.asc()
+        parts = list(tkeys)
+        if stmt.group_by_time_s:
+            base = base.withColumn(
+                "_b",
+                _bucket_ms(
+                    stmt.group_by_time_s, stmt.group_by_time_offset_s, stmt.tz,
+                    src="ts_ms",
+                ),
+            )
+            parts.append("_b")
+        order = [val_order, F.col("ts_ms").asc(), v.asc_nulls_last()]
+        if parts:
+            rn = F.row_number().over(_W.partitionBy(*parts).orderBy(*order))
+            picked = base.withColumn("_rn", rn).filter(F.col("_rn") <= k)
+        else:
+            picked = base.orderBy(*order).limit(k)
+        grouped = picked.select(*tkeys, "ts_ms", v.alias("val"))
+        return grouped, (spec.alias or spec.agg)
 
     def _filter_subquery_output(
         self,

@@ -750,6 +750,49 @@ def test_subquery_lone_selector_original_timestamp(engine):
     assert _values(res_b) == [[1704067200000, 0.7], [1704067260000, 0.5]]
 
 
+def test_subquery_point_emitters(engine):
+    """top/bottom/sample/distinct/elapsed over subquery output
+    (round 8; previously rejected): the frame rows are the points."""
+    sub = "(SELECT mean(user) AS mean_v FROM cpu GROUP BY time(60s), host)"
+    # frame rows: (a, min0, 0.2), (a, min1, 0.5), (b, min0, 0.7)
+    res = engine.execute(f"SELECT top(mean_v, 2) FROM {sub}", db="mydb")
+    assert _values(res) == [[1704067200000, 0.7], [1704067260000, 0.5]]
+    res = engine.execute(f"SELECT bottom(mean_v, 1) FROM {sub}", db="mydb")
+    assert _values(res) == [[1704067200000, 0.2]]
+    # top per outer time bucket keeps the frame rows' own timestamps
+    res = engine.execute(
+        f"SELECT top(mean_v, 1) FROM {sub} GROUP BY time(120s)", db="mydb"
+    )
+    assert _values(res) == [[1704067200000, 0.7]]
+    # sample: deterministic picks, a subset of the frame rows
+    res = engine.execute(f"SELECT sample(mean_v, 2) FROM {sub}", db="mydb")
+    vals = _values(res)
+    assert len(vals) == 2 and {v[1] for v in vals} <= {0.2, 0.5, 0.7}
+    assert _values(engine.execute(f"SELECT sample(mean_v, 2) FROM {sub}", db="mydb")) == vals
+    # distinct over a raw inner: unique values at epoch 0
+    res = engine.execute(
+        "SELECT distinct(u) FROM (SELECT user AS u FROM cpu WHERE host = 'a')",
+        db="mydb",
+    )
+    assert sorted(_values(res)) == [[0, 0.1], [0, 0.3], [0, 0.5]]
+    # elapsed over a raw inner matches the base statement (ms-exact)
+    res_sub = engine.execute(
+        "SELECT elapsed(u, 1s) FROM (SELECT user AS u FROM cpu WHERE host = 'a')",
+        db="mydb",
+    )
+    res_base = engine.execute("SELECT elapsed(user, 1s) FROM cpu WHERE host = 'a'", db="mydb")
+    assert _values(res_sub) == _values(res_base) == [
+        [1704067230000, 30],
+        [1704067290000, 60],
+    ]
+    # elapsed over bucketed output gaps the bucket timestamps per host
+    res_e = engine.execute(f"SELECT elapsed(mean_v) FROM {sub} GROUP BY host", db="mydb")
+    by_host = {s["tags"]["host"]: s["values"] for s in res_e["results"][0]["series"]}
+    assert by_host == {"a": [[1704067260000, 60_000_000_000]]}
+    with pytest.raises(InfluxQLError, match="only field"):
+        engine.execute(f"SELECT top(mean_v, 2), mean(mean_v) FROM {sub}", db="mydb")
+
+
 def test_subquery_raw_transform_inner(engine):
     """Transforms over raw points INSIDE a subquery (round 8):
     SELECT mean(d) FROM (SELECT derivative(user) AS d FROM cpu ...) —
@@ -1013,9 +1056,9 @@ def test_chunked_selectors_stream(engine):
     single-envelope fallback): ≤chunk_size rows per envelope, all but
     the last partial, concatenation equal to the unchunked result.
     Single-field subquery statements stream the same way (late
-    round 7 — previously a single-envelope fallback); multi-field
-    outer selects over subqueries still fall back (they need the
-    whole-result merged column grid)."""
+    round 7); multi-field outer selects over subqueries stream ONE
+    bucket-aligned merged frame (round 8 — previously a
+    single-envelope fallback)."""
     q = "SELECT top(user, 2) FROM cpu WHERE host = 'a'"
     unchunked = engine.execute(q, db="mydb")
     envs = list(engine.execute_chunked(q, db="mydb", chunk_size=1))
@@ -1034,7 +1077,15 @@ def test_chunked_selectors_stream(engine):
         "FROM cpu GROUP BY time(60s), host) GROUP BY time(60s)"
     )
     envs = list(engine.execute_chunked(multi, db="mydb", chunk_size=1))
-    assert len(envs) == 1 and envs[0] == engine.execute(multi, db="mydb")
+    assert len(envs) == 2 and envs[0]["results"][0].get("partial") is True
+    mseries = engine.execute(multi, db="mydb")["results"][0]["series"][0]
+    got = [v for e in envs for s in e["results"][0]["series"] for v in s["values"]]
+    assert got == mseries["values"]
+    assert all(
+        s["columns"] == mseries["columns"]
+        for e in envs
+        for s in e["results"][0]["series"]
+    )
 
 
 def test_chunked_respects_group_by_tag(engine):
@@ -1160,6 +1211,12 @@ def test_chunked_select_star_expands_wildcard(engine):
         "GROUP BY time(60s), host)",
         "SELECT percentile(mean_v, 50) FROM (SELECT mean(user) AS mean_v "
         "FROM cpu GROUP BY time(60s), host) GROUP BY host",
+        # round 8: point emitters over subquery output
+        "SELECT top(mean_v, 2) FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host)",
+        "SELECT distinct(u) FROM (SELECT user AS u FROM cpu WHERE host = 'a')",
+        "SELECT elapsed(mean_v) FROM (SELECT mean(user) AS mean_v FROM cpu "
+        "GROUP BY time(60s), host) GROUP BY host",
         # round 7: duplicate output columns disambiguate (_1 suffix)
         "SELECT user, user FROM cpu",
         "SELECT mean(user), mean(user) FROM cpu GROUP BY time(60s)",
