@@ -839,14 +839,20 @@ def test_subquery_raw_transform_inner(engine):
         )
 
 
-def test_subquery_raw_inner_into(engine, spark):
-    """INTO composes over a raw innermost subquery."""
-    engine.execute(
+def test_subquery_raw_inner_into(spark, tmp_path):
+    """INTO composes over a raw innermost subquery (isolated store —
+    INTO adds a measurement, which would shift the shared fixture's
+    cardinality counts)."""
+    root = str(tmp_path / "rawinto")
+    store = LPStore(spark, root, db="mydb")
+    store.write_batch(spark.createDataFrame([(l,) for l in LINES], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    eng.execute(
         "SELECT mean(u) AS m INTO raw_sub_dst FROM "
         "(SELECT user AS u FROM cpu WHERE host = 'a') GROUP BY time(60s)",
         db="mydb",
     )
-    res = engine.execute("SELECT m FROM raw_sub_dst", db="mydb")
+    res = eng.execute("SELECT m FROM raw_sub_dst", db="mydb")
     assert _values(res) == [[1704067200000, 0.2], [1704067260000, 0.5]]
 
 

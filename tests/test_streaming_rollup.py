@@ -218,10 +218,11 @@ def test_sessionize_streaming_matches_batch_and_drops_late(spark, tmp_path):
     assert closed <= got
 
 
-def _stream_ta_harness(spark, tmp_path, tag, op, out_field, vals, split=3):
+def _stream_ta_harness(spark, tmp_path, tag, op, out_field, vals, n_expect, split=3):
     """Feed ``vals`` as two micro-batches through a file stream into
-    stateful operator ``op``; return {value: out_field} after all rows
-    emit their expected count."""
+    stateful operator ``op``; return {value: out_field} once
+    ``n_expect`` rows have emitted (polling, not a fixed sleep — a
+    loaded box made a sleep-based wait flaky)."""
     src = str(tmp_path / f"in_{tag}")
     os.makedirs(src)
 
@@ -255,10 +256,7 @@ def _stream_ta_harness(spark, tmp_path, tag, op, out_field, vals, split=3):
             "b2.csv",
             [("s1", (i + 1 + split) * 10**9, v) for i, v in enumerate(vals[split:])],
         )
-        # emission count depends on the operator's warmup; wait for
-        # all rows that CAN emit, then read what arrived
-        time.sleep(6)
-        rows = spark.sql(f"SELECT * FROM ta_{tag}").collect()
+        rows = _wait_rows(spark, f"ta_{tag}", n_expect, timeout=120)
     finally:
         q.stop()
     return {float(r.value): getattr(r, out_field) for r in rows}, rows
@@ -284,7 +282,7 @@ def test_stateful_rsi_matches_batch_across_batches(spark, tmp_path):
 
     vals = [10.0, 13.0, 11.0, 16.0, 12.0, 14.0, 9.0]
     got, rows = _stream_ta_harness(
-        spark, tmp_path, "rsi", lambda df: stateful_rsi(df, n=3), "rsi", vals
+        spark, tmp_path, "rsi", lambda df: stateful_rsi(df, n=3), "rsi", vals, n_expect=4
     )
     want = _batch_ta_reference(spark, vals, "relative_strength_index", 3)
     # emission starts at the (n+1)-th point = 16.0
@@ -300,7 +298,7 @@ def test_stateful_kama_matches_batch_across_batches(spark, tmp_path):
 
     vals = [10.0, 13.0, 11.0, 16.0, 12.0, 14.0, 9.0, 15.0]
     got, rows = _stream_ta_harness(
-        spark, tmp_path, "kama", lambda df: stateful_kama(df, n=3), "kama", vals
+        spark, tmp_path, "kama", lambda df: stateful_kama(df, n=3), "kama", vals, n_expect=5
     )
     want = _batch_ta_reference(spark, vals, "kaufmans_adaptive_moving_average", 3)
     assert set(want) == {16.0, 12.0, 14.0, 9.0, 15.0}
