@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     # per-epoch deterministic training shuffle
     "q_dedup_incremental",
     "q_epoch_shuffle",
+    # round-8 subquery engine visibility: the HAVING idiom (inner agg
+    # -> filter -> outer agg) and the raw-inner passthrough (filter +
+    # rename collapsing into one scan->agg)
+    "q_subquery_having",
+    "q_subquery_raw_inner",
 ]
 
 
