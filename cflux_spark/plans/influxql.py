@@ -2023,7 +2023,10 @@ class InfluxQLEngine:
         per-spec — _merge_series_columns semantics)."""
         store = self._stmt_store(stmt, db)
         reg = store.read_registry()
-        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        prepared = self._subquery_frame(
+            stmt.subquery, store, reg,
+            want_tags=(stmt.group_by_tags, stmt.group_by_star),
+        )
         if prepared is None:
             yield _envelope([])
             return
@@ -2654,7 +2657,10 @@ class InfluxQLEngine:
         (_spec_frame_over: aggregate / transform / arithmetic / raw
         re-selection) and the bucketed result writes back under the
         same field-naming rules as a base INTO."""
-        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        prepared = self._subquery_frame(
+            stmt.subquery, store, reg,
+            want_tags=(stmt.group_by_tags, stmt.group_by_star),
+        )
         if prepared is None:
             return _envelope([_series("result", ["time", "written"], [[0, 0]])])
         inner_df, igtags, itkeys, outputs = prepared
@@ -3612,7 +3618,10 @@ class InfluxQLEngine:
         outer agg shuffle). The canonical Grafana shape
         ``SELECT mean(max) FROM (SELECT max(v) FROM m GROUP BY
         time(1m), host) GROUP BY time(1m)`` is one job."""
-        prepared = self._subquery_frame(stmt.subquery, store, reg)
+        prepared = self._subquery_frame(
+            stmt.subquery, store, reg,
+            want_tags=(stmt.group_by_tags, stmt.group_by_star),
+        )
         if prepared is None:
             return []
         inner_df, igtags, itkeys, outputs = prepared
@@ -4020,7 +4029,12 @@ class InfluxQLEngine:
     _MAX_SUBQUERY_DEPTH = 8
 
     def _subquery_frame(
-        self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None, depth: int = 1
+        self,
+        stmt: SelectStmt,
+        store: LPStore,
+        reg: DataFrame | None,
+        depth: int = 1,
+        want_tags: tuple[list[str], bool] | None = None,
     ) -> tuple[DataFrame, list[str], list[str], list[tuple[str, str]]] | None:
         """Recursively build the bucketed frame of a (possibly nested)
         subquery level → (frame[*tkeys, ts_ms, <cols>], gtags, tkeys,
@@ -4045,6 +4059,35 @@ class InfluxQLEngine:
             raise InfluxQLError("SLIMIT/SOFFSET inside a subquery is not supported")
 
         if stmt.subquery is None:
+            # tag propagation into RAW levels (round 8): a raw
+            # passthrough preserves per-point series identity, so a
+            # tag the ENCLOSING level groups by resolves against the
+            # facts here even when this level has no GROUP BY of its
+            # own — InfluxDB's `SELECT mean(u) FROM (SELECT user AS u
+            # FROM cpu) GROUP BY host`. Aggregated levels keep the
+            # loud requires-inner-grouping rule (folding away the tag
+            # then grouping by it would be silently wrong).
+            eff = stmt
+            if want_tags is not None:
+                wtags, wstar = want_tags
+                maybe_raw = all(
+                    sp.agg is None
+                    and (sp.expr is None or not _arith_leaves(sp.expr, "agg"))
+                    for sp in stmt.fields
+                )
+                if maybe_raw and (
+                    wstar or any(t not in stmt.group_by_tags for t in wtags)
+                ):
+                    from dataclasses import replace as _dc_replace
+
+                    if wstar or stmt.group_by_star:
+                        eff = _dc_replace(stmt, group_by_star=True)
+                    else:
+                        merged = list(stmt.group_by_tags) + [
+                            t for t in wtags if t not in stmt.group_by_tags
+                        ]
+                        eff = _dc_replace(stmt, group_by_tags=merged)
+            stmt = eff
             facts, gtags, tkeys = self._prepared_facts(stmt, store, reg)
             if facts is None:
                 return None
@@ -4133,7 +4176,22 @@ class InfluxQLEngine:
                 stmt, [leaf_frame(sp) for sp in stmt.fields], gtags, tkeys
             )
 
-        prepared = self._subquery_frame(stmt.subquery, store, reg, depth + 1)
+        child_want = (stmt.group_by_tags, stmt.group_by_star)
+        if want_tags is not None and all(
+            sp.agg is None and sp.tx is None and sp.expr is None for sp in stmt.fields
+        ):
+            # passthrough mid-levels CASCADE the enclosing level's tag
+            # request down the chain (a 3-deep raw pipe still resolves
+            # the outermost GROUP BY host at the facts)
+            wtags, wstar = want_tags
+            child_want = (
+                list(stmt.group_by_tags)
+                + [t for t in wtags if t not in stmt.group_by_tags],
+                stmt.group_by_star or wstar,
+            )
+        prepared = self._subquery_frame(
+            stmt.subquery, store, reg, depth + 1, want_tags=child_want
+        )
         if prepared is None:
             return None
         inner_df, igtags, itkeys, outputs = prepared
@@ -4142,6 +4200,18 @@ class InfluxQLEngine:
         # nesting levels were silently dropped (round 7)
         inner_df = self._filter_subquery_output(inner_df, igtags, itkeys, outputs, stmt)
         gtags = igtags if stmt.group_by_star else stmt.group_by_tags
+        if want_tags is not None and all(
+            sp.agg is None and sp.tx is None and sp.expr is None for sp in stmt.fields
+        ):
+            # a pure raw re-selection mid-level carries the tags the
+            # ENCLOSING level asked for through the passthrough (same
+            # round-8 propagation rule as raw innermost levels)
+            wtags, wstar = want_tags
+            gtags = list(gtags) + [
+                t
+                for t in (igtags if wstar else wtags)
+                if t in igtags and t not in gtags
+            ]
         missing = [t for t in gtags if t not in igtags]
         if missing:
             raise InfluxQLError(f"GROUP BY tag(s) {missing} not grouped in the inner subquery")

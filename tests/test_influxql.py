@@ -750,6 +750,45 @@ def test_subquery_lone_selector_original_timestamp(engine):
     assert _values(res_b) == [[1704067200000, 0.7], [1704067260000, 0.5]]
 
 
+def test_subquery_raw_tag_propagation(engine):
+    """A raw passthrough level preserves per-point series identity, so
+    an ENCLOSING GROUP BY <tag> resolves at the facts even when the
+    raw level has no GROUP BY of its own (round 8) — InfluxDB's
+    `SELECT mean(u) FROM (SELECT user AS u FROM cpu) GROUP BY host`.
+    Aggregated inners keep the loud requires-inner-grouping rule."""
+    res = engine.execute(
+        "SELECT mean(u) FROM (SELECT user AS u FROM cpu) "
+        "GROUP BY time(1h), host",
+        db="mydb",
+    )
+    by_host = {s["tags"]["host"]: s["values"] for s in res["results"][0]["series"]}
+    assert by_host["a"] == [[1704067200000, 0.3]]  # (0.1+0.3+0.5)/3
+    assert by_host["b"] == [[1704067200000, 0.7]]
+    # the request CASCADES through a passthrough mid-level
+    res3 = engine.execute(
+        "SELECT mean(u2) FROM (SELECT u AS u2 FROM (SELECT user AS u FROM cpu)) "
+        "GROUP BY time(1h), host",
+        db="mydb",
+    )
+    by_host3 = {s["tags"]["host"]: s["values"] for s in res3["results"][0]["series"]}
+    assert by_host3 == by_host
+    # GROUP BY * expands over the raw level's series tags
+    res_star = engine.execute(
+        "SELECT mean(u) FROM (SELECT user AS u FROM cpu) GROUP BY time(1h), *",
+        db="mydb",
+    )
+    tags = [s["tags"] for s in res_star["results"][0]["series"]]
+    assert {t["host"] for t in tags} == {"a", "b"}
+    assert all("region" in t for t in tags)  # * = every tag key
+    # an AGGREGATED inner still requires the inner grouping (loud)
+    with pytest.raises(InfluxQLError, match="not grouped in the"):
+        engine.execute(
+            "SELECT mean(mean_v) FROM (SELECT mean(user) AS mean_v FROM cpu "
+            "GROUP BY time(60s)) GROUP BY time(1h), host",
+            db="mydb",
+        )
+
+
 def test_subquery_point_emitters(engine):
     """top/bottom/sample/distinct/elapsed over subquery output
     (round 8; previously rejected): the frame rows are the points."""
@@ -2858,15 +2897,17 @@ def test_subquery_star_and_filters_multi(engine):
 
 
 def test_subquery_rejections_are_loud(engine):
-    """Selectors over a subquery (timestamps already folded away) and
-    transform-only fields under an outer GROUP BY time (no aggregate
-    to re-bucket with) reject loudly instead of silently computing
-    something else."""
-    with pytest.raises(InfluxQLError, match="over a subquery is not supported"):
-        engine.execute(
-            "SELECT top(max, 2) FROM (SELECT max(user) FROM cpu GROUP BY time(60s))",
-            db="mydb",
-        )
+    """Transform-only fields under an outer GROUP BY time (no
+    aggregate to re-bucket with) reject loudly instead of silently
+    computing something else. (Selectors over subquery output became
+    SUPPORTED in round 8 — test_subquery_point_emitters — so the old
+    top()-rejection case asserts values now.)"""
+    res = engine.execute(
+        "SELECT top(max, 2) FROM (SELECT max(user) FROM cpu GROUP BY time(60s))",
+        db="mydb",
+    )
+    # frame rows (merged series): min0 max=0.7, min1 max=0.5
+    assert _values(res) == [[1704067200000, 0.7], [1704067260000, 0.5]]
     with pytest.raises(InfluxQLError, match="requires an aggregate argument"):
         engine.execute(
             "SELECT derivative(max) FROM (SELECT max(user) FROM cpu GROUP BY time(30s)) "
