@@ -971,6 +971,61 @@ def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_alert_transitions",
+    f"""
+    WITH h AS ({_HOURLY_SQL.replace("date_trunc('hour', ts)", "date_trunc('minute', ts)").replace("AS hour", "AS minute")}),
+    l AS (
+      SELECT event_type, minute, mv,
+             CASE WHEN mv >= 0.55 THEN 'crit'
+                  WHEN mv >= 0.5 THEN 'warn'
+                  ELSE 'ok' END AS level
+      FROM h
+    ),
+    t AS (
+      SELECT event_type, minute, mv, level,
+             coalesce(lag(level) OVER (PARTITION BY event_type ORDER BY minute),
+                      'ok') AS prev_level
+      FROM l
+    )
+    SELECT event_type, CAST(minute AS TIMESTAMP) AS minute,
+           round(mv, 6) AS value, level, prev_level
+    FROM t WHERE level <> prev_level
+    """,
+)
+def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kapacitor-style threshold alerting, batch/backfill form
+    (round 8): classify each per-(event_type, minute) mean as
+    ok/warn/crit and emit LEVEL TRANSITIONS only — a series pinned
+    above the threshold alerts once, not per point
+    (streaming/rollup.py alert_transitions; the live-stream twin
+    stateful_alerts carries the last level as O(1) GroupState and is
+    parity-pinned in tests/test_streaming_rollup.py). Inputs are the
+    exact-cents minute means so threshold membership cannot flip
+    between engines."""
+    from cflux_spark.streaming.rollup import alert_transitions
+
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg((F.sum(cents).cast("double") / F.count("*") / 100).alias("mv"))
+    pts = h.select(
+        F.col("event_type").alias("series_key"),
+        F.col("minute").alias("ts"),
+        (F.unix_micros("minute") * 1000).alias("ts_ns"),
+        F.col("mv").alias("value"),
+    )
+    out = alert_transitions(pts, crit=0.55, warn=0.5, key_col="series_key")
+    return out.select(
+        F.col("series_key").alias("event_type"),
+        F.col("ts").alias("minute"),
+        F.round("value", 6).alias("value"),
+        "level",
+        "prev_level",
+    )
+
+
+@q(
     "q_top_per_bucket",
     """
     SELECT event_type, hour, event_id, value, rn FROM (
@@ -3935,8 +3990,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-verified every CI run by tests/test_oracle_parity.py.
 
 _VERIFY_FIRST = [
-    # (a) new / changed this round
+    # (a) new / changed this round (q_moving_average yields its slot
+    # to q_alert_transitions — the windows family keeps r07-green
+    # q_cumulative_sum/q_series_difference_seg + the TA keys in-window)
     "q_subquery_raw_inner",
+    "q_alert_transitions",
     "q_holt_winters",
     "q_dedup_incremental",
     "q_export_tar",
@@ -3966,7 +4024,6 @@ _VERIFY_FIRST = [
     # (d) last recorded r06
     "q_minute_avg",
     "q_orders_join",
-    "q_moving_average",
     "q_elapsed",
     "q_integral",
     "q_top_per_bucket",

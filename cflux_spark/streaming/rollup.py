@@ -145,6 +145,111 @@ def _make_ema_fn(n: int):
     return _ema_fn
 
 
+_ALERT_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("level", StringType(), False),
+        StructField("prev_level", StringType(), False),
+    ]
+)
+_ALERT_STATE = StructType([StructField("level", StringType(), True)])
+
+_LEVELS = ("ok", "warn", "crit")
+
+
+def _make_alert_fn(crit: float, warn: float | None):
+    def _level(v: float) -> str:
+        if v >= crit:
+            return "crit"
+        if warn is not None and v >= warn:
+            return "warn"
+        return "ok"
+
+    def _alert_fn(key: Any, pdfs, state: GroupState):
+        (series_key,) = key
+        (level,) = state.get if state.exists else ("ok",)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts_ns")
+            for r in pdf.itertuples():
+                if r.value is None or pd.isna(r.value):
+                    continue  # string points carry no numeric value
+                new = _level(float(r.value))
+                if new != level:
+                    rows.append((series_key, r.ts, r.value, new, level))
+                    level = new
+        state.update((level,))
+        yield pd.DataFrame(
+            rows, columns=["series_key", "ts", "value", "level", "prev_level"]
+        )
+
+    return _alert_fn
+
+
+def stateful_alerts(
+    facts: DataFrame,
+    crit: float,
+    warn: float | None = None,
+    key_col: str = "series_key",
+) -> DataFrame:
+    """Kapacitor-style threshold alerting as an in-engine stateful
+    operator (the reference ecosystem runs AlertNodes in an external
+    Kapacitor fed by the subscription mirror — SURVEY ST5; this is the
+    diffs.tick precedent applied to alerts): per series, classify each
+    point as ok / warn / crit (``value >= crit`` → crit, else
+    ``>= warn`` → warn) and emit a row ONLY on LEVEL TRANSITIONS —
+    Kapacitor's default no-``.all()`` behavior, so a series pinned
+    above the threshold alerts once, not per point.
+
+    State per series is the last level alone (O(1)); a new series
+    starts at ok, so a first point already in violation emits its
+    ok→crit transition. In-order arrival per series is assumed within
+    the stream (the ``stateful_series_diff`` contract); batch parity
+    is pinned by tests/test_streaming_rollup.py against
+    :func:`alert_transitions`."""
+    if warn is not None and warn >= crit:
+        raise ValueError(f"warn threshold must be < crit, got warn={warn} crit={crit}")
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _make_alert_fn(float(crit), None if warn is None else float(warn)),
+        outputStructType=_ALERT_OUTPUT,
+        stateStructType=_ALERT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def alert_transitions(
+    facts: DataFrame,
+    crit: float,
+    warn: float | None = None,
+    key_col: str = "series_key",
+) -> DataFrame:
+    """Batch twin of :func:`stateful_alerts`: the same level
+    transitions computed over a bounded frame with per-series windows
+    (lag over time order, seeded at ok) — the parity oracle for the
+    streaming operator, and the backfill path (re-deriving historical
+    alert timelines from stored points)."""
+    from pyspark.sql import Window as _W
+
+    if warn is not None and warn >= crit:
+        raise ValueError(f"warn threshold must be < crit, got warn={warn} crit={crit}")
+    v = F.col("value")
+    level = F.when(v >= crit, "crit")
+    if warn is not None:
+        level = level.when(v >= warn, "warn")
+    level = level.otherwise("ok")
+    w = _W.partitionBy(key_col).orderBy("ts_ns")
+    out = (
+        facts.filter(v.isNotNull())
+        .withColumn("level", level)
+        .withColumn("prev_level", F.coalesce(F.lag("level").over(w), F.lit("ok")))
+        .filter(F.col("level") != F.col("prev_level"))
+    )
+    return out.select(key_col, "ts", "value", "level", "prev_level")
+
+
 _RSI_OUTPUT = StructType(
     [
         StructField("series_key", StringType(), False),

@@ -305,6 +305,58 @@ def test_stateful_kama_matches_batch_across_batches(spark, tmp_path):
     assert got == want, (got, want)
 
 
+def test_stateful_alerts_transitions_across_batches(spark, tmp_path):
+    """Kapacitor-style alerting: a row per LEVEL TRANSITION only — a
+    series pinned above crit alerts once; the level carries across the
+    micro-batch boundary (the recovery at value 12.0 lands in batch 2,
+    so its crit→warn transition depends on remembered state)."""
+    from cflux_spark.streaming.rollup import alert_transitions, stateful_alerts
+
+    # levels at crit=15, warn=11: ok ok crit crit warn ok crit
+    vals = [10.0, 9.0, 16.0, 18.0, 12.0, 3.0, 20.0]
+    got, rows = _stream_ta_harness(
+        spark, tmp_path, "alert",
+        lambda df: stateful_alerts(df, crit=15.0, warn=11.0),
+        "level", vals, n_expect=4,
+    )
+    trans = [(float(r.value), r.prev_level, r.level) for r in
+             sorted(rows, key=lambda r: r.ts)]
+    assert trans == [
+        (16.0, "ok", "crit"),
+        (12.0, "crit", "warn"),
+        (3.0, "warn", "ok"),
+        (20.0, "ok", "crit"),
+    ]
+    # batch twin agrees exactly
+    df = spark.createDataFrame(
+        [("s1", (i + 1) * 10**9, None, v) for i, v in enumerate(vals)],
+        "series_key string, ts_ns long, ts timestamp, value double",
+    ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+    bt = alert_transitions(df, crit=15.0, warn=11.0).orderBy("ts").collect()
+    assert [(float(r.value), r.prev_level, r.level) for r in bt] == trans
+
+
+def test_stateful_alerts_validation_and_nulls(spark):
+    from cflux_spark.streaming.rollup import alert_transitions, stateful_alerts
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [("s1", 1, None, 1.0)], "series_key string, ts_ns long, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="warn threshold"):
+        stateful_alerts(df, crit=5.0, warn=6.0)
+    with pytest.raises(ValueError, match="warn threshold"):
+        alert_transitions(df, crit=5.0, warn=5.0)
+    # null values (string points) are skipped, not classified
+    df2 = spark.createDataFrame(
+        [("s1", 1, None, 1.0), ("s1", 2, None, None), ("s1", 3, None, 9.0)],
+        "series_key string, ts_ns long, ts timestamp, value double",
+    ).withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+    out = alert_transitions(df2, crit=5.0).collect()
+    assert [(r.value, r.level) for r in out] == [(9.0, "crit")]
+
+
 def test_stateful_ta_rejections(spark):
     from cflux_spark.streaming.rollup import stateful_kama, stateful_rsi
 
