@@ -1,5 +1,9 @@
-"""Prototype: fixed-parameter Holt-Winters recursive-CTE oracle vs the
-numpy kernel (operators/forecast.py) on the sf0.01 events table.
+"""Derivation record: the fixed-parameter Holt-Winters recursive-CTE
+oracle validated bit-for-bit against the numpy kernel
+(operators/forecast.py) before landing in the catalog. The CANONICAL
+oracle lives in plans/queries.py (q_holt_winters) — this standalone
+replay exists so the fp-shape argument can be re-checked without
+Spark (DuckDB + numpy only).
 Run: python scripts/hw_oracle_proto.py [sf_dir]
 """
 import sys
