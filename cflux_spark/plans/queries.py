@@ -3972,10 +3972,12 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (itertuples writer + shared-storage marker probe), q_pack_bpe /
 # q_token_bpe (word_frequencies min_count pruning); (b) the nine
 # r05-green entries displaced from the r07 window; (c) the ten
-# entries deferred by round 7's _VERIFY_LAST; (d) 25 of the 44
-# entries last recorded in r06. The 19 r06-green entries that do not
+# entries deferred by round 7's _VERIFY_LAST; (d) 24 of the 44
+# entries last recorded in r06. The 20 r06-green entries that do not
 # fit defer to the r09 head (each has an in-window twin carrying its
-# mechanics: q_time_relative/q_time_iso = q_time_absolute's range
+# mechanics: q_moving_average = the windows family's r07-green
+# q_cumulative_sum/q_series_difference_seg + the TA keys;
+# q_time_relative/q_time_iso = q_time_absolute's range
 # carving; q_label_matchers = q_tag_filter_or; q_series_difference =
 # q_series_rate; q_except = q_intersect mirrored; the three SHOW
 # key/value forms = q_show_measurements/q_show_series carving +
