@@ -693,12 +693,12 @@ class MinHashIndex:
         for re-probing docs whose signatures are already indexed
         (crash-replayed streaming batches must not match themselves
         and vanish)."""
-        bsig = minhash_signatures(
-            shingles(batch, self.n, text_col, id_col, distinct=False),
-            self.num_hashes,
-            id_col,
-        ).cache()
-        n_band_rows = bsig.count() * self.bands
+        # guard BEFORE signing: the batch row count bounds the banded
+        # keys exactly (each signed doc emits `bands` rows; docs whose
+        # text yields no shingles only make this an over-estimate), so
+        # the cap check costs one plain scan of the batch — not a
+        # minhash pass
+        n_band_rows = batch.count() * self.bands
         if n_band_rows > self.MAX_BROADCAST_BAND_ROWS:
             raise ValueError(
                 f"probe batch expands to {n_band_rows:,} banded keys "
@@ -708,6 +708,11 @@ class MinHashIndex:
                 "slice, or raise MinHashIndex.MAX_BROADCAST_BAND_ROWS if the "
                 "executors can hold the broadcast."
             )
+        bsig = minhash_signatures(
+            shingles(batch, self.n, text_col, id_col, distinct=False),
+            self.num_hashes,
+            id_col,
+        ).cache()
         isig = self.signatures()
         ibands = _band_stack(isig, self.num_hashes, self.bands, "doc_id").withColumnRenamed(
             "doc_id", "corpus_id"

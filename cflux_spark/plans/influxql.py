@@ -1480,6 +1480,11 @@ class InfluxQLEngine:
             return self._show_field_keys(qs, db)
         if upper.startswith("SHOW TAG KEYS"):
             return self._show_tag_keys(qs, db)
+        if re.match(r"SHOW TAG VALUES\s+(EXACT\s+)?CARDINALITY", upper):
+            # must dispatch BEFORE the plain TAG VALUES branch, which
+            # previously swallowed the CARDINALITY token and answered
+            # with the VALUES — silently wrong (round 8)
+            return self._show_tag_values_cardinality(qs, db)
         if upper.startswith("SHOW TAG VALUES"):
             return self._show_tag_values(qs, db)
         if re.match(r"SHOW (SERIES|MEASUREMENT|FIELD KEY|TAG KEY)\s+(EXACT\s+)?CARDINALITY", upper):
@@ -1862,7 +1867,11 @@ class InfluxQLEngine:
              for m, v in out.items()]
         )
 
-    def _show_tag_values(self, qs: str, db: str | None) -> dict:
+    def _tag_values_kv(self, qs: str, db: str | None):
+        """Shared carving for the TAG VALUES family: parse WITH KEY
+        (=, IN, =~), apply ON/FROM/WHERE, and return the filtered
+        (measurement, key, value) frame (or None with no registry) +
+        the parsed show clause."""
         sc = _parse_show(qs)
         db = sc.on_db or db
         meas = sc.from_name
@@ -1885,7 +1894,7 @@ class InfluxQLEngine:
                 keys = [_unquote(km.group(3))]
         reg = self._registry(db)
         if reg is None:
-            return _envelope([])
+            return None, sc
         reg = self._show_where_filter(reg, sc.where)
         reg = _show_meas_filter(reg, meas)
         kv = reg.select("measurement", F.explode("tags").alias("key", "value"))
@@ -1893,6 +1902,12 @@ class InfluxQLEngine:
             kv = kv.filter(F.col("key").isin(keys))
         if key_rx is not None:
             kv = kv.filter(F.col("key").rlike(key_rx))
+        return kv, sc
+
+    def _show_tag_values(self, qs: str, db: str | None) -> dict:
+        kv, sc = self._tag_values_kv(qs, db)
+        if kv is None:
+            return _envelope([])
         rows = kv.distinct().orderBy("measurement", "key", "value").collect()
         out: dict[str, list] = {}
         for r in rows:
@@ -1901,6 +1916,18 @@ class InfluxQLEngine:
             [_series(m, ["key", "value"], _slice_values(v, sc.limit, sc.offset))
              for m, v in out.items()]
         )
+
+    def _show_tag_values_cardinality(self, qs: str, db: str | None) -> dict:
+        """SHOW TAG VALUES [EXACT] CARDINALITY [FROM m] WITH KEY ... —
+        the count of distinct (key, value) pairs the matching VALUES
+        statement would list (house cardinality convention: one exact
+        global count, like the SERIES/TAG KEY forms). Previously the
+        CARDINALITY token fell through to the VALUES handler and the
+        statement answered with the values themselves."""
+        qs2 = re.sub(r"(?i)\s+EXACT\s+CARDINALITY\b|\s+CARDINALITY\b", "", qs, count=1)
+        kv, _sc = self._tag_values_kv(qs2, db)
+        n = 0 if kv is None else kv.select("key", "value").distinct().count()
+        return _envelope([{"columns": ["count"], "values": [[n]]}])
 
     def _show_subscriptions(self) -> dict:
         series = []

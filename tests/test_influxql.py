@@ -1321,6 +1321,15 @@ def test_show_cardinality_family(engine):
     assert _values(res) == [[2]]
     res = engine.execute("SHOW TAG KEY CARDINALITY", db="mydb")
     assert _values(res) == [[2]]  # host, region
+    # TAG VALUES CARDINALITY (round 8; previously fell through to the
+    # VALUES handler and answered with the values — silently wrong)
+    res = engine.execute('SHOW TAG VALUES CARDINALITY WITH KEY = "host"', db="mydb")
+    assert _values(res) == [[2]]  # host: a, b
+    res = engine.execute(
+        'SHOW TAG VALUES EXACT CARDINALITY FROM cpu WITH KEY IN (host, region)',
+        db="mydb",
+    )
+    assert _values(res) == [[4]]  # (host,a),(host,b),(region,eu),(region,us)
 
 
 def test_select_into_downsample_roundtrip(engine):
