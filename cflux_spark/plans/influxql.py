@@ -1474,6 +1474,23 @@ class InfluxQLEngine:
         upper = qs.upper()
         if upper.startswith("SHOW DATABASES"):
             return self._show_databases()
+        m_badcard = re.match(
+            r"SHOW (MEASUREMENTS|FIELD KEYS|TAG KEYS)\s+(EXACT\s+)?CARDINALITY", upper
+        )
+        if m_badcard:
+            # the plural forms would otherwise fall through to their
+            # LIST handlers and silently answer with the list (the
+            # TAG VALUES bug class, round 8); InfluxDB's cardinality
+            # grammar is singular
+            singular = {
+                "MEASUREMENTS": "MEASUREMENT",
+                "FIELD KEYS": "FIELD KEY",
+                "TAG KEYS": "TAG KEY",
+            }[m_badcard.group(1)]
+            raise InfluxQLError(
+                f"SHOW {m_badcard.group(1)} CARDINALITY is not InfluxQL — "
+                f"use SHOW {singular} CARDINALITY"
+            )
         if upper.startswith("SHOW MEASUREMENTS"):
             return self._show_measurements(qs, db)
         if upper.startswith("SHOW FIELD KEYS"):

@@ -1330,6 +1330,14 @@ def test_show_cardinality_family(engine):
         db="mydb",
     )
     assert _values(res) == [[4]]  # (host,a),(host,b),(region,eu),(region,us)
+    # plural misforms reject loudly instead of answering the LIST
+    for bad in (
+        "SHOW MEASUREMENTS CARDINALITY",
+        "SHOW FIELD KEYS CARDINALITY",
+        "SHOW TAG KEYS EXACT CARDINALITY",
+    ):
+        with pytest.raises(InfluxQLError, match="is not InfluxQL"):
+            engine.execute(bad, db="mydb")
 
 
 def test_select_into_downsample_roundtrip(engine):
