@@ -437,7 +437,7 @@ class SelectStmt:
     #: two-part FROM prefix ("x"."m") pending rp-vs-db resolution at
     #: execute time (the parser has no retention-policy registry)
     from_prefix: str | None = None
-    group_by_time_s: int | None = None
+    group_by_time_s: float | None = None  # fractional = sub-second intervals
     group_by_tags: list[str] = field(default_factory=list)
     group_by_time_offset_s: float = 0.0  # GROUP BY time(N, offset)
     tz: str | None = None  # tz('Area/City') — local-wall-clock buckets
@@ -1241,7 +1241,13 @@ def parse_select(q: str) -> SelectStmt:
         rest = groupby
         gbt = re.search(r"time\s*\(\s*([^,)]+?)\s*(?:,\s*([^)]+?)\s*)?\)", groupby, re.IGNORECASE)
         if gbt:
-            stmt.group_by_time_s = max(1, int(_parse_duration(gbt.group(1))))
+            iv = _parse_duration(gbt.group(1))
+            if iv <= 0:
+                # InfluxDB: "time() interval must be positive" —
+                # previously 0s silently clamped to 1s, and sub-second
+                # intervals (time(500ms)) silently TRUNCATED to 1s
+                raise InfluxQLError("GROUP BY time() interval must be positive")
+            stmt.group_by_time_s = int(iv) if float(iv).is_integer() else iv
             if gbt.group(2):
                 # time(N, offset) — shifted bucket boundaries; a leading
                 # '-' is allowed (InfluxDB accepts negative offsets)
@@ -2505,7 +2511,7 @@ class InfluxQLEngine:
                     out[name] = 0
                     continue
                 if stmt.group_by_time_s:
-                    b_ns = int(stmt.group_by_time_s) * 1_000_000_000
+                    b_ns = int(stmt.group_by_time_s * 1_000_000_000)
                     off_ns = int(stmt.group_by_time_offset_s * 1e9)
                     hi = ((row.m - off_ns) // b_ns) * b_ns + off_ns  # start of open bucket
                 else:
@@ -3290,7 +3296,13 @@ class InfluxQLEngine:
             fname = fields_used[0]
             base = facts.filter((F.col("field") == fname) & F.col("value").isNotNull())
             val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
-            return base.select(*tkeys, tcol, val.alias("val"))
+            # computed nulls (x/0, ln of a negative) emit no point —
+            # InfluxDB binary-op semantics (round 8; previously the
+            # base path emitted null rows while the subquery path
+            # dropped them)
+            return base.select(*tkeys, tcol, val.alias("val")).filter(
+                F.col("val").isNotNull()
+            )
         if reg is None:
             return None
         if len(fields_used) == 1:
@@ -3306,7 +3318,9 @@ class InfluxQLEngine:
                 (F.col("field") == fields_used[0]) & F.col("value").isNotNull()
             ).join(F.broadcast(fp2s1), "fingerprint")
             val = F.round(self._arith_col(node, lambda lf: F.col("value")), 6)
-            return base.select("_skey", "ts_ns", *tkeys, val.alias("val"))
+            return base.select("_skey", "ts_ns", *tkeys, val.alias("val")).filter(
+                F.col("val").isNotNull()
+            )
         skey = F.xxhash64(
             F.to_json(
                 F.array_sort(F.map_entries(F.coalesce(F.col("tags"), F.create_map())))
@@ -3329,8 +3343,12 @@ class InfluxQLEngine:
         idx = {f: i for i, f in enumerate(fields_used)}
         val = F.round(self._arith_col(node, lambda lf: F.col(f"_v{idx[lf[1]]}")), 6)
         if keyed:
-            return joined.select("_skey", "ts_ns", *tkeys, val.alias("val"))
-        return joined.select(*tkeys, tcol, val.alias("val"))
+            return joined.select("_skey", "ts_ns", *tkeys, val.alias("val")).filter(
+                F.col("val").isNotNull()
+            )
+        return joined.select(*tkeys, tcol, val.alias("val")).filter(
+            F.col("val").isNotNull()
+        )
 
     def _arith_raw_series(
         self, stmt: SelectStmt, spec: FieldSpec, facts: DataFrame, gtags, tkeys, reg

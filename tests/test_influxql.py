@@ -970,6 +970,32 @@ def test_group_by_time_offset(engine):
     ]
 
 
+def test_group_by_time_zero_rejects_and_subsecond_works(engine):
+    """time(0s) must reject like InfluxDB (previously it silently
+    clamped to 1 s); sub-second intervals must bucket at their real
+    width (previously time(500ms) silently TRUNCATED to 1 s)."""
+    with pytest.raises(InfluxQLError, match="must be positive"):
+        engine.execute("SELECT mean(user) FROM cpu GROUP BY time(0s)", db="mydb")
+    stmt = parse_select("SELECT mean(v) FROM m GROUP BY time(500ms)")
+    assert stmt.group_by_time_s == 0.5
+    # 500ms buckets over the second-spaced fixture = one point each
+    res = engine.execute(
+        "SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(500ms) LIMIT 2",
+        db="mydb",
+    )
+    assert _values(res)[0] == [1704067200000, 0.1]
+
+
+def test_raw_arithmetic_null_emits_no_point(engine):
+    """x/0 (and any computed null) emits NO point — InfluxDB binary-op
+    semantics (round 8; the base path previously emitted null rows
+    while the subquery path dropped them)."""
+    res = engine.execute("SELECT user / 0 FROM cpu", db="mydb")
+    assert res["results"][0].get("series", []) == []
+    res2 = engine.execute("SELECT user * 2 FROM cpu WHERE host = 'b'", db="mydb")
+    assert _values(res2) == [[1704067200000, 1.4]]
+
+
 def test_group_by_time_negative_offset_parses():
     stmt = parse_select("SELECT mean(v) FROM m GROUP BY time(1m, -30s)")
     assert stmt.group_by_time_s == 60
