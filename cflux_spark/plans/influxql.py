@@ -1185,10 +1185,29 @@ def parse_select(q: str) -> SelectStmt:
             else:
                 stmt.field_or_groups.append(field_group)
             continue
-        tm = re.fullmatch(r"time\s*(>=|<=|>|<)\s*(.+)", cond, re.IGNORECASE)
+        if re.fullmatch(r"time\s*(!=|<>)\s*.+", cond, re.IGNORECASE):
+            # InfluxDB has no time-inequality predicate; letting it
+            # fall through would read it as a FIELD named "time" and
+            # return silently empty (round 8)
+            raise InfluxQLError(f"time != is not valid InfluxQL ({cond!r})")
+        tm = re.fullmatch(r"time\s*(>=|<=|>|<|=)\s*(.+)", cond, re.IGNORECASE)
         if tm:
             op, val = tm.group(1), tm.group(2).strip()
             rel = re.fullmatch(r"now\s*\(\s*\)\s*(?:-\s*(\S+))?", val, re.IGNORECASE)
+            if op == "=":
+                # exact-instant equality (round 8; previously parsed as
+                # a field predicate on a field named "time" — silently
+                # empty): canonicalize to the 1 ns half-open window
+                if rel:
+                    raise InfluxQLError(
+                        "time = now() is not supported; use a range"
+                    )
+                ns = _parse_time_value(val)
+                stmt.time_lo_ns = ns if stmt.time_lo_ns is None else max(stmt.time_lo_ns, ns)
+                stmt.time_hi_ns = (
+                    ns + 1 if stmt.time_hi_ns is None else min(stmt.time_hi_ns, ns + 1)
+                )
+                continue
             if rel:
                 dur_s = int(_parse_duration(rel.group(1))) if rel.group(1) else 0
                 if op in (">", ">="):
@@ -1899,6 +1918,11 @@ class InfluxQLEngine:
         db = sc.on_db or db
         meas = sc.from_name
         wk = sc.with_clause("KEY") if "WITH" in sc.head.upper() else None
+        if wk is None:
+            # InfluxDB: "SHOW TAG VALUES requires a WITH KEY clause" —
+            # listing every key/value instead would be friendlier but
+            # off-grammar (round 8; previously listed everything)
+            raise InfluxQLError("SHOW TAG VALUES requires a WITH KEY clause")
         keys: list[str] | None = None
         key_rx: str | None = None
         if wk is not None:

@@ -986,6 +986,41 @@ def test_group_by_time_zero_rejects_and_subsecond_works(engine):
     assert _values(res)[0] == [1704067200000, 0.1]
 
 
+def test_time_equality_and_inequality(engine):
+    """WHERE time = <instant> selects the exact point (round 8;
+    previously parsed as a FIELD named "time" — silently empty);
+    time != rejects loudly."""
+    res = engine.execute(
+        "SELECT user FROM cpu WHERE time = 1704067230000000000", db="mydb"
+    )
+    assert _values(res) == [[1704067230000, 0.3]]
+    # RFC3339 instants canonicalize the same way
+    res2 = engine.execute(
+        "SELECT user FROM cpu WHERE time = '2024-01-01T00:00:30Z'", db="mydb"
+    )
+    assert _values(res2) == [[1704067230000, 0.3]]
+    # equality composes with other bounds by intersection (empty here)
+    res3 = engine.execute(
+        "SELECT user FROM cpu WHERE time = 1704067230000000000 "
+        "AND time >= 1704067290000000000",
+        db="mydb",
+    )
+    assert res3["results"][0].get("series", []) == []
+    with pytest.raises(InfluxQLError, match="not valid InfluxQL"):
+        engine.execute("SELECT user FROM cpu WHERE time != 0", db="mydb")
+    with pytest.raises(InfluxQLError, match="use a range"):
+        engine.execute("SELECT user FROM cpu WHERE time = now()", db="mydb")
+
+
+def test_show_tag_values_requires_with_key(engine):
+    """InfluxDB grammar: SHOW TAG VALUES without WITH KEY is a parse
+    error (round 8; previously listed every key/value pair)."""
+    with pytest.raises(InfluxQLError, match="WITH KEY"):
+        engine.execute("SHOW TAG VALUES", db="mydb")
+    with pytest.raises(InfluxQLError, match="WITH KEY"):
+        engine.execute("SHOW TAG VALUES CARDINALITY", db="mydb")
+
+
 def test_raw_arithmetic_null_emits_no_point(engine):
     """x/0 (and any computed null) emits NO point — InfluxDB binary-op
     semantics (round 8; the base path previously emitted null rows
