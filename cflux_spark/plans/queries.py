@@ -1026,6 +1026,60 @@ def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_deadman",
+    """
+    WITH p AS (SELECT event_type, epoch_ns(ts) AS ts_ns FROM events),
+    g AS (
+      SELECT event_type, ts_ns,
+             lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns) AS next_ns
+      FROM p
+    ),
+    gaps AS (
+      SELECT * FROM g
+      WHERE next_ns IS NOT NULL AND next_ns - ts_ns > 7200000000000
+    ),
+    mx AS (SELECT max(ts_ns) AS now_ns FROM p)
+    SELECT event_type, make_timestamp((ts_ns + 7200000000000) // 1000) AS ts,
+           'dead' AS level, make_timestamp(ts_ns // 1000) AS last_seen
+    FROM gaps
+    UNION ALL
+    SELECT event_type, make_timestamp(next_ns // 1000) AS ts,
+           'alive' AS level, make_timestamp(ts_ns // 1000) AS last_seen
+    FROM gaps
+    UNION ALL
+    SELECT m.event_type, make_timestamp((m.ts_ns + 7200000000000) // 1000) AS ts,
+           'dead' AS level, make_timestamp(m.ts_ns // 1000) AS last_seen
+    FROM (SELECT event_type, max(ts_ns) AS ts_ns FROM p GROUP BY 1) m, mx
+    WHERE mx.now_ns - m.ts_ns > 7200000000000
+    """,
+)
+def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kapacitor DEADMAN switch, batch/backfill form (round 9 — the
+    other half of the alerting surface next to q_alert_transitions):
+    per event_type, ``dead`` at last_seen + 2 h for every silence
+    longer than 2 h, ``alive`` at the point that broke it, plus the
+    trailing open gap judged against the stream's own last event (so
+    the result is a pure function of the data — replays agree). One
+    lead() pass + a per-series max, no self-join
+    (streaming/rollup.py deadman_transitions; the live twin
+    stateful_deadman fires off the event-time watermark via
+    applyInPandasWithState EventTimeTimeout with O(1) state/series,
+    cross-micro-batch parity pinned in tests/test_streaming_rollup.py).
+    """
+    from cflux_spark.streaming.rollup import deadman_transitions
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("series_key"),
+        (F.unix_micros("ts") * 1000).alias("ts_ns"),
+    )
+    now_ns = ev.agg(F.max("ts_ns")).first()[0]
+    out = deadman_transitions(ev, 7200, now_ts_ns=now_ns)
+    return out.select(
+        F.col("series_key").alias("event_type"), "ts", "level", "last_seen"
+    )
+
+
+@q(
     "q_top_per_bucket",
     """
     SELECT event_type, hour, event_id, value, rn FROM (

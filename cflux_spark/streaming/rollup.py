@@ -433,3 +433,157 @@ def stateful_ema(facts: DataFrame, n: int, key_col: str = "series_key") -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------------------------ deadman (r9)
+
+_DEADMAN_OUTPUT = StructType(
+    [
+        StructField("series_key", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("level", StringType(), False),
+        StructField("last_seen", TimestampType(), False),
+    ]
+)
+# (last observed event-time ns, 1 if the series is currently dead):
+# O(1) per series — the whole deadman switch is "when did I last hear
+# from you, and have I already alerted".
+_DEADMAN_STATE = StructType(
+    [StructField("last_ts_ns", LongType(), True), StructField("dead", LongType(), True)]
+)
+
+
+def _make_deadman_fn(every_ns: int):
+    def _ts(ns: int):
+        return pd.Timestamp(ns // 1000, unit="us")
+
+    def _deadman_fn(key: Any, pdfs, state: GroupState):
+        (series_key,) = key
+        rows = []
+        if state.hasTimedOut:
+            # Watermark passed last_seen + every with no new points:
+            # the series went silent. Alert ONCE (Kapacitor deadman
+            # default), at the deadline itself, then hold state with
+            # no further timeout until data resumes.
+            last_ts_ns, dead = state.get
+            if not dead:
+                rows.append(
+                    (series_key, _ts(last_ts_ns + every_ns), "dead", _ts(last_ts_ns))
+                )
+            state.update((last_ts_ns, 1))
+        else:
+            last_ts_ns, dead = state.get if state.exists else (None, 0)
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts_ns")
+                for r in pdf.itertuples():
+                    ns = int(r.ts_ns)
+                    if dead:
+                        # data resumed: recovery at the first new point
+                        rows.append(
+                            (series_key, _ts(ns), "alive", _ts(last_ts_ns))
+                        )
+                        dead = 0
+                    if last_ts_ns is None or ns > last_ts_ns:
+                        last_ts_ns = ns
+            state.update((last_ts_ns, dead))
+            # Arm the switch: fire when event-time watermark passes
+            # last_seen + every. Spark requires the timeout timestamp
+            # to sit beyond the current watermark — a late-but-valid
+            # point whose deadline already passed alerts at the next
+            # watermark tick instead of throwing.
+            deadline_ms = (last_ts_ns + every_ns) // 1_000_000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
+        yield pd.DataFrame(rows, columns=["series_key", "ts", "level", "last_seen"])
+
+    return _deadman_fn
+
+
+def stateful_deadman(
+    facts: DataFrame, every_seconds: int, key_col: str = "series_key"
+) -> DataFrame:
+    """Kapacitor-style DEADMAN switch (the other half of the alerting
+    surface next to :func:`stateful_alerts` — Kapacitor's
+    ``deadman(0.0, interval)`` fed by the reference's subscription
+    mirror, here as an in-engine stateful streaming operator): per
+    series, emit ``dead`` at ``last_seen + every`` once the event-time
+    watermark passes that deadline with no new points, and ``alive``
+    at the first point after a death. A silent series alerts ONCE, not
+    per interval.
+
+    ``facts`` must be a streaming frame with (series_key, ts
+    timestamp, ts_ns long) and a WATERMARK on ``ts`` — event-time
+    timeouts fire off the watermark, so liveness is judged by the
+    stream's own clock, not wall time (replays behave identically).
+    State is O(1)/series: (last_seen_ns, dead). Batch/backfill twin:
+    :func:`deadman_transitions`; cross-micro-batch parity pinned in
+    tests/test_streaming_rollup.py."""
+    if every_seconds <= 0:
+        raise ValueError(f"deadman interval must be > 0 s, got {every_seconds}")
+    return facts.groupBy(key_col).applyInPandasWithState(
+        _make_deadman_fn(int(every_seconds) * 1_000_000_000),
+        outputStructType=_DEADMAN_OUTPUT,
+        stateStructType=_DEADMAN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def deadman_transitions(
+    facts: DataFrame,
+    every_seconds: int,
+    key_col: str = "series_key",
+    now_ts_ns: int | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`stateful_deadman` — gaps-and-islands over
+    stored points: for every per-series gap longer than ``every``,
+    emit ``dead`` at ``gap_start + every`` and ``alive`` at the point
+    that ended the gap; with ``now_ts_ns`` given, a series whose LAST
+    point is more than ``every`` old is dead with no recovery (the
+    trailing open gap). The parity oracle for the streaming operator
+    and the backfill path for historical alert timelines.
+
+    One window pass (lead over time order) + a per-series max for the
+    trailing gap — no self-join, scales as the windows family does."""
+    from pyspark.sql import Window as _W
+
+    if every_seconds <= 0:
+        raise ValueError(f"deadman interval must be > 0 s, got {every_seconds}")
+    every_ns = int(every_seconds) * 1_000_000_000
+    w = _W.partitionBy(key_col).orderBy("ts_ns")
+    nxt = F.lead("ts_ns").over(w)
+    base = facts.select(key_col, "ts_ns").withColumn("next_ns", nxt)
+    gap = base.filter(F.col("next_ns").isNotNull() & (F.col("next_ns") - F.col("ts_ns") > every_ns))
+    # ns -> timestamp via DECIMAL division: 2024-epoch ns (~1.7e18)
+    # exceed double's 2^53 integer range, so c/1000 in double drifts
+    # by whole microseconds; decimal(38,0)/1000 is exact.
+    to_ts = lambda c: F.timestamp_micros(  # noqa: E731
+        (c.cast("decimal(38,0)") / 1000).cast("long")
+    )
+    dead = gap.select(
+        key_col,
+        to_ts(F.col("ts_ns") + every_ns).alias("ts"),
+        F.lit("dead").alias("level"),
+        to_ts(F.col("ts_ns")).alias("last_seen"),
+    )
+    alive = gap.select(
+        key_col,
+        to_ts(F.col("next_ns")).alias("ts"),
+        F.lit("alive").alias("level"),
+        to_ts(F.col("ts_ns")).alias("last_seen"),
+    )
+    out = dead.unionAll(alive)
+    if now_ts_ns is not None:
+        trailing = (
+            facts.groupBy(key_col)
+            .agg(F.max("ts_ns").alias("ts_ns"))
+            .filter(F.lit(int(now_ts_ns)) - F.col("ts_ns") > every_ns)
+            .select(
+                key_col,
+                to_ts(F.col("ts_ns") + every_ns).alias("ts"),
+                F.lit("dead").alias("level"),
+                to_ts(F.col("ts_ns")).alias("last_seen"),
+            )
+        )
+        out = out.unionAll(trailing)
+    return out

@@ -424,3 +424,105 @@ def test_stateful_ema_matches_batch_across_batches(spark, tmp_path):
             assert abs(got[v] - e_want) < 1e-9, (v, got[v], e_want)
     finally:
         q.stop()
+
+
+def test_stateful_deadman_matches_batch_across_batches(spark, tmp_path):
+    """Deadman switch: s2 goes silent after t=2s while heartbeat s1
+    advances the event-time watermark past s2's deadline (every=10s →
+    dead at t=12s), then s2 resumes at t=29s → alive. The batch twin
+    over the same points (gaps-and-islands) must agree exactly."""
+    from cflux_spark.streaming.rollup import deadman_transitions, stateful_deadman
+
+    src = str(tmp_path / "in_deadman")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for key, sec in rows:
+                f.write(f"{key},{sec * 10**9}\n")
+
+    write_batch("b1.csv", [("s1", 1), ("s1", 3), ("s2", 2)])
+    lines = (
+        spark.readStream.format("text")
+        .load(src)
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].alias("series_key"),
+            F.col("p")[1].cast("long").alias("ts_ns"),
+            F.timestamp_micros((F.col("p")[1].cast("long") / 1000).cast("long")).alias("ts"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stateful_deadman(lines, every_seconds=10)
+        .writeStream.format("memory")
+        .queryName("deadman_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_deadman"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    all_secs = [("s1", 1), ("s1", 3), ("s2", 2)]
+    try:
+        # heartbeat s1 keeps its own spacing <= every while pushing the
+        # watermark past s2's t=12s deadline (watermark lags one batch,
+        # and the timeout fires in Spark's no-data batch that follows)
+        for i, sec in enumerate([8, 15, 22]):
+            write_batch(f"hb{i}.csv", [("s1", sec)])
+            all_secs.append(("s1", sec))
+            time.sleep(1.5)
+        rows = _wait_rows(spark, "deadman_out", 1, timeout=90)
+        assert [(r.series_key, str(r.ts), r.level, str(r.last_seen)) for r in rows] == [
+            ("s2", "1970-01-01 00:00:12", "dead", "1970-01-01 00:00:02")
+        ]
+        write_batch("b2.csv", [("s1", 28), ("s2", 29)])
+        all_secs += [("s1", 28), ("s2", 29)]
+        rows = _wait_rows(spark, "deadman_out", 2, timeout=90)
+    finally:
+        q.stop()
+    got = sorted(
+        (r.series_key, str(r.ts), r.level, str(r.last_seen)) for r in rows
+    )
+    assert got == [
+        ("s2", "1970-01-01 00:00:12", "dead", "1970-01-01 00:00:02"),
+        ("s2", "1970-01-01 00:00:29", "alive", "1970-01-01 00:00:02"),
+    ]
+    # batch twin on the same points, "now" = the stream's last event
+    df = spark.createDataFrame(
+        [(k, s * 10**9) for k, s in all_secs], "series_key string, ts_ns long"
+    )
+    bt = deadman_transitions(df, 10, now_ts_ns=29 * 10**9).collect()
+    assert sorted(
+        (r.series_key, str(r.ts), r.level, str(r.last_seen)) for r in bt
+    ) == got
+
+
+def test_deadman_batch_trailing_and_validation(spark):
+    from cflux_spark.streaming.rollup import deadman_transitions, stateful_deadman
+
+    df = spark.createDataFrame(
+        [("a", 1_000_000_000), ("a", 5_000_000_000), ("b", 2_000_000_000)],
+        "series_key string, ts_ns long",
+    )
+    # no closed gaps at every=10s; with now=30s both series are
+    # trailing-dead at last_seen + every
+    out = sorted(
+        (r.series_key, str(r.ts), r.level)
+        for r in deadman_transitions(df, 10, now_ts_ns=30 * 10**9).collect()
+    )
+    assert out == [
+        ("a", "1970-01-01 00:00:15", "dead"),
+        ("b", "1970-01-01 00:00:12", "dead"),
+    ]
+    # without now: closed gaps only
+    assert deadman_transitions(df, 10).count() == 0
+    out2 = sorted(
+        (r.series_key, str(r.ts), r.level)
+        for r in deadman_transitions(df, 3).collect()
+    )
+    assert out2 == [("a", "1970-01-01 00:00:04", "dead"), ("a", "1970-01-01 00:00:05", "alive")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deadman_transitions(df, 0)
+    with _pytest.raises(ValueError):
+        stateful_deadman(df, -5)
