@@ -1429,6 +1429,66 @@ def ivfpq_topk_bulk(
     return _exact_refine_bulk(short, queries, candidates, id_col, vec_col, k)
 
 
+def _p95_d2(df: DataFrame, cents: np.ndarray, vec_col: str) -> float:
+    """p95 of squared distance to the assigned (nearest) centroid —
+    the build-time yardstick for append staleness. approxQuantile at
+    1% relative error: a drift heuristic, not a contract."""
+
+    @pandas_udf("double")
+    def d2min(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(_d2_to_centroids(v, cents).min(axis=1))
+
+    frame = df.select(d2min(F.col(vec_col)).alias("_d2"))
+    (q,) = frame.approxQuantile("_d2", [0.95], 0.01)
+    return float(q)
+
+
+def _stale_fraction(
+    df: DataFrame, cents: np.ndarray, vec_col: str, p95: float | None
+) -> float:
+    if p95 is None:
+        return float("nan")
+
+    @pandas_udf("double")
+    def d2min(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(_d2_to_centroids(v, cents).min(axis=1))
+
+    row = df.select(
+        F.avg((d2min(F.col(vec_col)) > F.lit(p95)).cast("double")).alias("f")
+    ).first()
+    return float(row.f) if row.f is not None else float("nan")
+
+
+def _read_index_meta(idx, int_keys: tuple[str, ...]) -> float | None:
+    """Load ``<path>/meta.json`` if the index has one (build writes it
+    since round 9): restores the quantizer hyperparameters so a
+    reopened index can never probe with mismatched settings (the
+    MinHashIndex meta discipline), and returns the stored p95 training
+    distance (None for a pre-meta index)."""
+    import json
+    import os
+
+    meta_path = os.path.join(idx.path, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    for k in int_keys:
+        setattr(idx, k, int(meta[k]))
+    return None if meta.get("p95_d2") is None else float(meta["p95_d2"])
+
+
+def _write_index_meta(idx, params: dict) -> None:
+    import json
+    import os
+
+    os.makedirs(idx.path, exist_ok=True)
+    with open(os.path.join(idx.path, "meta.json"), "w") as fh:
+        json.dump({**params, "p95_d2": idx.p95_d2}, fh)
+
+
 class IVFIndex:
     """Persisted IVF index: train once, query many times.
 
@@ -1453,11 +1513,25 @@ class IVFIndex:
         self.nlist = nlist
         self.seed = seed
         self._cents: np.ndarray | None = None
+        self.p95_d2: float | None = _read_index_meta(self, ("nlist", "seed"))
 
     # -------------------------------------------------------------- build
 
-    def build(self, candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFIndex":
-        cents = _train_cells(candidates, self.nlist, vec_col, self.seed)
+    def build(
+        self,
+        candidates: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        train_on: DataFrame | None = None,
+    ) -> "IVFIndex":
+        """Train the coarse quantizer (on ``train_on`` when given —
+        the FAISS-style train-on-a-sample/encode-everything split the
+        100 TB path wants) and write centroids + the cell-partitioned
+        content table. Also records the p95 training distance
+        (vector→assigned-centroid d²) in ``meta.json`` — the yardstick
+        :meth:`append` judges batch staleness against."""
+        cents = _train_cells(train_on if train_on is not None else candidates,
+                             self.nlist, vec_col, self.seed)
 
         @pandas_udf("long")
         def cell_of(vecs: pd.Series) -> pd.Series:
@@ -1480,7 +1554,47 @@ class IVFIndex:
             .parquet(f"{self.path}/cells")
         )
         self._cents = cents
+        self.p95_d2 = _p95_d2(candidates, cents, vec_col)
+        _write_index_meta(self, {"nlist": self.nlist, "seed": self.seed})
         return self
+
+    # ------------------------------------------------------------- append
+
+    def append(
+        self, new: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> float:
+        """Add vectors WITHOUT retraining: assign cells against the
+        FROZEN centroids and append to the cell-partitioned content
+        table — map-only, the MinHashIndex.append pattern (a daily
+        embedding arrival never rebuilds the quantizer). Append ≡
+        one-shot build at fixed centroids (parity-pinned in
+        tests/test_similarity.py), so recall contracts carry over
+        unchanged for data the training sample represents.
+
+        Returns the batch STALENESS: the fraction of appended vectors
+        whose d² to their nearest (frozen) centroid exceeds the p95
+        training distance recorded at build. Under drift-free arrivals
+        this hovers near 0.05; a climbing value means the frozen
+        partitioning no longer fits the data — retrain (``build``)
+        when it matters to recall. NaN for a pre-meta index."""
+        cents = self._centroids()
+
+        @pandas_udf("long")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            return pd.Series(_d2_to_centroids(v, cents).argmin(axis=1))
+
+        (
+            new.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cv"),
+                cell_of(F.col(vec_col)).alias("cell"),
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/cells")
+        )
+        return _stale_fraction(new, cents, vec_col, self.p95_d2)
 
     def _centroids(self) -> np.ndarray:
         if self._cents is None:
@@ -1595,12 +1709,24 @@ class IVFPQIndex:
         self.seed = seed
         self._cents: np.ndarray | None = None
         self._books: np.ndarray | None = None
+        self.p95_d2: float | None = _read_index_meta(self, ("nlist", "m", "ksub", "seed"))
 
     # -------------------------------------------------------------- build
 
-    def build(self, candidates: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IVFPQIndex":
-        books = pq_train(candidates, self.m, self.ksub, vec_col, self.seed)
-        cents = _train_cells(candidates, self.nlist, vec_col, self.seed + 101)
+    def build(
+        self,
+        candidates: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        train_on: DataFrame | None = None,
+    ) -> "IVFPQIndex":
+        """Train codebooks + coarse quantizer (on ``train_on`` when
+        given — sample-train/encode-everything) and write the three
+        artifacts; records the p95 training distance in ``meta.json``
+        for :meth:`append`'s staleness yardstick."""
+        t = train_on if train_on is not None else candidates
+        books = pq_train(t, self.m, self.ksub, vec_col, self.seed)
+        cents = _train_cells(t, self.nlist, vec_col, self.seed + 101)
 
         @pandas_udf("long")
         def cell_of(vecs: pd.Series) -> pd.Series:
@@ -1635,7 +1761,51 @@ class IVFPQIndex:
             .parquet(f"{self.path}/codes")
         )
         self._cents, self._books = cents, books
+        self.p95_d2 = _p95_d2(candidates, cents, vec_col)
+        _write_index_meta(
+            self, {"nlist": self.nlist, "m": self.m, "ksub": self.ksub, "seed": self.seed}
+        )
         return self
+
+    # ------------------------------------------------------------- append
+
+    def append(
+        self, new: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> float:
+        """Add vectors WITHOUT retraining: encode against the FROZEN
+        codebooks and assign cells against the FROZEN centroids, then
+        append to the cell-partitioned codes table — map-only, no
+        shuffle, no driver collect (MinHashIndex.append pattern;
+        append ≡ one-shot build at fixed codebooks, parity-pinned in
+        tests/test_similarity.py). The daily-arrival path of the
+        100 TB pipeline: only the m-bytes/vector codes grow; the
+        KB-sized quantizers stand.
+
+        Returns the batch staleness (fraction of appended vectors
+        beyond the p95 training distance to their nearest frozen
+        centroid) — retrain when it climbs; NaN for a pre-meta index."""
+        cents, books = self._load()
+
+        @pandas_udf("long")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            return pd.Series(_d2_to_centroids(v, cents).argmin(axis=1))
+
+        (
+            new.select(
+                F.col(id_col).alias("neighbor_id"), cell_of(F.col(vec_col)).alias("cell")
+            )
+            .join(
+                pq_encode(new, books, vec_col, id_col).withColumnRenamed(
+                    id_col, "neighbor_id"
+                ),
+                "neighbor_id",
+            )
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(f"{self.path}/codes")
+        )
+        return _stale_fraction(new, cents, vec_col, self.p95_d2)
 
     def _load(self) -> tuple[np.ndarray, np.ndarray]:
         if self._cents is None:

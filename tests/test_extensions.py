@@ -1981,3 +1981,81 @@ def test_minhash_index_compact_dedups_replayed_signatures(spark, tmp_path):
     assert idx.signatures().count() == 2
     after = {(r.batch_id, r.corpus_id) for r in idx.probe(batch, 0.5).collect()}
     assert after == before == {(10, 1)}
+
+
+def test_ivf_index_append_equals_oneshot_at_frozen_centroids(spark, emb, tmp_path):
+    """Incremental append (round 9): build on half the corpus but
+    TRAIN on that same half, then append the other half — must answer
+    exactly like a one-shot build of the full corpus trained on the
+    same half (train_on=), because append encodes against frozen
+    centroids. Appended vectors must be searchable."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    ref = similarity.IVFIndex(spark, str(tmp_path / "ivf_ref"), nlist=8).build(
+        emb, train_on=half_a
+    )
+    idx = similarity.IVFIndex(spark, str(tmp_path / "ivf_app"), nlist=8).build(half_a)
+    stale = idx.append(half_b)
+    assert 0.0 <= stale <= 1.0
+    q = emb.filter(F.col("vec_id") < 6)
+    got = sorted(map(tuple, idx.topk(q, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, ref.topk(q, k=5, nprobe=4).collect()))
+    assert got == want
+    # odd-id (appended) vectors do appear as neighbors
+    assert any(r[1] % 2 == 1 for r in got)
+    # a reopened index carries the stored p95 yardstick
+    reloaded = similarity.IVFIndex(spark, str(tmp_path / "ivf_app"))
+    assert reloaded.nlist == 8 and reloaded.p95_d2 == idx.p95_d2
+    s2 = reloaded.append(half_b.limit(5))
+    assert 0.0 <= s2 <= 1.0
+
+
+def test_ivfpq_index_append_equals_oneshot_at_frozen_codebooks(spark, emb, tmp_path):
+    """IVFPQ append ≡ one-shot build at fixed codebooks/centroids:
+    same split discipline as the IVF test, with the PQ codes table as
+    the appended artifact (codes are deterministic at frozen books)."""
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    ref = similarity.IVFPQIndex(spark, str(tmp_path / "pq_ref")).build(
+        emb, train_on=half_a
+    )
+    idx = similarity.IVFPQIndex(spark, str(tmp_path / "pq_app")).build(half_a)
+    stale = idx.append(half_b)
+    assert 0.0 <= stale <= 1.0
+    q = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.topk(q, k=5, nprobe=8, refine_with=emb).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ref.topk(q, k=5, nprobe=8, refine_with=emb).collect()
+    }
+    assert got == want
+    assert any(n % 2 == 1 for _, n, _ in got)
+    # appending in two slices lands the same codes as one slice
+    idx2 = similarity.IVFPQIndex(spark, str(tmp_path / "pq_app2")).build(half_a)
+    idx2.append(half_b.filter(F.col("vec_id") % 4 == 1))
+    idx2.append(half_b.filter(F.col("vec_id") % 4 == 3))
+    codes = lambda p: sorted(  # noqa: E731
+        (r.neighbor_id, tuple(r.pq_code), r.cell)
+        for r in spark.read.parquet(p + "/codes").collect()
+    )
+    assert codes(str(tmp_path / "pq_app2")) == codes(str(tmp_path / "pq_app"))
+
+
+def test_index_staleness_flags_offmanifold_batch(spark, emb, tmp_path):
+    """The staleness metric orders as designed: an in-distribution
+    append scores low; a far-off-manifold batch scores ~1.0 (the
+    retrain signal)."""
+    idx = similarity.IVFIndex(spark, str(tmp_path / "ivf_stale"), nlist=8).build(emb)
+    dim = len(emb.select("embedding").first()[0])
+    ind = idx.append(emb.limit(30).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    ))
+    far = spark.createDataFrame(
+        [(20_000 + i, [100.0 + i] * dim) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    outd = idx.append(far)
+    assert ind <= 0.5 < outd == 1.0
