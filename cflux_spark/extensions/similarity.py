@@ -1573,10 +1573,12 @@ class IVFIndex:
 
         Returns the batch STALENESS: the fraction of appended vectors
         whose d² to their nearest (frozen) centroid exceeds the p95
-        training distance recorded at build. Under drift-free arrivals
-        this hovers near 0.05; a climbing value means the frozen
-        partitioning no longer fits the data — retrain (``build``)
-        when it matters to recall. NaN for a pre-meta index."""
+        training distance recorded at build. A RELATIVE signal: the
+        training set itself scores 0.05 by construction, held-out
+        same-distribution batches somewhat higher (k-means fits its
+        sample), and a drifted batch approaches 1.0 — watch the trend
+        across appends and retrain (``build``) when it climbs and
+        recall matters. NaN for a pre-meta index."""
         cents = self._centroids()
 
         @pandas_udf("long")
