@@ -1413,8 +1413,20 @@ class InfluxQLEngine:
         # semantics (None) and rely on max_result_rows for safety; pass
         # default_window_s=300 for reference-faithful behavior.
         self.default_window_s = default_window_s
+        # EXPLAIN capture (round 9): thread-local so a dashboard's
+        # concurrent statements on one engine can't cross-capture
+        # (the 32-thread fan-in regime, scripts/concurrency_probe.py)
+        import threading
+
+        self._explain_local = threading.local()
 
     def _bounded_collect(self, df: DataFrame) -> list:
+        cap = getattr(self._explain_local, "plans", None)
+        if cap is not None:
+            # EXPLAIN capture mode: record the frame's Catalyst plan
+            # at the exact point it would have executed, run nothing
+            cap.append(_explain_string(df))
+            return []
         """Collect for envelope assembly with a loud cap. The result
         envelope is driver-assembled (same single-process shape as the
         reference, which streams every ClickHouse row into one Node
@@ -1560,6 +1572,8 @@ class InfluxQLEngine:
             return self._drop_series(qs, db)
         if upper.startswith("DELETE"):
             return self._delete(qs, db)
+        if upper.startswith("EXPLAIN"):
+            return self._explain(qs, db)
         if upper.startswith("SELECT"):
             return self._select(qs, db)
         # M11: unsupported statements return the empty envelope
@@ -2333,6 +2347,40 @@ class InfluxQLEngine:
         return env
 
     # -------------------------------------------------------------- SELECT
+
+    def _explain(self, qs: str, db: str | None) -> dict:
+        """``EXPLAIN SELECT ...`` — the statement's Catalyst plan(s)
+        in the envelope, one value row per plan line (InfluxDB 1.x
+        grammar position; the payload here is Spark's formatted
+        physical plan, which is what an operator debugging a dashboard
+        query on a real cluster needs — scan pushdowns, Exchanges,
+        broadcast choices). Runs the FULL planning path — parse,
+        registry resolution, frame construction — and captures each
+        frame at the exact point execution would start, executing
+        nothing (a multi-field statement shows one plan per field
+        frame, labeled). EXPLAIN ANALYZE is rejected loudly rather
+        than silently running the query."""
+        m = re.match(r"\s*EXPLAIN\s+(ANALYZE\s+)?", qs, re.IGNORECASE)
+        if m.group(1):
+            raise InfluxQLError(
+                "EXPLAIN ANALYZE is not supported — use EXPLAIN (plans "
+                "without execution)"
+            )
+        inner = qs[m.end() :]
+        if not inner.upper().lstrip().startswith("SELECT"):
+            raise InfluxQLError("EXPLAIN expects a SELECT statement")
+        self._explain_local.plans = []
+        try:
+            self._select(inner, db)
+        finally:
+            plans = self._explain_local.plans
+            self._explain_local.plans = None
+        lines: list[list[str]] = []
+        for i, p in enumerate(plans):
+            if len(plans) > 1:
+                lines.append([f"-- frame {i + 1}/{len(plans)} --"])
+            lines.extend([ln] for ln in p.rstrip().splitlines())
+        return _envelope([_series("explain", ["QUERY PLAN"], lines)])
 
     def _select(self, qs: str, db: str | None) -> dict:
         stmt = parse_select(qs)
@@ -4857,6 +4905,19 @@ def _merge_series_columns(
         merged["values"] = values
         out.append(merged)
     return out
+
+
+def _explain_string(df: DataFrame) -> str:
+    """Formatted physical plan of a frame (what ``df.explain
+    ("formatted")`` prints), returned as a string for the EXPLAIN
+    envelope; falls back to the executed-plan toString if the
+    formatted explainer is unavailable."""
+    try:
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # noqa: BLE001 — diagnostics must not fail the query
+        return df._jdf.queryExecution().executedPlan().toString()
 
 
 def _series(name: str, columns: list[str], values: list[list]) -> dict:

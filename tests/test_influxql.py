@@ -3183,3 +3183,33 @@ def test_continuous_query_over_raw_subquery(spark, tmp_path):
     assert eng.run_continuous_queries() == {"cqraw": 1}  # closes minute 1
     back = eng.execute("SELECT mean FROM dstraw", db="mydb")
     assert _values(back) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+
+
+def test_explain_select_returns_catalyst_plan(engine):
+    """EXPLAIN SELECT: the statement plans end-to-end (parse, registry
+    resolution, frame construction) and the envelope carries the
+    formatted Catalyst physical plan — scan/pushdown visible — without
+    executing the query."""
+    res = engine.execute(
+        "EXPLAIN SELECT mean(user) FROM cpu WHERE host = 'a' GROUP BY time(1m)",
+        db="mydb",
+    )
+    s = res["results"][0]["series"][0]
+    assert s["columns"] == ["QUERY PLAN"]
+    plan = "\n".join(v[0] for v in s["values"])
+    assert "Physical Plan" in plan or "HashAggregate" in plan
+    assert "parquet" in plan.lower()
+    # multi-field statements label one plan per field frame
+    res2 = engine.execute("EXPLAIN SELECT mean(user), max(sys) FROM cpu", db="mydb")
+    plan2 = "\n".join(v[0] for v in res2["results"][0]["series"][0]["values"])
+    assert "frame 1/" in plan2
+    # a capped engine must not trip its row guard while explaining,
+    # and a normal SELECT afterwards still executes (capture mode off)
+    capped = InfluxQLEngine(engine.spark, engine.root, max_result_rows=1)
+    assert capped.execute("EXPLAIN SELECT user FROM cpu", db="mydb")["results"][0]["series"]
+    vals = _values(capped.execute("SELECT mean(user) FROM cpu WHERE host = 'b'", db="mydb"))
+    assert len(vals) == 1
+    with pytest.raises(InfluxQLError, match="ANALYZE"):
+        engine._execute_one("EXPLAIN ANALYZE SELECT user FROM cpu", "mydb")
+    with pytest.raises(InfluxQLError, match="SELECT"):
+        engine._execute_one("EXPLAIN SHOW MEASUREMENTS", "mydb")
