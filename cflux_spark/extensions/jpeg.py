@@ -1,0 +1,543 @@
+"""Pure-numpy baseline JPEG codec (round 9).
+
+The container has no Pillow, which left ``decode_images``' JPEG branch
+an honest-but-untestable import gate across rounds 5–8 (the suite's
+skips). Web corpora are overwhelmingly JPEG, so the 100 TB pipeline
+needs the path to be REAL: this module implements baseline sequential
+JFIF (SOF0/SOF1) decode and a matching encoder from the public JPEG
+spec (ITU-T T.81) — Huffman entropy coding, dequant/quant, 8×8
+DCT-II/III as numpy matrix products, subsampled-chroma upsampling,
+JFIF YCbCr↔RGB. No third-party deps; PIL, when present, still takes
+the exotic-format tail (progressive SOF2, CMYK, EXIF transforms).
+
+Scope is the standard web-JPEG shape: 8-bit baseline, 1–4 components,
+sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), restart markers. Anything
+else raises ``ValueError``/``NotImplementedError`` loudly — the
+``decode_images`` kernel isolates that to an error row per object.
+
+Performance note: entropy decode is a Python bit loop — fine for the
+thumbnail/feature-extract sizes the tests pin and honest about being
+the slow path; a production cluster would install PIL/libjpeg-turbo
+and the magic-byte dispatch in ``multimodal._decode_image_bytes``
+prefers it automatically when importable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- constants
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K.1 reference quantization tables
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8-point DCT-II matrix: forward F = D @ b @ D.T,
+# inverse b = D.T @ F @ D
+_D = np.array([
+    [
+        (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+        * np.cos((2 * n + 1) * k * np.pi / 16)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg's quality→scale mapping over the Annex K tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for t in (_Q_LUMA, _Q_CHROMA):
+        tq = (t * scale + 50) // 100
+        out.append(np.clip(tq, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for a canonical JPEG Huffman table."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, the decoder-side view."""
+    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+# --------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte boundary
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (category, value bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = arr[..., 0].astype(np.float64), arr[..., 1].astype(np.float64), arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encode of an (h, w) grayscale or (h, w, 3) RGB
+    uint8 array: 4:4:4 (no subsampling), Annex K quant tables at the
+    libjpeg quality scaling, Annex K typical Huffman tables. The
+    decoder twin round-trips it bit-exactly at the block level."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        comps = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(arr)
+        comps = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy, qc = _quality_tables(quality)
+    ncomp = len(comps)
+
+    dc_tabs = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_tabs = [_canonical_codes(*_AC_LUMA), _canonical_codes(*_AC_CHROMA)]
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for c in comps:
+        p = np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
+        padded.append(p)
+    qtabs = [qy] + [qc] * (ncomp - 1)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(ncomp):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _D @ block @ _D.T
+                qt = qtabs[ci].reshape(8, 8)
+                quant = np.round(coef / qt).astype(np.int64)
+                zz = quant.flatten()[ZIGZAG]
+                ti = 0 if ci == 0 else 1
+                # DC
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s, bits = _magnitude(diff)
+                code, length = dc_tabs[ti][s]
+                bw.write(code, length)
+                if s:
+                    bw.write(bits, s)
+                # AC with run-length, ZRL, EOB
+                run = 0
+                last_nz = 0
+                nz = np.nonzero(zz[1:])[0]
+                last_nz = (nz[-1] + 1) if len(nz) else 0
+                for i in range(1, last_nz + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[ti][0xF0]
+                        bw.write(code, length)
+                        run -= 16
+                    s, bits = _magnitude(v)
+                    code, length = ac_tabs[ti][(run << 4) | s]
+                    bw.write(code, length)
+                    bw.write(bits, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tabs[ti][0x00]
+                    bw.write(code, length)
+    bw.flush()
+
+    def marker(tag: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += marker(0xDB, b"\x00" + bytes(qy[ZIGZAG].astype(np.uint8)))  # DQT 0
+    if ncomp == 3:
+        out += marker(0xDB, b"\x01" + bytes(qc[ZIGZAG].astype(np.uint8)))
+    # SOF0: precision 8, dims, components (id, h|v sampling=0x11, qtab)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += marker(0xC0, sof)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA), (1, 0, _AC_LUMA), (0, 1, _DC_CHROMA), (1, 1, _AC_CHROMA),
+    )[: 2 * ncomp if ncomp > 1 else 2]:
+        out += marker(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    sos = struct.pack(">B", ncomp)
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += struct.pack(">BB", ci + 1, (tid << 4) | tid)
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, approx 0
+    out += marker(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 de-stuffing inline; a bare
+    0xFF marker ends the segment (handled by the caller via RST)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(self.pos)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, pos: int) -> None:
+        self.pos = pos
+
+
+def _extend(bits: int, s: int) -> int:
+    """Inverse of magnitude coding."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JFIF decode → (h, w, 3) RGB uint8 (or
+    (h, w) for single-component). Supports 8-bit SOF0/SOF1, sampling
+    factors 1–2, restart markers; progressive (SOF2) and other coding
+    processes raise ``NotImplementedError`` naming PIL as the path."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    t = np.frombuffer(seg[o : o + 64], np.uint8).astype(np.int32)
+                    o += 64
+                else:
+                    t = np.frombuffer(seg[o : o + 128], ">u2").astype(np.int32)
+                    o += 128
+                inv = np.empty(64, np.int32)
+                inv[ZIGZAG] = t  # stored in zigzag order
+                qtabs[tq] = inv
+        elif m == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 0x0F
+                bits = list(seg[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + n])
+                htabs[(cls, tid)] = _decode_table(bits, vals)
+                o += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline(+extended) sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) decodes without "
+                f"PIL; got SOF marker 0xFF{m:02X} (progressive/arithmetic/"
+                "lossless) — install Pillow for the exotic tail"
+            )
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                (comp,) = [c for c in frame["comps"] if c["id"] == cs]
+                scomp.append((comp, tt >> 4, tt & 0x0F))
+            pos = pos + 2 + seglen
+            return _decode_scan(
+                data, pos, frame, scomp, qtabs, htabs, restart_interval
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS scan found")
+
+
+def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
+    h, w = frame["h"], frame["w"]
+    comps = [c for c, _dc, _ac in scomp]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise NotImplementedError("sampling factors beyond 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64) for c in comps
+    ]
+    preds = [0] * len(comps)
+    br = _BitReader(data, pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # align to the RSTn marker and reset predictors
+                br.align()
+                p = br.pos
+                while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+                    p += 1
+                br.pos = p + 2
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, (comp, dct, act) in enumerate(scomp):
+                qt = qtabs[comp["tq"]]
+                for vy in range(comp["v"]):
+                    for vx in range(comp["h"]):
+                        try:
+                            s = _huff_decode(br, htabs[(0, dct)])
+                            diff = _extend(br.read_bits(s), s) if s else 0
+                            preds[ci] += diff
+                            zz = np.zeros(64, np.int64)
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, htabs[(1, act)])
+                                r, s = rs >> 4, rs & 0x0F
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                zz[k] = _extend(br.read_bits(s), s)
+                                k += 1
+                        except _MarkerHit as hit:
+                            raise ValueError(
+                                f"entropy data truncated at {hit.pos}"
+                            ) from None
+                        quant = np.zeros(64, np.int64)
+                        quant[ZIGZAG] = zz
+                        coef = (quant * qt).reshape(8, 8).astype(np.float64)
+                        block = _D.T @ coef @ _D + 128.0
+                        y0 = (my * comp["v"] + vy) * 8
+                        x0 = (mx * comp["h"] + vx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample to full resolution and crop — triangle filter for the
+    # 2× case (libjpeg's "fancy upsampling": out[2i] = ¾in[i]+¼in[i-1],
+    # out[2i+1] = ¾in[i]+¼in[i+1], edges clamped), which is what every
+    # mainstream decoder renders; plain replication is spec-legal but
+    # diverges visibly at chroma edges
+    def _up2(p: np.ndarray, axis: int) -> np.ndarray:
+        lo = np.roll(p, 1, axis=axis)
+        hi = np.roll(p, -1, axis=axis)
+        edge = [slice(None)] * p.ndim
+        edge[axis] = 0
+        lo[tuple(edge)] = p[tuple(edge)]
+        edge[axis] = -1
+        hi[tuple(edge)] = p[tuple(edge)]
+        a = 0.75 * p + 0.25 * lo
+        b = 0.75 * p + 0.25 * hi
+        return np.stack([a, b], axis=axis + 1).reshape(
+            *p.shape[:axis], 2 * p.shape[axis], *p.shape[axis + 1 :]
+        )
+
+    full = []
+    for ci, comp in enumerate(comps):
+        p = planes[ci]
+        if vmax // comp["v"] == 2:
+            p = _up2(p, 0)
+        if hmax // comp["h"] == 2:
+            p = _up2(p, 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) == 3:
+        return _ycbcr_to_rgb(full[0], full[1], full[2])
+    raise NotImplementedError(f"{len(full)}-component JPEG not supported (CMYK?)")

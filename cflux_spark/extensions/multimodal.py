@@ -224,8 +224,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def _decode_image_bytes(data: bytes) -> np.ndarray:
-    """Sniff magic bytes and decode. BMP/PNG run pure-Python; anything
-    else (JPEG, WebP, …) needs PIL and raises without it."""
+    """Sniff magic bytes and decode. BMP/PNG/baseline-JPEG run
+    pure-Python (round 9: the numpy baseline JPEG codec in
+    extensions/jpeg.py closed the JPEG import gate); PIL, when
+    importable, takes JPEG instead (libjpeg speed + the progressive/
+    CMYK tail) and is the only path for other formats (WebP, …)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[: len(_PNG_MAGIC)] == _PNG_MAGIC:
@@ -233,9 +236,20 @@ def _decode_image_bytes(data: bytes) -> np.ndarray:
     try:
         from PIL import Image  # noqa: PLC0415 — optional dependency gate
     except ImportError as exc:
+        if data[:2] == b"\xff\xd8":
+            from cflux_spark.extensions.jpeg import decode_jpeg  # noqa: PLC0415
+
+            try:
+                return decode_jpeg(data)
+            except NotImplementedError as nexc:
+                # the JPEG CLASS is supported now — an exotic coding
+                # process (progressive/arithmetic) in one object is
+                # per-row data variance, isolated to an error row like
+                # corruption, not a deployment error that kills the scan
+                raise ValueError(str(nexc)) from None
         raise NotImplementedError(
-            "only BMP and PNG decode without PIL; install Pillow for "
-            f"other formats (magic bytes: {data[:4]!r})"
+            "only BMP, PNG and baseline JPEG decode without PIL; install "
+            f"Pillow for other formats (magic bytes: {data[:4]!r})"
         ) from exc
     return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
@@ -458,14 +472,29 @@ def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") ->
     oracle can verify a full encode→decode round trip value-exactly."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        enc = encode_bmp if fmt == "bmp" else encode_png
+        if fmt == "jpeg":
+            # uniform GRAYSCALE at quality 95: the 8×8 blocks are
+            # DC-only and the scaled luma quant step (2) divides the
+            # DC coefficient 8·(g−128) exactly, so the lossy format
+            # round-trips VALUE-EXACTLY — decoded mean == g, giving a
+            # closed-form SQL oracle for a real entropy-coded JPEG
+            from cflux_spark.extensions.jpeg import encode_jpeg  # noqa: PLC0415
+
+            def enc(px: np.ndarray) -> bytes:
+                return encode_jpeg(px[:, :, 0], quality=95)
+
+        else:
+            enc = encode_bmp if fmt == "bmp" else encode_png
         for pdf in batches:
             rows = []
             for mid in pdf[id_col]:
                 mid = int(mid)
                 w, h = 3 + mid % 5, 2 + mid % 4
                 px = np.empty((h, w, 3), np.uint8)
-                px[:, :] = (mid % 256, (2 * mid) % 256, (7 * mid) % 256)
+                if fmt == "jpeg":
+                    px[:, :] = (mid % 256,) * 3
+                else:
+                    px[:, :] = (mid % 256, (2 * mid) % 256, (7 * mid) % 256)
                 rows.append((mid, "image", enc(px)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 

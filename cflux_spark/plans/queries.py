@@ -2993,6 +2993,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_multimodal_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           CAST(3 + doc_id % 5 AS INT) AS width,
+           CAST(2 + doc_id % 4 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_gray
+    FROM documents
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 JPEG decode, oracle-checked end to end (round 9: the
+    pure-numpy baseline JPEG codec, extensions/jpeg.py, closed the
+    PIL import gate): per doc, a REAL entropy-coded JPEG — Huffman
+    tables, quantization, DCT, JFIF markers — of a uniform grayscale
+    whose value round-trips the lossy format EXACTLY (DC-only blocks;
+    the quality-95 luma quant step divides the DC coefficient), so
+    dimensions AND the decoded mean match the closed-form SQL oracle
+    value-exactly. Same mapInPandas scale shape as the BMP/PNG/WAV
+    entries: Arrow batches, per-row corrupt isolation."""
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_images(docs, fmt="jpeg")
+    return multimodal.decode_images(media).select(
+        "media_id", "width", "height", "channels",
+        F.col("mean_r").alias("mean_gray"),
+    )
+
+
+@q(
     "q_multimodal_audio",
     """
     SELECT doc_id AS media_id,
