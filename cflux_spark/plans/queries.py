@@ -4049,140 +4049,121 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-8 rotation (policy above). Window = (a) entries NEW or whose
-# implementation changed this round — q_subquery_raw_inner (raw
-# innermost subqueries), q_holt_winters (reshaped onto the
-# fixed-parameter path with a full recursive-CTE oracle),
-# q_dedup_incremental (probe batch-broadcast guard), q_export_tar
-# (itertuples writer + shared-storage marker probe), q_pack_bpe /
-# q_token_bpe (word_frequencies min_count pruning); (b) the nine
-# r05-green entries displaced from the r07 window; (c) the ten
-# entries deferred by round 7's _VERIFY_LAST; (d) 24 of the 44
-# entries last recorded in r06. The 20 r06-green entries that do not
-# fit defer to the r09 head (each has an in-window twin carrying its
-# mechanics: q_moving_average = the windows family's r07-green
-# q_cumulative_sum/q_series_difference_seg + the TA keys;
-# q_time_relative/q_time_iso = q_time_absolute's range
-# carving; q_label_matchers = q_tag_filter_or; q_series_difference =
-# q_series_rate; q_except = q_intersect mirrored; the three SHOW
-# key/value forms = q_show_measurements/q_show_series carving +
-# q_show_cardinality; q_fingerprint_stable = q_labels_json;
-# q_ts_convert = q_hour_bucket; q_dedup_edit = q_dedup_jaccard's
-# verify tier; q_vector_lsh/q_vector_ivf = q_vector_pq/q_vector_ivfpq
-# index family; q_normalize_text/q_project_embeddings/
-# q_chunk_documents = map-only text/embedding ops twinned by
-# q_quantize_embeddings; q_dup_spans = q_span_cuts' detection stage;
-# q_pack_sequences = q_pack_bpe with stand-in budgets;
-# q_curation_verdict = q_pipeline_export's gate) and stay
-# oracle-verified every CI run by tests/test_oracle_parity.py.
+# Round-9 rotation (policy above; VERDICT r8 item #1 — no entry's
+# driver record may age past two rounds). Window = (a) entries NEW or
+# changed this round — q_deadman (deadman alerting), q_multimodal_jpeg
+# (the baseline JPEG codec), q_multimodal_decode (synthetic_images
+# grew the jpeg arm); (b) ALL 20 entries whose last driver record is
+# r06 (the rotation promise recorded here last round); (c) 27 of the
+# 45 r07-green entries, in definition order. The 18 r07-green entries
+# that do not fit stay in the middle (they head the r10 window) and,
+# like everything else, stay oracle-verified every CI run by
+# tests/test_oracle_parity.py; the 49 r08-green entries rotate last.
 
 _VERIFY_FIRST = [
-    # (a) new / changed this round (q_moving_average yields its slot
-    # to q_alert_transitions — the windows family keeps r07-green
-    # q_cumulative_sum/q_series_difference_seg + the TA keys in-window)
-    "q_subquery_raw_inner",
-    "q_alert_transitions",
-    "q_holt_winters",
-    "q_dedup_incremental",
-    "q_export_tar",
-    "q_pack_bpe",
-    "q_token_bpe",
-    # (b) displaced from the r07 window (last record r05)
-    "q_repetition_stats",
-    "q_shard_assign",
-    "q_domain_cap",
-    "q_sessionize",
-    "q_histogram",
-    "q_approx_distinct",
-    "q_resample_fill",
-    "q_quantize_embeddings",
+    "q_deadman",
+    "q_multimodal_jpeg",
+    "q_multimodal_decode",
+    "q_time_relative",
+    "q_time_iso",
+    "q_label_matchers",
+    "q_series_difference",
+    "q_moving_average",
+    "q_except",
+    "q_show_field_keys",
+    "q_show_tag_keys",
+    "q_show_tag_values",
+    "q_fingerprint_stable",
+    "q_ts_convert",
+    "q_dedup_edit",
+    "q_normalize_text",
+    "q_vector_lsh",
+    "q_vector_ivf",
+    "q_project_embeddings",
+    "q_chunk_documents",
+    "q_dup_spans",
+    "q_pack_sequences",
+    "q_curation_verdict",
+    "q_tag_filter",
+    "q_name_filter",
+    "q_series_join",
+    "q_asof_join",
+    "q_time_bucket_param",
+    "q_agg_suite",
+    "q_hour_bucket",
+    "q_distinct_groupby",
+    "q_series_difference_seg",
+    "q_cumulative_sum",
+    "q_ta_ema",
+    "q_ta_rsi",
+    "q_ta_cmo",
+    "q_ta_kama",
+    "q_subquery_having",
+    "q_union_sorted",
+    "q_show_measurements",
+    "q_show_series",
+    "q_labels_json",
+    "q_dedup_clusters",
+    "q_split_leakage_safe",
+    "q_dedup_canonical",
+    "q_simhash",
+    "q_vector_topk",
+    "q_cosine_pairs_bulk",
+    "q_dedup_semantic",
+    "q_vector_pq_bulk",
+]
+
+# r08-green entries rotate behind the r07 leftovers (which head r10).
+_VERIFY_LAST: list[str] = [
+    "q_minute_avg",
     "q_time_absolute",
-    # (c) deferred by round 7 (last record r05)
     "q_tag_filter_or",
     "q_series_semijoin",
+    "q_orders_join",
     "q_asof_forward",
     "q_series_rate",
-    "q_show_cardinality",
-    "q_sample_stratified",
-    "q_approx_quantile",
-    "q_multimodal_decode",
-    "q_multimodal_audio",
-    "q_ingest_smoke",
-    # (d) last recorded r06
-    "q_minute_avg",
-    "q_orders_join",
     "q_elapsed",
     "q_integral",
+    "q_holt_winters",
+    "q_alert_transitions",
     "q_top_per_bucket",
+    "q_subquery_raw_inner",
     "q_count_distinct",
     "q_union_fields",
     "q_rollup",
     "q_intersect",
     "q_limit",
+    "q_show_cardinality",
     "q_explode_tags",
     "q_tpch_q1",
     "q_tpch_q5ish",
     "q_dedup_exact",
     "q_dedup_jaccard",
     "q_dedup_near",
+    "q_dedup_incremental",
     "q_simhash_near",
     "q_dedup_embedding",
     "q_vector_pq",
     "q_vector_ivfpq",
     "q_embed_cluster",
+    "q_token_bpe",
+    "q_sample_stratified",
     "q_sample_weighted",
+    "q_multimodal_audio",
+    "q_ingest_smoke",
     "q_span_cuts",
     "q_frequent_ngrams",
-]
-
-# r07-green entries rotate behind the 19 deferred r06 entries (which
-# sit at positions 51-69 in definition order and head the r09 window).
-_VERIFY_LAST: list[str] = [
-    "q_subquery_having",
-    "q_epoch_shuffle",
-    "q_ta_ema",
-    "q_ta_rsi",
-    "q_ta_cmo",
-    "q_ta_kama",
-    "q_pipeline_export",
-    "q_cosine_pairs_bulk",
-    "q_decontam_semantic",
-    "q_dedup_canonical",
-    "q_length_buckets",
-    "q_dedup_clusters",
-    "q_split_leakage_safe",
-    "q_hour_bucket",
-    "q_distinct_groupby",
-    "q_labels_json",
-    "q_union_sorted",
-    "q_time_bucket_param",
-    "q_tag_filter",
-    "q_name_filter",
-    "q_series_join",
-    "q_asof_join",
-    "q_agg_suite",
-    "q_series_difference_seg",
-    "q_cumulative_sum",
-    "q_show_measurements",
-    "q_show_series",
-    "q_simhash",
-    "q_vector_topk",
-    "q_dedup_semantic",
-    "q_vector_pq_bulk",
-    "q_semdedup",
-    "q_text_tokens",
-    "q_quality_score",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_sample_hash",
-    "q_tfidf_top_terms",
-    "q_doc_fingerprint",
-    "q_multimodal_features",
-    "q_unigram_logprob",
-    "q_redact_pii",
-    "q_lp_parse",
-    "q_series_pivot",
-    "q_contamination",
+    "q_repetition_stats",
+    "q_shard_assign",
+    "q_export_tar",
+    "q_domain_cap",
+    "q_sessionize",
+    "q_histogram",
+    "q_approx_distinct",
+    "q_pack_bpe",
+    "q_approx_quantile",
+    "q_resample_fill",
+    "q_quantize_embeddings",
 ]
 
 
