@@ -353,35 +353,55 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling over the binary column: decode each video
-    (av/ffmpeg bindings — import-gated with a loud raise when absent,
-    like the PIL JPEG branch) and emit the first frame at or after
-    each ``every_ms`` grid point, BMP-re-encoded so sampled frames
-    flow straight into the existing image surface (decode_images /
-    resize_images / extract_features).
+    """Video frame sampling over the binary column: emit the first
+    frame at or after each ``every_ms`` grid point, BMP-re-encoded so
+    sampled frames flow straight into the existing image surface
+    (decode_images / resize_images / extract_features).
+
+    Container dispatch (round 9, mirroring the JPEG decision):
+    MJPEG-in-AVI decodes PURE-PYTHON (extensions/mjpeg.py — RIFF
+    parsing over the baseline JPEG codec, the IP-camera/capture
+    format); everything inter-frame-coded (mp4/h264, webm/vp9) takes
+    the ``av``/ffmpeg bindings when importable. A row neither path can
+    handle — non-AVI without av, or a non-MJPG AVI stream — yields an
+    ``error`` row NAMING the missing capability: per-object data
+    variance is isolated like corruption, never a dead 100 TB scan,
+    and never silent.
 
     Scale shape matches decode_images: ``mapInPandas`` row-independent
-    Arrow batches, per-row corrupt isolation (one truncated video
-    yields an ``error`` row, not a dead 100 TB scan); the only fan-out
-    is frames-per-video ≈ duration/every_ms. The av import happens
-    INSIDE the kernel too, so executors missing the codec fail the
-    task loudly rather than silently emitting nothing."""
-    try:
-        import av  # noqa: F401, PLC0415 — optional dependency gate
-    except ImportError as exc:
-        raise NotImplementedError(
-            "video frame sampling requires the 'av' (ffmpeg) bindings, "
-            "not present in this environment"
-        ) from exc
+    Arrow batches, per-row corrupt isolation; the only fan-out is
+    frames-per-video ≈ duration/every_ms."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import av  # noqa: PLC0415 — executors gate too
+        from cflux_spark.extensions.mjpeg import sample_avi_frames  # noqa: PLC0415
 
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
                 try:
-                    with av.open(io.BytesIO(bytes(content))) as container:
+                    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+                        for t_ms, arr in sample_avi_frames(data, every_ms):
+                            rows.append(
+                                (
+                                    mid,
+                                    int(t_ms),
+                                    arr.shape[1],
+                                    arr.shape[0],
+                                    encode_bmp(np.ascontiguousarray(arr)),
+                                    None,
+                                )
+                            )
+                        continue
+                    try:
+                        import av  # noqa: PLC0415 — optional dependency gate
+                    except ImportError:
+                        raise NotImplementedError(
+                            "only MJPEG-AVI samples without the 'av' (ffmpeg) "
+                            f"bindings; this container is {data[:4]!r}… — "
+                            "install av for inter-frame codecs"
+                        ) from None
+                    with av.open(io.BytesIO(data)) as container:
                         stream = container.streams.video[0]
                         next_ms = 0.0
                         for frame in container.decode(stream):
@@ -400,7 +420,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 )
                             )
                             next_ms = (t_ms // every_ms + 1) * every_ms
-                except Exception as exc:  # noqa: BLE001 — corrupt data row
+                except Exception as exc:  # noqa: BLE001 — corrupt/unsupported row
                     rows.append((mid, None, None, None, None, str(exc)))
             yield pd.DataFrame(
                 rows,
@@ -496,6 +516,32 @@ def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") ->
                 else:
                     px[:, :] = (mid % 256, (2 * mid) % 256, (7 * mid) % 256)
                 rows.append((mid, "image", enc(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+
+
+def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-row MJPEG-AVI clips (round 9): 2 + id%3
+    frames of 16×8 uniform gray (frame i = (id + 40·i) % 256 in all
+    channels) at 2 fps. Uniform gray survives the lossy JPEG
+    VALUE-EXACTLY at quality 95 (DC-only luma, zero chroma — the
+    q_multimodal_jpeg argument), so a sampled frame's decoded mean is
+    a closed-form function of (id, t_ms) for the SQL oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cflux_spark.extensions.mjpeg import encode_avi_mjpeg  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 2 + mid % 3
+                frames = [
+                    np.full((8, 16, 3), (mid + 40 * i) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                rows.append((mid, "video", encode_avi_mjpeg(frames, fps=2, quality=95)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
     return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")

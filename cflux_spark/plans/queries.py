@@ -3024,6 +3024,51 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "q_multimodal_video",
+    """
+    SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS t_ms,
+           CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_gray
+    FROM documents
+    UNION ALL
+    SELECT doc_id AS media_id, CAST(1000 AS BIGINT) AS t_ms,
+           CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST((doc_id + 80) % 256 AS DOUBLE) AS mean_gray
+    FROM documents WHERE doc_id % 3 >= 1
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video sampling, oracle-checked end to end (round 9: the
+    MJPEG-AVI container codec, extensions/mjpeg.py, closed the video
+    half of the multimodal gate): per doc a REAL RIFF/AVI with
+    2 + id%3 Motion-JPEG frames at 2 fps, sampled on the 1000 ms grid
+    through sample_video_frames — docs with ≥3 frames yield the t=0
+    and t=1000 ms frames, shorter clips t=0 only — then each sampled
+    frame decodes back through decode_images. Uniform-gray frames
+    survive the lossy JPEG value-exactly, so frame identity, sampled
+    grid membership, dimensions AND decoded means all match the
+    closed-form SQL oracle."""
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_videos(docs)
+    frames = multimodal.sample_video_frames(media, every_ms=1000)
+    dec = multimodal.decode_images(
+        frames.select(
+            (F.col("media_id") * 10_000 + F.col("t_ms")).alias("media_id"),
+            F.col("frame").alias("content"),
+        )
+    )
+    return dec.select(
+        (F.col("media_id") / 10_000).cast("long").alias("media_id"),
+        (F.col("media_id") % 10_000).cast("long").alias("t_ms"),
+        "width",
+        "height",
+        F.col("mean_r").alias("mean_gray"),
+    )
+
+
+@q(
     "q_multimodal_audio",
     """
     SELECT doc_id AS media_id,
@@ -4052,10 +4097,11 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-9 rotation (policy above; VERDICT r8 item #1 — no entry's
 # driver record may age past two rounds). Window = (a) entries NEW or
 # changed this round — q_deadman (deadman alerting), q_multimodal_jpeg
-# (the baseline JPEG codec), q_multimodal_decode (synthetic_images
+# (the baseline JPEG codec), q_multimodal_video (the MJPEG-AVI
+# container codec), q_multimodal_decode (synthetic_images
 # grew the jpeg arm); (b) ALL 20 entries whose last driver record is
-# r06 (the rotation promise recorded here last round); (c) 27 of the
-# 45 r07-green entries, in definition order. The 18 r07-green entries
+# r06 (the rotation promise recorded here last round); (c) 26 of the
+# 45 r07-green entries, in definition order. The 19 r07-green entries
 # that do not fit stay in the middle (they head the r10 window) and,
 # like everything else, stay oracle-verified every CI run by
 # tests/test_oracle_parity.py; the 49 r08-green entries rotate last.
@@ -4063,6 +4109,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VERIFY_FIRST = [
     "q_deadman",
     "q_multimodal_jpeg",
+    "q_multimodal_video",
     "q_multimodal_decode",
     "q_time_relative",
     "q_time_iso",
@@ -4110,7 +4157,6 @@ _VERIFY_FIRST = [
     "q_vector_topk",
     "q_cosine_pairs_bulk",
     "q_dedup_semantic",
-    "q_vector_pq_bulk",
 ]
 
 # r08-green entries rotate behind the r07 leftovers (which head r10).

@@ -303,17 +303,63 @@ def test_resize_images_nearest(spark, docs):
 
 
 def test_video_sampling_gates_cleanly(spark, docs):
+    """Round 9: with the MJPEG-AVI path pure-Python, the av gate moved
+    from plan time to per-row — a non-AVI blob without av isolates to
+    an error row NAMING the missing bindings (the JPEG demotion rule:
+    data variance never kills the scan, and never silently drops)."""
     from cflux_spark.extensions import multimodal as mm
 
-    media = mm.synthetic_images(docs.limit(1))
+    media = mm.synthetic_images(docs.limit(1))  # BMP bytes, not a video
     try:
         import av  # noqa: F401
 
         pytest.skip("av present; gating path not exercised")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="av"):
-        mm.sample_video_frames(media)
+    rows = mm.sample_video_frames(media).collect()
+    assert len(rows) == 1 and rows[0].error is not None and "av" in rows[0].error
+
+
+def test_mjpeg_avi_sampling_pure_python(spark):
+    """Round 9: MJPEG-in-AVI closes the video half of the multimodal
+    gate — synthesize a 2 fps AVI with the pure-numpy JPEG encoder,
+    sample at 1000 ms through the REAL Spark surface, and decode the
+    BMP-re-encoded frames back through decode_images (uniform frames
+    round-trip the lossy JPEG exactly, so means are value-checked).
+    Mirrors test_video_frame_sampling_with_av's assertions without
+    needing av."""
+    from cflux_spark.extensions import multimodal as mm
+    from cflux_spark.extensions.mjpeg import encode_avi_mjpeg
+
+    frames = [np.full((8, 16, 3), i * 30, np.uint8) for i in range(6)]  # 3 s at 2 fps
+    avi = encode_avi_mjpeg(frames, fps=2, quality=95)
+    media = spark.createDataFrame(
+        [(1, bytearray(avi))], "media_id long, content binary"
+    )
+    out = mm.sample_video_frames(media, every_ms=1000).collect()
+    ok = [r for r in out if r.error is None]
+    assert len(ok) == 3 and [r.t_ms for r in ok] == [0, 1000, 2000]
+    assert all((r.width, r.height) == (16, 8) for r in ok)
+    decoded = mm.decode_images(
+        spark.createDataFrame(
+            [(r.t_ms, bytearray(r.frame)) for r in ok], "media_id long, content binary"
+        )
+    ).collect()
+    assert all(r.error is None and r.channels == 3 for r in decoded)
+    got = {r.media_id: round(r.mean_r) for r in decoded}
+    assert got == {0: 0, 1000: 60, 2000: 120}  # frame i is uniform i*30
+    # a non-MJPG AVI stream names the av path; truncation isolates
+    dv = avi.replace(b"vidsMJPG", b"vidsdvsd", 1)
+    bad = spark.createDataFrame(
+        [(2, bytearray(dv)), (3, bytearray(avi[: len(avi) // 3]))],
+        "media_id long, content binary",
+    )
+    badrows = mm.sample_video_frames(bad).collect()
+    err2 = [r.error for r in badrows if r.media_id == 2]
+    assert err2 and err2[0] is not None and "av" in err2[0]
+    # truncated AVI: the task survives — whatever whole frames the
+    # clamped chunk walk recovered, plus/or an error row
+    assert [r for r in badrows if r.media_id == 3]
 
 
 def test_video_frame_sampling_with_av(spark, docs):
