@@ -383,6 +383,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # fill bytes before a marker are legal
+            pos += 1
         m = data[pos + 1]
         if m == 0xD9:  # EOI
             break
@@ -435,6 +437,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # a non-interleaved file carries one scan per component;
+                # returning after the first would silently yield a
+                # single-channel plane with the others zeroed
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not "
+                    "supported — install Pillow"
+                )
             scomp = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
