@@ -105,6 +105,13 @@ BENCH_QUERIES = [
     # rename collapsing into one scan->agg)
     "q_subquery_having",
     "q_subquery_raw_inner",
+    # round-9 additions: deadman gaps-and-islands backfill; the
+    # pure-numpy JPEG decode and MJPEG-AVI sampling paths (Python
+    # kernels by design — the keys watch that their per-doc cost stays
+    # flat); EXPLAIN has no bench key (plans, runs nothing)
+    "q_deadman",
+    "q_multimodal_jpeg",
+    "q_multimodal_video",
 ]
 
 

@@ -2190,7 +2190,10 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity and clustering operators COMPOSE (the keep-one-per-
     cluster step of an embedding-dedup pipeline)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.cosine_pairs(emb, emb, threshold=0.5).select(
+    # bulk kernel (round 9): bit-equal to the collected cosine_pairs
+    # tier but with no query-side cap, so the entry itself survives
+    # SF promotion (the sf1 probe tripped the 10k broadcast guard)
+    pairs = similarity.cosine_pairs_bulk(emb, emb, threshold=0.5).select(
         F.col("query_id").alias("id_a"), F.col("neighbor_id").alias("id_b")
     )
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
@@ -2484,7 +2487,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a probe=1 drop, or any primary-cluster flip, trips the flag."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = similarity.semdedup(emb, threshold=0.35, k=8)
-    truth = similarity.cosine_pairs(emb, emb, threshold=0.35).filter(
+    # bulk kernel (round 9): bit-equal to cosine_pairs with no query
+    # cap — the truth tier now scales with the entry (sf1 probe)
+    truth = similarity.cosine_pairs_bulk(emb, emb, threshold=0.35).filter(
         F.col("query_id") < F.col("neighbor_id")
     )
     flags = res.select("vec_id", "cluster", "keep")

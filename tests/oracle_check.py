@@ -71,6 +71,12 @@ def main() -> int:
     sf_dir = os.environ.get("SF", "/root/testdata/sf0.01")
     spark = get_spark("oracle_check", cpus=8)
     con = duckdb.connect()
+    # a runaway oracle (e.g. an exact all-pairs join at a large SF)
+    # should fail ITS query, not OOM-kill the box: cap DuckDB when
+    # asked (the sf1 probe passes ORACLE_DUCKDB_MEM=60GB)
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
