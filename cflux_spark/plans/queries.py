@@ -2119,22 +2119,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_cosine_pairs_bulk",
     """
-    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
-    flat AS (
-      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-    dots AS (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
-      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id <> b.vec_id
-      GROUP BY 1, 2
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     )
-    SELECT query_id, neighbor_id,
-           floor(dot / (nq.nrm * nc.nrm) * 10000 + 0.5) / 10000 AS sim
-    FROM dots
-    JOIN norms nq ON nq.vec_id = query_id
-    JOIN norms nc ON nc.vec_id = neighbor_id
-    WHERE dot / (nq.nrm * nc.nrm) >= 0.3
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           floor(list_dot_product(a.e, b.e) / (a.nrm * b.nrm) * 10000 + 0.5)
+             / 10000 AS sim
+    FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
     """,
 )
 def q_cosine_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2156,21 +2151,16 @@ def q_cosine_pairs_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_dedup_semantic",
     """
-    WITH RECURSIVE idx AS (SELECT unnest(range(1, 65)) AS ord),
-    flat AS (
-      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
-      GROUP BY 1, 2
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     p AS (
-      SELECT id_a, id_b FROM dots
-      JOIN norms na ON na.vec_id = id_a
-      JOIN norms nb ON nb.vec_id = id_b
-      WHERE dot / (na.nrm * nb.nrm) >= 0.5
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.5
     ),
     edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
     reach(src, dst) AS (
@@ -2436,21 +2426,16 @@ def q_embed_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_semdedup",
     """
-    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
-    flat AS (
-      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x FROM embeddings, idx
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-    dots AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
-      FROM flat a JOIN flat b ON a.ord = b.ord AND a.vec_id < b.vec_id
-      GROUP BY 1, 2
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     p AS (
-      SELECT id_a, id_b FROM dots
-      JOIN norms na ON na.vec_id = id_a
-      JOIN norms nb ON nb.vec_id = id_b
-      WHERE dot / (na.nrm * nb.nrm) >= 0.35
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
     )
     SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
            (SELECT count(*) FROM p) AS n_true_pairs,
@@ -3265,23 +3250,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q_decontam_semantic",
     """
-    WITH idx AS (SELECT unnest(range(1, 65)) AS ord),
-    flat AS (
-      SELECT vec_id, label, ord, CAST(embedding[ord] AS DOUBLE) AS x
-      FROM embeddings, idx
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-    dots AS (
-      SELECT a.vec_id AS cid, b.vec_id AS bid, sum(a.x * b.x) AS dot
-      FROM flat a JOIN flat b ON a.ord = b.ord
-      WHERE a.label <> 0 AND b.label = 0
-      GROUP BY 1, 2
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     sims AS (
-      SELECT cid, dot / (nc.nrm * nb.nrm) AS sim
-      FROM dots
-      JOIN norms nc ON nc.vec_id = cid
-      JOIN norms nb ON nb.vec_id = bid
+      SELECT a.vec_id AS cid,
+             list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+      FROM v a JOIN v b ON a.label <> 0 AND b.label = 0
     ),
     hits AS (
       SELECT cid, max(floor(sim * 10000 + 0.5) / 10000) AS max_sim
@@ -3958,22 +3936,16 @@ def q_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0),
     hits AS (SELECT g.doc_id, count(*) AS n_hits
              FROM grams g JOIN bench USING (gram) GROUP BY 1),
-    eflat AS (
-      SELECT vec_id, ord, CAST(embedding[ord] AS DOUBLE) AS x
-      FROM embeddings, (SELECT unnest(range(1, 65)) AS ord) idx
-    ),
-    enorm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM eflat GROUP BY 1),
-    sdot AS (
-      SELECT a.vec_id AS cid, b.vec_id AS bid, sum(a.x * b.x) AS dot
-      FROM eflat a JOIN eflat b ON a.ord = b.ord
-      WHERE b.vec_id % 37 = 0
-      GROUP BY 1, 2
+    ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
     ),
     semflag AS (
-      SELECT DISTINCT cid AS doc_id FROM sdot
-      JOIN enorm na ON na.vec_id = cid
-      JOIN enorm nb ON nb.vec_id = bid
-      WHERE dot / (na.nrm * nb.nrm) >= 0.3
+      SELECT DISTINCT a.vec_id AS doc_id
+      FROM ev a JOIN ev b ON b.vec_id % 37 = 0
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3
     ),
     kept AS (
       SELECT d.doc_id, d.n_chars
