@@ -317,8 +317,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG (entropy data ends mid-scan)")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG (entropy data ends mid-scan)")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -383,15 +387,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
-        while data[pos + 1] == 0xFF:  # fill bytes before a marker are legal
-            pos += 1
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (stream ends inside a marker)")
         m = data[pos + 1]
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG (stream ends inside a segment header)")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if pos + 2 + seglen > len(data):
+            raise ValueError("truncated JPEG (segment length overruns the stream)")
         seg = data[pos + 4 : pos + 2 + seglen]
         if m == 0xDB:  # DQT (possibly several tables per segment)
             o = 0
@@ -479,8 +489,12 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
                 # align to the RSTn marker and reset predictors
                 br.align()
                 p = br.pos
-                while data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+                while p + 1 < len(data) and (
+                    data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7)
+                ):
                     p += 1
+                if p + 1 >= len(data):
+                    raise ValueError("truncated JPEG (missing RST marker)")
                 br.pos = p + 2
                 preds = [0] * len(comps)
             mcu_count += 1

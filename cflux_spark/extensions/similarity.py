@@ -1466,7 +1466,16 @@ def _read_index_meta(idx, int_keys: tuple[str, ...]) -> float | None:
     since round 9): restores the quantizer hyperparameters so a
     reopened index can never probe with mismatched settings (the
     MinHashIndex meta discipline), and returns the stored p95 training
-    distance (None for a pre-meta index)."""
+    distance (None for a pre-meta index).
+
+    Hyperparameters are restored ONLY where the constructor left the
+    attribute as the ``None`` sentinel (i.e. the caller did not pass a
+    value). An explicitly-passed value that CONTRADICTS the stored
+    meta is kept but recorded in ``idx._meta_mismatch``; probing then
+    fails loudly until ``build()`` retrains with the new settings
+    (round-10 fix: previously the stored meta silently won, so
+    ``IVFIndex(path, nlist=32).build(...)`` trained with the old
+    nlist)."""
     import json
     import os
 
@@ -1476,8 +1485,28 @@ def _read_index_meta(idx, int_keys: tuple[str, ...]) -> float | None:
     with open(meta_path) as fh:
         meta = json.load(fh)
     for k in int_keys:
-        setattr(idx, k, int(meta[k]))
+        stored = int(meta[k])
+        passed = getattr(idx, k)
+        if passed is None:
+            setattr(idx, k, stored)
+        elif int(passed) != stored:
+            idx._meta_mismatch[k] = (stored, int(passed))
     return None if meta.get("p95_d2") is None else float(meta["p95_d2"])
+
+
+def _meta_guard(idx) -> None:
+    """Refuse to probe an on-disk index whose stored hyperparameters
+    contradict explicitly-passed constructor arguments."""
+    if idx._meta_mismatch:
+        detail = ", ".join(
+            f"{k}: built with {old}, reopened with {new}"
+            for k, (old, new) in sorted(idx._meta_mismatch.items())
+        )
+        raise ValueError(
+            f"index at {idx.path} hyperparameter mismatch ({detail}); "
+            "call build() to retrain with the new settings, or omit the "
+            "argument to reuse the stored index"
+        )
 
 
 def _write_index_meta(idx, params: dict) -> None:
@@ -1507,13 +1536,18 @@ class IVFIndex:
     broadcast-queries regime as ivf_topk/brute_force_topk).
     """
 
-    def __init__(self, spark, path: str, nlist: int = 16, seed: int = 11):
+    def __init__(self, spark, path: str, nlist: int | None = None, seed: int | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.nlist = nlist
         self.seed = seed
         self._cents: np.ndarray | None = None
+        self._meta_mismatch: dict[str, tuple[int, int]] = {}
         self.p95_d2: float | None = _read_index_meta(self, ("nlist", "seed"))
+        if self.nlist is None:
+            self.nlist = 16
+        if self.seed is None:
+            self.seed = 11
 
     # -------------------------------------------------------------- build
 
@@ -1555,6 +1589,7 @@ class IVFIndex:
         )
         self._cents = cents
         self.p95_d2 = _p95_d2(candidates, cents, vec_col)
+        self._meta_mismatch = {}  # retrained: the new settings ARE the meta now
         _write_index_meta(self, {"nlist": self.nlist, "seed": self.seed})
         return self
 
@@ -1599,6 +1634,7 @@ class IVFIndex:
         return _stale_fraction(new, cents, vec_col, self.p95_d2)
 
     def _centroids(self) -> np.ndarray:
+        _meta_guard(self)
         if self._cents is None:
             rows = self.spark.read.parquet(f"{self.path}/centroids").orderBy("cell").collect()
             self._cents = np.array([np.asarray(r.center) for r in rows])
@@ -1702,7 +1738,15 @@ class IVFPQIndex:
     without it, results are ADC-ordered with ``approx_d2``.
     """
 
-    def __init__(self, spark, path: str, nlist: int = 16, m: int = 8, ksub: int = 16, seed: int = 7):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        nlist: int | None = None,
+        m: int | None = None,
+        ksub: int | None = None,
+        seed: int | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.nlist = nlist
@@ -1711,7 +1755,16 @@ class IVFPQIndex:
         self.seed = seed
         self._cents: np.ndarray | None = None
         self._books: np.ndarray | None = None
+        self._meta_mismatch: dict[str, tuple[int, int]] = {}
         self.p95_d2: float | None = _read_index_meta(self, ("nlist", "m", "ksub", "seed"))
+        if self.nlist is None:
+            self.nlist = 16
+        if self.m is None:
+            self.m = 8
+        if self.ksub is None:
+            self.ksub = 16
+        if self.seed is None:
+            self.seed = 7
 
     # -------------------------------------------------------------- build
 
@@ -1764,6 +1817,7 @@ class IVFPQIndex:
         )
         self._cents, self._books = cents, books
         self.p95_d2 = _p95_d2(candidates, cents, vec_col)
+        self._meta_mismatch = {}  # retrained: the new settings ARE the meta now
         _write_index_meta(
             self, {"nlist": self.nlist, "m": self.m, "ksub": self.ksub, "seed": self.seed}
         )
@@ -1810,6 +1864,7 @@ class IVFPQIndex:
         return _stale_fraction(new, cents, vec_col, self.p95_d2)
 
     def _load(self) -> tuple[np.ndarray, np.ndarray]:
+        _meta_guard(self)
         if self._cents is None:
             rows = self.spark.read.parquet(f"{self.path}/centroids").orderBy("cell").collect()
             self._cents = np.array([np.asarray(r.center) for r in rows])

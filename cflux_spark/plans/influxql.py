@@ -1421,12 +1421,6 @@ class InfluxQLEngine:
         self._explain_local = threading.local()
 
     def _bounded_collect(self, df: DataFrame) -> list:
-        cap = getattr(self._explain_local, "plans", None)
-        if cap is not None:
-            # EXPLAIN capture mode: record the frame's Catalyst plan
-            # at the exact point it would have executed, run nothing
-            cap.append(_explain_string(df))
-            return []
         """Collect for envelope assembly with a loud cap. The result
         envelope is driver-assembled (same single-process shape as the
         reference, which streams every ClickHouse row into one Node
@@ -1436,6 +1430,12 @@ class InfluxQLEngine:
         TakeOrdered under the existing sort — and one extra row tells
         us the cap was exceeded (the cosine_pairs guard pattern,
         extensions/similarity.py)."""
+        cap = getattr(self._explain_local, "plans", None)
+        if cap is not None:
+            # EXPLAIN capture mode: record the frame's Catalyst plan
+            # at the exact point it would have executed, run nothing
+            cap.append(_explain_string(df))
+            return []
         if self.max_result_rows is None:
             return df.collect()
         rows = df.limit(self.max_result_rows + 1).collect()
@@ -1445,6 +1445,18 @@ class InfluxQLEngine:
                 f"narrow the time range, add LIMIT, or raise max_result_rows"
             )
         return rows
+
+    def _write_samples_or_capture(self, target: LPStore, out: DataFrame) -> dict:
+        """INTO-path twin of ``_bounded_collect``'s capture branch:
+        under EXPLAIN, record the write frame's Catalyst plan and do
+        NOT mutate the store (round-10 fix — EXPLAIN of a downsample
+        statement previously executed the write, violating the
+        'executing nothing' contract)."""
+        cap = getattr(self._explain_local, "plans", None)
+        if cap is not None:
+            cap.append(_explain_string(out))
+            return {"facts": 0, "new_series": 0}
+        return target.write_samples(out)
 
     def store(self, db: str | None) -> LPStore:
         try:
@@ -2360,7 +2372,11 @@ class InfluxQLEngine:
         nothing (a multi-field statement shows one plan per field
         frame, labeled). EXPLAIN ANALYZE is rejected loudly rather
         than silently running the query."""
-        m = re.match(r"\s*EXPLAIN\s+(ANALYZE\s+)?", qs, re.IGNORECASE)
+        m = re.match(r"\s*EXPLAIN\b\s*(ANALYZE\b\s*)?", qs, re.IGNORECASE)
+        if m is None:
+            # dispatch matches on startswith("EXPLAIN"), so e.g.
+            # "EXPLAINX ..." lands here without the word boundary
+            raise InfluxQLError("EXPLAIN expects a SELECT statement")
         if m.group(1):
             raise InfluxQLError(
                 "EXPLAIN ANALYZE is not supported — use EXPLAIN (plans "
@@ -2770,7 +2786,7 @@ class InfluxQLEngine:
         # three-part INTO prefix targets another database's store
         # (lazily created, S5); plain INTO stays in the source store
         target = self.store(stmt.into_db) if stmt.into_db else store
-        stats = target.write_samples(out)
+        stats = self._write_samples_or_capture(target, out)
         return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])
 
     def _subquery_into(self, stmt: SelectStmt, store: LPStore, reg: DataFrame | None) -> dict:
@@ -2823,7 +2839,7 @@ class InfluxQLEngine:
         for fr in frames[1:]:
             out = out.unionByName(fr)
         target = self.store(stmt.into_db) if stmt.into_db else store
-        stats = target.write_samples(out)
+        stats = self._write_samples_or_capture(target, out)
         return _envelope([_series("result", ["time", "written"], [[0, stats["facts"]]])])
 
     def _prepared_facts(

@@ -2186,3 +2186,51 @@ def test_jpeg_through_decode_images_surface(spark):
     assert abs(ok.mean_r - 200) < 8 and abs(ok.mean_g - 30) < 8 and abs(ok.mean_b - 90) < 8
     assert rows[2].error is not None and "PIL" in rows[2].error
     assert rows[3].error is not None
+
+
+def test_ivf_index_meta_mismatch_guard(spark, emb, tmp_path):
+    """Reopening a built index with contradicting hyperparameters
+    (round-10 fix): the stored meta must not silently override an
+    explicit constructor argument — probing fails loudly naming both
+    values, build() retrains with the NEW settings and clears the
+    guard, and an argument-less reopen still restores the stored
+    settings."""
+    path = str(tmp_path / "ivf_meta")
+    similarity.IVFIndex(spark, path, nlist=8).build(emb)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    reopened = similarity.IVFIndex(spark, path)  # no args → stored meta wins
+    assert reopened.nlist == 8
+    assert reopened.topk(q, k=3, nprobe=2).count() > 0
+
+    clashed = similarity.IVFIndex(spark, path, nlist=4)
+    assert clashed.nlist == 4  # the explicit value is kept, not overwritten
+    with pytest.raises(ValueError, match="built with 8, reopened with 4"):
+        clashed.topk(q, k=3, nprobe=2)
+    clashed.build(emb)  # retrain with the new settings clears the guard
+    assert clashed.topk(q, k=3, nprobe=2).count() > 0
+    assert similarity.IVFIndex(spark, path).nlist == 4  # meta rewritten
+
+    pq_path = str(tmp_path / "pq_meta")
+    similarity.IVFPQIndex(spark, pq_path, m=4).build(emb)
+    pq_clash = similarity.IVFPQIndex(spark, pq_path, m=8)
+    with pytest.raises(ValueError, match="m: built with 4, reopened with 8"):
+        pq_clash.topk(q, k=3, nprobe=2)
+    assert similarity.IVFPQIndex(spark, pq_path).m == 4
+
+
+def test_decode_jpeg_truncated_raises_valueerror():
+    """Truncated JPEG data raises the module contract's ValueError at
+    every cut point — never a raw IndexError from the bit reader or
+    the marker-scan loops (round-10 fix)."""
+    from cflux_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:40]
+    img = np.stack([x * 6, y * 10, (x + y) * 3], axis=-1).astype(np.uint8)
+    blob = encode_jpeg(img, quality=85)
+    full = decode_jpeg(blob)
+    assert full.shape == img.shape
+    cuts = [2, 3, 4, 8, 16, 32, 64, len(blob) // 3, len(blob) // 2, len(blob) - 10]
+    for cut in cuts:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])

@@ -3213,3 +3213,44 @@ def test_explain_select_returns_catalyst_plan(engine):
         engine._execute_one("EXPLAIN ANALYZE SELECT user FROM cpu", "mydb")
     with pytest.raises(InfluxQLError, match="SELECT"):
         engine._execute_one("EXPLAIN SHOW MEASUREMENTS", "mydb")
+
+
+def test_explain_into_does_not_write(spark, tmp_path):
+    """EXPLAIN of a SELECT ... INTO statement captures the write
+    frame's plan and does NOT mutate the store (round-10 fix: capture
+    mode previously intercepted only _bounded_collect, so the INTO
+    dispatch still ended in target.write_samples — an EXPLAIN of a
+    downsample statement executed the downsample)."""
+    root = str(tmp_path / "explinto")
+    store = LPStore(spark, root, db="mydb")
+    store.write_batch(spark.createDataFrame([(l,) for l in LINES], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    res = eng.execute(
+        "EXPLAIN SELECT mean(user) INTO cpu_1m FROM cpu GROUP BY time(60s)",
+        db="mydb",
+    )
+    plan = "\n".join(v[0] for v in res["results"][0]["series"][0]["values"])
+    assert "Physical Plan" in plan or "HashAggregate" in plan
+    meas = eng.execute("SHOW MEASUREMENTS", db="mydb")
+    assert ["cpu_1m"] not in _values(meas)  # nothing written
+    # the subquery-INTO dispatch goes through the same guard
+    res2 = eng.execute(
+        "EXPLAIN SELECT mean(u) INTO sub_dst FROM "
+        "(SELECT user AS u FROM cpu) GROUP BY time(60s)",
+        db="mydb",
+    )
+    assert res2["results"][0]["series"][0]["values"]
+    assert ["sub_dst"] not in _values(eng.execute("SHOW MEASUREMENTS", db="mydb"))
+    # capture mode off again: the same statement now really writes
+    eng.execute("SELECT mean(user) INTO cpu_1m FROM cpu GROUP BY time(60s)", db="mydb")
+    assert ["cpu_1m"] in _values(eng.execute("SHOW MEASUREMENTS", db="mydb"))
+
+
+def test_explain_bare_and_near_miss_raise_influxql_error(engine):
+    """Dispatch keys on startswith('EXPLAIN'); a bare EXPLAIN or an
+    EXPLAIN-prefixed token must surface the grammar error, not an
+    AttributeError from the keyword regex (round-10 fix)."""
+    with pytest.raises(InfluxQLError, match="SELECT"):
+        engine._execute_one("EXPLAIN", "mydb")
+    with pytest.raises(InfluxQLError, match="SELECT"):
+        engine._execute_one("EXPLAINXYZ SELECT user FROM cpu", "mydb")
