@@ -1029,17 +1029,22 @@ def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_deadman",
     """
     WITH p AS (SELECT event_type, epoch_ns(ts) AS ts_ns FROM events),
+    meta AS (
+      SELECT max(ts_ns) AS now_ns,
+             (6 * (max(ts_ns) - min(ts_ns)) * count(DISTINCT event_type))
+               // count(*) // 1000 * 1000 AS itv
+      FROM p
+    ),
     g AS (
       SELECT event_type, ts_ns,
              lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns) AS next_ns
       FROM p
     ),
     gaps AS (
-      SELECT * FROM g
-      WHERE next_ns IS NOT NULL AND next_ns - ts_ns > 7200000000000
-    ),
-    mx AS (SELECT max(ts_ns) AS now_ns FROM p)
-    SELECT event_type, make_timestamp((ts_ns + 7200000000000) // 1000) AS ts,
+      SELECT g.*, meta.itv FROM g, meta
+      WHERE next_ns IS NOT NULL AND next_ns - ts_ns > meta.itv
+    )
+    SELECT event_type, make_timestamp((ts_ns + itv) // 1000) AS ts,
            'dead' AS level, make_timestamp(ts_ns // 1000) AS last_seen
     FROM gaps
     UNION ALL
@@ -1047,22 +1052,28 @@ def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
            'alive' AS level, make_timestamp(ts_ns // 1000) AS last_seen
     FROM gaps
     UNION ALL
-    SELECT m.event_type, make_timestamp((m.ts_ns + 7200000000000) // 1000) AS ts,
+    SELECT m.event_type, make_timestamp((m.ts_ns + meta.itv) // 1000) AS ts,
            'dead' AS level, make_timestamp(m.ts_ns // 1000) AS last_seen
-    FROM (SELECT event_type, max(ts_ns) AS ts_ns FROM p GROUP BY 1) m, mx
-    WHERE mx.now_ns - m.ts_ns > 7200000000000
+    FROM (SELECT event_type, max(ts_ns) AS ts_ns FROM p GROUP BY 1) m, meta
+    WHERE meta.now_ns - m.ts_ns > meta.itv
     """,
 )
 def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kapacitor DEADMAN switch, batch/backfill form (round 9 — the
     other half of the alerting surface next to q_alert_transitions):
-    per event_type, ``dead`` at last_seen + 2 h for every silence
-    longer than 2 h, ``alive`` at the point that broke it, plus the
-    trailing open gap judged against the stream's own last event (so
-    the result is a pure function of the data — replays agree). One
-    lead() pass + a per-series max, no self-join
-    (streaming/rollup.py deadman_transitions; the live twin
-    stateful_deadman fires off the event-time watermark via
+    per event_type, ``dead`` at last_seen + interval for every silence
+    longer than the interval, ``alive`` at the point that broke it,
+    plus the trailing open gap judged against the stream's own last
+    event (so the result is a pure function of the data — replays
+    agree). The interval is DATA-DERIVED — 6 × the global mean
+    inter-event gap (span × n_series / n_events, exact integer ns
+    rounded down to whole µs) — so the entry stays non-trivial at
+    every scale factor (round 10, VERDICT r9 item 3: the fixed 2 h
+    interval went vacuous at sf1 where 10× density closes all 2 h
+    gaps; under a ~exponential gap law P(gap > 6×mean) ≈ e⁻⁶ keeps
+    alerts ∝ n_events at any SF). One lead() pass + a per-series max,
+    no self-join (streaming/rollup.py deadman_transitions; the live
+    twin stateful_deadman fires off the event-time watermark via
     applyInPandasWithState EventTimeTimeout with O(1) state/series,
     cross-micro-batch parity pinned in tests/test_streaming_rollup.py).
     """
@@ -1072,8 +1083,14 @@ def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("series_key"),
         (F.unix_micros("ts") * 1000).alias("ts_ns"),
     )
-    now_ns = ev.agg(F.max("ts_ns")).first()[0]
-    out = deadman_transitions(ev, 7200, now_ts_ns=now_ns)
+    meta = ev.agg(
+        F.max("ts_ns").alias("now_ns"),
+        F.min("ts_ns").alias("min_ns"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("series_key").alias("s"),
+    ).first()  # one driver row, same single-aggregate anchor as before
+    itv_ns = (6 * (meta.now_ns - meta.min_ns) * meta.s) // meta.n // 1000 * 1000
+    out = deadman_transitions(ev, every_ns=itv_ns, now_ts_ns=meta.now_ns)
     return out.select(
         F.col("series_key").alias("event_type"), "ts", "level", "last_seen"
     )

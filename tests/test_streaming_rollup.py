@@ -526,3 +526,17 @@ def test_deadman_batch_trailing_and_validation(spark):
         deadman_transitions(df, 0)
     with _pytest.raises(ValueError):
         stateful_deadman(df, -5)
+    # exact-ns interval (round 10: data-derived intervals need finer
+    # than whole seconds) — 3.5 s splits a's 4 s gap, same as every=3
+    out3 = sorted(
+        (r.series_key, str(r.ts), r.level)
+        for r in deadman_transitions(df, every_ns=3_500_000_000).collect()
+    )
+    assert out3 == [
+        ("a", "1970-01-01 00:00:04.500000", "dead"),
+        ("a", "1970-01-01 00:00:05", "alive"),
+    ]
+    with _pytest.raises(ValueError, match="exactly one"):
+        deadman_transitions(df, 10, every_ns=3_500_000_000)
+    with _pytest.raises(ValueError, match="exactly one"):
+        deadman_transitions(df)
