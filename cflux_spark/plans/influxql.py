@@ -2044,6 +2044,11 @@ class InfluxQLEngine:
         contract: every yielded envelope except the last carries
         ``partial: true`` (InfluxDB chunked-response shape)."""
         stmts = _split_statements(q)
+        if len(stmts) == 1 and stmts[0].strip().upper().startswith("EXPLAIN"):
+            # EXPLAIN under chunked=true shows the chunked dispatch's
+            # own per-spec frames (round 10)
+            yield self._explain_chunked(stmts[0].strip(), db, max(1, int(chunk_size)))
+            return
         if len(stmts) == 1 and stmts[0].strip().upper().startswith("SELECT"):
             try:
                 stmt = parse_select(stmts[0].strip())
@@ -2325,6 +2330,15 @@ class InfluxQLEngine:
         rows stream via toLocalIterator in chunk_size buffers, and
         every envelope except the final one carries ``partial: true``
         (one-envelope lookahead so the last chunk is identifiable)."""
+        cap = getattr(self._explain_local, "plans", None)
+        if cap is not None:
+            # EXPLAIN capture mode (round 10): record each per-spec
+            # frame's plan at the point its rows would begin
+            # streaming; nothing executes, nothing streams
+            for sel, _colname in frames:
+                cap.append(_explain_string(sel))
+            yield _envelope([])
+            return
         emitted = False
         buf: list = []
         pending: tuple[list, str] | None = None  # (rows, colname) awaiting more
@@ -2372,6 +2386,38 @@ class InfluxQLEngine:
         nothing (a multi-field statement shows one plan per field
         frame, labeled). EXPLAIN ANALYZE is rejected loudly rather
         than silently running the query."""
+        inner = self._strip_explain(qs)
+        self._explain_local.plans = []
+        try:
+            self._select(inner, db)
+        finally:
+            plans = self._explain_local.plans
+            self._explain_local.plans = None
+        return self._explain_envelope(plans)
+
+    def _explain_chunked(self, qs: str, db: str | None, chunk_size: int) -> dict:
+        """``EXPLAIN`` under ``chunked=true`` (round 10): the CHUNKED
+        dispatch plans end-to-end and each per-spec frame's Catalyst
+        plan is captured at the exact point its rows would begin
+        streaming through the chunk pump (``toLocalIterator``) —
+        nothing runs, nothing streams. Statements the chunked path
+        would anyway serve as one ordinary envelope capture through
+        ``_bounded_collect`` exactly like plain EXPLAIN, so the two
+        paths show the plan the statement would really get."""
+        inner = self._strip_explain(qs)
+        self._explain_local.plans = []
+        try:
+            for _env in self.execute_chunked(inner, db, chunk_size):
+                pass  # capture mode: envelopes are empty husks
+        finally:
+            plans = self._explain_local.plans
+            self._explain_local.plans = None
+        return self._explain_envelope(plans)
+
+    @staticmethod
+    def _strip_explain(qs: str) -> str:
+        """Validate the EXPLAIN keyword (ANALYZE rejected loudly) and
+        return the inner SELECT text."""
         m = re.match(r"\s*EXPLAIN\b\s*(ANALYZE\b\s*)?", qs, re.IGNORECASE)
         if m is None:
             # dispatch matches on startswith("EXPLAIN"), so e.g.
@@ -2385,12 +2431,10 @@ class InfluxQLEngine:
         inner = qs[m.end() :]
         if not inner.upper().lstrip().startswith("SELECT"):
             raise InfluxQLError("EXPLAIN expects a SELECT statement")
-        self._explain_local.plans = []
-        try:
-            self._select(inner, db)
-        finally:
-            plans = self._explain_local.plans
-            self._explain_local.plans = None
+        return inner
+
+    @staticmethod
+    def _explain_envelope(plans: list[str]) -> dict:
         lines: list[list[str]] = []
         for i, p in enumerate(plans):
             if len(plans) > 1:

@@ -3254,3 +3254,43 @@ def test_explain_bare_and_near_miss_raise_influxql_error(engine):
         engine._execute_one("EXPLAIN", "mydb")
     with pytest.raises(InfluxQLError, match="SELECT"):
         engine._execute_one("EXPLAINXYZ SELECT user FROM cpu", "mydb")
+
+
+def test_explain_chunked_captures_pump_frames(spark, tmp_path):
+    """EXPLAIN + chunked=true (round 10): the chunked dispatch's own
+    per-spec frames are captured at the chunk pump's would-have-
+    executed point; nothing streams, nothing writes, and a statement
+    the chunked path serves as one ordinary envelope still explains."""
+    root = str(tmp_path / "explchunk")
+    store = LPStore(spark, root, db="mydb")
+    store.write_batch(spark.createDataFrame([(l,) for l in LINES], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    # raw-point statement → streams through _select_raw_chunked
+    envs = list(eng.execute_chunked("EXPLAIN SELECT user FROM cpu", db="mydb"))
+    assert len(envs) == 1  # one explain envelope, not row chunks
+    s = envs[0]["results"][0]["series"][0]
+    assert s["columns"] == ["QUERY PLAN"]
+    plan = "\n".join(v[0] for v in s["values"])
+    assert "parquet" in plan.lower()
+    # multi-field aggregate → _select_agg_chunked streams ONE merged
+    # bucket-aligned frame (per-spec frames full-outer-joined), so the
+    # chunked EXPLAIN shows a single plan — unlike the unchunked path's
+    # one-plan-per-field — which is exactly the fidelity the feature is
+    # for: the plan the statement would really get under chunked=true
+    envs2 = list(
+        eng.execute_chunked(
+            "EXPLAIN SELECT mean(user), max(sys) FROM cpu GROUP BY time(60s)",
+            db="mydb",
+        )
+    )
+    plan2 = "\n".join(v[0] for v in envs2[0]["results"][0]["series"][0]["values"])
+    assert "frame 1/" not in plan2 and "Physical Plan" in plan2
+    # a non-chunkable statement (SLIMIT) falls back to the unchunked
+    # envelope path and still explains through _bounded_collect
+    envs3 = list(
+        eng.execute_chunked("EXPLAIN SELECT user FROM cpu SLIMIT 1", db="mydb")
+    )
+    assert envs3[0]["results"][0]["series"][0]["values"]
+    # ANALYZE still rejected on the chunked path
+    with pytest.raises(InfluxQLError, match="ANALYZE"):
+        list(eng.execute_chunked("EXPLAIN ANALYZE SELECT user FROM cpu", db="mydb"))
