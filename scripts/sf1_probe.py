@@ -91,6 +91,14 @@ def main() -> int:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--parity", action="store_true", help="run full-catalog oracle parity")
     ap.add_argument("--bench", action="store_true", help="run the bench sweep")
+    ap.add_argument(
+        "--correctness-out",
+        default=None,
+        help="persist the parity run as a CORRECTNESS-shaped JSON (the "
+        "sf1 signal of record; e.g. CORRECTNESS_sf1_r10.json). "
+        "Regenerate with: python scripts/sf1_probe.py --parity "
+        "--correctness-out CORRECTNESS_sf1_rN.json",
+    )
     args = ap.parse_args()
     if not args.skip_gen:
         print(f"generating sf1 at {args.out} (10x {SRC})")
@@ -101,6 +109,9 @@ def main() -> int:
     if args.parity:
         print("\n=== full-catalog oracle parity at sf1 ===")
         env = {**os.environ, "SF": args.out}
+        env.setdefault("ORACLE_DUCKDB_MEM", "60GB")
+        if args.correctness_out:
+            env["CORRECTNESS_OUT"] = os.path.abspath(args.correctness_out)
         rc |= subprocess.run(
             [sys.executable, os.path.join(REPO, "tests", "oracle_check.py")],
             env=env, cwd=REPO,

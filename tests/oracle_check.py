@@ -40,28 +40,48 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def check(name: str, spark, sf_dir: str, con) -> tuple[bool, str]:
+def check(name: str, spark, sf_dir: str, con) -> tuple[bool, str, dict]:
+    """Returns (ok, message, record) — record is the driver's
+    CORRECTNESS_r{N}.json per-query shape, so a run with
+    CORRECTNESS_OUT set persists a comparable artifact (round 10:
+    the sf1 signal of record, VERDICT r9 item 2)."""
     import __spark_entry__ as e
 
+    rec = {
+        "rows_match": None,
+        "schema_match": None,
+        "hash_match": None,
+        "spark_rows": None,
+        "oracle_rows": None,
+        "err": None,
+    }
     qfn = e.queries()[name]
     sql = e.oracle_sql().get(name)
     sdf = qfn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    rec["spark_rows"] = len(srows)
     if sql is None:
-        return (len(srows) >= 0, f"rows-only: {len(srows)} rows")
+        rec["err"] = "no_oracle"
+        return (len(srows) >= 0, f"rows-only: {len(srows)} rows", rec)
     orel = con.execute(sql)
     ocols = [d[0] for d in orel.description]
     orows = orel.fetchall()
-    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
-        return False, f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
-    if len(srows) != len(orows):
-        return False, f"row count: spark={len(srows)} oracle={len(orows)}"
+    rec["oracle_rows"] = len(orows)
+    rec["schema_match"] = sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in ocols
+    )
+    if not rec["schema_match"]:
+        return False, f"column mismatch: spark={sorted(scols)} oracle={sorted(ocols)}", rec
+    rec["rows_match"] = len(srows) == len(orows)
+    if not rec["rows_match"]:
+        return False, f"row count: spark={len(srows)} oracle={len(orows)}", rec
     ns, no = normalize(srows, scols), normalize(orows, ocols)
     bad = [(a, b) for a, b in zip(ns, no) if a != b]
+    rec["hash_match"] = not bad
     if bad:
-        return False, f"{len(bad)}/{len(ns)} differing rows; first: spark={bad[0][0]} oracle={bad[0][1]}"
-    return True, f"OK: {len(srows)} rows"
+        return False, f"{len(bad)}/{len(ns)} differing rows; first: spark={bad[0][0]} oracle={bad[0][1]}", rec
+    return True, f"OK: {len(srows)} rows", rec
 
 
 def main() -> int:
@@ -86,18 +106,31 @@ def main() -> int:
     names = sys.argv[1:] or list(e.queries())
     n_ok = 0
     failures = []
+    records: dict[str, dict] = {}
     for name in names:
         try:
-            ok, msg = check(name, spark, sf_dir, con)
+            ok, msg, rec = check(name, spark, sf_dir, con)
         except Exception as ex:  # noqa: BLE001
-            ok, msg = False, f"EXCEPTION: {type(ex).__name__}: {str(ex).splitlines()[0][:300]}"
+            msg = f"EXCEPTION: {type(ex).__name__}: {str(ex).splitlines()[0][:300]}"
+            ok, rec = False, {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": msg,
+            }
         print(f"{'PASS' if ok else 'FAIL'}  {name:26s} {msg}")
         n_ok += ok
+        records[name] = rec
         if not ok:
             failures.append(name)
     print(f"\n{n_ok}/{len(names)} pass")
     if failures:
         print("failing:", " ".join(failures))
+    out = os.environ.get("CORRECTNESS_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as fh:
+            json.dump(records, fh, indent=1)
+        print(f"wrote {out} ({len(records)} records, sf_dir={sf_dir})")
     spark.stop()
     return 0 if not failures else 1
 

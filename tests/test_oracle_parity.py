@@ -34,7 +34,7 @@ def _names():
 
 @pytest.mark.parametrize("name", _names())
 def test_oracle_parity(name, spark, duck):
-    ok, msg = check(name, spark, SF_DIR, duck)
+    ok, msg, _rec = check(name, spark, SF_DIR, duck)
     assert ok, f"{name}: {msg}"
 
 
