@@ -4088,73 +4088,43 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-9 rotation (policy above; VERDICT r8 item #1 — no entry's
-# driver record may age past two rounds). Window = (a) entries NEW or
-# changed this round — q_deadman (deadman alerting), q_multimodal_jpeg
-# (the baseline JPEG codec), q_multimodal_video (the MJPEG-AVI
-# container codec), q_multimodal_decode (synthetic_images
-# grew the jpeg arm); (b) ALL 20 entries whose last driver record is
-# r06 (the rotation promise recorded here last round); (c) 26 of the
-# 45 r07-green entries, in definition order. The 19 r07-green entries
-# that do not fit stay in the middle (they head the r10 window) and,
-# like everything else, stay oracle-verified every CI run by
-# tests/test_oracle_parity.py; the 49 r08-green entries rotate last.
+# Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
+# promise). Window = (a) q_deadman, whose implementation changed this
+# round (data-derived scale-invariant interval); (b) ALL 19 entries
+# whose last driver record is r07 (promised the r10 head last round);
+# (c) 30 of the 49 r08-green entries, in definition order, so nothing
+# in the window is older than two rounds. The 19 r08-green entries
+# that do not fit stay in the middle (they head the r11 window):
+#   q_embed_cluster, q_token_bpe, q_sample_stratified,
+#   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
+#   q_span_cuts, q_frequent_ngrams, q_repetition_stats,
+#   q_shard_assign, q_export_tar, q_domain_cap, q_sessionize,
+#   q_histogram, q_approx_distinct, q_pack_bpe, q_approx_quantile,
+#   q_resample_fill, q_quantize_embeddings.
+# Like everything else they stay oracle-verified every CI run by
+# tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
 
 _VERIFY_FIRST = [
     "q_deadman",
-    "q_multimodal_jpeg",
-    "q_multimodal_video",
-    "q_multimodal_decode",
-    "q_time_relative",
-    "q_time_iso",
-    "q_label_matchers",
-    "q_series_difference",
-    "q_moving_average",
-    "q_except",
-    "q_show_field_keys",
-    "q_show_tag_keys",
-    "q_show_tag_values",
-    "q_fingerprint_stable",
-    "q_ts_convert",
-    "q_dedup_edit",
-    "q_normalize_text",
-    "q_vector_lsh",
-    "q_vector_ivf",
-    "q_project_embeddings",
-    "q_chunk_documents",
-    "q_dup_spans",
-    "q_pack_sequences",
-    "q_curation_verdict",
-    "q_tag_filter",
-    "q_name_filter",
-    "q_series_join",
-    "q_asof_join",
-    "q_time_bucket_param",
-    "q_agg_suite",
-    "q_hour_bucket",
-    "q_distinct_groupby",
-    "q_series_difference_seg",
-    "q_cumulative_sum",
-    "q_ta_ema",
-    "q_ta_rsi",
-    "q_ta_cmo",
-    "q_ta_kama",
-    "q_subquery_having",
-    "q_union_sorted",
-    "q_show_measurements",
-    "q_show_series",
-    "q_labels_json",
-    "q_dedup_clusters",
-    "q_split_leakage_safe",
-    "q_dedup_canonical",
-    "q_simhash",
-    "q_vector_topk",
-    "q_cosine_pairs_bulk",
-    "q_dedup_semantic",
-]
-
-# r08-green entries rotate behind the r07 leftovers (which head r10).
-_VERIFY_LAST: list[str] = [
+    "q_vector_pq_bulk",
+    "q_semdedup",
+    "q_text_tokens",
+    "q_quality_score",
+    "q_lang_filter",
+    "q_lang_id",
+    "q_sample_hash",
+    "q_tfidf_top_terms",
+    "q_doc_fingerprint",
+    "q_multimodal_features",
+    "q_unigram_logprob",
+    "q_redact_pii",
+    "q_lp_parse",
+    "q_series_pivot",
+    "q_contamination",
+    "q_decontam_semantic",
+    "q_epoch_shuffle",
+    "q_length_buckets",
+    "q_pipeline_export",
     "q_minute_avg",
     "q_time_absolute",
     "q_tag_filter_or",
@@ -4185,25 +4155,59 @@ _VERIFY_LAST: list[str] = [
     "q_dedup_embedding",
     "q_vector_pq",
     "q_vector_ivfpq",
-    "q_embed_cluster",
-    "q_token_bpe",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_multimodal_audio",
-    "q_ingest_smoke",
-    "q_span_cuts",
-    "q_frequent_ngrams",
-    "q_repetition_stats",
-    "q_shard_assign",
-    "q_export_tar",
-    "q_domain_cap",
-    "q_sessionize",
-    "q_histogram",
-    "q_approx_distinct",
-    "q_pack_bpe",
-    "q_approx_quantile",
-    "q_resample_fill",
-    "q_quantize_embeddings",
+]
+
+# r09-green entries rotate behind the r08 leftovers (which head r11).
+_VERIFY_LAST: list[str] = [
+    "q_time_relative",
+    "q_time_iso",
+    "q_tag_filter",
+    "q_name_filter",
+    "q_label_matchers",
+    "q_series_join",
+    "q_asof_join",
+    "q_time_bucket_param",
+    "q_agg_suite",
+    "q_hour_bucket",
+    "q_distinct_groupby",
+    "q_series_difference",
+    "q_series_difference_seg",
+    "q_moving_average",
+    "q_cumulative_sum",
+    "q_ta_ema",
+    "q_ta_rsi",
+    "q_ta_cmo",
+    "q_ta_kama",
+    "q_subquery_having",
+    "q_union_sorted",
+    "q_except",
+    "q_show_measurements",
+    "q_show_field_keys",
+    "q_show_tag_keys",
+    "q_show_series",
+    "q_show_tag_values",
+    "q_labels_json",
+    "q_fingerprint_stable",
+    "q_ts_convert",
+    "q_dedup_edit",
+    "q_normalize_text",
+    "q_dedup_clusters",
+    "q_split_leakage_safe",
+    "q_dedup_canonical",
+    "q_simhash",
+    "q_vector_topk",
+    "q_cosine_pairs_bulk",
+    "q_dedup_semantic",
+    "q_vector_lsh",
+    "q_vector_ivf",
+    "q_project_embeddings",
+    "q_chunk_documents",
+    "q_multimodal_decode",
+    "q_multimodal_jpeg",
+    "q_multimodal_video",
+    "q_dup_spans",
+    "q_pack_sequences",
+    "q_curation_verdict",
 ]
 
 
