@@ -458,6 +458,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    keep_all_candidates: bool = False,
 ) -> DataFrame:
     """Hamming-near duplicate pairs from SimHash fingerprints:
     (id_a < id_b, hamming ≤ max_hamming). Output: id_a, id_b, hamming.
@@ -469,7 +470,12 @@ def simhash_near_pairs(
     (band_id, band_bits); popcount(xor) then verifies exactly. The join
     carries only (id, fingerprint, band key) — one shuffle, no
     quadratic blowup outside genuine near-dup clusters, same scale
-    shape as the MinHash banding above."""
+    shape as the MinHash banding above.
+
+    ``keep_all_candidates=True`` skips the hamming cutoff and returns
+    every pigeonhole candidate with its exact distance — for tuning
+    ``max_hamming`` against a corpus, and for measuring the verifier
+    tier's size directly (scripts/pair_growth_probe.py)."""
     fp = simhash(df, text_col, id_col, bits)
     nbands = max_hamming + 1
     width = (bits + nbands - 1) // nbands
