@@ -24,6 +24,7 @@ prefers it automatically when importable.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -202,11 +203,14 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
     """Baseline JFIF encode of an (h, w) grayscale or (h, w, 3) RGB
     uint8 array: 4:4:4 (no subsampling), Annex K quant tables at the
     libjpeg quality scaling, Annex K typical Huffman tables. The
-    decoder twin round-trips it bit-exactly at the block level."""
+    decoder twin round-trips it bit-exactly at the block level.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (what IP-camera MJPEG streams do — and the
+    round-trip test for the decoder's segment-split path)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         comps = [arr.astype(np.float64)]
@@ -232,8 +236,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         p = np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
         padded.append(p)
     qtabs = [qy] + [qc] * (ncomp - 1)
+    mcu_count = 0
     for by in range(bh):
         for bx in range(bwid):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # RST markers are byte-aligned
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((mcu_count // restart_interval - 1) % 8)]
+                )
+                preds = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 coef = _D @ block @ _D.T
@@ -292,6 +304,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         out += marker(
             0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += marker(0xDD, struct.pack(">H", restart_interval))  # DRI
     sos = struct.pack(">B", ncomp)
     for ci in range(ncomp):
         tid = 0 if ci == 0 else 1
@@ -306,55 +320,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
 # --------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """Entropy-segment bit reader: 0xFF00 de-stuffing inline; a bare
-    0xFF marker ends the segment (handled by the caller via RST)."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated JPEG (entropy data ends mid-scan)")
-        b = self.data[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(self.data):
-                raise ValueError("truncated JPEG (entropy data ends mid-scan)")
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            else:
-                raise _MarkerHit(self.pos)
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align(self) -> None:
-        self.nbits = 0
-        self.acc = 0
-
-
-class _MarkerHit(Exception):
-    def __init__(self, pos: int) -> None:
-        self.pos = pos
-
-
 def _extend(bits: int, s: int) -> int:
     """Inverse of magnitude coding."""
     if s == 0:
@@ -362,14 +327,117 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huff_lut(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """Flatten a (length, code) → symbol Huffman table into a 16-bit
+    peek LUT: ``sym[peek]``/``ln[peek]`` give the symbol and its code
+    length for ANY 16-bit window starting at the code (codes are ≤ 16
+    bits, so one table lookup replaces the bit-by-bit walk — the
+    round-10 fast path; ln == 0 marks an invalid prefix). Plain Python
+    lists: int indexing them is faster than numpy scalar extraction
+    in the per-symbol loop."""
+    sym = np.zeros(65536, np.int16)
+    ln = np.zeros(65536, np.int16)
+    for (length, code), s in table.items():
+        lo = code << (16 - length)
+        hi = lo + (1 << (16 - length))
+        sym[lo:hi] = s
+        ln[lo:hi] = length
+    return sym.tolist(), ln.tolist()
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_lut_cached(dht_payload: bytes) -> tuple[list[int], list[int]]:
+    """LUT keyed by the raw DHT (bits ‖ vals) payload. Building the
+    64Ki-entry LUT costs more than decoding a thumbnail, and virtually
+    every stream uses the Annex K typical tables (an MJPEG stream
+    repeats ITS tables per frame) — so the cache makes the LUT a
+    one-time cost per distinct table, not per image."""
+    bits = list(dht_payload[:16])
+    vals = list(dht_payload[16:])
+    return _huff_lut(_decode_table(bits, vals))
+
+
+def _split_entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Cut the scan's entropy stream into de-stuffed restart segments:
+    stuffed 0xFF00 bytes are literal 0xFF data, 0xFFD0–D7 are RST
+    boundaries (segment separators), any other marker — or EOF — ends
+    the scan. C-level ``find``/``replace`` do the byte work, so the
+    Python loop runs once per marker, not per byte."""
+    segs: list[bytes] = []
+    start = p = pos
+    n = len(data)
+    while True:
+        q = data.find(b"\xff", p)
+        if q == -1 or q + 1 >= n:
+            segs.append(data[start : n if q == -1 else q])
+            break
+        nxt = data[q + 1]
+        if nxt == 0x00:
+            p = q + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            segs.append(data[start:q])
+            start = p = q + 2
+            continue
+        segs.append(data[start:q])  # real marker (EOI): end of scan
+        break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+class _FastBits:
+    """Bit cursor over one de-stuffed entropy segment. The accumulator
+    refills six bytes at a time; terminal 16-bit peeks may extend into
+    zero padding, but CONSUMING past the segment's real bits raises
+    the module's truncation ValueError."""
+
+    __slots__ = ("buf", "n", "p", "acc", "nbits", "total", "used")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.n = len(buf)
+        self.p = 0
+        self.acc = 0
+        self.nbits = 0
+        self.total = 8 * len(buf)
+        self.used = 0
+
+    def _fill(self, need: int) -> None:
+        acc = self.acc & ((1 << self.nbits) - 1)  # drop consumed high bits
+        nbits, p = self.nbits, self.p
+        while nbits < need:
+            take = self.n - p
+            if take <= 0:
+                acc <<= 16  # zero padding: peekable, not consumable
+                nbits += 16
+                continue
+            if take > 6:
+                take = 6
+            acc = (acc << (8 * take)) | int.from_bytes(self.buf[p : p + take], "big")
+            p += take
+            nbits += 8 * take
+        self.acc, self.nbits, self.p = acc, nbits, p
+
+    def read_symbol(self, sym: list[int], ln: list[int]) -> int:
+        if self.nbits < 16:
+            self._fill(16)
+        peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        length = ln[peek]
+        if length == 0:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= length
+        self.used += length
+        if self.used > self.total:
+            raise ValueError("truncated JPEG (entropy data ends mid-scan)")
+        return sym[peek]
+
+    def take(self, k: int) -> int:
+        if self.nbits < k:
+            self._fill(k)
+        self.nbits -= k
+        self.used += k
+        if self.used > self.total:
+            raise ValueError("truncated JPEG (entropy data ends mid-scan)")
+        return (self.acc >> self.nbits) & ((1 << k) - 1)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -424,7 +492,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[o + 1 : o + 17])
                 n = sum(bits)
                 vals = list(seg[o + 17 : o + 17 + n])
-                htabs[(cls, tid)] = _decode_table(bits, vals)
+                # store the raw payload: the LUT builder caches on it
+                htabs[(cls, tid)] = bytes(bits) + bytes(vals)
                 o += 17 + n
         elif m in (0xC0, 0xC1):  # SOF0/SOF1 baseline(+extended) sequential
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -481,51 +550,55 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64) for c in comps
     ]
     preds = [0] * len(comps)
-    br = _BitReader(data, pos)
+    luts = {key: _huff_lut_cached(payload) for key, payload in htabs.items()}
+    segments = _split_entropy_segments(data, pos)
+    seg_i = 0
+    br = _FastBits(segments[0])
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # align to the RSTn marker and reset predictors
-                br.align()
-                p = br.pos
-                while p + 1 < len(data) and (
-                    data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7)
-                ):
-                    p += 1
-                if p + 1 >= len(data):
+                # next RST segment, reset predictors
+                seg_i += 1
+                if seg_i >= len(segments):
                     raise ValueError("truncated JPEG (missing RST marker)")
-                br.pos = p + 2
+                br = _FastBits(segments[seg_i])
                 preds = [0] * len(comps)
             mcu_count += 1
             for ci, (comp, dct, act) in enumerate(scomp):
                 qt = qtabs[comp["tq"]]
+                dc_sym, dc_ln = luts[(0, dct)]
+                ac_sym, ac_ln = luts[(1, act)]
                 for vy in range(comp["v"]):
                     for vx in range(comp["h"]):
-                        try:
-                            s = _huff_decode(br, htabs[(0, dct)])
-                            diff = _extend(br.read_bits(s), s) if s else 0
-                            preds[ci] += diff
-                            zz = np.zeros(64, np.int64)
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode(br, htabs[(1, act)])
-                                r, s = rs >> 4, rs & 0x0F
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index overflow")
-                                zz[k] = _extend(br.read_bits(s), s)
-                                k += 1
-                        except _MarkerHit as hit:
-                            raise ValueError(
-                                f"entropy data truncated at {hit.pos}"
-                            ) from None
+                        s = br.read_symbol(dc_sym, dc_ln)
+                        if s:
+                            bits = br.take(s)
+                            preds[ci] += (
+                                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+                            )
+                        zz = [0] * 64
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_sym, ac_ln)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            s = rs & 0x0F
+                            if s:  # s == 0 outside EOB/ZRL leaves a 0 coeff
+                                bits = br.take(s)
+                                zz[k] = (
+                                    bits
+                                    if bits >= (1 << (s - 1))
+                                    else bits - (1 << s) + 1
+                                )
+                            k += 1
                         quant = np.zeros(64, np.int64)
                         quant[ZIGZAG] = zz
                         coef = (quant * qt).reshape(8, 8).astype(np.float64)

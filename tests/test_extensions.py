@@ -2234,3 +2234,31 @@ def test_decode_jpeg_truncated_raises_valueerror():
     for cut in cuts:
         with pytest.raises(ValueError):
             decode_jpeg(blob[:cut])
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: an encode with restart markers decodes to the
+    SAME pixels as the plain encode (restart only resets predictors
+    and byte-aligns — block data is identical), exercising the
+    decoder's segment-split resync (round 10: the fast LUT decoder
+    pre-splits the scan on RST boundaries)."""
+    from cflux_spark.extensions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:21, 0:37]
+    img = np.stack([x * 5 % 256, y * 11 % 256, (x * y) % 256], axis=-1).astype(
+        np.uint8
+    )
+    plain = encode_jpeg(img, quality=80)
+    for interval in (1, 2, 7):
+        rst = encode_jpeg(img, quality=80, restart_interval=interval)
+        assert b"\xff\xdd" in rst and rst != plain
+        assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+    g = (x * 9 % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=80, restart_interval=3)),
+        decode_jpeg(encode_jpeg(g, quality=80)),
+    )
+    # truncation inside a later restart segment still a ValueError
+    rst = encode_jpeg(img, quality=80, restart_interval=1)
+    with pytest.raises(ValueError):
+        decode_jpeg(rst[: len(rst) - 12])
