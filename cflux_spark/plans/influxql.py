@@ -2056,6 +2056,10 @@ class InfluxQLEngine:
                 stmt = None
             if (
                 stmt is not None
+                and stmt.into is None  # INTO writes; its result is a
+                # 1-row written-count envelope — nothing to chunk
+                # (round 10: the chunked dispatch used to silently
+                # drop the INTO clause and stream the rows instead)
                 and stmt.measurement_regex is None
                 and not stmt.slimit
                 and not stmt.soffset

@@ -3294,3 +3294,29 @@ def test_explain_chunked_captures_pump_frames(spark, tmp_path):
     # ANALYZE still rejected on the chunked path
     with pytest.raises(InfluxQLError, match="ANALYZE"):
         list(eng.execute_chunked("EXPLAIN ANALYZE SELECT user FROM cpu", db="mydb"))
+
+
+def test_chunked_select_into_writes(spark, tmp_path):
+    """chunked=true + SELECT ... INTO must still perform the write and
+    return the written-count envelope (round-10 fix: the chunked
+    dispatch ignored stmt.into and streamed the source rows instead,
+    silently skipping the write)."""
+    root = str(tmp_path / "intochunk")
+    store = LPStore(spark, root, db="mydb")
+    store.write_batch(spark.createDataFrame([(l,) for l in LINES], "line string"))
+    eng = InfluxQLEngine(spark, root)
+    envs = list(
+        eng.execute_chunked(
+            "SELECT mean(user) INTO cpu_1m FROM cpu WHERE host = 'a' "
+            "GROUP BY time(60s)",
+            db="mydb",
+        )
+    )
+    assert len(envs) == 1
+    assert _values(envs[0]) == [[0, 2]]  # written-count envelope
+    back = eng.execute("SELECT mean FROM cpu_1m", db="mydb")
+    assert _values(back) == [[1704067200000, 0.2], [1704067260000, 0.5]]
+    # raw-copy INTO through the chunked entry too
+    envs2 = list(eng.execute_chunked("SELECT user INTO cpu_raw FROM cpu", db="mydb"))
+    assert _values(envs2[0])[0][1] >= 1
+    assert ["cpu_raw"] in _values(eng.execute("SHOW MEASUREMENTS", db="mydb"))
