@@ -112,6 +112,17 @@ BENCH_QUERIES = [
     "q_deadman",
     "q_multimodal_jpeg",
     "q_multimodal_video",
+    # round-10 retrieval + ingestion: BM25 posting build (the one
+    # term-keyed shuffle), hybrid RRF fusion over BM25+cosine, and the
+    # WARC serialize→parse round trip (shard-parallel Arrow passes)
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_warc_roundtrip",
+    "q_html_extract",
+    # round-10 sketch rollup (daily HLL build + query-time union);
+    # q_url_dedup has no key — it is the q_normalize_text map-only
+    # regexp shape plus one groupBy, already represented
+    "q_hll_rollup",
 ]
 
 

@@ -1,0 +1,169 @@
+"""Lexical retrieval + hybrid rank fusion (training-data pipeline ops).
+
+BM25 scoring, top-k retrieval, and reciprocal-rank fusion — the
+standard hybrid-search stack a data-curation pipeline uses to mine
+positives/hard-negatives for retrieval training sets and to audit
+corpus coverage against a query workload. The reference engine
+(metrico/cFlux — cflux.js delegates every SELECT to ClickHouse) has no
+text-retrieval surface at all; this module is part of the
+beyond-reference LLM-pipeline tier (SURVEY.md §2.13).
+
+Scale design (100 TB):
+- The corpus side never leaves the cluster: tokenize → explode →
+  per-(doc,term) counts are map-side-combined partial aggregations.
+- Per-term document frequencies shuffle once on the term key (the
+  posting-list build every search engine does); corpus-level scalars
+  (N, total token count) are one 1-row aggregate broadcast back.
+- The query workload is assumed driver-small (a query SET, not a
+  table) and is broadcast to the postings — the expensive join is
+  postings ⋈ broadcast(query terms), a map-side hash join with no
+  corpus shuffle beyond the posting build.
+- Top-k per query uses a window over (query_id) — cardinality =
+  |queries| × |matching docs|, already reduced by the term join; no
+  global sort.
+- All scoring is JVM-side column arithmetic (whole-stage codegen);
+  zero Python UDFs.
+
+Float-parity policy (repo-wide, see plans/queries.py header): scores
+are rounded before ranking, and ranks tie-break on doc id, so the
+DuckDB oracle orders identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cflux_spark.extensions.text import word_tokens
+
+__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+
+
+def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, dl, _toks) — the token array is materialized once per
+    row (no CSE around HOF lambdas — the text_stats lesson). Docs with
+    zero tokens keep a row (dl = 0) so corpus stats count them."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_toks")
+    ).select("doc_id", F.size("_toks").alias("dl"), "_toks")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 score per (query, doc) for docs sharing ≥1 query term.
+
+    Okapi BM25 with the Lucene idf: ``ln(1 + (N - df + .5)/(df + .5))``
+    — always positive, so stopword-heavy queries can't subtract. A
+    repeated term in one query counts once (set-of-terms semantics,
+    as Lucene's boolean-OR of TermQueries scores a bag dedup'd per
+    field). Output: (query_id, doc_id, score) with score rounded to
+    ``round_to`` decimals for cross-engine rank stability.
+    """
+    base = _tokenized(docs, text_col, id_col)
+    post = base.select("doc_id", "dl", F.explode("_toks").alias("term")).groupBy(
+        "doc_id", "dl", "term"
+    ).agg(F.count("*").alias("tf"))
+
+    # corpus scalars over ALL docs (empty ones included): one 1-row
+    # aggregate, broadcast back. dl sums are exact integers so
+    # avgdl = sum_dl / N is ONE double division — bit-identical across
+    # engines (the integer-cents discipline).
+    stats = base.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+
+    # per-term document frequency — the one term-keyed shuffle
+    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(word_tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    contrib = idf * tf * (k1 + 1.0) / (tf + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl))
+    return (
+        scored.withColumn("_c", contrib)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_c"), round_to).alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Top-k docs per query by BM25. Output: (query_id, doc_id, score,
+    rank); ties break on doc_id so the oracle ranks identically."""
+    scored = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topn: int | None = None,
+    id_cols: tuple[str, str] = ("query_id", "doc_id"),
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+    ``rrf(d) = Σ_sources 1/(k + rank_source(d))`` — the standard way to
+    fuse a lexical and a semantic ranking without score calibration.
+
+    Each input carries (query_id, doc_id, rank); a doc absent from a
+    source contributes nothing. Output: (query_id, doc_id, rrf_score,
+    rank), optionally truncated to ``topn`` per query. Per-source
+    contributions are the same literal doubles in every engine and a
+    2-source sum is order-independent, so parity is exact up to the
+    rounding; ranks tie-break on doc_id.
+
+    Scale: inputs are already top-k-per-query (|queries| × k rows) —
+    the union + re-group is tiny relative to the retrieval that
+    produced them; no corpus-sized state.
+    """
+    qc, dc = id_cols
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(qc).alias("query_id"),
+            F.col(dc).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("_rr"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_rr"), round_to).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    out = fused.withColumn("rank", F.row_number().over(w).cast("int"))
+    if topn is not None:
+        out = out.filter(F.col("rank") <= topn)
+    return out

@@ -426,3 +426,100 @@ def normalize_text(
     if lower:
         c = F.lower(c)
     return df.withColumn(out_col, c)
+
+
+def escape_html(col: Column) -> Column:
+    """Minimal HTML entity escape (&, <, >) — the inverse of what
+    :func:`extract_html_text` unescapes; used to synthesize test pages
+    that round-trip exactly."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def extract_html_text(col: Column) -> Column:
+    """HTML → visible text, the boilerplate-strip every web-corpus
+    pipeline runs on WARC payloads before quality filtering: drops
+    <script>/<style> subtrees and comments, turns block-level closers
+    into word boundaries, strips remaining tags, unescapes the core
+    entities, and collapses whitespace.
+
+    A regex extractor is deliberate: it is entirely JVM-side
+    regexp_replace chains (whole-stage codegen, map-only, zero Python)
+    and deterministic — the trade against a real DOM parser (which the
+    container lacks anyway) is documented, not hidden: CDATA and
+    malformed markup degrade to text noise rather than error.
+    """
+    # (?s) so .*? crosses newlines; (?i) for tag-name case. <head> goes
+    # first (wholesale — title/meta are not document text), then body
+    # script/style subtrees.
+    c = F.regexp_replace(col, "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    c = F.regexp_replace(c, "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    # block-level boundaries become spaces so "…</p><p>…" doesn't fuse words
+    c = F.regexp_replace(c, "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|table|section|article|header|footer|nav|blockquote)\\b[^>]*/?>", " ")
+    c = F.regexp_replace(c, "(?s)<[^>]*>", " ")
+    # entities: named core set + numeric, ampersand LAST (it guards the rest)
+    c = F.replace(c, F.lit("&nbsp;"), F.lit(" "))
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit("\""))
+    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
+    c = F.replace(c, F.lit("&apos;"), F.lit("'"))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def wrap_html_page(col: Column, title: str = "doc") -> Column:
+    """Synthesize a deterministic boilerplate-laden HTML page around
+    escaped text — the fixture generator for extract_html_text's
+    round-trip contract (WARC payloads in q_warc_roundtrip /
+    q_html_extract)."""
+    head = (
+        "<!DOCTYPE html><html><head><title>" + title + "</title>"
+        "<style>body { color: #222; }</style>"
+        "<script>var x = 1 < 2 && \"<p>\";</script></head>"
+        "<body><nav><ul><li>home</li><li>about</li></ul></nav>"
+        "<!-- boilerplate --><div class=\"main\"><p>"
+    )
+    tail = "</p></div><footer>&copy; corpus</footer></body></html>"
+    return F.concat(F.lit(head), escape_html(col), F.lit(tail))
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form for URL-level dedup (the CCNet/Common Crawl
+    pass that runs BEFORE content dedup — a crawl sees the same page
+    under scheme/case/port/tracking-param/fragment variants):
+
+    - scheme and host lowercased (path case is preserved — it is
+      significant on most servers)
+    - explicit default ports dropped (``:80`` for http, ``:443`` for
+      https)
+    - fragment dropped
+    - tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``),
+      with ``?``/``&`` re-seamed and a trailing ``?``/``&`` dropped
+    - trailing slash trimmed (the root path's included — host-only is
+      the canonical root form)
+
+    Entirely codegen'd regexp chains — map-only, zero Python; the SQL
+    oracle twin applies the identical chain."""
+    # scheme://host[:port] lowercased; the rest of the URL untouched.
+    # (When nothing matches, extract yields "" and replace is a no-op,
+    # so scheme-less strings pass through unchanged.)
+    c = F.concat(
+        F.lower(F.regexp_extract(col, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)),
+        F.regexp_replace(col, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+    )
+    # no lookahead — the oracle twin runs on RE2 (DuckDB), which lacks
+    # it; an unmatched optional tail group substitutes as "" in both
+    # Java and RE2 replacement semantics
+    c = F.regexp_replace(c, "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    c = F.regexp_replace(c, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    c = F.regexp_replace(c, "#.*$", "")
+    # tracking params anywhere in the query string
+    c = F.regexp_replace(c, "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
+    c = F.regexp_replace(c, "\\?&+", "?")     # "?&x" → "?x" after removals
+    c = F.regexp_replace(c, "&&+", "&")
+    c = F.regexp_replace(c, "[?&]$", "")       # dangling separator
+    c = F.regexp_replace(c, "^([^?#]*[^/?#])/(\\?|$)", "$1$2")
+    return c
