@@ -123,6 +123,15 @@ BENCH_QUERIES = [
     # q_url_dedup has no key — it is the q_normalize_text map-only
     # regexp shape plus one groupBy, already represented
     "q_hll_rollup",
+    # round-10 second half: DSIR selection (gram explosion + two
+    # broadcast histograms + TakeOrdered), bigram-LM perplexity (the
+    # composite-key bigram join is the one real shuffle), perceptual
+    # image dedup (real decode → dHash → banded Hamming pairs);
+    # q_dsir_weights/q_ccnet_buckets share their expensive stages with
+    # these two keys and add none of their own
+    "q_dsir_select",
+    "q_bigram_logprob",
+    "q_image_dedup",
 ]
 
 

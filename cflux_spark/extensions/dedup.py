@@ -452,54 +452,89 @@ def simhash_py(text: str, bits: int = 64) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
-def simhash_near_pairs(
-    df: DataFrame,
+def hamming_near_pairs(
+    fp: DataFrame,
     max_hamming: int = 3,
-    text_col: str = "text",
+    fp_col: str = "simhash",
     id_col: str = "doc_id",
     bits: int = 64,
     keep_all_candidates: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Hamming-near duplicate pairs from SimHash fingerprints:
+    """Hamming-near pairs over ANY 64-bit-fingerprint column:
     (id_a < id_b, hamming ≤ max_hamming). Output: id_a, id_b, hamming.
+    Shared engine behind :func:`simhash_near_pairs` (text) and
+    :func:`~cflux_spark.extensions.multimodal.image_dhash` pairing
+    (perceptual image dedup) — any signature whose similarity is
+    Hamming distance plugs in.
 
     Candidate generation is EXACT (pigeonhole, not probabilistic): the
-    fingerprint splits into (max_hamming + 1) bit-bands — a pair at
-    hamming distance ≤ d differs in ≤ d bands, so at least one band
-    matches exactly. Candidates form via an equi-join on
-    (band_id, band_bits); popcount(xor) then verifies exactly. The join
-    carries only (id, fingerprint, band key) — one shuffle, no
-    quadratic blowup outside genuine near-dup clusters, same scale
-    shape as the MinHash banding above.
+    fingerprint splits into ``n_blocks`` bit-blocks (default
+    max_hamming + 1) and each candidate table keys on a COMBINATION of
+    (n_blocks − max_hamming) blocks — a pair at hamming distance ≤ d
+    leaves ≥ n_blocks − d blocks untouched, so at least one combination
+    key matches exactly (Manku et al. 2007, WWW — the web-scale simhash
+    dedup construction). Candidates form via an equi-join on
+    (band_id, band_bits); popcount(xor) then verifies exactly.
+
+    The default (n_blocks = d + 1, single-block keys) is the minimal
+    4-table pigeonhole — fine while corpus size is far below 2^16.
+    At larger scale the 16-bit keys themselves collide: the round-10
+    probe measured 22.8M accidental candidates for 210k genuine pairs
+    at 50k docs (and the accidental tier grows ~quadratically). Raising
+    ``n_blocks`` (e.g. 6 → C(6,3)=20 tables keyed on ~33 bits) trades
+    a wider explode for a collision rate ~2^17× lower — the 100 TB
+    configuration. Same join shape either way: one band-key shuffle,
+    nothing quadratic outside genuine clusters.
 
     ``keep_all_candidates=True`` skips the hamming cutoff and returns
     every pigeonhole candidate with its exact distance — for tuning
-    ``max_hamming`` against a corpus, and for measuring the verifier
-    tier's size directly (scripts/pair_growth_probe.py)."""
-    fp = simhash(df, text_col, id_col, bits)
-    nbands = max_hamming + 1
-    width = (bits + nbands - 1) // nbands
-    band_structs = []
-    for bnd in range(nbands):
-        shift = bnd * width
+    ``max_hamming``/``n_blocks`` against a corpus, and for measuring
+    the verifier tier's size directly (scripts/pair_growth_probe.py)."""
+    from itertools import combinations
+
+    d = max_hamming
+    nb = n_blocks if n_blocks is not None else d + 1
+    if nb <= d:
+        raise ValueError(f"n_blocks must exceed max_hamming ({d})")
+    width = (bits + nb - 1) // nb
+    keep = nb - d  # blocks per combination key
+    if keep * width > 63:
+        raise ValueError(
+            f"combination key is {keep}×{width} bits — does not fit a long; "
+            "raise n_blocks or max_hamming"
+        )
+    combos = list(combinations(range(nb), keep))
+    if len(combos) > 64:
+        raise ValueError(
+            f"{len(combos)} candidate tables (C({nb},{keep})) — explode too wide; "
+            "lower n_blocks"
+        )
+
+    def block(i: int):
+        shift = i * width
         w = min(width, bits - shift)
         mask = (1 << w) - 1
         # arithmetic shiftright sign-extends, but the mask truncates to
-        # the band width — equivalent to a logical shift
+        # the block width — equivalent to a logical shift
+        return F.shiftright(F.col(fp_col), shift).bitwiseAND(F.lit(mask))
+
+    band_structs = []
+    for band_id, combo in enumerate(combos):
+        key = F.lit(0).cast("long")
+        for j, blk in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
         band_structs.append(
-            F.struct(
-                F.lit(bnd).alias("band_id"),
-                F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask)).alias("band_bits"),
-            )
+            F.struct(F.lit(band_id).alias("band_id"), key.alias("band_bits"))
         )
     stacked = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(F.col(id_col), "simhash", F.col("bb.band_id"), F.col("bb.band_bits"))
+        F.col(id_col), F.col(fp_col).alias("_fp"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(F.col(id_col), "_fp", F.col("bb.band_id"), F.col("bb.band_bits"))
     a = stacked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band_id", "band_bits"
+        F.col(id_col).alias("id_a"), F.col("_fp").alias("fp_a"), "band_id", "band_bits"
     )
     b = stacked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band_id", "band_bits"
+        F.col(id_col).alias("id_b"), F.col("_fp").alias("fp_b"), "band_id", "band_bits"
     )
     cand = (
         a.join(b, ["band_id", "band_bits"])
@@ -508,10 +543,40 @@ def simhash_near_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    out = cand.withColumn("hamming", ham)
+    if not keep_all_candidates:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out.select("id_a", "id_b", "hamming")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    keep_all_candidates: bool = False,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Hamming-near duplicate pairs from SimHash fingerprints — see
+    :func:`hamming_near_pairs` for the banding/verification shape and
+    the ``n_blocks`` scale knob (combination banding for corpora large
+    enough that 16-bit single-block keys collide).
+
+    Round 10 fix: ``keep_all_candidates=True`` previously still applied
+    the hamming cutoff (the flag was accepted but unused), so the
+    pair-growth probe's simhash "candidate" counts silently equalled
+    its verified counts. The flag is real now (honored in
+    hamming_near_pairs) and the probe re-run pins the genuine
+    candidate tier."""
+    return hamming_near_pairs(
+        simhash(df, text_col, id_col, bits),
+        max_hamming=max_hamming,
+        fp_col="simhash",
+        id_col=id_col,
+        bits=bits,
+        keep_all_candidates=keep_all_candidates,
+        n_blocks=n_blocks,
     )
 
 

@@ -347,6 +347,104 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+DHASH_SCHEMA = "media_id long, dhash long, error string"
+
+
+def image_dhash(
+    media: DataFrame,
+    hash_w: int = 8,
+    hash_h: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual difference-hash over the binary image column — the
+    standard near-duplicate signature for image corpora (crops,
+    re-encodes, and light edits keep the hash within a few bits while
+    cryptographic hashes scatter). Per image: REAL decode
+    (BMP/PNG/JPEG via the module's codecs), grayscale by channel mean,
+    nearest-neighbor resample to (hash_w+1)×hash_h, then one bit per
+    cell: bit(r,c) = gray[r,c+1] > gray[r,c], packed row-major into a
+    64-bit long (bit index r·hash_w + c, two's complement).
+
+    Pair the output with :func:`cflux_spark.extensions.dedup.
+    hamming_near_pairs` for exact pigeonhole-banded near-dup pairs —
+    the same banding engine the text SimHash tier uses, so image dedup
+    inherits its scale shape (no all-pairs; one band-key shuffle).
+
+    Map-only Arrow batches, per-row corrupt isolation (``error``
+    column), no shuffle — linear at any corpus size."""
+    n_bits = hash_w * hash_h
+    if n_bits > 64:
+        raise ValueError("hash_w * hash_h must fit in 64 bits")
+    idx = np.arange(n_bits, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    arr = _decode_image_bytes(bytes(content))
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    if arr.shape[2] == 4:
+                        arr = arr[:, :, :3]
+                    gray = arr.astype(np.float64).mean(axis=2)
+                    h, w = gray.shape
+                    ys = (np.arange(hash_h) * h) // hash_h
+                    xs = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+                    g = gray[ys][:, xs]
+                    bits = (g[:, 1:] > g[:, :-1]).ravel().astype(np.uint64)
+                    val = np.uint64((bits << idx).sum(dtype=np.uint64))
+                    rows.append((mid, int(val.astype(np.int64)), None))
+                except NotImplementedError:
+                    raise  # missing codec is a deployment error, not data
+                except Exception as exc:  # noqa: BLE001 — corrupt data row
+                    rows.append((mid, None, str(exc)))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "error"])
+
+    return media.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def synthetic_family_images(
+    df: DataFrame, id_col: str = "doc_id", family: int = 5
+) -> DataFrame:
+    """Deterministic 9×8 grayscale BMPs with PLANTED near-duplicate
+    families for the image-dedup oracle: ids sharing ``id // family``
+    render the same base image except pixel (0,0), which shifts by
+    5·(id % family) — so family members differ in at most the single
+    dHash bit pixel (0,0) feeds, while distinct families are
+    effectively random patterns. Every pixel is closed-form in the id
+    via md5 (both engines have it, and proper mixing keeps
+    cross-family Hamming collisions ~zero at any corpus size — a weak
+    arithmetic mix measured 92k incidental pairs at 5k docs, md5
+    measured none):
+    v(d, r, c) = (int(md5("{d//family}:{r}:{c}")[:2], 16)
+                  + [r=0 ∧ c=0]·5·(d%family)) mod 256,
+    r=g=b=v — so a SQL oracle can regenerate the grayscale grid, the
+    dHash packing, and the exact Hamming pairs without touching the
+    codec, while the engine path exercises the REAL encode→decode."""
+    import hashlib  # noqa: PLC0415 — worker-side closure import
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                fam = mid // family
+                v = np.empty((8, 9), np.int64)
+                for r in range(8):
+                    for c in range(9):
+                        v[r, c] = int(
+                            hashlib.md5(f"{fam}:{r}:{c}".encode()).hexdigest()[:2], 16
+                        )
+                v[0, 0] = (v[0, 0] + 5 * (mid % family)) % 256
+                px = np.repeat(v[:, :, None].astype(np.uint8), 3, axis=2)
+                rows.append((mid, "image", encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+
+
 VIDEO_FRAME_SCHEMA = (
     "media_id long, t_ms long, width int, height int, frame binary, error string"
 )

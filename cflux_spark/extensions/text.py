@@ -332,6 +332,123 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an
+    INTERPOLATED BIGRAM language model trained on the corpus itself —
+    the CCNet-style (Wenzek et al. 2020) perplexity quality signal,
+    one modeling order up from :func:`unigram_logprob`:
+
+        p(t_i | t_{i-1}) = λ·c(t_{i-1}, t_i)/c(t_{i-1}) + (1−λ)·c(t_i)/T
+
+    with the document-initial token scored by its unigram probability
+    alone. Output: (doc_id, n_tokens, avg_neg_logprob).
+
+    Scale shape: (token, prev) pairs are built INSIDE the token array
+    by an indexed transform (no self-join, no per-doc window — the
+    array already knows its neighbor), so context attachment is
+    map-only off the scan. Unigram counts aggregate to vocabulary size
+    and broadcast back; bigram counts join on the composite key (one
+    shuffle, corpus-bigram-sized). Tokenization is single-space split
+    + lower for bit-identical cross-engine oracles."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    pairs = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            x.alias("tok"),
+            F.when(i > 0, F.element_at(toks, F.greatest(i, F.lit(1)))).alias("prev"),
+        ),
+    )
+    rows = df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
+    )
+    uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
+    total = uni.agg(F.sum("n").alias("_t"))
+    big = (
+        rows.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("n2"))
+    )
+    up = uni.select(F.col("tok").alias("prev"), F.col("n").alias("n_prev"))
+    scored = (
+        rows.join(F.broadcast(uni), "tok")
+        .join(F.broadcast(up), "prev", "left")
+        .join(big, ["prev", "tok"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(), F.col("n") / F.col("_t")
+            )
+            .otherwise(
+                F.lit(lam) * (F.col("n2") / F.col("n_prev"))
+                + F.lit(1.0 - lam) * (F.col("n") / F.col("_t"))
+            )
+            .alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.avg(F.log("p")), round_to).alias("avg_neg_logprob"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    score_col: str = "avg_neg_logprob",
+    n: int = 3,
+    names: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+    max_domain: int = 200_000,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning: split a scored corpus into
+    ``n`` equal-population tiers by value cutoffs — head (lowest
+    perplexity, cleanest), middle, tail. Docs sharing a (rounded)
+    score land in the same tier, so the rule is a pure function of the
+    value — exactly how CCNet applies precomputed percentile cutoffs.
+
+    Cutoff j is the smallest score whose cumulative count reaches
+    ceil(j·total/n) — integer arithmetic, no interpolation, so a SQL
+    oracle reproduces it exactly. The cutoffs come from a DOMAIN-SIZED
+    aggregate (distinct rounded scores — the :func:`~cflux_spark.
+    extensions.sampling.length_buckets` pattern): collected under
+    ``max_domain`` guard (fails loudly for genuinely continuous
+    columns), then applied as a broadcast-literal CASE — the corpus
+    itself is never sorted or collected."""
+    if len(names) != n:
+        raise ValueError("names must have one label per tier")
+    domain = scores.groupBy(score_col).agg(F.count("*").alias("_n")).collect()
+    if len(domain) > max_domain:
+        raise ValueError(
+            f"score domain {len(domain)} exceeds max_domain={max_domain}; "
+            "round the score column coarser before bucketing"
+        )
+    domain.sort(key=lambda r: r[score_col])
+    total = sum(r["_n"] for r in domain)
+    cuts: list[float] = []
+    cum = 0
+    it = iter(domain)
+    row = next(it, None)
+    for j in range(1, n):
+        need = (j * total + n - 1) // n  # ceil(j·total/n)
+        while row is not None and cum + row["_n"] < need:
+            cum += row["_n"]
+            row = next(it, None)
+        if row is None:  # pragma: no cover — need ≤ total by construction
+            break
+        cuts.append(row[score_col])
+        # stay on this row: the next cutoff may be the same value
+    expr = F.lit(names[-1])
+    for j in range(n - 2, -1, -1):
+        expr = F.when(F.col(score_col) <= F.lit(cuts[j]), F.lit(names[j])).otherwise(expr)
+    return scores.withColumn(bucket_col, expr)
+
+
 # Portable PII patterns (valid under both Java regex and RE2, global
 # replace on both engines). Deliberately conservative: redaction is a
 # pipeline hygiene pass, not a compliance guarantee.

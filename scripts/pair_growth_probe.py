@@ -18,11 +18,15 @@ It measures, for m in --multiplicities over the sf0.1 documents table:
       pairs/doc, and the per-m growth vs the (m-1)/2 law.
   simhash_near_pairs  (pigeonhole, max_hamming=3 → 4 bands):
       pigeonhole candidates (keep_all_candidates=True — what enters
-      the popcount verifier) AND verified pairs (hamming ≤ 3).
+      the popcount verifier) AND verified pairs (hamming ≤ 3), plus
+      the Manku C(6,3) combination-banded candidate tier (n_blocks=6).
 
-A ratio column close to 1.0 against the law means the verifier tier is
-bounded by genuine cluster structure, not banding leakage; leakage
-would show as super-linear growth of (candidates − verified).
+A candidate column tracking the law ≈ 1.0 means the verifier tier is
+bounded by genuine cluster structure; growth above the law is band-KEY
+collision (the 4-block tier's 16-bit keys collide once the corpus
+outgrows 2^16 — measured 8.96× the law at 50k docs, which is why
+n_blocks=6 with ~33-bit keys is the at-scale configuration; see
+SCALE.md round-10 correction).
 
 Replicas use the sf1_probe recipe (key offset i·10⁹, text || ' rep' ||
 i) so the twins are near-dups, not byte-dups — the hostile shape.
@@ -75,7 +79,8 @@ def main() -> int:
     print(f"base corpus: {n_base} docs ({args.src})")
     hdr = (
         f"{'m':>3} {'docs':>7} | {'mh_cand':>9} {'mh/doc':>7} {'mh_law':>7} | "
-        f"{'sh_cand':>9} {'sh_verif':>9} {'sh/doc':>7} {'sh_law':>7} | {'wall_s':>7}"
+        f"{'sh_cand':>9} {'sh_verif':>9} {'sh/doc':>7} {'sh_law':>7} | "
+        f"{'sh6_cand':>9} {'sh6/doc':>8} | {'wall_s':>7}"
     )
     print(hdr)
     rows = []
@@ -89,6 +94,11 @@ def main() -> int:
         sh_cand = sh_all.count()
         sh_ver = sh_all.filter("hamming <= 3").count()
         sh_all.unpersist()
+        # the Manku combination-banded tier (6 blocks, C(6,3)=20 tables
+        # keyed on ~33 bits): same exact recall, collision-driven
+        # candidates suppressed ~2^17× — the 100 TB configuration
+        sh6 = simhash_near_pairs(docs, keep_all_candidates=True, n_blocks=6)
+        sh6_cand = sh6.count()
         docs.unpersist()
         wall = time.time() - t0
         if m == ms[0] and ms[0] == 1:
@@ -101,9 +111,10 @@ def main() -> int:
         sh_law = sh_cand / law(base_sh) if base_sh else float("nan")
         print(
             f"{m:>3} {n:>7} | {mh:>9} {mh / n:>7.2f} {mh_law:>7.2f} | "
-            f"{sh_cand:>9} {sh_ver:>9} {sh_cand / n:>7.2f} {sh_law:>7.2f} | {wall:>7.1f}"
+            f"{sh_cand:>9} {sh_ver:>9} {sh_cand / n:>7.2f} {sh_law:>7.2f} | "
+            f"{sh6_cand:>9} {sh6_cand / n:>8.2f} | {wall:>7.1f}"
         )
-        rows.append((m, n, mh, sh_cand, sh_ver, wall))
+        rows.append((m, n, mh, sh_cand, sh_ver, sh6_cand, wall))
     print(
         "\nlaw column ≈ 1.0 ⇒ candidate growth is exactly the planted "
         "cluster structure (banding holds, no leakage); "

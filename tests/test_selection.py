@@ -1,0 +1,247 @@
+"""Unit tests: DSIR importance resampling, bigram-LM perplexity +
+CCNet buckets, perceptual image dedup (dHash + shared Hamming
+banding) — round 10 second half."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cflux_spark.extensions import multimodal
+from cflux_spark.extensions.dedup import hamming_near_pairs
+from cflux_spark.extensions.dsir import dsir_log_weights, dsir_select, hashed_gram_occurrences
+from cflux_spark.extensions.text import bigram_logprob, perplexity_buckets
+
+# --------------------------------------------------------------- dHash
+
+
+def _dhash_ref(gray: np.ndarray) -> int:
+    bits = (gray[:, 1:] > gray[:, :-1]).ravel().astype(np.uint64)
+    u = np.uint64((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+    return int(u.astype(np.int64))
+
+
+def test_image_dhash_matches_reference(spark):
+    rng = np.random.default_rng(7)
+    imgs = []
+    for mid in range(4):
+        gray = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+        px = np.repeat(gray[:, :, None], 3, axis=2)
+        imgs.append((mid, gray, multimodal.encode_bmp(px)))
+    media = spark.createDataFrame(
+        [(m, "image", b) for m, _, b in imgs], "media_id long, kind string, content binary"
+    )
+    got = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    for mid, gray, _ in imgs:
+        assert got[mid] == _dhash_ref(gray.astype(np.float64))
+
+
+def test_image_dhash_resamples_larger_images(spark):
+    # 18x16 image downsampled 2x by nearest neighbor == the 9x8 source
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    big = np.repeat(np.repeat(gray, 2, axis=0), 2, axis=1)
+    px = np.repeat(big[:, :, None], 3, axis=2)
+    media = spark.createDataFrame(
+        [(0, "image", multimodal.encode_bmp(px))], "media_id long, kind string, content binary"
+    )
+    got = multimodal.image_dhash(media).collect()[0]
+    assert got["dhash"] == _dhash_ref(gray.astype(np.float64))
+    assert got["error"] is None
+
+
+def test_image_dhash_isolates_corrupt_rows(spark):
+    gray = np.full((8, 9, 3), 100, np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", multimodal.encode_bmp(gray)), (1, "image", b"BM\x10corrupt body")],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.image_dhash(media).collect()}
+    assert rows[0]["error"] is None and rows[0]["dhash"] is not None
+    assert rows[1]["dhash"] is None and rows[1]["error"]
+
+
+def test_planted_families_pair_within_one_bit(spark):
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    fp = multimodal.image_dhash(multimodal.synthetic_family_images(docs))
+    pairs = hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {
+        (a, b)
+        for a in range(30)
+        for b in range(a + 1, 30)
+        if a // 5 == b // 5
+    }
+    assert planted <= got
+    assert all(r["hamming"] <= 1 for r in pairs if (r["id_a"], r["id_b"]) in planted)
+
+
+def test_hamming_keep_all_candidates_returns_verifier_tier(spark):
+    # regression: the flag was accepted but the cutoff still applied,
+    # so probe "candidates" silently equalled verified pairs
+    fp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, -1)],  # 2 differs from 0/1 in up to 64 bits but
+        "doc_id long, sig long",  # shares band values with neither; 0/1 identical
+    )
+    # craft a band collision with large hamming: low 16 bits equal, rest differ
+    fp = spark.createDataFrame(
+        [(0, 0x0000_0000_0000_1234), (1, 0x7FFF_FFFF_FFFF_1234)],
+        "doc_id long, sig long",
+    )
+    strict = hamming_near_pairs(fp, max_hamming=3, fp_col="sig").collect()
+    assert strict == []
+    lax = hamming_near_pairs(fp, max_hamming=3, fp_col="sig", keep_all_candidates=True).collect()
+    assert len(lax) == 1 and lax[0]["hamming"] > 3
+
+
+def test_combination_banding_same_verified_pairs(spark):
+    # Manku-style C(6,3) combination keys must find EXACTLY the same
+    # hamming<=3 pairs as the minimal 4-block pigeonhole (both exact)
+    rng = np.random.default_rng(3)
+    sigs = []
+    base = int(rng.integers(0, 2**63))
+    for i in range(40):
+        if i % 4 == 0:
+            base = int(rng.integers(0, 2**63))
+            v = base
+        else:  # flip i%4 bits of the family base
+            v = base
+            for b in rng.choice(64, size=i % 4, replace=False):
+                v ^= 1 << int(b)
+        sigs.append((i, v - (1 << 64) if v >= (1 << 63) else v))
+    fp = spark.createDataFrame(sigs, "doc_id long, sig long")
+    a = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(fp, max_hamming=3, fp_col="sig").collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(fp, max_hamming=3, fp_col="sig", n_blocks=6).collect()
+    }
+    assert a == b and len(a) >= 40 // 4 * 3  # every planted intra-family pair found
+
+
+def test_combination_banding_shrinks_candidate_tier(spark):
+    # many docs sharing one 16-bit block but far apart: single-block
+    # keys propose them all; 33-bit combination keys propose none
+    # 0x1234 fills the low 16 bits (one shared coarse block); copies of
+    # i land inside each of the five higher 11-bit fine blocks, so with
+    # n_blocks=6 only block 0 is constant and every 3-block key varies
+    rows = [
+        (i, 0x1234 | (i << 16) | (i << 22) | (i << 33) | (i << 44) | (i << 55))
+        for i in range(40)
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, sig long")
+    coarse = hamming_near_pairs(
+        fp, max_hamming=3, fp_col="sig", keep_all_candidates=True
+    ).count()
+    fine = hamming_near_pairs(
+        fp, max_hamming=3, fp_col="sig", keep_all_candidates=True, n_blocks=6
+    ).count()
+    assert coarse == 40 * 39 // 2
+    assert fine < coarse / 100
+
+
+def test_banding_guards(spark):
+    fp = spark.createDataFrame([(0, 1)], "doc_id long, sig long")
+    with pytest.raises(ValueError, match="n_blocks must exceed"):
+        hamming_near_pairs(fp, max_hamming=3, fp_col="sig", n_blocks=3)
+    with pytest.raises(ValueError, match="does not fit a long"):
+        # 9 blocks of ceil(64/9)=8 bits, keys of 8 blocks → 64 bits > 63
+        hamming_near_pairs(fp, max_hamming=1, fp_col="sig", n_blocks=9)
+    with pytest.raises(ValueError, match="explode too wide"):
+        hamming_near_pairs(fp, max_hamming=8, fp_col="sig", n_blocks=16)
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_weights_zero_when_target_is_raw(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta"), (2, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    w = dsir_log_weights(docs, docs).collect()
+    assert len(w) == 3
+    for r in w:
+        assert r["log_weight"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    raw = spark.createDataFrame(
+        [(0, "clean prose about science"), (1, "spam spam buy now spam")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "clean prose about science and research")], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(raw, target).collect()}
+    assert w[0] > w[1]
+
+
+def test_dsir_gram_occurrences_shape(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "")], "doc_id long, text string")
+    occ = hashed_gram_occurrences(df).collect()
+    # 3 unigrams + 2 bigrams; empty doc contributes nothing
+    assert len(occ) == 5
+    assert all(0 <= r["bucket"] < 4096 for r in occ)
+
+
+def test_dsir_select_deterministic_topk(spark):
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("token"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    a = sorted(r["doc_id"] for r in dsir_select(docs, target, k=10).collect())
+    b = sorted(r["doc_id"] for r in dsir_select(docs, target, k=10).collect())
+    assert a == b and len(a) == 10
+    assert set(a) <= set(range(50))
+
+
+# ------------------------------------------------- bigram LM + buckets
+
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame([(0, "a b"), (1, "a c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(docs, lam=0.75).collect()}
+    # corpus: T=4, c(a)=2 c(b)=1 c(c)=1; bigrams (a,b)=1 (a,c)=1
+    p_a = 2 / 4
+    p_b = 0.75 * (1 / 2) + 0.25 * (1 / 4)
+    expect = round(-(math.log(p_a) + math.log(p_b)) / 2, 4)
+    assert got[0]["n_tokens"] == 2
+    assert got[0]["avg_neg_logprob"] == pytest.approx(expect, abs=1e-9)
+    assert got[1]["avg_neg_logprob"] == pytest.approx(expect, abs=1e-9)  # symmetric corpus
+
+
+def test_bigram_logprob_single_token_doc_is_unigram(spark):
+    docs = spark.createDataFrame([(0, "x"), (1, "x y")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(docs, lam=0.75).collect()}
+    # T=3, c(x)=2: doc0 = -ln(2/3)
+    assert got[0]["avg_neg_logprob"] == pytest.approx(round(-math.log(2 / 3), 4), abs=1e-9)
+
+
+def test_perplexity_buckets_tertiles_and_ties(spark):
+    rows = [(i, float(s)) for i, s in enumerate([1, 1, 2, 3, 4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(df, score_col="s").collect()}
+    # total 9 → cutoffs at cum>=3 (s=2) and cum>=6 (s=5)
+    assert [out[i] for i in range(9)] == [
+        "head", "head", "head", "middle", "middle", "middle", "tail", "tail", "tail",
+    ]
+    # ties stay together: two docs at s=1 share a bucket by construction
+    assert out[0] == out[1]
+
+
+def test_perplexity_buckets_domain_guard(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.col("id").cast("double").alias("s"))
+    with pytest.raises(ValueError, match="max_domain"):
+        perplexity_buckets(df, score_col="s", max_domain=10)
+
+
+def test_perplexity_buckets_custom_n(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"), F.col("id").cast("double").alias("s"))
+    out = perplexity_buckets(df, score_col="s", n=2, names=("lo", "hi")).collect()
+    lo = {r["doc_id"] for r in out if r["bucket"] == "lo"}
+    assert lo == {0, 1, 2, 3, 4}
