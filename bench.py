@@ -132,6 +132,13 @@ BENCH_QUERIES = [
     "q_dsir_select",
     "q_bigram_logprob",
     "q_image_dedup",
+    # round-10 third wave: MMR greedy re-rank (pool² pairwise sims +
+    # per-query Arrow kernel), CCNet paragraph dedup (hash-keyed window
+    # + doc reassembly), winnowing fingerprints (doc-local window min +
+    # bounded range self-join)
+    "q_mmr_topk",
+    "q_paragraph_dedup",
+    "q_winnow_fingerprints",
 ]
 
 

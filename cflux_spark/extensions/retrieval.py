@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from cflux_spark.extensions.text import word_tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_scores", "bm25_topk", "mmr_topk", "rrf_fuse"]
 
 
 def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -172,3 +172,107 @@ def rrf_fuse(
     if topn is not None:
         out = out.filter(F.col("rank") <= topn)
     return out
+
+
+def mmr_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): per query, greedily pick k results maximizing
+
+        λ·rel(q, d) − (1−λ)·max over selected s of sim(d, s)
+
+    — the diversity-aware top-k a curation pipeline uses to pull
+    varied exemplars (dedup-aware retrieval, eval-set mining) instead
+    of k near-copies of the best hit. Step 1 takes the highest
+    relevance outright; ties break on doc id everywhere.
+
+    Output: (query_id, doc_id, mmr_score, rank 1..k).
+
+    Scale shape: relevance is the exact-cosine top-``pool`` shortlist
+    (:func:`~cflux_spark.extensions.similarity.brute_force_topk` here;
+    the IVFPQ bulk path slots in at corpus scale), pairwise sims are
+    computed only WITHIN each query's shortlist (pool² per query,
+    never corpus²), and the inherently-sequential greedy loop runs as
+    an Arrow ``applyInPandas`` kernel per query group — thousands of
+    queries select in parallel, each over a pool-sized frame.
+
+    Float parity: rel and sim are rounded to ``round_to`` before the
+    greedy math; λ should be exactly representable in binary (0.75 →
+    1−λ = 0.25 exact) so a SQL oracle replays identical doubles.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from cflux_spark.extensions.similarity import _norm, _paired_sim, brute_force_topk
+
+    mu = 1.0 - lam
+    cand = brute_force_topk(
+        queries, candidates, k=pool, id_col=id_col, vec_col=vec_col, round_to=round_to
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("sim").alias("rel"))
+    embn = candidates.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_ev"),
+        _norm(F.col(vec_col)).alias("_en"),
+    )
+    left = cand.join(embn, F.col("doc_id") == F.col("_eid")).select(
+        "query_id", "doc_id", "rel", F.col("_ev").alias("qv"), F.col("_en").alias("_qn")
+    )
+    right = (
+        cand.select("query_id", F.col("doc_id").alias("other_id"))
+        .join(embn, F.col("other_id") == F.col("_eid"))
+        .select("query_id", "other_id", F.col("_ev").alias("cv"), F.col("_en").alias("_cn"))
+    )
+    pairs = (
+        left.join(right, "query_id")
+        .filter(F.col("doc_id") != F.col("other_id"))
+        .withColumn("sim", _paired_sim(round_to))
+        .select("query_id", "doc_id", "rel", "other_id", "sim")
+    )
+    # rel-only rows keep single-candidate queries alive in the feed
+    feed = pairs.unionByName(
+        cand.select(
+            "query_id",
+            "doc_id",
+            "rel",
+            F.lit(None).cast("long").alias("other_id"),
+            F.lit(None).cast("double").alias("sim"),
+        )
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            d = int(r.doc_id)
+            rel[d] = float(r.rel)
+            if not pd.isna(r.other_id):
+                sim[(d, int(r.other_id))] = float(r.sim)
+        remaining = sorted(rel)
+        selected: list[int] = []
+        out = []
+        while remaining and len(selected) < k:
+            best_d = None
+            best_score = 0.0
+            for d in remaining:
+                if not selected:
+                    score = rel[d]
+                else:
+                    score = lam * rel[d] - mu * max(sim[(d, s)] for s in selected)
+                if best_d is None or score > best_score or (score == best_score and d < best_d):
+                    best_d, best_score = d, score
+            selected.append(best_d)
+            remaining.remove(best_d)
+            out.append((qid, best_d, best_score, len(selected)))
+        return pd.DataFrame(out, columns=["query_id", "doc_id", "mmr_score", "rank"])
+
+    return feed.groupBy("query_id").applyInPandas(
+        kern, schema="query_id long, doc_id long, mmr_score double, rank int"
+    )

@@ -7,7 +7,7 @@ linearly and pushes column pruning to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _STOPWORDS = (
@@ -447,6 +447,122 @@ def perplexity_buckets(
     for j in range(n - 2, -1, -1):
         expr = F.when(F.col(score_col) <= F.lit(cuts[j]), F.lit(names[j])).otherwise(expr)
     return scores.withColumn(bucket_col, expr)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide PARAGRAPH-level dedup — the CCNet ingestion step
+    (Wenzek et al. 2020): split every document on ``sep``, hash each
+    paragraph, keep only the globally FIRST occurrence of each
+    distinct paragraph (ordered by doc id, then position — fully
+    deterministic), and reassemble documents from their surviving
+    paragraphs in original order. Strips the boilerplate that repeats
+    across a crawl (nav chrome, footers, subscribe prompts) that
+    document-level dedup can never see.
+
+    Output: (doc_id, clean_text, n_paragraphs, n_kept). Documents
+    whose every paragraph appeared earlier collapse to the empty
+    string — the downstream length filter's job, not a silent drop.
+
+    Scale shape: explode is map-only; the only shuffle is the window
+    over the paragraph-hash key (high-cardinality — parallel), and
+    reassembly is one doc-keyed aggregation. No driver involvement."""
+    parts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "pos")
+    kept = parts.withColumn("_rn", F.row_number().over(w))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rn") == 1, F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "clean_text", "n_paragraphs", "n_kept")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, slide
+    a w-wide window over the hash sequence, and record the window
+    minimum (rightmost position on ties). Guarantees at least one
+    fingerprint in every w-gram window, so any shared run of
+    k + w − 1 tokens between two documents shares a fingerprint —
+    the local, position-robust signature tier for plagiarism-style
+    overlap mining that whole-doc hashing misses.
+
+    Output: (doc_id, fp_pos, fp_hash), distinct per doc. Documents
+    shorter than k + w − 1 tokens yield none (no full window).
+
+    Two passes, both doc-local and parallel over docs: a per-doc
+    window min (partitioned WindowExec), then the rightmost-min
+    position resolved by a doc-keyed range self-join (each window
+    joins to ≤ w hash rows — bounded fan-out, no quadratic term).
+    Hashes are md5-derived 52-bit longs so a SQL oracle replays the
+    selection bit-for-bit."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    # guard: sequence(0, n) counts DOWN for n < 0 (docs shorter than k
+    # tokens would produce negative slice starts)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = (
+        df.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
+        .filter(F.size("_g") >= w)
+        .select("doc_id", F.posexplode("_g").alias("j", "gram"))
+        .select(
+            "doc_id",
+            "j",
+            F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10).cast("long").alias("h"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(-(w - 1), 0)
+    mins = (
+        rows.withColumn("_minval", F.min("h").over(win))
+        .filter(F.col("j") >= w - 1)
+        .select("doc_id", F.col("j").alias("q"), "_minval")
+    )
+    r2 = rows.select(F.col("doc_id").alias("_d"), F.col("j").alias("_j"), F.col("h").alias("_h"))
+    return (
+        mins.join(
+            r2,
+            (F.col("doc_id") == F.col("_d"))
+            & (F.col("_j") >= F.col("q") - (w - 1))
+            & (F.col("_j") <= F.col("q"))
+            & (F.col("_h") == F.col("_minval")),
+        )
+        .groupBy("doc_id", "q", "_minval")
+        .agg(F.max("_j").alias("fp_pos"))
+        .select("doc_id", "fp_pos", F.col("_minval").alias("fp_hash"))
+        .distinct()
+    )
 
 
 # Portable PII patterns (valid under both Java regex and RE2, global

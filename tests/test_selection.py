@@ -245,3 +245,110 @@ def test_perplexity_buckets_custom_n(spark):
     out = perplexity_buckets(df, score_col="s", n=2, names=("lo", "hi")).collect()
     lo = {r["doc_id"] for r in out if r["bucket"] == "lo"}
     assert lo == {0, 1, 2, 3, 4}
+
+
+# ------------------------------------------------ MMR / CCNet paragraphs / winnowing
+
+
+def test_mmr_prefers_diverse_second_pick(spark):
+    from cflux_spark.extensions.retrieval import mmr_topk
+
+    # query q; docs 1,2 nearly identical & most relevant, doc 3 diverse
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.9, 0.11, 0.0]),
+        (3, [0.5, 0.0, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_topk(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") > 0),
+        k=3,
+        pool=3,
+        lam=0.5,  # balanced λ — at 0.75 relevance always wins on this geometry
+    ).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    assert by_rank[1] in (1, 2)           # highest relevance first
+    assert by_rank[2] == 3                # diversity beats the near-twin
+    assert len(out) == 3
+
+
+def test_mmr_rank1_is_top_relevance_and_deterministic(spark):
+    from cflux_spark.extensions.retrieval import mmr_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 2)
+    a = sorted(map(tuple, mmr_topk(q, emb, k=4, pool=10).collect()))
+    b = sorted(map(tuple, mmr_topk(q, emb, k=4, pool=10).collect()))
+    assert a == b
+    assert len(a) == 8  # 2 queries x 4
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from cflux_spark.extensions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(0, "A\nB"), (1, "B\nC"), (2, "B")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[0]["clean_text"] == "A\nB" and got[0]["n_kept"] == 2
+    assert got[1]["clean_text"] == "C" and got[1]["n_kept"] == 1
+    assert got[2]["clean_text"] == "" and got[2]["n_kept"] == 0
+    assert got[2]["n_paragraphs"] == 1
+
+
+def test_dedup_paragraphs_intra_doc_repeat(spark):
+    from cflux_spark.extensions.text import dedup_paragraphs
+
+    docs = spark.createDataFrame([(0, "X\nX\nY")], "doc_id long, text string")
+    got = dedup_paragraphs(docs).collect()[0]
+    assert got["clean_text"] == "X\nY"  # second X dropped, order kept
+
+
+def _winnow_ref(text, k=5, w=4):
+    import hashlib
+
+    toks = [t for t in text.lower().split(" ") if t]
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if len(grams) < w:
+        return set()
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+    fps = set()
+    for q in range(w - 1, len(hs)):
+        lo = q - w + 1
+        mn = min(hs[lo : q + 1])
+        pos = max(j for j in range(lo, q + 1) if hs[j] == mn)
+        fps.add((pos, hs[pos]))
+    return fps
+
+
+def test_winnow_matches_reference(spark):
+    from cflux_spark.extensions.text import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again today"),
+        (1, "a b c d e f g h"),       # exactly k+w-1 tokens -> 1 window
+        (2, "too short for grams"),   # < k tokens -> none
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got: dict[int, set] = {0: set(), 1: set(), 2: set()}
+    for r in winnow_fingerprints(docs).collect():
+        got[r["doc_id"]].add((r["fp_pos"], r["fp_hash"]))
+    for did, text in texts:
+        assert got[did] == _winnow_ref(text), did
+
+
+def test_winnow_every_window_covered(spark):
+    from cflux_spark.extensions.text import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 13}" for i in range(60))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    pos = sorted(r["fp_pos"] for r in winnow_fingerprints(docs).collect())
+    n_grams = 60 - 5 + 1
+    for q in range(3, n_grams):
+        assert any(q - 3 <= p <= q for p in pos), f"window ending at {q} uncovered"
