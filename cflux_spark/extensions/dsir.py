@@ -44,23 +44,32 @@ def hashed_gram_occurrences(
     """One row per unigram/bigram OCCURRENCE: (doc_id, bucket).
     Buckets are md5-hashed gram ids — the paper's hashed n-gram
     feature map, made engine-portable. Map-only (split + explode off
-    the scan), no shuffle."""
-    toks = F.filter(
+    the scan), no shuffle. The token array is MATERIALIZED in its own
+    projection before any lambda references it — an expression
+    referenced inside a HOF lambda is re-evaluated per element (no CSE
+    across lambda boundaries), which turns tokenize into O(n²) per doc
+    (the text_stats lesson; measured 10.7 s → sub-second on the sf0.1
+    gram explosion)."""
+    toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
         lambda x: x != F.lit(""),
     )
+    # repartition doc-level rows BEFORE the gram explosion: the per-doc
+    # weight aggregation shuffles on doc_id anyway, so this moves that
+    # exchange above the expensive md5-per-gram build (parallel even
+    # off a single-file scan) instead of adding one
+    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")).repartition(
+        F.col("doc_id")
+    )
+    t = F.col("_toks")
     bi = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat(
-                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
-            ),
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat(F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.concat(toks, bi)).alias("gram")
-    )
+    grams = base.select("doc_id", F.explode(F.concat(t, bi)).alias("gram"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
         % n_buckets

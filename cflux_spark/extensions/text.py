@@ -355,16 +355,21 @@ def bigram_logprob(
     map-only off the scan. Unigram counts aggregate to vocabulary size
     and broadcast back; bigram counts join on the composite key (one
     shuffle, corpus-bigram-sized). Tokenization is single-space split
-    + lower for bit-identical cross-engine oracles."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    + lower for bit-identical cross-engine oracles. The token array is
+    materialized in its own projection BEFORE the lambda references it
+    (no CSE across HOF lambda boundaries — re-evaluating the split per
+    element is O(n²) per doc; the text_stats lesson)."""
+    toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks"))
+    t = F.col("_toks")
     pairs = F.transform(
-        toks,
+        t,
         lambda x, i: F.struct(
             x.alias("tok"),
-            F.when(i > 0, F.element_at(toks, F.greatest(i, F.lit(1)))).alias("prev"),
+            F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
-    rows = df.select(F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")).select(
+    rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
     )
     uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
@@ -517,52 +522,67 @@ def winnow_fingerprints(
     Output: (doc_id, fp_pos, fp_hash), distinct per doc. Documents
     shorter than k + w − 1 tokens yield none (no full window).
 
-    Two passes, both doc-local and parallel over docs: a per-doc
-    window min (partitioned WindowExec), then the rightmost-min
-    position resolved by a doc-keyed range self-join (each window
-    joins to ≤ w hash rows — bounded fan-out, no quadratic term).
-    Hashes are md5-derived 52-bit longs so a SQL oracle replays the
-    selection bit-for-bit."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    One doc-partitioned window pass, no self-join: the rightmost-min
+    rule is lexicographic min over (hash, −position), which packs into
+    a single sortable long — key = h·2²³ + (2²³ − 1 − j) with h a
+    36-bit md5-derived hash — so ``min(key)`` over the trailing window
+    IS the winnowing selection (min hash, rightmost position on ties),
+    decoded back by integer div/mod. Valid for documents up to 2²³
+    grams (8.4M tokens); hash ties across DIFFERENT grams inside one
+    window only affect which position is recorded, identically in
+    engine and oracle (same integer arithmetic both sides)."""
+    toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    # The downstream window shuffles on doc_id anyway — hoisting that
+    # exchange ABOVE the gram build (repartition doc-level rows, then
+    # explode) keeps the shuffle count at one while running the
+    # expensive per-gram slice+md5 work at full parallelism even off a
+    # single-file scan, and the shuffled rows are doc-level (smaller
+    # than the exploded gram rows the window would otherwise move).
+    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")).repartition(
+        F.col("doc_id")
+    )
+    t = F.col("_toks")
     # guard: sequence(0, n) counts DOWN for n < 0 (docs shorter than k
-    # tokens would produce negative slice starts)
+    # tokens would produce negative slice starts); the token array is
+    # materialized above so the lambda's slice() reads an attribute,
+    # not a re-evaluated split (O(n²) otherwise — the text_stats lesson)
     grams = F.when(
-        F.size(toks) >= k,
+        F.size(t) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # NO pre-explode size filter: Catalyst pushes such a predicate
+    # below the projections, inlining (and re-evaluating) the whole
+    # gram transform inside the filter — measured 7.6 s → 1.3 s on the
+    # sf0.1 gram build. It is also redundant: docs with fewer than w
+    # grams never produce a full window (the j >= w−1 filter below).
+    j_space = 1 << 23
     rows = (
-        df.select(F.col(id_col).alias("doc_id"), grams.alias("_g"))
-        .filter(F.size("_g") >= w)
+        base.select("doc_id", grams.alias("_g"))
         .select("doc_id", F.posexplode("_g").alias("j", "gram"))
         .select(
             "doc_id",
             "j",
-            F.conv(F.substring(F.md5("gram"), 1, 13), 16, 10).cast("long").alias("h"),
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast("long")
+                * F.lit(j_space)
+                + (F.lit(j_space - 1) - F.col("j"))
+            ).alias("_key"),
         )
     )
     win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(-(w - 1), 0)
-    mins = (
-        rows.withColumn("_minval", F.min("h").over(win))
-        .filter(F.col("j") >= w - 1)
-        .select("doc_id", F.col("j").alias("q"), "_minval")
-    )
-    r2 = rows.select(F.col("doc_id").alias("_d"), F.col("j").alias("_j"), F.col("h").alias("_h"))
-    return (
-        mins.join(
-            r2,
-            (F.col("doc_id") == F.col("_d"))
-            & (F.col("_j") >= F.col("q") - (w - 1))
-            & (F.col("_j") <= F.col("q"))
-            & (F.col("_h") == F.col("_minval")),
-        )
-        .groupBy("doc_id", "q", "_minval")
-        .agg(F.max("_j").alias("fp_pos"))
-        .select("doc_id", "fp_pos", F.col("_minval").alias("fp_hash"))
-        .distinct()
-    )
+    sel = rows.withColumn("_mink", F.min("_key").over(win)).filter(F.col("j") >= w - 1)
+    # decode with shift/mask (integer-exact — a double division would
+    # lose bits above 2^53)
+    return sel.select(
+        "doc_id",
+        (F.lit(j_space - 1) - F.col("_mink").bitwiseAND(F.lit(j_space - 1)))
+        .cast("int")
+        .alias("fp_pos"),
+        F.shiftright(F.col("_mink"), 23).alias("fp_hash"),
+    ).distinct()
 
 
 # Portable PII patterns (valid under both Java regex and RE2, global

@@ -4761,9 +4761,11 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # X34 (round 10): winnowing fingerprints (Schleimer/Wilkerson/Aiken,
-# SIGMOD 2003 — MOSS). Hashes are md5-derived 52-bit longs; both
-# engines take the per-window min with the rightmost-position tie
-# rule (max j among h == window min).
+# SIGMOD 2003 — MOSS). The rightmost-min rule is lexicographic min
+# over (hash, −position), packed into one sortable BIGINT
+# (h·2²³ + (2²³−1−j), h = 36-bit md5 prefix) so a single window min
+# does the whole selection in both engines; decode is shift/mask
+# (integer-exact).
 @q(
     "q_winnow_fingerprints",
     r"""
@@ -4774,23 +4776,21 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT doc_id, i.i - 1 AS j,
-             CAST(CAST(('0x' || substring(md5(array_to_string(toks[i.i : i.i + 4], ' ')), 1, 13)) AS UBIGINT) AS BIGINT) AS h
+             CAST(CAST(('0x' || substring(md5(array_to_string(toks[i.i : i.i + 4], ' ')), 1, 9)) AS UBIGINT) AS BIGINT)
+               * 8388608 + (8388607 - (i.i - 1)) AS key
       FROM base, unnest(range(1, len(toks) - 5 + 2)) AS i(i)
-      WHERE len(toks) >= 8
-    ),
-    mins AS (
-      SELECT doc_id, j AS q,
-             min(h) OVER (PARTITION BY doc_id ORDER BY j
-                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minval
-      FROM g QUALIFY j >= 3
+      WHERE len(toks) >= 5
     ),
     sel AS (
-      SELECT m.doc_id, m.q, m.minval, max(r.j) AS fp_pos
-      FROM mins m JOIN g r
-        ON r.doc_id = m.doc_id AND r.j BETWEEN m.q - 3 AND m.q AND r.h = m.minval
-      GROUP BY 1, 2, 3
+      SELECT doc_id,
+             min(key) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mink
+      FROM g QUALIFY j >= 3
     )
-    SELECT DISTINCT doc_id, fp_pos, minval AS fp_hash FROM sel
+    SELECT DISTINCT doc_id,
+           CAST(8388607 - (mink & 8388607) AS INT) AS fp_pos,
+           mink >> 23 AS fp_hash
+    FROM sel
     """,
 )
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

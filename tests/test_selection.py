@@ -317,7 +317,7 @@ def _winnow_ref(text, k=5, w=4):
     grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if len(grams) < w:
         return set()
-    hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:9], 16) for g in grams]
     fps = set()
     for q in range(w - 1, len(hs)):
         lo = q - w + 1
