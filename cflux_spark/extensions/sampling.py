@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+TWO_52 = float(1 << 52)  # md5-derived 13-hex-digit uniform draw denominator
+
 
 def hash_sample(
     df: DataFrame,
@@ -336,6 +338,63 @@ def stratified_hash_sample(
     if cond is None:
         raise ValueError("rates must be non-empty")
     return df.filter(cond)
+
+
+def temperature_sample(
+    df: DataFrame,
+    budget: int,
+    tau: float = 2.0,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Temperature-balanced corpus sampling across groups (the
+    multilingual-pretraining rebalance — UniMax / mT5-style
+    temperature sampling, Chung et al. 2023 / Xue et al. 2021):
+    target share of group g ∝ n_g^(1/τ), so low-resource groups are
+    upweighted relative to their raw frequency (τ=1 keeps the natural
+    distribution, τ→∞ approaches uniform). Keep rate
+    r_g = min(1, budget · s_g / n_g), applied as the content-hash
+    uniform draw u(doc) < r_g — deterministic, repartition-stable,
+    engine-portable like every sampler in this module.
+
+    Output: kept rows as (key, group, rate). For τ=2 the group weight
+    uses IEEE ``sqrt`` (correctly rounded — bit-identical across
+    engines); other τ go through ``pow``, which may differ by 1 ulp
+    between libm implementations, so rates are rounded to ``round_to``
+    before the comparison either way.
+
+    Scale: group histogram is a tiny aggregate broadcast back onto the
+    scan; the keep decision is a map-side predicate. One shuffle
+    (the histogram), nothing collected."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    wexp = (
+        F.sqrt(F.col("_n").cast("double"))
+        if tau == 2.0
+        else F.pow(F.col("_n").cast("double"), 1.0 / tau)
+    )
+    s = n.select(group_col, "_n", wexp.alias("_w"))
+    tot = s.agg(F.sum("_w").alias("_tw"))
+    rates = s.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(budget)) * (F.col("_w") / F.col("_tw")) / F.col("_n")),
+            round_to,
+        ).alias("rate"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":tsamp"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(TWO_52)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("rate"))
+        .select(key_col, group_col, "rate")
+    )
 
 
 def weighted_mixture(

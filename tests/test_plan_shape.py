@@ -309,3 +309,58 @@ def test_subquery_raw_inner_collapses_to_filtered_agg(spark, store):
     assert len(agg_ex) == 1, plan
     for line in exchanges:
         assert "_groupingexpression" in line or "fingerprint#" in line, line
+
+
+def test_winnow_single_window_no_join(spark, sf_dir):
+    """X34: the winnowing selection must be ONE doc-partitioned window
+    over the packed (hash, -pos) key — the range self-join formulation
+    was measured 3x slower and shuffles candidate rows twice."""
+    from cflux_spark.extensions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _final_plan(winnow_fingerprints(docs))
+    assert "Join" not in plan  # no self-join tier at all
+    assert plan.count("Window") == 1
+    # the gram build runs AFTER the doc_id exchange (parallel off a
+    # single-file scan): no Window may appear above an un-exchanged scan
+    assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """X30: the per-bucket log-ratio table (<= n_buckets rows) must
+    reach the gram occurrences as a broadcast, never a sort-merge
+    shuffle of the corpus side."""
+    from cflux_spark.extensions.dsir import dsir_log_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("source") == "src0")
+    plan = _final_plan(dsir_log_weights(docs, tgt))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_image_dedup_pairing_is_band_keyed(spark, sf_dir):
+    """X29: dHash pairing must join on (band_id, band_bits) — one
+    band-key shuffle, no cartesian of the fingerprint set."""
+    from cflux_spark.extensions.dedup import hamming_near_pairs
+    from cflux_spark.extensions.multimodal import image_dhash, synthetic_family_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    fp = image_dhash(synthetic_family_images(docs)).select("media_id", "dhash")
+    plan = _final_plan(hamming_near_pairs(fp, fp_col="dhash", id_col="media_id"))
+    assert "band_bits" in plan and "Join" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mmr_pairwise_sims_stay_within_shortlist(spark, sf_dir):
+    """X32: the only allowed quadratic term is pool^2 per query — the
+    pairwise-sim join must key on query_id (shortlist x shortlist),
+    and the corpus side must never cross-join itself."""
+    from cflux_spark.extensions.retrieval import mmr_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _final_plan(mmr_topk(emb.filter(F.col("vec_id") < 2), emb, k=3, pool=5))
+    # exactly one cross join: the broadcast of the tiny query side in
+    # brute_force_topk (corpus x broadcast(queries) is the rel scan)
+    assert plan.count("CartesianProduct") == 0
+    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan  # the greedy kernel

@@ -352,3 +352,30 @@ def test_winnow_every_window_covered(spark):
     n_grams = 60 - 5 + 1
     for q in range(3, n_grams):
         assert any(q - 3 <= p <= q for p in pos), f"window ending at {q} uncovered"
+
+
+def test_temperature_sample_rebalances(spark):
+    from cflux_spark.extensions.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, budget=200, tau=2.0, group_col="lang").collect()
+    by = {"big": 0, "small": 0}
+    for r in kept:
+        by[r["lang"]] += 1
+    # natural shares: 90%/10%; sqrt-temperature targets 75%/25%
+    assert 0.55 < by["big"] / len(kept) < 0.9
+    assert by["small"] / len(kept) > 0.12
+    # rates identical for same group, and deterministic end to end
+    again = temperature_sample(df, budget=200, tau=2.0, group_col="lang").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_temperature_sample_caps_rate_at_one(spark):
+    from cflux_spark.extensions.sampling import temperature_sample
+
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "doc_id long, lang string")
+    kept = temperature_sample(df, budget=1000, tau=2.0, group_col="lang").collect()
+    assert len(kept) == 10 and all(r["rate"] == 1.0 for r in kept)
+    with pytest.raises(ValueError, match="budget"):
+        temperature_sample(df, budget=0)
