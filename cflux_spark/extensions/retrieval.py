@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from cflux_spark.extensions.text import word_tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "mmr_topk", "rrf_fuse"]
+__all__ = ["bm25_scores", "bm25_topk", "mmr_topk", "ndcg_at_k", "rrf_fuse"]
 
 
 def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -275,4 +275,66 @@ def mmr_topk(
 
     return feed.groupBy("query_id").applyInPandas(
         kern, schema="query_id long, doc_id long, mmr_score double, rank int"
+    )
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    round_to: int = 6,
+    id_cols: tuple[str, str] = ("query_id", "doc_id"),
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranking quality evaluation: nDCG@k per query (Järvelin &
+    Kekäläinen 2002) — the standard score a retrieval-training
+    pipeline computes when mining hard negatives or auditing an index
+    against judged queries.
+
+        DCG@k  = Σ_{rank ≤ k} (2^rel − 1) / log2(rank + 1)
+        IDCG@k = the same over the query's relevances sorted
+                 descending (top k)
+        nDCG   = DCG / IDCG   (0 when the query has no relevant docs)
+
+    Output: (query_id, ndcg). Unjudged retrieved docs score rel = 0;
+    judged-but-unretrieved docs only affect the ideal term, as usual.
+
+    Scale shape: one join of the ranking with the qrels on
+    (query, doc) — both output-sized frames, never the corpus; the
+    ideal term is a per-query window over the qrels (parallel across
+    queries). All double math is literal-identical to the SQL oracle
+    and rounded before hashing."""
+    qc, dc = id_cols
+    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)) / (
+        F.log2(F.col(rank_col).cast("double") + F.lit(1.0))
+    )
+    dcg = (
+        ranking.filter(F.col(rank_col) <= k)
+        .join(qrels, [qc, dc], "left")
+        .withColumn("_g", F.when(F.col(rel_col).isNull(), F.lit(0.0)).otherwise(gain))
+        .groupBy(qc)
+        .agg(F.sum("_g").alias("_dcg"))
+    )
+    iw = Window.partitionBy(qc).orderBy(F.col(rel_col).desc(), F.col(dc))
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("_ir", F.row_number().over(iw))
+        .filter(F.col("_ir") <= k)
+        .withColumn(
+            "_g",
+            (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
+            / F.log2(F.col("_ir").cast("double") + F.lit(1.0)),
+        )
+        .groupBy(qc)
+        .agg(F.sum("_g").alias("_idcg"))
+    )
+    return dcg.join(ideal, qc, "left").select(
+        qc,
+        F.round(
+            F.when(F.col("_idcg").isNull(), F.lit(0.0)).otherwise(
+                F.col("_dcg") / F.col("_idcg")
+            ),
+            round_to,
+        ).alias("ndcg"),
     )

@@ -4835,6 +4835,76 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_sample(docs, budget=300, tau=2.0)
 
 
+# X36 (round 10): nDCG@10 ranking evaluation. Synthetic deterministic
+# qrels: docs with (doc_id + query_id) % 10 == 0 are judged, graded
+# rel = 1 + (doc_id + query_id) % 3. DCG/IDCG arithmetic mirrored
+# term by term; the per-query sums are ≤10 doubles rounded to 6.
+@q(
+    "q_ndcg",
+    f"WITH qs AS ({_QS_SQL}),\n{_BM25_CTES}\n"
+    """
+    , ranking AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm25 QUALIFY rank <= 10
+    ),
+    qrels AS (
+      SELECT q.query_id, d.doc_id,
+             CAST(1 + (d.doc_id + q.query_id) % 3 AS INT) AS rel
+      FROM documents d, qs q
+      WHERE (d.doc_id + q.query_id) % 10 = 0
+    ),
+    dcg AS (
+      SELECT r.query_id,
+             sum(CASE WHEN qr.rel IS NULL THEN 0.0
+                      ELSE (pow(2.0, CAST(qr.rel AS DOUBLE)) - 1.0)
+                           / log2(CAST(r.rank AS DOUBLE) + 1.0) END) AS d
+      FROM ranking r
+      LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+      GROUP BY 1
+    ),
+    ideal AS (
+      SELECT query_id,
+             sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                 / log2(CAST(ir AS DOUBLE) + 1.0)) AS i
+      FROM (
+        SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS ir
+        FROM qrels WHERE rel > 0
+      ) WHERE ir <= 10
+      GROUP BY 1
+    )
+    SELECT dcg.query_id,
+           round(CASE WHEN ideal.i IS NULL THEN 0.0 ELSE dcg.d / ideal.i END, 6) AS ndcg
+    FROM dcg LEFT JOIN ideal USING (query_id)
+    """,
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 retrieval evaluation: nDCG@10 of the BM25 ranking against
+    deterministic graded qrels ((doc+query)%10 judged, rel 1..3) —
+    the score a curation pipeline computes when auditing its retriever
+    or mining hard negatives. One output-sized join + a per-query
+    window over the judged set; arithmetic literal-identical to the
+    SQL twin, rounded to 6 before hashing."""
+    from cflux_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = _retrieval_queries_df(spark)
+    ranking = retrieval.bm25_topk(docs, qs, k=10)
+    qrels = (
+        docs.crossJoin(qs.select("query_id"))
+        .filter((F.col("doc_id") + F.col("query_id")) % 10 == 0)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.lit(1) + (F.col("doc_id") + F.col("query_id")) % 3).cast("int").alias("rel"),
+        )
+    )
+    return retrieval.ndcg_at_k(ranking, qrels, k=10)
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -4854,18 +4924,18 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update both lists when adding queries or touching operators.
 
 # Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
-# promise). Window = (a) the 15 NEW round-10 entries (q_bm25_topk,
+# promise). Window = (a) the 16 NEW round-10 entries (q_bm25_topk,
 # q_hybrid_rrf, q_warc_roundtrip, q_html_extract, q_url_dedup,
 # q_hll_rollup, q_image_dedup, q_dsir_weights, q_dsir_select,
 # q_bigram_logprob, q_ccnet_buckets, q_mmr_topk, q_paragraph_dedup,
-# q_winnow_fingerprints, q_temperature_sample — never
+# q_winnow_fingerprints, q_temperature_sample, q_ndcg — never
 # driver-verified); (b) q_deadman (data-derived scale-invariant
 # interval) and q_simhash_near (keep_all_candidates fix in the shared
 # hamming_near_pairs engine), whose implementations changed this
 # round; (c) ALL 19 entries whose last driver record is r07
-# (promised the r10 head last round); (d) 14 of the 49 r08-green
+# (promised the r10 head last round); (d) 13 of the 49 r08-green
 # entries, in definition order, so nothing in the window is older
-# than two rounds. The 35 r08-green entries that do not fit stay in
+# than two rounds. The 36 r08-green entries that do not fit stay in
 # the middle (they head the r11 window):
 #   q_embed_cluster, q_token_bpe, q_sample_stratified,
 #   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
@@ -4876,12 +4946,14 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_dedup_embedding, q_vector_pq, q_vector_ivfpq, q_dedup_near,
 #   q_dedup_incremental, q_show_cardinality, q_explode_tags,
 #   q_tpch_q1, q_tpch_q5ish, q_dedup_exact, q_dedup_jaccard,
-#   q_rollup, q_intersect, q_limit, q_union_fields (the last four
-#   bumped by the third-wave entries and q_temperature_sample).
+#   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct
+#   (the last five bumped by the third-wave entries,
+#   q_temperature_sample, and q_ndcg).
 # Like everything else they stay oracle-verified every CI run by
 # tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
 
 _VERIFY_FIRST = [
+    "q_ndcg",
     "q_temperature_sample",
     "q_mmr_topk",
     "q_paragraph_dedup",
@@ -4931,7 +5003,6 @@ _VERIFY_FIRST = [
     "q_alert_transitions",
     "q_top_per_bucket",
     "q_subquery_raw_inner",
-    "q_count_distinct",
 ]
 
 # r09-green entries rotate behind the r08 leftovers (which head r11).

@@ -379,3 +379,40 @@ def test_temperature_sample_caps_rate_at_one(spark):
     assert len(kept) == 10 and all(r["rate"] == 1.0 for r in kept)
     with pytest.raises(ValueError, match="budget"):
         temperature_sample(df, budget=0)
+
+
+def test_ndcg_hand_computed(spark):
+    from cflux_spark.extensions.retrieval import ndcg_at_k
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 3), (1, 99, 2)], "query_id long, doc_id long, rel int"
+    )
+    got = ndcg_at_k(ranking, qrels, k=3).collect()
+    dcg = (2**1 - 1) / math.log2(2) + 0.0 + (2**3 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    assert got[0]["ndcg"] == pytest.approx(round(dcg / idcg, 6), abs=1e-9)
+
+
+def test_ndcg_no_relevant_docs_scores_zero(spark):
+    from cflux_spark.extensions.retrieval import ndcg_at_k
+
+    ranking = spark.createDataFrame([(1, 10, 1)], "query_id long, doc_id long, rank int")
+    qrels = spark.createDataFrame([], "query_id long, doc_id long, rel int")
+    got = ndcg_at_k(ranking, qrels, k=3).collect()
+    assert got[0]["ndcg"] == 0.0
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from cflux_spark.extensions.retrieval import ndcg_at_k
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1)], "query_id long, doc_id long, rel int"
+    )
+    got = ndcg_at_k(ranking, qrels, k=5).collect()
+    assert got[0]["ndcg"] == 1.0
