@@ -4381,10 +4381,11 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical 4×16-bit banding — arithmetic-vs-logical shift agrees here
 # because band shift + width ≤ 64, so the mask discards every
 # sign-extended bit.
-@q(
-    "q_image_dedup",
-    """
-    WITH grid AS (
+# Shared dHash oracle CTE chain (grid → bit packing → bands → exact
+# pairs), ending in `ipairs (id_a, id_b, hamming)` — reused by
+# q_image_dedup and the cluster composition q_image_clusters.
+_DHASH_CTES = """
+    grid AS (
       SELECT d.doc_id, r.range AS r, c.range AS c,
              (CAST(CAST(('0x' || substring(md5(
                  CAST(d.doc_id // 5 AS VARCHAR) || ':' ||
@@ -4424,10 +4425,17 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_bits = b.band_bits
       WHERE a.doc_id < b.doc_id
+    ),
+    ipairs AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(fa, fb)) <= 3
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-    """,
+"""
+
+
+@q(
+    "q_image_dedup",
+    f"WITH {_DHASH_CTES} SELECT id_a, id_b, hamming FROM ipairs",
 )
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29 perceptual image dedup, oracle-checked end to end:
@@ -4449,6 +4457,46 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synthetic_family_images(docs)
     fp = multimodal.image_dhash(media).select("media_id", "dhash")
     return dd.hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id")
+
+
+# X29b (round 10): image near-dup clusters — the dHash pair graph fed
+# through the SAME min-label connected-components operator the text
+# tier uses (dedup.dedup_clusters); oracle = the shared recursive
+# closure pattern over the SQL-regenerated pairs.
+@q(
+    "q_image_clusters",
+    f"""
+    WITH RECURSIVE {_DHASH_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM ipairs
+      UNION SELECT id_b, id_a FROM ipairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS media_id, min(dst) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def q_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 composition: perceptual near-dup CLUSTERS — dHash pairs
+    (real decode, exact Hamming banding) labeled by the shared
+    min-label connected-components operator, one cluster id per image
+    (singletons label themselves; the label is the min reachable id,
+    i.e. the canonical member). The planted 5-member families must
+    collapse to one cluster each; the oracle recomputes pairs and the
+    transitive closure in SQL. Same scale shape as the text cluster
+    tier: shallow components, O(diameter) label rounds."""
+    from cflux_spark.extensions import dedup as dd
+    from cflux_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = multimodal.image_dhash(multimodal.synthetic_family_images(docs)).select(
+        "media_id", "dhash"
+    )
+    pairs = dd.hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id")
+    return dd.dedup_clusters(fp, pairs=pairs, id_col="media_id")
 
 
 # X30 (round 10): DSIR — hashed-n-gram importance resampling
@@ -4924,18 +4972,18 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update both lists when adding queries or touching operators.
 
 # Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
-# promise). Window = (a) the 16 NEW round-10 entries (q_bm25_topk,
+# promise). Window = (a) the 17 NEW round-10 entries (q_bm25_topk,
 # q_hybrid_rrf, q_warc_roundtrip, q_html_extract, q_url_dedup,
-# q_hll_rollup, q_image_dedup, q_dsir_weights, q_dsir_select,
-# q_bigram_logprob, q_ccnet_buckets, q_mmr_topk, q_paragraph_dedup,
-# q_winnow_fingerprints, q_temperature_sample, q_ndcg — never
-# driver-verified); (b) q_deadman (data-derived scale-invariant
-# interval) and q_simhash_near (keep_all_candidates fix in the shared
-# hamming_near_pairs engine), whose implementations changed this
-# round; (c) ALL 19 entries whose last driver record is r07
-# (promised the r10 head last round); (d) 13 of the 49 r08-green
+# q_hll_rollup, q_image_dedup, q_image_clusters, q_dsir_weights,
+# q_dsir_select, q_bigram_logprob, q_ccnet_buckets, q_mmr_topk,
+# q_paragraph_dedup, q_winnow_fingerprints, q_temperature_sample,
+# q_ndcg — never driver-verified); (b) q_deadman (data-derived
+# scale-invariant interval) and q_simhash_near (keep_all_candidates
+# fix in the shared hamming_near_pairs engine), whose implementations
+# changed this round; (c) ALL 19 entries whose last driver record is
+# r07 (promised the r10 head last round); (d) 12 of the 49 r08-green
 # entries, in definition order, so nothing in the window is older
-# than two rounds. The 36 r08-green entries that do not fit stay in
+# than two rounds. The 37 r08-green entries that do not fit stay in
 # the middle (they head the r11 window):
 #   q_embed_cluster, q_token_bpe, q_sample_stratified,
 #   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
@@ -4946,13 +4994,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_dedup_embedding, q_vector_pq, q_vector_ivfpq, q_dedup_near,
 #   q_dedup_incremental, q_show_cardinality, q_explode_tags,
 #   q_tpch_q1, q_tpch_q5ish, q_dedup_exact, q_dedup_jaccard,
-#   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct
-#   (the last five bumped by the third-wave entries,
-#   q_temperature_sample, and q_ndcg).
+#   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct,
+#   q_subquery_raw_inner (the last six bumped by the third-wave
+#   entries, q_temperature_sample, q_ndcg, and q_image_clusters).
 # Like everything else they stay oracle-verified every CI run by
 # tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
 
 _VERIFY_FIRST = [
+    "q_image_clusters",
     "q_ndcg",
     "q_temperature_sample",
     "q_mmr_topk",
@@ -5002,7 +5051,6 @@ _VERIFY_FIRST = [
     "q_holt_winters",
     "q_alert_transitions",
     "q_top_per_bucket",
-    "q_subquery_raw_inner",
 ]
 
 # r09-green entries rotate behind the r08 leftovers (which head r11).

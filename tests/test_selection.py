@@ -416,3 +416,16 @@ def test_ndcg_perfect_ranking_is_one(spark):
     )
     got = ndcg_at_k(ranking, qrels, k=5).collect()
     assert got[0]["ndcg"] == 1.0
+
+
+def test_image_clusters_collapse_planted_families(spark):
+    from cflux_spark.extensions.dedup import dedup_clusters, hamming_near_pairs
+
+    docs = spark.range(25).withColumnRenamed("id", "doc_id")
+    fp = multimodal.image_dhash(multimodal.synthetic_family_images(docs)).select(
+        "media_id", "dhash"
+    )
+    pairs = hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id")
+    got = {r["media_id"]: r["cluster_id"] for r in dedup_clusters(fp, pairs=pairs, id_col="media_id").collect()}
+    for m in range(25):
+        assert got[m] == (m // 5) * 5  # min member of the planted family
