@@ -139,6 +139,10 @@ BENCH_QUERIES = [
     "q_mmr_topk",
     "q_paragraph_dedup",
     "q_winnow_fingerprints",
+    # hard-negative mining adds the pair-restricted shingle join on
+    # top of the BM25 stack; q_ndcg/q_temperature_sample share their
+    # expensive stages with existing keys and add none of their own
+    "q_hard_negatives",
 ]
 
 

@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 
 from cflux_spark.extensions.text import word_tokens
 
-__all__ = ["bm25_scores", "bm25_topk", "mmr_topk", "ndcg_at_k", "rrf_fuse"]
+__all__ = [
+    "bm25_scores",
+    "bm25_topk",
+    "mine_hard_negatives",
+    "mmr_topk",
+    "ndcg_at_k",
+    "rrf_fuse",
+]
 
 
 def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -337,4 +344,73 @@ def ndcg_at_k(
             ),
             round_to,
         ).alias("ndcg"),
+    )
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    jaccard_threshold: float = 0.2,
+    shingle_n: int = 3,
+    round_to: int = 4,
+    **bm25_kwargs,
+) -> DataFrame:
+    """Contrastive training-set construction (the DPR / sentence-
+    transformers mining recipe): per query, the BM25 rank-1 hit is the
+    POSITIVE and ranks 2..k are HARD-NEGATIVE candidates — minus any
+    candidate that is a near-duplicate of the positive (n-gram Jaccard
+    ≥ threshold), because a paraphrase of the positive labeled
+    "negative" poisons the loss (a false negative).
+
+    Output: (query_id, positive_id, doc_id, score, rank, jaccard) —
+    the surviving negatives with their lexical score, original rank,
+    and measured similarity to the positive.
+
+    Scale shape: retrieval is the BM25 stack (posting-build shuffle);
+    the Jaccard check runs only on (positive, candidate) PAIRS —
+    |queries|·(k−1) pairs, never corpus² — over shingles restricted to
+    the involved documents via a broadcast semi-join. Same shingle
+    recipe as the dedup tier, so the SQL oracle reuses the shared
+    closure-CTE arithmetic."""
+    from cflux_spark.extensions.dedup import shingles
+
+    ranking = bm25_topk(docs, queries, k=k, **bm25_kwargs)
+    pos = ranking.filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_id").alias("positive_id")
+    )
+    cand = ranking.filter(F.col("rank") > 1).join(pos, "query_id")
+    involved = (
+        cand.select(F.col("positive_id").alias("doc_id"))
+        .union(cand.select("doc_id"))
+        .distinct()
+    )
+    sh = shingles(docs.join(F.broadcast(involved), "doc_id", "left_semi"), n=shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sp = sh.select(F.col("doc_id").alias("positive_id"), "shingle")
+    sc = sh.select(F.col("doc_id").alias("doc_id"), "shingle")
+    inter = (
+        cand.select("query_id", "positive_id", "doc_id")
+        .join(sp, "positive_id")
+        .join(sc, ["doc_id", "shingle"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    np_ = sizes.select(F.col("doc_id").alias("positive_id"), F.col("n_sh").alias("_np"))
+    nc = sizes.select("doc_id", F.col("n_sh").alias("_nc"))
+    jac = (
+        cand.join(F.broadcast(np_), "positive_id")
+        .join(F.broadcast(nc), "doc_id")
+        .join(inter, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("_np") + F.col("_nc") - F.coalesce(F.col("n_common"), F.lit(0))),
+                round_to,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") < jaccard_threshold).select(
+        "query_id", "positive_id", "doc_id", "score", "rank", "jaccard"
     )

@@ -4953,6 +4953,73 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.ndcg_at_k(ranking, qrels, k=10)
 
 
+# X37 (round 10): hard-negative mining for contrastive retrieval
+# training (the DPR / sentence-transformers recipe). Composes the
+# BM25 CTEs with the dedup tier's shingle/Jaccard recipe (identical
+# to _CLUSTER_CTE_SQL's arithmetic) so false negatives — candidates
+# that are near-duplicates of the positive — are excluded.
+@q(
+    "q_hard_negatives",
+    f"WITH qs AS ({_QS_SQL}),\n{_BM25_CTES}\n"
+    r"""
+    , ranking AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm25 QUALIFY rank <= 20
+    ),
+    pos AS (SELECT query_id, doc_id AS positive_id FROM ranking WHERE rank = 1),
+    cand AS (
+      SELECT r.query_id, p.positive_id, r.doc_id, r.score, r.rank
+      FROM ranking r JOIN pos p USING (query_id) WHERE r.rank > 1
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT c.query_id, c.doc_id, count(*) AS n_common
+      FROM cand c
+      JOIN s sp ON sp.doc_id = c.positive_id
+      JOIN s sc ON sc.doc_id = c.doc_id AND sc.shingle = sp.shingle
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT c.query_id, c.positive_id, c.doc_id, c.score, c.rank,
+             round(COALESCE(i.n_common, 0)
+                   / (np.n_sh + nc.n_sh - COALESCE(i.n_common, 0)), 4) AS jaccard
+      FROM cand c
+      JOIN sizes np ON np.doc_id = c.positive_id
+      JOIN sizes nc ON nc.doc_id = c.doc_id
+      LEFT JOIN inter i ON i.query_id = c.query_id AND i.doc_id = c.doc_id
+    )
+    SELECT query_id, positive_id, doc_id, score, CAST(rank AS INT) AS rank, jaccard
+    FROM jac WHERE jaccard < 0.2
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 contrastive mining: per retrieval query, BM25 rank-1 is the
+    positive and ranks 2..20 are hard-negative candidates, minus any
+    candidate whose 3-gram Jaccard to the positive ≥ 0.2 (a
+    near-duplicate labeled "negative" is a false negative that poisons
+    the contrastive loss). The Jaccard check runs only on
+    (positive, candidate) pairs over semi-join-restricted shingles —
+    |queries|·19 pairs, never corpus². Every surviving negative's
+    (score, rank, jaccard) hash-checked against the SQL twin."""
+    from cflux_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.mine_hard_negatives(docs, _retrieval_queries_df(spark), k=20)
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -4972,18 +5039,18 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update both lists when adding queries or touching operators.
 
 # Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
-# promise). Window = (a) the 17 NEW round-10 entries (q_bm25_topk,
+# promise). Window = (a) the 18 NEW round-10 entries (q_bm25_topk,
 # q_hybrid_rrf, q_warc_roundtrip, q_html_extract, q_url_dedup,
 # q_hll_rollup, q_image_dedup, q_image_clusters, q_dsir_weights,
 # q_dsir_select, q_bigram_logprob, q_ccnet_buckets, q_mmr_topk,
 # q_paragraph_dedup, q_winnow_fingerprints, q_temperature_sample,
-# q_ndcg — never driver-verified); (b) q_deadman (data-derived
+# q_ndcg, q_hard_negatives — never driver-verified); (b) q_deadman (data-derived
 # scale-invariant interval) and q_simhash_near (keep_all_candidates
 # fix in the shared hamming_near_pairs engine), whose implementations
 # changed this round; (c) ALL 19 entries whose last driver record is
-# r07 (promised the r10 head last round); (d) 12 of the 49 r08-green
+# r07 (promised the r10 head last round); (d) 11 of the 49 r08-green
 # entries, in definition order, so nothing in the window is older
-# than two rounds. The 37 r08-green entries that do not fit stay in
+# than two rounds. The 38 r08-green entries that do not fit stay in
 # the middle (they head the r11 window):
 #   q_embed_cluster, q_token_bpe, q_sample_stratified,
 #   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
@@ -4995,12 +5062,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_dedup_incremental, q_show_cardinality, q_explode_tags,
 #   q_tpch_q1, q_tpch_q5ish, q_dedup_exact, q_dedup_jaccard,
 #   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct,
-#   q_subquery_raw_inner (the last six bumped by the third-wave
-#   entries, q_temperature_sample, q_ndcg, and q_image_clusters).
+#   q_subquery_raw_inner, q_top_per_bucket (the last seven bumped by
+#   the third-wave entries, q_temperature_sample, q_ndcg,
+#   q_image_clusters, and q_hard_negatives).
 # Like everything else they stay oracle-verified every CI run by
 # tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
 
 _VERIFY_FIRST = [
+    "q_hard_negatives",
     "q_image_clusters",
     "q_ndcg",
     "q_temperature_sample",
@@ -5050,7 +5119,6 @@ _VERIFY_FIRST = [
     "q_integral",
     "q_holt_winters",
     "q_alert_transitions",
-    "q_top_per_bucket",
 ]
 
 # r09-green entries rotate behind the r08 leftovers (which head r11).

@@ -429,3 +429,24 @@ def test_image_clusters_collapse_planted_families(spark):
     got = {r["media_id"]: r["cluster_id"] for r in dedup_clusters(fp, pairs=pairs, id_col="media_id").collect()}
     for m in range(25):
         assert got[m] == (m // 5) * 5  # min member of the planted family
+
+
+def test_hard_negatives_excludes_near_dup_of_positive(spark):
+    from cflux_spark.extensions.retrieval import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark query engine tuning guide"),          # positive (best match)
+            (1, "spark query engine tuning guide extra"),    # near-dup of 0 -> excluded
+            (2, "cooking pasta with tomato sauce spark"),    # genuine hard negative
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(7, "spark query engine")], "query_id long, query_text string"
+    )
+    got = mine_hard_negatives(docs, qs, k=3).collect()
+    ids = {r["doc_id"] for r in got}
+    assert 1 not in ids and 2 in ids
+    for r in got:
+        assert r["positive_id"] == 0 and r["rank"] > 1 and r["jaccard"] < 0.2
