@@ -776,3 +776,99 @@ def normalize_url(col: Column) -> Column:
     c = F.regexp_replace(c, "[?&]$", "")       # dangling separator
     c = F.regexp_replace(c, "^([^?#]*[^/?#])/(\\?|$)", "$1$2")
     return c
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into (host, rule_type, path_prefix)
+    rules for the wildcard agent (RFC 9309, simplified to literal path
+    prefixes — no ``*``/``$`` patterns). Group attribution: a rule
+    line belongs to the most recent ``User-agent:`` line above it, and
+    only ``User-agent: *`` groups are kept, so other crawlers' rules
+    can't leak into the default policy. Comments (``# …``) are
+    stripped; an empty ``Disallow:`` (the allow-all idiom) yields no
+    rule. Directive names are case-insensitive, path values are
+    case-sensitive (per the RFC).
+
+    Map-only split/regexp plus one host-partitioned window (the
+    running "current group" lookup) — robots corpora are
+    host-cardinality-sized, negligible next to the URL table they
+    gate."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "_raw"),
+    ).select(
+        "host", "pos", F.trim(F.regexp_replace(F.col("_raw"), "#.*$", "")).alias("_line")
+    )
+    key = F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_replace(F.col("_line"), r"^[A-Za-z-]+\s*:", ""))
+    parsed = lines.select(
+        "host", "pos", key.alias("_key"), val.alias("_val")
+    )
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    cur_ua = F.last(
+        F.when(F.col("_key") == "user-agent", F.lower(F.col("_val"))), ignorenulls=True
+    ).over(w)
+    return (
+        parsed.withColumn("_ua", cur_ua)
+        .filter(
+            F.col("_key").isin("allow", "disallow")
+            & (F.col("_ua") == "*")
+            & (F.col("_val") != "")
+        )
+        .select("host", F.col("_key").alias("rule_type"), F.col("_val").alias("path_prefix"))
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Apply robots rules to a URL table: longest-prefix-match per URL
+    (RFC 9309 precedence — the most specific rule wins; ``allow``
+    beats ``disallow`` on equal length), URLs with no matching rule
+    are allowed. Input rules are :func:`parse_robots` output (or any
+    (host, rule_type, path_prefix) frame).
+
+    Output: the input columns + (host, path, allowed, matched_prefix).
+
+    Scale shape: one host-keyed equi-join (rules side is
+    host-cardinality-sized — AQE broadcasts it) with the prefix test
+    as a post-join predicate, then a per-URL window over its matching
+    rules (≤ rules-per-host rows). The URL corpus is never shuffled
+    on anything wider than the join key."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    rawpath = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    u = urls.withColumn("host", host).withColumn("path", path)
+    r = rules.select(
+        F.col("host").alias("_rh"),
+        F.col("rule_type").alias("_rt"),
+        F.col("path_prefix").alias("_rp"),
+    )
+    matched = u.join(r, u.host == F.col("_rh")).filter(
+        F.col("path").startswith(F.col("_rp"))
+    )
+    ww = Window.partitionBy(url_col).orderBy(
+        F.length("_rp").desc(), F.col("_rt").asc()  # 'allow' < 'disallow' on ties
+    )
+    best = (
+        matched.withColumn("_rn", F.row_number().over(ww))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(url_col).alias("_bu"),
+            F.col("_rt").alias("_brt"),
+            F.col("_rp").alias("matched_prefix"),
+        )
+    )
+    return u.join(best, u[url_col] == F.col("_bu"), "left").select(
+        *urls.columns,
+        "host",
+        "path",
+        F.coalesce(F.col("_brt") == "allow", F.lit(True)).alias("allowed"),
+        "matched_prefix",
+    )

@@ -5020,6 +5020,119 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.mine_hard_negatives(docs, _retrieval_queries_df(spark), k=20)
 
 
+# X38 (round 10): robots.txt crawl-policy gate (RFC 9309, literal
+# prefixes). Synthetic per-source robots bodies include an 'evilbot'
+# group whose Disallow:/ must NOT leak into the wildcard policy
+# (group attribution tested), an allow-override deeper than its
+# disallow, and a comment + empty-Disallow line.
+@q(
+    "q_robots_filter",
+    r"""
+    WITH hosts AS (SELECT DISTINCT source FROM documents),
+    robots AS (
+      SELECT 'www.' || source || '.com' AS host,
+             'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             'Allow: /private/ok  # reviewed' || chr(10) ||
+             'Disallow:' || chr(10) ||
+             'Disallow: /tmp' || chr(10) ||
+             chr(10) ||
+             'User-agent: evilbot' || chr(10) ||
+             'Disallow: /' AS body
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, i.i AS pos,
+             trim(regexp_replace(ls[i.i], '#.*$', '')) AS line
+      FROM (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
+           unnest(range(1, len(ls) + 1)) AS i(i)
+    ),
+    parsed AS (
+      SELECT host, pos,
+             lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
+             trim(regexp_replace(line, '^[A-Za-z-]+\s*:', '')) AS val
+      FROM lines
+    ),
+    grouped AS (
+      SELECT host, pos, key, val,
+             last_value(CASE WHEN key = 'user-agent' THEN lower(val) END IGNORE NULLS)
+               OVER (PARTITION BY host ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+      FROM parsed
+    ),
+    rules AS (
+      SELECT host, key AS rule_type, val AS path_prefix
+      FROM grouped
+      WHERE key IN ('allow', 'disallow') AND ua = '*' AND val <> ''
+    ),
+    urls AS (
+      SELECT doc_id, 'https://www.' || source || '.com' ||
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN '/public/' || doc_id
+               WHEN 1 THEN '/private/' || doc_id
+               WHEN 2 THEN '/private/ok/' || doc_id
+               ELSE '/tmp/cache/' || doc_id
+             END AS url
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+             CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
+      FROM urls
+    ),
+    best AS (
+      SELECT url, rule_type, path_prefix FROM (
+        SELECT u.url, r.rule_type, r.path_prefix,
+               row_number() OVER (PARTITION BY u.url
+                                  ORDER BY length(r.path_prefix) DESC, r.rule_type ASC) AS rn
+        FROM u JOIN rules r ON r.host = u.host
+        WHERE starts_with(u.path, r.path_prefix)
+      ) WHERE rn = 1
+    )
+    SELECT u.doc_id, u.url, u.host, u.path,
+           COALESCE(best.rule_type = 'allow', TRUE) AS allowed,
+           best.path_prefix AS matched_prefix
+    FROM u LEFT JOIN best ON best.url = u.url
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 robots.txt crawl-policy gate: per-source robots bodies are
+    parsed (wildcard-agent groups only — the planted evilbot group
+    must not leak; comments and the empty-Disallow allow-all idiom
+    handled) and applied to synthetic per-doc URLs by
+    longest-prefix-match with allow-beats-disallow ties (RFC 9309
+    precedence). /public passes, /private blocks, /private/ok
+    re-allows (the deeper allow wins), /tmp/cache blocks; every
+    (allowed, matched_prefix) verdict hash-checked against the SQL
+    replay of both the parse and the match."""
+    from cflux_spark.extensions import text as textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = docs.select("source").distinct().select(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok  # reviewed\n"),
+            F.lit("Disallow:\nDisallow: /tmp\n\nUser-agent: evilbot\nDisallow: /"),
+        ).alias("robots_txt"),
+    )
+    rules = textops.parse_robots(robots)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".com"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/tmp/cache/"), F.col("doc_id"))),
+        ).alias("url"),
+    )
+    return textops.robots_filter(urls, rules)
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -5039,18 +5152,19 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Update both lists when adding queries or touching operators.
 
 # Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
-# promise). Window = (a) the 18 NEW round-10 entries (q_bm25_topk,
+# promise). Window = (a) the 19 NEW round-10 entries (q_bm25_topk,
 # q_hybrid_rrf, q_warc_roundtrip, q_html_extract, q_url_dedup,
 # q_hll_rollup, q_image_dedup, q_image_clusters, q_dsir_weights,
 # q_dsir_select, q_bigram_logprob, q_ccnet_buckets, q_mmr_topk,
 # q_paragraph_dedup, q_winnow_fingerprints, q_temperature_sample,
-# q_ndcg, q_hard_negatives — never driver-verified); (b) q_deadman (data-derived
+# q_ndcg, q_hard_negatives, q_robots_filter — never driver-verified);
+# (b) q_deadman (data-derived
 # scale-invariant interval) and q_simhash_near (keep_all_candidates
 # fix in the shared hamming_near_pairs engine), whose implementations
 # changed this round; (c) ALL 19 entries whose last driver record is
-# r07 (promised the r10 head last round); (d) 11 of the 49 r08-green
+# r07 (promised the r10 head last round); (d) 10 of the 49 r08-green
 # entries, in definition order, so nothing in the window is older
-# than two rounds. The 38 r08-green entries that do not fit stay in
+# than two rounds. The 39 r08-green entries that do not fit stay in
 # the middle (they head the r11 window):
 #   q_embed_cluster, q_token_bpe, q_sample_stratified,
 #   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
@@ -5062,13 +5176,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   q_dedup_incremental, q_show_cardinality, q_explode_tags,
 #   q_tpch_q1, q_tpch_q5ish, q_dedup_exact, q_dedup_jaccard,
 #   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct,
-#   q_subquery_raw_inner, q_top_per_bucket (the last seven bumped by
-#   the third-wave entries, q_temperature_sample, q_ndcg,
-#   q_image_clusters, and q_hard_negatives).
+#   q_subquery_raw_inner, q_top_per_bucket, q_alert_transitions (the
+#   last eight bumped by the third-wave entries, q_temperature_sample,
+#   q_ndcg, q_image_clusters, q_hard_negatives, and q_robots_filter).
 # Like everything else they stay oracle-verified every CI run by
 # tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
 
 _VERIFY_FIRST = [
+    "q_robots_filter",
     "q_hard_negatives",
     "q_image_clusters",
     "q_ndcg",
@@ -5118,7 +5233,6 @@ _VERIFY_FIRST = [
     "q_elapsed",
     "q_integral",
     "q_holt_winters",
-    "q_alert_transitions",
 ]
 
 # r09-green entries rotate behind the r08 leftovers (which head r11).

@@ -450,3 +450,34 @@ def test_hard_negatives_excludes_near_dup_of_positive(spark):
     assert 1 not in ids and 2 in ids
     for r in got:
         assert r["positive_id"] == 0 and r["rank"] > 1 and r["jaccard"] < 0.2
+
+
+def test_robots_parse_and_filter(spark):
+    from cflux_spark.extensions.text import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "example.com",
+                "User-agent: *\nDisallow: /private\nAllow: /private/ok # ok\n"
+                "Disallow:\n\nUser-agent: evilbot\nDisallow: /",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = {(r["rule_type"], r["path_prefix"]) for r in parse_robots(robots).collect()}
+    # evilbot's Disallow:/ must NOT appear; empty Disallow dropped
+    assert rules == {("disallow", "/private"), ("allow", "/private/ok")}
+
+    urls = spark.createDataFrame(
+        [
+            (0, "https://example.com/public/x"),
+            (1, "https://example.com/private/secret"),
+            (2, "https://example.com/private/ok/page"),
+            (3, "https://other.com/private/elsewhere"),  # no rules -> allowed
+            (4, "https://example.com"),                  # bare host -> path '/'
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, parse_robots(robots)).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: True}
