@@ -452,6 +452,62 @@ def simhash_py(text: str, bits: int = 64) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
+# Corpus size past which the minimal (d+1)-block pigeonhole's short
+# single-block keys measurably collide and the auto-selector upgrades
+# to Manku combination banding. Calibrated by scripts/pair_growth_probe:
+# at 50k docs the 4-block tier's 16-bit keys proposed 22.8M accidental
+# candidates for 210k genuine pairs (~m^2 growth); at <=5k docs (every
+# test SF) the accidental tier is negligible and the minimal explode
+# wins.
+_AUTO_BANDING_THRESHOLD = 20_000
+
+
+def _auto_n_blocks(n_docs: int, max_hamming: int, bits: int = 64) -> int:
+    """Pick the banding tier for :func:`hamming_near_pairs` from corpus
+    size — pure function, unit-tested directly.
+
+    Below ``_AUTO_BANDING_THRESHOLD`` docs: the minimal pigeonhole
+    (``d + 1`` blocks, one block per key — smallest explode). Past it:
+    the smallest feasible ``nb`` whose combination keys are wide enough
+    that the EXPECTED accidental candidate tier stays well under the
+    corpus size — key bits ≥ log2(n) + log2(C(nb, nb−d)) + 8, i.e.
+    sum over tables of n²/2^keybits ≤ n/256. Feasibility = key fits a
+    long (≤ 63 bits) and explode ≤ 64 tables. If no feasible tier
+    meets the bound (large ``max_hamming`` exhausts the 64 fingerprint
+    bits), returns the feasible tier with the widest key and warns —
+    candidates stay exact-recall either way, only the tier size grows."""
+    import math
+    import warnings
+    from math import comb
+
+    d = max_hamming
+    if n_docs < _AUTO_BANDING_THRESHOLD:
+        return d + 1
+    need = math.log2(max(n_docs, 2))
+    feasible: list[tuple[int, int, int]] = []  # (keybits, -ncombos, nb)
+    for nb in range(d + 1, d + 7):
+        width = (bits + nb - 1) // nb
+        keep = nb - d
+        keybits = keep * width
+        ncombos = comb(nb, keep)
+        if keybits > 63 or ncombos > 64:
+            continue
+        feasible.append((keybits, -ncombos, nb))
+        if keybits >= need + math.log2(ncombos) + 8:
+            return nb
+    if not feasible:  # unreachable for bits=64, d<=62: nb=d+1 always fits
+        return d + 1
+    keybits, neg_ncombos, nb = max(feasible)
+    warnings.warn(
+        f"hamming_near_pairs: no banding tier fully covers {n_docs} docs at "
+        f"max_hamming={d} with {bits}-bit fingerprints; using n_blocks={nb} "
+        f"({keybits}-bit keys, {-neg_ncombos} tables) — recall stays exact "
+        "but the candidate tier may grow superlinearly",
+        stacklevel=3,
+    )
+    return nb
+
+
 def hamming_near_pairs(
     fp: DataFrame,
     max_hamming: int = 3,
@@ -460,6 +516,7 @@ def hamming_near_pairs(
     bits: int = 64,
     keep_all_candidates: bool = False,
     n_blocks: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs over ANY 64-bit-fingerprint column:
     (id_a < id_b, hamming ≤ max_hamming). Output: id_a, id_b, hamming.
@@ -477,14 +534,15 @@ def hamming_near_pairs(
     dedup construction). Candidates form via an equi-join on
     (band_id, band_bits); popcount(xor) then verifies exactly.
 
-    The default (n_blocks = d + 1, single-block keys) is the minimal
-    4-table pigeonhole — fine while corpus size is far below 2^16.
-    At larger scale the 16-bit keys themselves collide: the round-10
-    probe measured 22.8M accidental candidates for 210k genuine pairs
-    at 50k docs (and the accidental tier grows ~quadratically). Raising
-    ``n_blocks`` (e.g. 6 → C(6,3)=20 tables keyed on ~33 bits) trades
-    a wider explode for a collision rate ~2^17× lower — the 100 TB
-    configuration. Same join shape either way: one band-key shuffle,
+    ``n_blocks=None`` (the default) AUTO-SELECTS the tier from corpus
+    size (:func:`_auto_n_blocks`): the minimal (d+1)-block pigeonhole
+    below ``_AUTO_BANDING_THRESHOLD`` docs, Manku combination banding
+    (e.g. 6 → C(6,3)=20 tables keyed on 33 bits for d=3) past it —
+    because the round-10 probe measured the 4-block tier's 16-bit keys
+    colliding into 22.8M accidental candidates for 210k genuine pairs
+    at 50k docs (~m² growth). Pass ``corpus_size=`` to skip the
+    ``fp.count()`` the auto path otherwise runs (one column-pruned
+    pass), or pin ``n_blocks=`` explicitly to bypass auto-selection. Same join shape either way: one band-key shuffle,
     nothing quadratic outside genuine clusters.
 
     ``keep_all_candidates=True`` skips the hamming cutoff and returns
@@ -494,7 +552,11 @@ def hamming_near_pairs(
     from itertools import combinations
 
     d = max_hamming
-    nb = n_blocks if n_blocks is not None else d + 1
+    if n_blocks is not None:
+        nb = n_blocks
+    else:
+        n_docs = corpus_size if corpus_size is not None else fp.count()
+        nb = _auto_n_blocks(n_docs, d, bits)
     if nb <= d:
         raise ValueError(f"n_blocks must exceed max_hamming ({d})")
     width = (bits + nb - 1) // nb
@@ -513,7 +575,10 @@ def hamming_near_pairs(
 
     def block(i: int):
         shift = i * width
-        w = min(width, bits - shift)
+        # clamp: with nb > bits/width the trailing blocks fall past the
+        # fingerprint; a zero-width block masks to 0 (vacuous key part)
+        # instead of raising 'negative shift count' at plan build
+        w = min(width, max(0, bits - shift))
         mask = (1 << w) - 1
         # arithmetic shiftright sign-extends, but the mask truncates to
         # the block width — equivalent to a logical shift
@@ -557,11 +622,15 @@ def simhash_near_pairs(
     bits: int = 64,
     keep_all_candidates: bool = False,
     n_blocks: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Hamming-near duplicate pairs from SimHash fingerprints — see
     :func:`hamming_near_pairs` for the banding/verification shape and
-    the ``n_blocks`` scale knob (combination banding for corpora large
-    enough that 16-bit single-block keys collide).
+    the ``n_blocks`` scale knob (combination banding auto-selected from
+    corpus size when 16-bit single-block keys would collide). When the
+    auto path needs the corpus size it counts the RAW ``df`` here — a
+    column-pruned (often metadata-only) scan — rather than the simhash
+    frame, which would run the fingerprint computation twice.
 
     Round 10 fix: ``keep_all_candidates=True`` previously still applied
     the hamming cutoff (the flag was accepted but unused), so the
@@ -569,6 +638,8 @@ def simhash_near_pairs(
     its verified counts. The flag is real now (honored in
     hamming_near_pairs) and the probe re-run pins the genuine
     candidate tier."""
+    if n_blocks is None and corpus_size is None:
+        corpus_size = df.count()
     return hamming_near_pairs(
         simhash(df, text_col, id_col, bits),
         max_hamming=max_hamming,
@@ -577,6 +648,7 @@ def simhash_near_pairs(
         bits=bits,
         keep_all_candidates=keep_all_candidates,
         n_blocks=n_blocks,
+        corpus_size=corpus_size,
     )
 
 

@@ -372,7 +372,10 @@ def mine_hard_negatives(
     |queries|·(k−1) pairs, never corpus² — over shingles restricted to
     the involved documents via a broadcast semi-join. Same shingle
     recipe as the dedup tier, so the SQL oracle reuses the shared
-    closure-CTE arithmetic."""
+    closure-CTE arithmetic. Zero-token docs yield no shingles, so the
+    inner size-joins drop their pairs — consistent with the oracle's
+    len>0 filter, and unreachable anyway: a termless doc can never
+    score into the BM25 ranking that feeds this stage."""
     from cflux_spark.extensions.dedup import shingles
 
     ranking = bm25_topk(docs, queries, k=k, **bm25_kwargs)

@@ -782,19 +782,29 @@ def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
     body_col: str = "robots_txt",
+    user_agent: str | None = None,
 ) -> DataFrame:
     """Parse robots.txt bodies into (host, rule_type, path_prefix)
-    rules for the wildcard agent (RFC 9309, simplified to literal path
-    prefixes — no ``*``/``$`` patterns). Group attribution: a rule
-    line belongs to the most recent ``User-agent:`` line above it, and
-    only ``User-agent: *`` groups are kept, so other crawlers' rules
-    can't leak into the default policy. Comments (``# …``) are
-    stripped; an empty ``Disallow:`` (the allow-all idiom) yields no
-    rule. Directive names are case-insensitive, path values are
-    case-sensitive (per the RFC).
+    rules for one crawler (RFC 9309, simplified to literal path
+    prefixes — no ``*``/``$`` patterns).
 
-    Map-only split/regexp plus one host-partitioned window (the
-    running "current group" lookup) — robots corpora are
+    Group attribution per the RFC: CONSECUTIVE ``User-agent:`` lines
+    head one group and every one of them owns the rule lines that
+    follow (``User-agent: a\\nUser-agent: b\\nDisallow: /x`` gives the
+    rule to both a and b — not just the most recent line). Group
+    selection: with ``user_agent=None`` only the wildcard ``*`` groups
+    apply (the corpus-policy default); with a crawler product token
+    (e.g. ``"trainbot-2.1"``) the host's groups whose agent token is a
+    case-insensitive PREFIX of the crawler token compete, the longest
+    matching token wins, and ``*`` applies only when no specific group
+    matches — RFC 9309 §2.2.1 longest-match selection, so a planted
+    specific group fully overrides the wildcard policy for that
+    crawler. Comments (``# …``) are stripped; an empty ``Disallow:``
+    (the allow-all idiom) yields no rule. Directive names are
+    case-insensitive, path values case-sensitive (per the RFC).
+
+    Map-only split/regexp plus host-partitioned windows (group-block
+    numbering + the per-host best-agent pick) — robots corpora are
     host-cardinality-sized, negligible next to the URL table they
     gate."""
     lines = robots.select(
@@ -805,21 +815,50 @@ def parse_robots(
     )
     key = F.lower(F.regexp_extract(F.col("_line"), r"^([A-Za-z-]+)\s*:", 1))
     val = F.trim(F.regexp_replace(F.col("_line"), r"^[A-Za-z-]+\s*:", ""))
-    parsed = lines.select(
-        "host", "pos", key.alias("_key"), val.alias("_val")
+    parsed = lines.select("host", "pos", key.alias("_key"), val.alias("_val"))
+    # group-block numbering: a block starts at a user-agent line whose
+    # predecessor is NOT a user-agent line; rules attach to the whole
+    # block (all its consecutive UA lines), per the RFC
+    is_ua = (F.col("_key") == "user-agent").cast("int")
+    wseq = Window.partitionBy("host").orderBy("pos")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    starts = F.when(
+        (is_ua == 1) & (F.coalesce(F.lag(is_ua).over(wseq), F.lit(0)) == 0), 1
+    ).otherwise(0)
+    blocked = parsed.withColumn("_grp", F.sum(starts).over(wrun))
+    uas = blocked.filter(F.col("_key") == "user-agent").select(
+        "host", "_grp", F.lower(F.col("_val")).alias("_ua")
     )
-    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    cur_ua = F.last(
-        F.when(F.col("_key") == "user-agent", F.lower(F.col("_val"))), ignorenulls=True
-    ).over(w)
-    return (
-        parsed.withColumn("_ua", cur_ua)
-        .filter(
-            F.col("_key").isin("allow", "disallow")
-            & (F.col("_ua") == "*")
-            & (F.col("_val") != "")
+    rule_rows = blocked.filter(
+        F.col("_key").isin("allow", "disallow") & (F.col("_val") != "")
+    ).select(
+        "host", "_grp", F.col("_key").alias("rule_type"), F.col("_val").alias("path_prefix")
+    )
+    per_agent = rule_rows.join(uas, ["host", "_grp"])
+    if user_agent is None:
+        return per_agent.filter(F.col("_ua") == "*").select(
+            "host", "rule_type", "path_prefix"
         )
-        .select("host", F.col("_key").alias("rule_type"), F.col("_val").alias("path_prefix"))
+    token = F.lit(user_agent.lower())
+    candidates = uas.filter(
+        (F.col("_ua") == "*") | token.startswith(F.col("_ua"))
+    ).select("host", F.col("_ua").alias("_cua"))
+    # specific beats '*'; among specific, longest token wins (ties:
+    # lexicographic for determinism). distinct first: the same token
+    # may head several blocks (their rules combine, per the RFC).
+    wbest = Window.partitionBy("host").orderBy(
+        (F.col("_cua") == "*").asc(), F.length("_cua").desc(), F.col("_cua").asc()
+    )
+    best = (
+        candidates.distinct()
+        .withColumn("_rn", F.row_number().over(wbest))
+        .filter(F.col("_rn") == 1)
+        .select("host", "_cua")
+    )
+    return (
+        per_agent.join(best, ["host"])
+        .filter(F.col("_ua") == F.col("_cua"))
+        .select("host", "rule_type", "path_prefix")
     )
 
 
@@ -854,7 +893,9 @@ def robots_filter(
         F.col("path").startswith(F.col("_rp"))
     )
     ww = Window.partitionBy(url_col).orderBy(
-        F.length("_rp").desc(), F.col("_rt").asc()  # 'allow' < 'disallow' on ties
+        F.length("_rp").desc(),
+        F.col("_rt").asc(),  # 'allow' < 'disallow' on ties
+        F.col("_rp").asc(),  # same-length same-type prefixes: deterministic pick
     )
     best = (
         matched.withColumn("_rn", F.row_number().over(ww))

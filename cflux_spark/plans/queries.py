@@ -4456,7 +4456,11 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_family_images(docs)
     fp = multimodal.image_dhash(media).select("media_id", "dhash")
-    return dd.hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id")
+    # corpus_size from the parquet count (metadata-cheap) so the
+    # banding auto-selector never re-runs the decode+dhash pass
+    return dd.hamming_near_pairs(
+        fp, max_hamming=3, fp_col="dhash", id_col="media_id", corpus_size=docs.count()
+    )
 
 
 # X29b (round 10): image near-dup clusters — the dHash pair graph fed
@@ -4495,7 +4499,9 @@ def q_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = multimodal.image_dhash(multimodal.synthetic_family_images(docs)).select(
         "media_id", "dhash"
     )
-    pairs = dd.hamming_near_pairs(fp, max_hamming=3, fp_col="dhash", id_col="media_id")
+    pairs = dd.hamming_near_pairs(
+        fp, max_hamming=3, fp_col="dhash", id_col="media_id", corpus_size=docs.count()
+    )
     return dd.dedup_clusters(fp, pairs=pairs, id_col="media_id")
 
 
@@ -4982,7 +4988,10 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT t.doc_id,
              array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
       FROM t, (SELECT unnest(range(1, 100000)) AS i) g
-      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+      -- len > 0: a zero-token doc yields NO shingles (matches Spark's
+      -- shingles(); greatest(len-2,1) alone would mint it one ''
+      -- shingle and keep pairs the engine's inner size-join drops)
+      WHERE g.i <= greatest(len(t.toks) - 2, 1) AND len(t.toks) > 0
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
     inter AS (
@@ -5086,7 +5095,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT url, rule_type, path_prefix FROM (
         SELECT u.url, r.rule_type, r.path_prefix,
                row_number() OVER (PARTITION BY u.url
-                                  ORDER BY length(r.path_prefix) DESC, r.rule_type ASC) AS rn
+                                  ORDER BY length(r.path_prefix) DESC, r.rule_type ASC,
+                                           r.path_prefix ASC) AS rn
         FROM u JOIN rules r ON r.host = u.host
         WHERE starts_with(u.path, r.path_prefix)
       ) WHERE rn = 1
@@ -5128,6 +5138,161 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
             .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
             .otherwise(F.concat(F.lit("/tmp/cache/"), F.col("doc_id"))),
+        ).alias("url"),
+    )
+    return textops.robots_filter(urls, rules)
+
+
+# X38b (round 11): agent-specific robots.txt matching (RFC 9309
+# §2.2.1). The planted file has FOUR groups: wildcard (blocks
+# /private), 'train' (blocks /public — a shorter prefix-match decoy),
+# 'trainbot' + 'backupbot' heading ONE block (consecutive UA lines
+# share rules, per the RFC), and 'evilbot'. Crawler token
+# 'trainbot-2.1' must select the 'trainbot' group — longest matching
+# agent token, specific-over-wildcard — so the wildcard's /private
+# block and the decoy's /public block must NOT apply.
+@q(
+    "q_robots_agent",
+    r"""
+    WITH hosts AS (SELECT DISTINCT source FROM documents),
+    robots AS (
+      SELECT 'www.' || source || '.com' AS host,
+             'User-agent: *' || chr(10) ||
+             'Disallow: /private' || chr(10) ||
+             chr(10) ||
+             'User-agent: train' || chr(10) ||
+             'Disallow: /public' || chr(10) ||
+             chr(10) ||
+             'User-agent: trainbot  # the specific crawler' || chr(10) ||
+             'User-agent: backupbot' || chr(10) ||
+             'Disallow: /tmp' || chr(10) ||
+             'Allow: /tmp/cache' || chr(10) ||
+             'Disallow: /public/raw' || chr(10) ||
+             chr(10) ||
+             'User-agent: evilbot' || chr(10) ||
+             'Disallow: /' AS body
+      FROM hosts
+    ),
+    lines AS (
+      SELECT host, i.i AS pos,
+             trim(regexp_replace(ls[i.i], '#.*$', '')) AS line
+      FROM (SELECT host, string_split(body, chr(10)) AS ls FROM robots),
+           unnest(range(1, len(ls) + 1)) AS i(i)
+    ),
+    parsed AS (
+      SELECT host, pos,
+             lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) AS key,
+             trim(regexp_replace(line, '^[A-Za-z-]+\s*:', '')) AS val,
+             CASE WHEN lower(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1)) = 'user-agent'
+                  THEN 1 ELSE 0 END AS is_ua
+      FROM lines
+    ),
+    flagged AS (
+      SELECT host, pos, key, val,
+             CASE WHEN is_ua = 1 AND COALESCE(lag(is_ua) OVER
+                        (PARTITION BY host ORDER BY pos), 0) = 0
+                  THEN 1 ELSE 0 END AS blk_start
+      FROM parsed
+    ),
+    blocks AS (
+      SELECT host, pos, key, val,
+             sum(blk_start) OVER (PARTITION BY host ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    ),
+    uas AS (
+      SELECT host, grp, lower(val) AS ua FROM blocks WHERE key = 'user-agent'
+    ),
+    rule_rows AS (
+      SELECT host, grp, key AS rule_type, val AS path_prefix
+      FROM blocks WHERE key IN ('allow', 'disallow') AND val <> ''
+    ),
+    best AS (
+      SELECT host, ua FROM (
+        SELECT host, ua,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY (ua = '*') ASC, length(ua) DESC, ua ASC) AS rn
+        FROM (SELECT DISTINCT u.host, u.ua FROM uas u
+              WHERE u.ua = '*' OR starts_with('trainbot-2.1', u.ua))
+      ) WHERE rn = 1
+    ),
+    rules AS (
+      SELECT DISTINCT r.host, r.rule_type, r.path_prefix
+      FROM rule_rows r
+      JOIN uas u ON u.host = r.host AND u.grp = r.grp
+      JOIN best b ON b.host = r.host AND b.ua = u.ua
+    ),
+    urls AS (
+      SELECT doc_id, 'https://www.' || source || '.com' ||
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN '/public/' || doc_id
+               WHEN 1 THEN '/private/' || doc_id
+               WHEN 2 THEN '/tmp/cache/' || doc_id
+               WHEN 3 THEN '/tmp/scratch/' || doc_id
+               ELSE '/public/raw/' || doc_id
+             END AS url
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+             CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) = ''
+                  THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) END AS path
+      FROM urls
+    ),
+    bestrule AS (
+      SELECT url, rule_type, path_prefix FROM (
+        SELECT u.url, r.rule_type, r.path_prefix,
+               row_number() OVER (PARTITION BY u.url
+                                  ORDER BY length(r.path_prefix) DESC, r.rule_type ASC,
+                                           r.path_prefix ASC) AS rn
+        FROM u JOIN rules r ON r.host = u.host
+        WHERE starts_with(u.path, r.path_prefix)
+      ) WHERE rn = 1
+    )
+    SELECT u.doc_id, u.url, u.host, u.path,
+           COALESCE(bestrule.rule_type = 'allow', TRUE) AS allowed,
+           bestrule.path_prefix AS matched_prefix
+    FROM u LEFT JOIN bestrule ON bestrule.url = u.url
+    """,
+)
+def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38b agent-specific robots.txt gate: the crawler token
+    'trainbot-2.1' selects the planted 'trainbot' group by RFC 9309
+    longest-agent-match — over the wildcard group, over the shorter
+    'train' prefix decoy, and sharing rules with 'backupbot' via the
+    consecutive-User-agent-lines idiom. Verdicts prove the selection:
+    /public passes (the decoy's block must not apply), /private passes
+    (the wildcard's block must not apply), /tmp/cache re-allows via
+    the deeper allow, /tmp/scratch and /public/raw block. Parse, group
+    selection, AND longest-prefix match all replayed in SQL; every
+    (allowed, matched_prefix) verdict hash-checked."""
+    from cflux_spark.extensions import text as textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    robots = docs.select("source").distinct().select(
+        F.concat(F.lit("www."), F.col("source"), F.lit(".com")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n\n"),
+            F.lit("User-agent: train\nDisallow: /public\n\n"),
+            F.lit("User-agent: trainbot  # the specific crawler\n"),
+            F.lit("User-agent: backupbot\n"),
+            F.lit("Disallow: /tmp\nAllow: /tmp/cache\nDisallow: /public/raw\n\n"),
+            F.lit("User-agent: evilbot\nDisallow: /"),
+        ).alias("robots_txt"),
+    )
+    rules = textops.parse_robots(robots, user_agent="trainbot-2.1")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".com"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/tmp/cache/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/scratch/"), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/public/raw/"), F.col("doc_id"))),
         ).alias("url"),
     )
     return textops.robots_filter(urls, rules)

@@ -80,11 +80,7 @@ def test_planted_families_pair_within_one_bit(spark):
 def test_hamming_keep_all_candidates_returns_verifier_tier(spark):
     # regression: the flag was accepted but the cutoff still applied,
     # so probe "candidates" silently equalled verified pairs
-    fp = spark.createDataFrame(
-        [(0, 0), (1, 0), (2, -1)],  # 2 differs from 0/1 in up to 64 bits but
-        "doc_id long, sig long",  # shares band values with neither; 0/1 identical
-    )
-    # craft a band collision with large hamming: low 16 bits equal, rest differ
+    # band collision with large hamming: low 16 bits equal, rest differ
     fp = spark.createDataFrame(
         [(0, 0x0000_0000_0000_1234), (1, 0x7FFF_FFFF_FFFF_1234)],
         "doc_id long, sig long",
@@ -152,6 +148,52 @@ def test_banding_guards(spark):
         hamming_near_pairs(fp, max_hamming=1, fp_col="sig", n_blocks=9)
     with pytest.raises(ValueError, match="explode too wide"):
         hamming_near_pairs(fp, max_hamming=8, fp_col="sig", n_blocks=16)
+
+
+def test_banding_overhang_blocks_clamp_not_raise(spark):
+    # r10 ADVICE: (nb-1)*width > bits used to hit a negative shift count
+    # at plan build (e.g. max_hamming=11, n_blocks=12: width 6, block 11
+    # starts at bit 66). The overhang block clamps to width 0 (vacuous)
+    # and the pairing still verifies exactly.
+    fp = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, -1)], "doc_id long, sig long"
+    )
+    rows = hamming_near_pairs(
+        fp, max_hamming=11, fp_col="sig", n_blocks=12
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in rows} == {(0, 1, 0)}
+
+
+def test_auto_n_blocks_selection():
+    from cflux_spark.extensions.dedup import _AUTO_BANDING_THRESHOLD, _auto_n_blocks
+
+    # below the threshold: minimal pigeonhole, smallest explode
+    assert _auto_n_blocks(500, 3) == 4
+    assert _auto_n_blocks(_AUTO_BANDING_THRESHOLD - 1, 3) == 4
+    # the measured-collision regime (50k docs, d=3) → Manku C(6,3):
+    # 33-bit keys, 20 tables — the round-10 probe's fix configuration
+    assert _auto_n_blocks(50_000, 3) == 6
+    # 10^7 docs need wider keys → C(7,4) (40-bit keys, 35 tables)
+    assert _auto_n_blocks(10_000_000, 3) == 7
+    # d=8 exhausts 64 fingerprint bits: no tier meets the bound, so the
+    # selector falls back to the widest feasible key (C(10,2), 14-bit
+    # keys) and warns rather than silently keeping 8-bit keys
+    with pytest.warns(UserWarning, match="candidate tier may grow"):
+        assert _auto_n_blocks(50_000, 8) == 10
+
+
+def test_auto_banding_kicks_in_past_threshold(spark):
+    # corpus_size hint steers the tier without counting; the widened
+    # explode must not change the verified pairs (exact recall)
+    fp = spark.createDataFrame(
+        [(0, 17), (1, 17 ^ (1 << 40)), (2, -12345678)],
+        "doc_id long, sig long",
+    )
+    small = hamming_near_pairs(fp, max_hamming=3, fp_col="sig", corpus_size=100)
+    big = hamming_near_pairs(fp, max_hamming=3, fp_col="sig", corpus_size=1_000_000)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect())) == [
+        (0, 1, 1)
+    ]
 
 
 # ---------------------------------------------------------------- DSIR
@@ -481,3 +523,70 @@ def test_robots_parse_and_filter(spark):
     )
     got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, parse_robots(robots)).collect()}
     assert got == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
+_AGENT_ROBOTS = (
+    "User-agent: *\nDisallow: /private\n\n"
+    "User-agent: train\nDisallow: /public\n\n"
+    "User-agent: trainbot # specific\nUser-agent: backupbot\n"
+    "Disallow: /tmp\nAllow: /tmp/cache\n\n"
+    "User-agent: evilbot\nDisallow: /"
+)
+
+
+def test_robots_agent_group_selection(spark):
+    # RFC 9309 longest-agent-match: 'trainbot-2.1' selects the
+    # 'trainbot' group over both the wildcard and the shorter 'train'
+    # prefix decoy; 'backupbot' shares that group's rules via the
+    # consecutive-User-agent-lines idiom
+    from cflux_spark.extensions.text import parse_robots
+
+    robots = spark.createDataFrame(
+        [("example.com", _AGENT_ROBOTS)], "host string, robots_txt string"
+    )
+    for ua in ("trainbot-2.1", "TrainBot", "backupbot/1.0"):
+        rules = {
+            (r["rule_type"], r["path_prefix"])
+            for r in parse_robots(robots, user_agent=ua).collect()
+        }
+        assert rules == {("disallow", "/tmp"), ("allow", "/tmp/cache")}, ua
+    # 'train-crawler' matches only the 'train' decoy group
+    rules = {
+        (r["rule_type"], r["path_prefix"])
+        for r in parse_robots(robots, user_agent="train-crawler").collect()
+    }
+    assert rules == {("disallow", "/public")}
+    # an unknown crawler falls back to the wildcard group
+    rules = {
+        (r["rule_type"], r["path_prefix"])
+        for r in parse_robots(robots, user_agent="otherbot").collect()
+    }
+    assert rules == {("disallow", "/private")}
+
+
+def test_robots_filter_same_length_prefix_tie_deterministic(spark):
+    # r10 ADVICE: two equal-length same-type matching prefixes left
+    # matched_prefix nondeterministic; the window now tiebreaks on the
+    # prefix itself
+    from cflux_spark.extensions.text import robots_filter
+
+    rules = spark.createDataFrame(
+        [("example.com", "disallow", "/a"), ("example.com", "disallow", "/ab")],
+        "host string, rule_type string, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(0, "https://example.com/abc")], "doc_id long, url string"
+    )
+    # /abc matches both /a and /ab -> longest wins; craft a true tie:
+    tie = spark.createDataFrame(
+        [("example.com", "disallow", "/ab"), ("example.com", "disallow", "/ac")],
+        "host string, rule_type string, path_prefix string",
+    )
+    both = spark.createDataFrame(
+        [(0, "https://example.com/ab"), (1, "https://example.com/ac")],
+        "doc_id long, url string",
+    )
+    r1 = robots_filter(urls, rules).collect()[0]
+    assert r1["matched_prefix"] == "/ab" and not r1["allowed"]
+    got = {r["doc_id"]: r["matched_prefix"] for r in robots_filter(both, tie).collect()}
+    assert got == {0: "/ab", 1: "/ac"}
