@@ -1,0 +1,198 @@
+"""Model-based quality filtering (SURVEY.md §2.13 X39).
+
+The standard CCNet/Gopher-pipeline stage between heuristic quality
+scores and LM perplexity tiers: a LINEAR CLASSIFIER over hashed
+n-gram bucket features trained in-engine on labeled good/bad
+exemplars, then applied to the whole corpus as one broadcast-weights
+pass. Here the exemplars come from the CCNet perplexity tiers (head =
+positive, tail = negative — Wenzek et al. 2020's bootstrapping trick),
+but any (doc_id, label) frame works.
+
+The model is MULTINOMIAL NAIVE BAYES with Laplace(1) smoothing —
+closed-form log-odds weights, the classic strong baseline of the
+fastText lineage (Wang & Manning 2012's NB component; McCallum &
+Nigam 1998) and the deterministic member of the linear-model family:
+
+    w_b  = ln((c⁺_b + 1)/(T⁺ + B)) − ln((c⁻_b + 1)/(T⁻ + B))
+    bias = ln(m⁺ / m⁻)
+    log_odds(d) = bias + Σ_b cnt_{d,b} · w_b,   score = σ(log_odds)
+
+Closed-form wins over iterated logistic GD here for a reason worth
+recording: a SQL-replayable GD budget (a few unrolled full-batch
+steps) cannot escape the optimizer's linear regime — the stable step
+size is bounded by the feature second moment, and that bound is
+invariant to feature rescaling, so three stable steps always produce
+near-0.5 scores (measured: tier means 0.5032/0.5031/0.5030). The NB
+weights are the infinite-data fixed point of the same feature map,
+need ONE pass, and separate sharply.
+
+Scale shape (100 TB): features reuse the DSIR hashed-gram map
+(md5 buckets — map-only off the scan); training aggregates the
+labeled exemplars into two ≤ n_buckets-row class histograms (map-side
+combine) that stay DataFrames end to end — no driver-side model, no
+collect anywhere in this module; scoring is one broadcast weight join
++ one doc-keyed aggregation. The corpus is never shuffled on anything
+wider than the doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hashed_doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Hashed unigram+bigram bucket counts per document:
+    (doc_id, bucket, cnt, n_grams) — the multinomial bag-of-grams
+    input, reusing the DSIR gram/bucket map
+    (:func:`~cflux_spark.extensions.dsir.hashed_gram_occurrences`) so
+    the SQL oracle replays the identical md5 bucketing. Docs with zero
+    grams yield no rows (nothing to featurize). Map-only explosion +
+    one doc-keyed aggregation."""
+    from cflux_spark.extensions.dsir import hashed_gram_occurrences
+
+    occ = hashed_gram_occurrences(df, text_col, id_col, n_buckets)
+    feat = occ.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    ng = feat.groupBy("doc_id").agg(F.sum("cnt").alias("n_grams"))
+    return feat.join(ng, "doc_id").select("doc_id", "bucket", "cnt", "n_grams")
+
+
+def train_nb_weights(
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_buckets: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """Closed-form NB training: returns ``(weights, prior)`` —
+    weights a (bucket, w) frame over every bucket either class
+    observed, prior a 1-row (bias, w_missing) frame where
+    ``w_missing`` is the exact log-ratio of a bucket neither class
+    saw (both counts smoothed to 1 — NOT zero, because the class
+    totals differ); scoring LEFT-joins weights and COALESCEs to it.
+    Both frames are ≤ n_buckets + 1 rows and broadcast at the score
+    site — the model never touches the driver.
+
+    ``label`` is 1/0 (truthy cast to double). Gradient-free: one gram
+    explosion over the exemplars, two class histograms, arithmetic."""
+    y = labeled.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(label_col).cast("double") > 0).alias("_pos"),
+    )
+    occ = hashed_doc_features(labeled, text_col, id_col, n_buckets).join(y, "doc_id")
+    hist = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(F.lit(0))).alias("cp"),
+        F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(F.lit(0))).alias("cn"),
+    )
+    tot = hist.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
+    )
+    b = float(n_buckets)
+    weights = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + F.lit(b)))
+            - F.log((F.col("cn") + F.lit(1.0)) / (F.col("tn") + F.lit(b)))
+        ).alias("w"),
+    )
+    # class prior from DOC counts; w_missing is the weight of a bucket
+    # neither class observed (both smoothed to count 1) — needed when
+    # a scored doc hits a bucket absent from the exemplars
+    docs_per_class = y.agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("mp"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("mn"),
+    )
+    prior = docs_per_class.crossJoin(tot).select(
+        F.log(F.col("mp") / F.col("mn")).alias("bias"),
+        (
+            F.log(F.lit(1.0) / (F.col("tp") + F.lit(b)))
+            - F.log(F.lit(1.0) / (F.col("tn") + F.lit(b)))
+        ).alias("w_missing"),
+    )
+    return weights, prior
+
+
+def score_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Score every document under trained NB weights: one broadcast
+    weight join onto the hashed features, one doc-keyed aggregation.
+    Output: (doc_id, n_grams, log_odds, score, keep) with
+    log_odds = bias + Σ cnt·w (rounded), score = σ(log_odds) of the
+    ROUNDED log-odds so both engines sigmoid identical doubles, and
+    keep = log_odds ≥ 0. Docs with zero grams carry no row
+    (unfeaturizable — same contract as the DSIR weight tier)."""
+    feats = hashed_doc_features(df, text_col, id_col, n_buckets)
+    joined = feats.join(F.broadcast(weights), "bucket", "left").crossJoin(
+        F.broadcast(prior)
+    )
+    log_odds = F.round(
+        F.any_value("bias")
+        + F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.col("w_missing"))),
+        round_to,
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.any_value("n_grams").alias("n_grams"),
+            log_odds.alias("log_odds"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "log_odds",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds"))), round_to).alias(
+                "score"
+            ),
+            (F.col("log_odds") >= 0).alias("keep"),
+        )
+    )
+
+
+def ccnet_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    lam: float = 0.75,
+) -> DataFrame:
+    """The bootstrapped CCNet/fastText pipeline end to end: label the
+    corpus's perplexity HEAD tier positive and TAIL tier negative
+    (:func:`~cflux_spark.extensions.text.bigram_logprob` +
+    :func:`~cflux_spark.extensions.text.perplexity_buckets`), train
+    the NB model on those exemplars, then score EVERY document —
+    middle tier included; generalizing beyond the bootstrap labels is
+    the point of the classifier.
+    Output: (doc_id, n_grams, log_odds, score, keep)."""
+    from cflux_spark.extensions.text import bigram_logprob, perplexity_buckets
+
+    lm = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam)
+    tiers = perplexity_buckets(lm)
+    labels = tiers.filter(F.col("bucket").isin("head", "tail")).select(
+        F.col("doc_id").alias(id_col),
+        F.when(F.col("bucket") == "head", F.lit(1.0)).otherwise(F.lit(0.0)).alias(
+            "label"
+        ),
+    )
+    labeled = docs.join(labels, id_col)
+    weights, prior = train_nb_weights(
+        labeled,
+        text_col=text_col,
+        id_col=id_col,
+        label_col="label",
+        n_buckets=n_buckets,
+    )
+    return score_quality(
+        docs, weights, prior, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )

@@ -4675,6 +4675,95 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_buckets(lm).select("doc_id", "avg_neg_logprob", "bucket")
 
 
+# X39 (round 11): model-based quality filtering — a closed-form
+# multinomial-NB log-odds classifier over hashed n-gram buckets
+# (Wang & Manning 2012's NB component — the fastText-lineage linear
+# baseline), trained in-engine on CCNet head/tail perplexity
+# exemplars (Wenzek et al. 2020's bootstrap) and applied corpus-wide.
+# The oracle replays EVERYTHING: the bigram-LM labels (the
+# _BIGRAM_CTES + cutoff chain of q_ccnet_buckets), the DSIR md5
+# bucket features at 256 buckets, the Laplace-smoothed class
+# histograms, prior, and per-doc log-odds.
+@q(
+    "q_quality_classifier",
+    f"""
+    WITH {_BIGRAM_CTES},
+    dd AS (SELECT avg_neg_logprob AS s, count(*) AS n FROM lm GROUP BY 1),
+    cc AS (SELECT s, sum(n) OVER (ORDER BY s) AS cum FROM dd),
+    tt2 AS (SELECT sum(n) AS total FROM dd),
+    cuts AS (SELECT
+      (SELECT min(s) FROM cc, tt2 WHERE cum >= (1 * total + 2) // 3) AS cut1,
+      (SELECT min(s) FROM cc, tt2 WHERE cum >= (2 * total + 2) // 3) AS cut2),
+    train AS (
+      SELECT lm.doc_id,
+             CASE WHEN lm.avg_neg_logprob <= cuts.cut1 THEN 1.0 ELSE 0.0 END AS y
+      FROM lm, cuts
+      WHERE lm.avg_neg_logprob <= cuts.cut1 OR lm.avg_neg_logprob > cuts.cut2),
+    ftoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^\\p{{L}}\\p{{N}}]+'), x -> x <> '') AS toks
+      FROM documents),
+    occ AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substring(md5(g.gram), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS bucket
+      FROM ftoks, unnest(list_concat(toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                  ELSE CAST([] AS VARCHAR[]) END)) AS g(gram)),
+    feat AS (SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY 1, 2),
+    ng AS (SELECT doc_id, sum(cnt) AS n_grams FROM feat GROUP BY 1),
+    hist AS (
+      SELECT f.bucket,
+             sum(CASE WHEN t.y = 1.0 THEN f.cnt ELSE 0 END) AS cp,
+             sum(CASE WHEN t.y = 0.0 THEN f.cnt ELSE 0 END) AS cn
+      FROM feat f JOIN train t USING (doc_id) GROUP BY 1),
+    tot3 AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM hist),
+    w AS (
+      SELECT bucket,
+             ln((cp + 1.0) / (tp + 256.0)) - ln((cn + 1.0) / (tn + 256.0)) AS w
+      FROM hist, tot3),
+    mcls AS (
+      SELECT sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS mp,
+             sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS mn
+      FROM train),
+    prior AS (
+      SELECT ln(CAST(mp AS DOUBLE) / mn) AS bias,
+             ln(1.0 / (tp + 256.0)) - ln(1.0 / (tn + 256.0)) AS w_missing
+      FROM mcls, tot3),
+    lo AS (
+      SELECT f.doc_id,
+             round(p.bias + sum(f.cnt * COALESCE(w.w, p.w_missing)), 4) AS log_odds
+      FROM feat f LEFT JOIN w USING (bucket), prior p
+      GROUP BY f.doc_id, p.bias)
+    SELECT l.doc_id, g.n_grams, l.log_odds,
+           round(1.0 / (1.0 + exp(-l.log_odds)), 4) AS score,
+           l.log_odds >= 0 AS keep
+    FROM lo l JOIN ng g USING (doc_id)
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 model-based quality filter, fully oracled INCLUDING
+    training: CCNet head-tier docs label positive, tail-tier negative
+    (bigram-LM perplexity cutoffs), a closed-form multinomial-NB
+    log-odds model over 256 hashed unigram+bigram md5 buckets trains
+    in one pass (Laplace(1) class histograms + doc-count prior), and
+    every document — middle tier included — gets a
+    (log_odds, score, keep) verdict, hash-checked against the SQL
+    replay of labels, features, histograms, and the final sigmoid.
+    Closed-form was chosen over unrolled GD deliberately: a
+    SQL-replayable GD budget cannot leave the optimizer's linear
+    regime (the stable step bound is feature-rescaling-invariant;
+    measured tier-mean scores 0.5032/0.5031/0.5030), while NB is the
+    one-pass fixed point of the same feature map and separates
+    sharply. Scale: two ≤256-row class histograms that stay
+    DataFrames (no driver-side model, no collect); corpus scoring is
+    one broadcast weight join + one doc-keyed aggregation."""
+    from cflux_spark.extensions import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return classifier.ccnet_quality_filter(docs)
+
+
 # X32 (round 10): MMR diversified retrieval (Carbonell & Goldstein
 # SIGIR'98). The oracle replays the greedy selection as a recursive
 # CTE with LIST state (the HOLT_WINTERS precedent): base case = the

@@ -199,6 +199,53 @@ def test_auto_banding_kicks_in_past_threshold(spark):
 # ---------------------------------------------------------------- DSIR
 
 
+def test_nb_classifier_separates_planted_vocabularies(spark):
+    # two disjoint vocabularies; the NB model trained on 4 exemplars
+    # must score held-out docs of each vocabulary on the right side
+    from cflux_spark.extensions.classifier import score_quality, train_nb_weights
+
+    mk = lambda i, t, y: (i, t, y)
+    labeled = spark.createDataFrame(
+        [
+            mk(0, "clean prose reads well and flows nicely", 1.0),
+            mk(1, "clean prose flows and reads nicely today", 1.0),
+            mk(2, "zxq vbn kjh zxq vbn spam spam", 0.0),
+            mk(3, "kjh zxq spam vbn kjh spam spam", 0.0),
+        ],
+        "doc_id long, text string, label double",
+    )
+    held_out = spark.createDataFrame(
+        [(10, "prose reads nicely and flows"), (11, "spam zxq kjh vbn spam")],
+        "doc_id long, text string",
+    )
+    w, prior = train_nb_weights(labeled)
+    got = {r["doc_id"]: r for r in score_quality(held_out, w, prior).collect()}
+    assert got[10]["keep"] and got[10]["log_odds"] > 0
+    assert not got[11]["keep"] and got[11]["log_odds"] < 0
+    assert got[10]["score"] > 0.5 > got[11]["score"]
+
+
+def test_nb_classifier_unseen_bucket_uses_missing_weight(spark):
+    # a scored doc whose grams hit buckets absent from the exemplars
+    # must still score (COALESCE to the smoothing-floor log-ratio),
+    # landing at bias + n_grams*w_missing, not dropping rows
+    from cflux_spark.extensions.classifier import score_quality, train_nb_weights
+
+    labeled = spark.createDataFrame(
+        [(0, "aaa bbb", 1.0), (1, "ccc ddd ccc", 0.0)],
+        "doc_id long, text string, label double",
+    )
+    novel = spark.createDataFrame(
+        [(9, "qqq www eee")], "doc_id long, text string"
+    )
+    w, prior = train_nb_weights(labeled)
+    rows = score_quality(novel, w, prior).collect()
+    assert len(rows) == 1 and rows[0]["n_grams"] == 5  # 3 unigrams + 2 bigrams
+    p = prior.collect()[0]
+    expected = round(p["bias"] + 5 * p["w_missing"], 4)
+    assert rows[0]["log_odds"] == pytest.approx(expected, abs=1e-9)
+
+
 def test_dsir_weights_zero_when_target_is_raw(spark):
     docs = spark.createDataFrame(
         [(0, "alpha beta gamma"), (1, "beta gamma delta"), (2, "epsilon zeta")],
