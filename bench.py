@@ -143,6 +143,11 @@ BENCH_QUERIES = [
     # top of the BM25 stack; q_ndcg/q_temperature_sample share their
     # expensive stages with existing keys and add none of their own
     "q_hard_negatives",
+    # round-11 NB quality classifier: bigram-LM labels + class
+    # histograms + broadcast-weights corpus scoring in one pipeline;
+    # q_robots_agent shares q_robots_filter's host-join shape (itself
+    # the q_url_dedup regexp family) and adds nothing scale-new
+    "q_quality_classifier",
 ]
 
 
@@ -418,6 +423,17 @@ def main() -> int:
         "total_wall_sec": round(time.monotonic() - t0, 3),
     }
     print(json.dumps(out))
+    # Also persist the full artifact: the driver's tail-capture of
+    # stdout truncated the head of the r9/r10 sweeps ("parsed": null),
+    # so the builder-side file is the complete record (VERDICT r10
+    # item 5). Overridable for the per-round snapshot copies.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json"),
+    )
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
     spark.stop()
     return 0
 

@@ -87,23 +87,62 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 4,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join: pairs (a < b) with
     |A∩B| / |A∪B| ≥ threshold. Output: id_a, id_b, jaccard.
 
     Scale: the self-join explodes on hot shingles; at 100 TB run the
     MinHash-LSH tier instead and reserve this as the verifier on
-    candidate pairs (where it is linear in candidates)."""
+    candidate pairs (where it is linear in candidates).
+
+    ``max_shingle_df`` is the candidate-budget knob for running this
+    tier directly on a corpus whose hot shingles would otherwise
+    quadratify the self-join (measured: the sf1 recipe's planted
+    10-doc clusters alone take the verifier 12–16× super-linear —
+    pair_growth_probe --jaccard): shingles occurring in more than
+    ``max_shingle_df`` documents are excluded from CANDIDATE
+    GENERATION ONLY, bounding join fan-out per shingle to
+    C(max_shingle_df, 2); the intersection count is then recomputed
+    over the FULL shingle sets of the surviving candidate pairs
+    (linear in candidates — the verifier shape), so every reported
+    jaccard is exact. The only loss is recall for a pair whose
+    overlap is exclusively stop-shingles — the documented contract of
+    every capped dedup pipeline (the ExactSubstr / MinHash literature
+    drops super-common grams for the same reason). For guaranteed
+    recall at scale use the MinHash-LSH or SemDeDup tiers."""
     sh = shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    if max_shingle_df is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        capped = sh.join(rare, "shingle", "left_semi")
+        cand = (
+            capped.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(capped.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -1031,7 +1031,8 @@ def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (SELECT event_type, epoch_ns(ts) AS ts_ns FROM events),
     meta AS (
       SELECT max(ts_ns) AS now_ns,
-             (6 * (max(ts_ns) - min(ts_ns)) * count(DISTINCT event_type))
+             ((6 + 3 * greatest(0, CAST(floor(log10(count(*))) AS BIGINT) - 5))
+               * (max(ts_ns) - min(ts_ns)) * count(DISTINCT event_type))
                // count(*) // 1000 * 1000 AS itv
       FROM p
     ),
@@ -1070,8 +1071,14 @@ def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded down to whole µs) — so the entry stays non-trivial at
     every scale factor (round 10, VERDICT r9 item 3: the fixed 2 h
     interval went vacuous at sf1 where 10× density closes all 2 h
-    gaps; under a ~exponential gap law P(gap > 6×mean) ≈ e⁻⁶ keeps
-    alerts ∝ n_events at any SF). One lead() pass + a per-series max,
+    gaps; under a ~exponential gap law P(gap > k×mean) keeps alerts
+    ∝ n_events at any SF). The multiplier follows the round-11
+    alert-budget schedule k = 6 + 3·max(0, ⌊log10 n_events⌋ − 5) so
+    the oracle compare stays driver-collectable as events grow (NEXT
+    r10 item 5: k=6 at sf1's 1.1M events collected 109k rows; each
+    decade of events adds an e-fold to the bar; the test SFs, all
+    ≤ 10^5 events, keep k=6 and their exact row counts). One lead()
+    pass + a per-series max,
     no self-join (streaming/rollup.py deadman_transitions; the live
     twin stateful_deadman fires off the event-time watermark via
     applyInPandasWithState EventTimeTimeout with O(1) state/series,
@@ -1089,7 +1096,17 @@ def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("series_key").alias("s"),
     ).first()  # one driver row, same single-aggregate anchor as before
-    itv_ns = (6 * (meta.now_ns - meta.min_ns) * meta.s) // meta.n // 1000 * 1000
+    # alert-budget schedule (round 11, NEXT r10 item 5): the base 6×
+    # mean-gap interval steps up one e-fold per decade of events past
+    # 10^5, so the alert row count stays driver-collectable at every
+    # SF (sf1's 1.1M events took the k=6 oracle compare to 109k rows;
+    # k=9 keeps it in the thousands) while the test SFs (≤ 10^5
+    # events) are untouched. floor(log10(n)) is exact for the integer
+    # decade boundaries in both engines (libm log10 of 10^k is exact).
+    import math
+
+    mult = 6 + 3 * max(0, int(math.floor(math.log10(meta.n))) - 5)
+    itv_ns = (mult * (meta.now_ns - meta.min_ns) * meta.s) // meta.n // 1000 * 1000
     out = deadman_transitions(ev, every_ns=itv_ns, now_ts_ns=meta.now_ns)
     return out.select(
         F.col("series_key").alias("event_type"), "ts", "level", "last_seen"
@@ -5405,141 +5422,124 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-10 rotation (policy above; VERDICT r9 item 1 — the rotation
-# promise). Window = (a) the 19 NEW round-10 entries (q_bm25_topk,
-# q_hybrid_rrf, q_warc_roundtrip, q_html_extract, q_url_dedup,
-# q_hll_rollup, q_image_dedup, q_image_clusters, q_dsir_weights,
-# q_dsir_select, q_bigram_logprob, q_ccnet_buckets, q_mmr_topk,
-# q_paragraph_dedup, q_winnow_fingerprints, q_temperature_sample,
-# q_ndcg, q_hard_negatives, q_robots_filter — never driver-verified);
-# (b) q_deadman (data-derived
-# scale-invariant interval) and q_simhash_near (keep_all_candidates
-# fix in the shared hamming_near_pairs engine), whose implementations
-# changed this round; (c) ALL 19 entries whose last driver record is
-# r07 (promised the r10 head last round); (d) 10 of the 49 r08-green
-# entries, in definition order, so nothing in the window is older
-# than two rounds. The 39 r08-green entries that do not fit stay in
-# the middle (they head the r11 window):
-#   q_embed_cluster, q_token_bpe, q_sample_stratified,
-#   q_sample_weighted, q_multimodal_audio, q_ingest_smoke,
-#   q_span_cuts, q_frequent_ngrams, q_repetition_stats,
-#   q_shard_assign, q_export_tar, q_domain_cap, q_sessionize,
-#   q_histogram, q_approx_distinct, q_pack_bpe, q_approx_quantile,
-#   q_resample_fill, q_quantize_embeddings,
-#   q_dedup_embedding, q_vector_pq, q_vector_ivfpq, q_dedup_near,
-#   q_dedup_incremental, q_show_cardinality, q_explode_tags,
-#   q_tpch_q1, q_tpch_q5ish, q_dedup_exact, q_dedup_jaccard,
-#   q_rollup, q_intersect, q_limit, q_union_fields, q_count_distinct,
-#   q_subquery_raw_inner, q_top_per_bucket, q_alert_transitions (the
-#   last eight bumped by the third-wave entries, q_temperature_sample,
-#   q_ndcg, q_image_clusters, q_hard_negatives, and q_robots_filter).
-# Like everything else they stay oracle-verified every CI run by
-# tests/test_oracle_parity.py; the 49 r09-green entries rotate last.
+# Round-11 rotation (policy above; VERDICT r10 item 1 — the rotation
+# promise, kept exactly). Window = (a) the 7 entries new or changed
+# this round (q_robots_agent + q_quality_classifier are new;
+# q_robots_filter gained the prefix tiebreak; q_hard_negatives'
+# oracle gained the zero-token filter; q_image_dedup,
+# q_image_clusters, q_simhash_near now flow through the banding
+# auto-selector; q_deadman gained the alert-budget multiplier
+# schedule; q_dedup_jaccard/q_dedup_edit gained the max_shingle_df
+# candidate budget — 10 entries total); (b) ALL 38 entries whose last driver record is r08
+# — the 19 named as the promised r11 head in the r10 comment plus the
+# other 19 r08-green entries the third wave bumped (q_dedup_jaccard
+# counted once — it is both r11-touched and r08-aged); (c) 3 of the
+# 49 r09-green entries in definition order (q_time_relative, q_time_iso). Net: nothing in the r11
+# window is older than r09, and after this round no entry's latest
+# driver record predates r09. The 46 remaining r09 entries hold the
+# middle (they head the r12 window); the 45 r10-green entries rotate
+# last. All stay oracle-verified every CI run by
+# tests/test_oracle_parity.py regardless of ordering.
 
 _VERIFY_FIRST = [
+    "q_robots_agent",
+    "q_quality_classifier",
     "q_robots_filter",
     "q_hard_negatives",
-    "q_image_clusters",
-    "q_ndcg",
-    "q_temperature_sample",
-    "q_mmr_topk",
-    "q_paragraph_dedup",
-    "q_winnow_fingerprints",
     "q_image_dedup",
-    "q_dsir_weights",
-    "q_dsir_select",
-    "q_bigram_logprob",
-    "q_ccnet_buckets",
+    "q_image_clusters",
     "q_simhash_near",
-    "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_warc_roundtrip",
-    "q_html_extract",
-    "q_url_dedup",
-    "q_hll_rollup",
     "q_deadman",
-    "q_vector_pq_bulk",
-    "q_semdedup",
-    "q_text_tokens",
-    "q_quality_score",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_sample_hash",
-    "q_tfidf_top_terms",
-    "q_doc_fingerprint",
-    "q_multimodal_features",
-    "q_unigram_logprob",
-    "q_redact_pii",
-    "q_lp_parse",
-    "q_series_pivot",
-    "q_contamination",
-    "q_decontam_semantic",
-    "q_epoch_shuffle",
-    "q_length_buckets",
-    "q_pipeline_export",
-    "q_minute_avg",
-    "q_time_absolute",
-    "q_tag_filter_or",
-    "q_series_semijoin",
-    "q_orders_join",
-    "q_asof_forward",
-    "q_series_rate",
-    "q_elapsed",
-    "q_integral",
-    "q_holt_winters",
-]
-
-# r09-green entries rotate behind the r08 leftovers (which head r11).
-_VERIFY_LAST: list[str] = [
+    "q_dedup_jaccard",
+    "q_dedup_edit",
+    "q_alert_transitions",
+    "q_approx_distinct",
+    "q_approx_quantile",
+    "q_count_distinct",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_near",
+    "q_domain_cap",
+    "q_embed_cluster",
+    "q_explode_tags",
+    "q_export_tar",
+    "q_frequent_ngrams",
+    "q_histogram",
+    "q_ingest_smoke",
+    "q_intersect",
+    "q_limit",
+    "q_multimodal_audio",
+    "q_pack_bpe",
+    "q_quantize_embeddings",
+    "q_repetition_stats",
+    "q_resample_fill",
+    "q_rollup",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sessionize",
+    "q_shard_assign",
+    "q_show_cardinality",
+    "q_span_cuts",
+    "q_subquery_raw_inner",
+    "q_token_bpe",
+    "q_top_per_bucket",
+    "q_tpch_q1",
+    "q_tpch_q5ish",
+    "q_union_fields",
+    "q_vector_ivfpq",
+    "q_vector_pq",
     "q_time_relative",
     "q_time_iso",
-    "q_tag_filter",
-    "q_name_filter",
-    "q_label_matchers",
-    "q_series_join",
-    "q_asof_join",
-    "q_time_bucket_param",
-    "q_agg_suite",
-    "q_hour_bucket",
-    "q_distinct_groupby",
-    "q_series_difference",
-    "q_series_difference_seg",
-    "q_moving_average",
-    "q_cumulative_sum",
-    "q_ta_ema",
-    "q_ta_rsi",
-    "q_ta_cmo",
-    "q_ta_kama",
-    "q_subquery_having",
-    "q_union_sorted",
-    "q_except",
-    "q_show_measurements",
-    "q_show_field_keys",
-    "q_show_tag_keys",
-    "q_show_series",
-    "q_show_tag_values",
-    "q_labels_json",
-    "q_fingerprint_stable",
-    "q_ts_convert",
-    "q_dedup_edit",
-    "q_normalize_text",
-    "q_dedup_clusters",
-    "q_split_leakage_safe",
-    "q_dedup_canonical",
-    "q_simhash",
-    "q_vector_topk",
-    "q_cosine_pairs_bulk",
-    "q_dedup_semantic",
-    "q_vector_lsh",
-    "q_vector_ivf",
-    "q_project_embeddings",
-    "q_chunk_documents",
-    "q_multimodal_decode",
-    "q_multimodal_jpeg",
-    "q_multimodal_video",
-    "q_dup_spans",
-    "q_pack_sequences",
-    "q_curation_verdict",
+]
+
+# r10-green entries rotate behind the r09 cohort (which fills the
+# r12 window next).
+_VERIFY_LAST: list[str] = [
+    "q_asof_forward",
+    "q_bigram_logprob",
+    "q_bm25_topk",
+    "q_ccnet_buckets",
+    "q_contamination",
+    "q_decontam_semantic",
+    "q_doc_fingerprint",
+    "q_dsir_select",
+    "q_dsir_weights",
+    "q_elapsed",
+    "q_epoch_shuffle",
+    "q_hll_rollup",
+    "q_holt_winters",
+    "q_html_extract",
+    "q_hybrid_rrf",
+    "q_integral",
+    "q_lang_filter",
+    "q_lang_id",
+    "q_length_buckets",
+    "q_lp_parse",
+    "q_minute_avg",
+    "q_mmr_topk",
+    "q_multimodal_features",
+    "q_ndcg",
+    "q_orders_join",
+    "q_paragraph_dedup",
+    "q_pipeline_export",
+    "q_quality_score",
+    "q_redact_pii",
+    "q_sample_hash",
+    "q_semdedup",
+    "q_series_pivot",
+    "q_series_rate",
+    "q_series_semijoin",
+    "q_tag_filter_or",
+    "q_temperature_sample",
+    "q_text_tokens",
+    "q_tfidf_top_terms",
+    "q_time_absolute",
+    "q_unigram_logprob",
+    "q_url_dedup",
+    "q_vector_pq_bulk",
+    "q_warc_roundtrip",
+    "q_winnow_fingerprints",
 ]
 
 

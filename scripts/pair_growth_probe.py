@@ -31,9 +31,17 @@ SCALE.md round-10 correction).
 Replicas use the sf1_probe recipe (key offset i·10⁹, text || ' rep' ||
 i) so the twins are near-dups, not byte-dups — the hostile shape.
 
+``--jaccard`` adds the EXACT shingle-Jaccard verifier tier (what
+q_dedup_jaccard / q_dedup_edit pay): co-shingle candidate pairs
+(threshold 0 — the self-join fan-out), verified pairs (threshold 0.2),
+and the max_shingle_df-capped candidate tier. This is the VERDICT r10
+item-4 probe: the sf1 gate's 12–16× super-linear growth for those two
+keys is the planted 10-replica cluster density — at multiplicity 1 the
+same code is ~linear in corpus size.
+
 Usage:
     python scripts/pair_growth_probe.py [--multiplicities 1,2,5,10]
-        [--src /root/testdata/sf0.1/documents.parquet]
+        [--src /root/testdata/sf0.1/documents.parquet] [--jaccard]
 
 Append the output table to SCALE.md when re-pinning.
 """
@@ -68,15 +76,63 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1/documents.parquet")
     ap.add_argument("--multiplicities", default="1,2,5,10")
+    ap.add_argument("--jaccard", action="store_true",
+                    help="measure the exact shingle-Jaccard verifier tier instead")
+    ap.add_argument("--max-shingle-df", type=int, default=50,
+                    help="cap for the capped-candidate column (--jaccard mode)")
     args = ap.parse_args()
     ms = [int(x) for x in args.multiplicities.split(",")]
 
-    from cflux_spark.extensions.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from cflux_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
     from cflux_spark.session import get_spark
 
     spark = get_spark("pair_growth_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     n_base = spark.read.parquet(args.src).count()
     print(f"base corpus: {n_base} docs ({args.src})")
+
+    if args.jaccard:
+        # the exact verifier tier (q_dedup_jaccard / q_dedup_edit
+        # shape): candidates = every co-shingle pair (threshold 0),
+        # verified = jaccard >= 0.2, capped = candidates surviving the
+        # max_shingle_df budget knob
+        print(
+            f"{'m':>3} {'docs':>7} | {'jac_cand':>10} {'cand/doc':>8} {'law':>7} | "
+            f"{'verified':>9} | {'capped_df' + str(args.max_shingle_df):>11} | {'wall_s':>7}"
+        )
+        base_cand = None
+        for m in ms:
+            t0 = time.time()
+            docs = replicate(spark, args.src, m).cache()
+            n = docs.count()
+            cand = ngram_jaccard_pairs(docs, n=3, threshold=0.0).count()
+            ver = ngram_jaccard_pairs(docs, n=3, threshold=0.2).count()
+            capped = ngram_jaccard_pairs(
+                docs, n=3, threshold=0.0, max_shingle_df=args.max_shingle_df
+            ).count()
+            docs.unpersist()
+            if m == ms[0] and ms[0] == 1:
+                base_cand = max(cand, 1)
+            law_v = (
+                cand / (m * base_cand + n_base * m * (m - 1) / 2)
+                if base_cand
+                else float("nan")
+            )
+            print(
+                f"{m:>3} {n:>7} | {cand:>10} {cand / n:>8.2f} {law_v:>7.2f} | "
+                f"{ver:>9} | {capped:>11} | {time.time() - t0:>7.1f}"
+            )
+        print(
+            "\nlaw ≈ 1.0 ⇒ verifier growth is exactly the planted cluster "
+            "structure (linear at multiplicity 1); capped column bounds "
+            "the hot-shingle fan-out regardless of multiplicity."
+        )
+        spark.stop()
+        return 0
+
     hdr = (
         f"{'m':>3} {'docs':>7} | {'mh_cand':>9} {'mh/doc':>7} {'mh_law':>7} | "
         f"{'sh_cand':>9} {'sh_verif':>9} {'sh/doc':>7} {'sh_law':>7} | "

@@ -57,6 +57,34 @@ def test_lsh_vs_exact_jaccard(docs):
     assert len(missed) <= max(1, len(exact) // 5), f"LSH missed {missed}"
 
 
+def test_jaccard_max_shingle_df_cap(spark):
+    """The candidate-budget knob: a corpus-wide hot shingle must not
+    generate candidates, but surviving pairs' jaccard stays EXACT
+    (intersection recomputed over full shingle sets, hot shingle
+    included)."""
+    rows = [(i, f"hot uniq{i}") for i in range(2, 22)]
+    rows += [(0, "hot uniq0 dup"), (1, "hot uniq1 dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # n=1: shingles are unigrams. 'hot' df=22, 'dup' df=2.
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, n=1, threshold=0.2).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=1, threshold=0.2, max_shingle_df=2
+        ).collect()
+    }
+    # uncapped: every pair shares 'hot' (C(22,2) candidates); capped:
+    # only (0,1) share a rare shingle
+    assert (2, 3) in uncapped and (2, 3) not in capped
+    assert set(capped) == {(0, 1)}
+    # exact value preserved: |{hot,uniq?,dup} ∩| = 2 of union 4 → 0.5,
+    # identical to the uncapped computation for that pair
+    assert capped[(0, 1)] == uncapped[(0, 1)] == 0.5
+
+
 def test_simhash_similar_docs_close(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta " * 8
     edited = base.replace("delta", "delta2", 2)
