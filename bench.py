@@ -148,6 +148,12 @@ BENCH_QUERIES = [
     # q_robots_agent shares q_robots_filter's host-join shape (itself
     # the q_url_dedup regexp family) and adds nothing scale-new
     "q_quality_classifier",
+    # round-11 second half: BLEU (4-order gram counting + pair-keyed
+    # reduction) and PageRank (3 iterative edges⋈ranks joins);
+    # q_bloom_decontam shares q_contamination's gram/broadcast shape
+    # plus a cheap k-position explode
+    "q_bleu",
+    "q_pagerank",
 ]
 
 

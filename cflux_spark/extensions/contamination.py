@@ -275,3 +275,116 @@ def semantic_decontaminate(
             "max_sim",
         )
     )
+
+
+# ----------------------------------------------- Bloom-filter tier (X41)
+
+
+def bloom_build(
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Compact Bloom-filter build over a benchmark's n-grams: the bit
+    array as a (word_idx, word) frame of 64-bit words — ≤ m_bits/64
+    rows (16,384 at the 2^20 default, ~128 KB), the thing a 100 TB
+    decontamination pass actually broadcasts when the benchmark's raw
+    gram set is too wide for a hash-set join (Bloom 1970).
+
+    Engine-portable hashing (no RNG, DuckDB-replayable): the i-th of
+    ``k`` positions is (h1 + i·h2) mod m_bits with
+    h1 = int(md5(gram)[:8], 16), h2 = int(md5(gram)[8:16], 16) | 1
+    (forced odd) — Kirsch–Mitzenmacher double hashing off one md5.
+    Values stay < 2^35, no overflow in either engine's BIGINT.
+
+    Map-only gram explosion + one ≤16k-row bitwise-OR aggregation."""
+    grams = text_ngrams(bench, n, text_col, id_col).select("gram").distinct()
+    h1 = F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("gram"), 9, 8), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)
+    )
+    hashed = grams.select(h1.alias("_h1"), h2.alias("_h2"))
+    pos = hashed.select(
+        F.explode(
+            F.array(*[((F.col("_h1") + F.lit(i) * F.col("_h2")) % m_bits).alias(str(i)) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            (F.col("pos") % 64).cast("int").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _bit)")).alias("word"))
+    )
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bloom: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Per-document contamination verdict against a Bloom filter built
+    by :func:`bloom_build` (same ``n``, ``m_bits``, ``k`` — the
+    positions must replay identically). A gram occurrence "hits" iff
+    ALL k probed bits are set; output (id, n_hits, contaminated)
+    matches :func:`flag_contamination`'s shape, with the documented
+    Bloom caveat: false positives at the configured rate, never false
+    negatives.
+
+    Scale: k-way position explosion is map-only; the ≤16k-row filter
+    broadcasts; the per-gram all-bits-set check is one
+    (id, gram-occurrence)-keyed aggregation followed by the doc-keyed
+    count — the corpus never shuffles on anything wider."""
+    occ = text_ngrams(docs, n, text_col, id_col).select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("_gidx"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("_h1"),
+        F.conv(F.substring(F.md5("gram"), 9, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+        .alias("_h2"),
+    )
+    probes = occ.select(
+        F.col(id_col),
+        "_gidx",
+        F.explode(
+            F.array(*[((F.col("_h1") + F.lit(i) * F.col("_h2")) % m_bits).alias(str(i)) for i in range(k)])
+        ).alias("pos"),
+    ).select(
+        F.col(id_col),
+        "_gidx",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        (F.col("pos") % 64).cast("int").alias("_bit"),
+    )
+    checked = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+        F.col(id_col),
+        "_gidx",
+        F.when(
+            F.col("word").isNotNull()
+            & (F.expr("(shiftright(word, _bit) & CAST(1 AS BIGINT))") == 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("_set"),
+    )
+    per_gram = checked.groupBy(id_col, "_gidx").agg(
+        (F.sum("_set") == k).cast("int").alias("_hit")
+    )
+    hits = per_gram.groupBy(id_col).agg(F.sum("_hit").alias("n_hits"))
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Text-generation evaluation metrics (SURVEY.md §2.13 X40).
+
+BLEU (Papineni et al. 2002, ACL — public paper) with Lin & Och 2004
+add-one smoothing for the higher orders: the standard automatic score
+a data pipeline runs when it produces or filters paraphrases,
+translations, summaries, or synthetic training text against
+references. Everything is engine-portable-deterministic so the SQL
+oracle replays it value-exactly:
+
+- tokenization is the single-space + lower idiom shared with the
+  bigram-LM tier,
+- modified n-gram precision p_n = clipped_matches / candidate_grams
+  with clipping = per-gram min(candidate_count, reference_count),
+- smoothing δ = 1 on numerator and denominator for n ≥ 2 only (the
+  Lin-Och sentence-BLEU recipe; p_1 unsmoothed, so a candidate with
+  zero unigram overlap scores exactly 0),
+- brevity penalty BP = exp(min(0, 1 − ref_len / cand_len)),
+- BLEU = round(BP · exp(Σ_{n≤N} ln p_n / N), 6).
+
+Scale shape (100 TB): n-gram expansion is map-only off the scan
+(grams built INSIDE the token array by indexed transforms — the
+no-self-join house rule); counting shuffles on (id, n, gram) — the
+pair key, never corpus-wide; the per-pair reduction is one doc-keyed
+aggregation. Nothing quadratic, nothing driver-collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
+
+
+def _gram_rows(df: DataFrame, id_col: str, text_col: str, max_n: int) -> DataFrame:
+    """(id, n, gram, cnt) counts for n = 1..max_n. The token array is
+    materialized in its own projection before any lambda references it
+    (no CSE across HOF lambda boundaries — the text_stats lesson)."""
+    base = df.select(F.col(id_col).alias("_id"), _toks(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+
+    def gram_array(n: int) -> Column:
+        # n captured by closure, NOT a lambda default — pyspark infers
+        # the HOF lambda's arity from its parameter list, so a bound
+        # default would be mistaken for the index argument. element_at
+        # is 1-based.
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    per_n = [gram_array(n).alias(f"_g{n}") for n in range(1, max_n + 1)]
+    wide = base.select("_id", *per_n)
+    stacked = wide.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), F.col(f"_g{n}").alias("grams")
+                    )
+                    for n in range(1, max_n + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", F.col("s.n").alias("n"), F.explode("s.grams").alias("gram"))
+    return stacked.groupBy("_id", "n", "gram").agg(F.count("*").alias("cnt"))
+
+
+def bleu_scores(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-pair smoothed sentence BLEU over a (id, candidate,
+    reference) frame. Output: (id, cand_len, ref_len, bleu).
+
+    A pair whose candidate has no tokens, or zero unigram overlap with
+    its reference, scores bleu = 0.0 (kept as a row — an evaluation
+    that silently drops failures overstates the corpus mean)."""
+    cg = _gram_rows(pairs, id_col, cand_col, max_n).withColumnRenamed("cnt", "c_cnt")
+    rg = _gram_rows(pairs, id_col, ref_col, max_n).withColumnRenamed("cnt", "r_cnt")
+    joined = cg.join(rg, ["_id", "n", "gram"], "left")
+    per_n = joined.groupBy("_id", "n").agg(
+        F.sum(F.least(F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0)))).alias(
+            "clipped"
+        ),
+        F.sum("c_cnt").alias("total"),
+    )
+    # smoothed log-precision: n=1 unsmoothed (null when clipped=0 —
+    # the pair is forced to bleu 0 by the m1 guard below, so the null
+    # never reaches a result), n>=2 add-one keeps the log finite. A
+    # candidate shorter than n has no per_n row at all, which equals
+    # the smoothed p=(0+1)/(0+1)=1 → ln 0 contribution exactly.
+    logp = F.when(
+        F.col("n") == 1,
+        F.when(F.col("clipped") > 0, F.log(F.col("clipped") / F.col("total"))),
+    ).otherwise(
+        F.log((F.col("clipped") + F.lit(1.0)) / (F.col("total") + F.lit(1.0)))
+    )
+    agg = per_n.groupBy("_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("clipped"))).alias("m1"),
+        F.sum(logp).alias("_slogp"),
+    )
+    lens = pairs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_toks(F.col(cand_col))).alias("cand_len"),
+        F.size(_toks(F.col(ref_col))).alias("ref_len"),
+    )
+    bp = F.exp(F.least(F.lit(0.0), F.lit(1.0) - F.col("ref_len") / F.col("cand_len")))
+    bleu = F.when(
+        (F.col("cand_len") == 0) | F.coalesce(F.col("m1") == 0, F.lit(True)),
+        F.lit(0.0),
+    ).otherwise(F.round(bp * F.exp(F.col("_slogp") / F.lit(float(max_n))), round_to))
+    return (
+        lens.join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cand_len",
+            "ref_len",
+            bleu.alias("bleu"),
+        )
+    )

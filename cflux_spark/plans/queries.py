@@ -4781,6 +4781,293 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.ccnet_quality_filter(docs)
 
 
+# X42 (round 11): link-graph PageRank (Page et al. 1999) — the
+# crawl-corpus quality prior. The synthetic graph is fixture gear
+# (3 md5-derived out-links per doc over a dense row_number index —
+# the operator itself takes any (src, dst) frame); the oracle unrolls
+# all 3 power iterations with the same per-iteration 12-dp rounding
+# the engine applies, so both engines carry identical doubles
+# step to step. Damping enters as (1.0 - 0.85), never a 0.15 literal,
+# so the complement is the identical IEEE double in both engines.
+@q(
+    "q_pagerank",
+    r"""
+    WITH ids AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    lk AS (
+      SELECT i.doc_id AS src,
+             CAST(CAST(('0x' || substring(md5(CAST(i.doc_id AS VARCHAR) || ':' ||
+                  CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT) % nn.n AS BIGINT) AS tidx
+      FROM ids i, (VALUES (0), (1), (2)) j(j), nn
+    ),
+    edges AS (
+      SELECT DISTINCT lk.src, t.doc_id AS dst
+      FROM lk JOIN ids t ON t.idx = lk.tidx WHERE t.doc_id <> lk.src
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    n2 AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / n2.n AS rank FROM nodes, n2),
+    c1 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+           FROM edges e JOIN odeg o ON o.src = e.src JOIN r0 r ON r.node = e.src
+           GROUP BY 1),
+    d1 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+           FROM r0 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
+    r1 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
+                   + 0.85 * (COALESCE(c1.cin, 0.0) + d1.dang / n2.n), 12) AS rank
+           FROM nodes n LEFT JOIN c1 USING (node), n2, d1),
+    c2 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+           FROM edges e JOIN odeg o ON o.src = e.src JOIN r1 r ON r.node = e.src
+           GROUP BY 1),
+    d2 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+           FROM r1 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
+    r2 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
+                   + 0.85 * (COALESCE(c2.cin, 0.0) + d2.dang / n2.n), 12) AS rank
+           FROM nodes n LEFT JOIN c2 USING (node), n2, d2),
+    c3 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+           FROM edges e JOIN odeg o ON o.src = e.src JOIN r2 r ON r.node = e.src
+           GROUP BY 1),
+    d3 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+           FROM r2 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
+    r3 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
+                   + 0.85 * (COALESCE(c3.cin, 0.0) + d3.dang / n2.n), 12) AS rank
+           FROM nodes n LEFT JOIN c3 USING (node), n2, d3)
+    SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 PageRank quality prior over a deterministic synthetic link
+    graph (3 md5-derived out-links per document across a dense
+    row_number index; self-loops dropped, duplicate edges deduped):
+    3 power iterations, damping 0.85, dangling mass redistributed
+    uniformly, ranks rounded to 12 dp per iteration — every final
+    (node, rank) hash-checked against the SQL replay of the graph
+    construction AND all three iterations. Scale: the operator
+    (extensions/graph.py pagerank) is one edges⋈ranks join + one
+    dst-keyed aggregation per iteration with node-sized persisted
+    ranks — the production batch shape; the row_number graph recipe
+    is fixture gear only."""
+    from cflux_spark.extensions.graph import pagerank
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    ids = docs.select("doc_id", (F.row_number().over(w) - 1).alias("idx"))
+    n1 = docs.agg(F.count("*").alias("_n"))
+    links = (
+        ids.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.col("doc_id").cast("string"),
+                                            F.lit(":"),
+                                            F.lit(str(j)),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F.col("_n")
+                        ).alias(str(j))
+                        for j in range(3)
+                    ]
+                )
+            ).alias("tidx"),
+        )
+    )
+    edges = (
+        links.join(ids.select(F.col("idx").alias("tidx"), F.col("doc_id").alias("dst")), "tidx")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"), "rank")
+
+
+# X41 (round 11): Bloom-filter decontamination (Bloom 1970;
+# Kirsch-Mitzenmacher double hashing off one md5 so both engines
+# derive identical bit positions). The filter is the (word_idx, word)
+# 64-bit-word frame a 100 TB pass broadcasts (~128 KB at 2^20 bits)
+# when the benchmark's raw gram set is too wide for a hash-set join.
+# The oracle replays grams, hashes, positions, the bitwise-OR build,
+# AND the all-k-bits probe.
+@q(
+    "q_bloom_decontam",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g.i AS gidx, array_to_string(t[g.i : g.i + 7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) g(i)
+      WHERE len(t) >= 8
+    ),
+    bgrams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ),
+    bh AS (
+      SELECT CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT) AS h1,
+             CAST(CAST(('0x' || substring(md5(gram), 9, 8)) AS UBIGINT) AS BIGINT) | 1 AS h2
+      FROM bgrams
+    ),
+    bpos AS (
+      SELECT ((h1 + kk.i * h2) % 1048576) AS pos
+      FROM bh, (VALUES (0), (1), (2), (3)) kk(i)
+    ),
+    words AS (
+      -- UBIGINT: DuckDB raises on signed 1 << 63; the word never
+      -- crosses engines (only per-doc verdicts do), so unsigned here
+      -- vs Spark's two's-complement long is immaterial — bit k is
+      -- bit k either way
+      SELECT pos // 64 AS word_idx,
+             bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS word
+      FROM bpos GROUP BY 1
+    ),
+    gh AS (
+      SELECT doc_id, gidx,
+             CAST(CAST(('0x' || substring(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT) AS h1,
+             CAST(CAST(('0x' || substring(md5(gram), 9, 8)) AS UBIGINT) AS BIGINT) | 1 AS h2
+      FROM grams
+    ),
+    pb AS (
+      SELECT doc_id, gidx, ((h1 + kk.i * h2) % 1048576) // 64 AS word_idx,
+             CAST(((h1 + kk.i * h2) % 1048576) % 64 AS INT) AS bit
+      FROM gh, (VALUES (0), (1), (2), (3)) kk(i)
+    ),
+    chk AS (
+      SELECT pb.doc_id, pb.gidx,
+             CASE WHEN w.word IS NOT NULL AND ((w.word >> pb.bit) & 1) = 1
+                  THEN 1 ELSE 0 END AS s
+      FROM pb LEFT JOIN words w USING (word_idx)
+    ),
+    hit AS (
+      SELECT doc_id, gidx, CASE WHEN sum(s) = 4 THEN 1 ELSE 0 END AS h
+      FROM chk GROUP BY 1, 2
+    ),
+    nh AS (SELECT doc_id, CAST(sum(h) AS BIGINT) AS n_hits FROM hit GROUP BY 1)
+    SELECT d.doc_id, COALESCE(nh.n_hits, 0) AS n_hits,
+           COALESCE(nh.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN nh USING (doc_id)
+    """,
+)
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 Bloom-filter benchmark decontamination: a thin
+    deterministic eval slice (doc_id % 97 = 0) builds a 2^20-bit /
+    4-hash Bloom filter over its 8-token grams; every document probes
+    its gram occurrences (hit = all 4 bits set).
+    Benchmark members must flag themselves; other hits are the
+    filter's documented false-positive rate, deterministic under the
+    md5-derived double hashing so both engines agree bit-for-bit.
+    Scale: the filter is ≤16,384 64-bit words (~128 KB) regardless of
+    benchmark size — the broadcast a 100 TB pass ships instead of a
+    raw gram set; probing is map-only + two keyed aggregations."""
+    from cflux_spark.extensions import contamination as cont
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    bloom = cont.bloom_build(bench, n=8)
+    return cont.bloom_probe(docs, bloom, n=8)
+
+
+# X40 (round 11): BLEU evaluation (Papineni et al. 2002; Lin & Och
+# 2004 add-one smoothing for n >= 2). Candidates are a deterministic
+# lossy transform of each document (every 7th token dropped — DuckDB
+# list lambdas index 1-based, Spark 0-based, aligned below), so the
+# score exercises clipping, smoothing, and the brevity penalty at
+# varied values. Grams build inside the token array (no self-join);
+# counting shuffles on the (doc, n, gram) key only.
+@q(
+    "q_bleu",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                         (x, i) -> i % 7 != 0) AS ctoks,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS rtoks
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id, n.n, array_to_string(ctoks[i.i : i.i + n.n - 1], ' ') AS gram,
+             count(*) AS c_cnt
+      FROM p, (VALUES (1), (2), (3), (4)) n(n),
+           unnest(range(1, greatest(len(ctoks) - n.n + 2, 1))) i(i)
+      GROUP BY 1, 2, 3
+    ),
+    rg AS (
+      SELECT doc_id, n.n, array_to_string(rtoks[i.i : i.i + n.n - 1], ' ') AS gram,
+             count(*) AS r_cnt
+      FROM p, (VALUES (1), (2), (3), (4)) n(n),
+           unnest(range(1, greatest(len(rtoks) - n.n + 2, 1))) i(i)
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT cg.doc_id, cg.n,
+             sum(least(cg.c_cnt, COALESCE(rg.r_cnt, 0))) AS clipped,
+             sum(cg.c_cnt) AS total
+      FROM cg LEFT JOIN rg
+        ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.gram = cg.gram
+      GROUP BY 1, 2
+    ),
+    a AS (
+      SELECT doc_id,
+             sum(CASE WHEN n = 1 THEN clipped END) AS m1,
+             sum(CASE WHEN n = 1
+                      THEN CASE WHEN clipped > 0 THEN ln(clipped * 1.0 / total) END
+                      ELSE ln((clipped + 1.0) / (total + 1.0)) END) AS slogp
+      FROM j GROUP BY 1
+    ),
+    l AS (SELECT doc_id, len(ctoks) AS cand_len, len(rtoks) AS ref_len FROM p)
+    SELECT l.doc_id, l.cand_len, l.ref_len,
+           CASE WHEN l.cand_len = 0 OR COALESCE(a.m1, 0) = 0 THEN 0.0
+                ELSE round(exp(least(0.0, 1.0 - l.ref_len * 1.0 / l.cand_len))
+                           * exp(a.slogp / 4.0), 4)
+           END AS bleu
+    FROM l LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 smoothed sentence-BLEU over (candidate, reference) pairs:
+    candidate = the document minus every 7th token (deterministic
+    lossy transform), reference = the document — exercising clipped
+    modified n-gram precision (n ≤ 4), Lin-Och add-one smoothing for
+    the higher orders, and the brevity penalty (candidates are ~14%
+    shorter, so BP < 1 throughout). Every (cand_len, ref_len, bleu)
+    hash-checked against the SQL twin. Scale: gram expansion is
+    map-only; counts shuffle on the (doc, n, gram) key; one doc-keyed
+    reduction — the BLEU of a billion pairs is one pipeline, no
+    collect."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    pairs = docs.select(F.col("doc_id").alias("pair_id"), toks.alias("_t")).select(
+        "pair_id",
+        F.array_join(
+            F.filter(F.col("_t"), lambda x, i: (i + 1) % 7 != 0), " "
+        ).alias("candidate"),
+        F.array_join(F.col("_t"), " ").alias("reference"),
+    )
+    return evaluation.bleu_scores(pairs, id_col="pair_id", round_to=4).select(
+        F.col("pair_id").alias("doc_id"), "cand_len", "ref_len", "bleu"
+    )
+
+
 # X32 (round 10): MMR diversified retrieval (Carbonell & Goldstein
 # SIGIR'98). The oracle replays the greedy selection as a recursive
 # CTE with LIST state (the HOLT_WINTERS precedent): base case = the
@@ -5433,8 +5720,11 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate budget — 10 entries total); (b) ALL 38 entries whose last driver record is r08
 # — the 19 named as the promised r11 head in the r10 comment plus the
 # other 19 r08-green entries the third wave bumped (q_dedup_jaccard
-# counted once — it is both r11-touched and r08-aged); (c) 3 of the
-# 49 r09-green entries in definition order (q_time_relative, q_time_iso). Net: nothing in the r11
+# counted once — it is both r11-touched and r08-aged) except q_limit,
+# whose LIMIT/OFFSET mechanics are duplicated by the in-window
+# envelope queries and which heads the r12 window instead (the three
+# NEW r11 entries q_bleu/q_bloom_decontam/q_pagerank outrank it for
+# the 50 driver slots). Net: nothing in the r11
 # window is older than r09, and after this round no entry's latest
 # driver record predates r09. The 46 remaining r09 entries hold the
 # middle (they head the r12 window); the 45 r10-green entries rotate
@@ -5452,6 +5742,9 @@ _VERIFY_FIRST = [
     "q_deadman",
     "q_dedup_jaccard",
     "q_dedup_edit",
+    "q_bleu",
+    "q_bloom_decontam",
+    "q_pagerank",
     "q_alert_transitions",
     "q_approx_distinct",
     "q_approx_quantile",
@@ -5468,7 +5761,6 @@ _VERIFY_FIRST = [
     "q_histogram",
     "q_ingest_smoke",
     "q_intersect",
-    "q_limit",
     "q_multimodal_audio",
     "q_pack_bpe",
     "q_quantize_embeddings",
@@ -5489,8 +5781,6 @@ _VERIFY_FIRST = [
     "q_union_fields",
     "q_vector_ivfpq",
     "q_vector_pq",
-    "q_time_relative",
-    "q_time_iso",
 ]
 
 # r10-green entries rotate behind the r09 cohort (which fills the

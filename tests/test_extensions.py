@@ -925,6 +925,82 @@ def test_contamination_flags_exact_ngram_only(spark):
     assert out[3] == (False, 0)
 
 
+def test_bloom_decontam_no_false_negatives(spark):
+    """The Bloom tier must agree with the exact hash-set tier on every
+    positive (no false negatives — the Bloom guarantee); near-misses
+    and unrelated docs stay clean at this corpus size (FP rate
+    ~1e-11 for a 3-gram filter at 2^20 bits)."""
+    from cflux_spark.extensions import contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix words"),
+            (2, "alpha beta gamma delta epsilon zeta eta OTHER"),
+            (3, "unrelated text entirely here"),
+            (100, bench_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 100")
+    bloom = contamination.bloom_build(bench, n=8)
+    out = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in contamination.bloom_probe(docs, bloom, n=8).collect()
+    }
+    exact = {
+        r.doc_id: (r.contaminated, r.n_hits)
+        for r in contamination.flag_contamination(
+            docs, contamination.benchmark_ngrams(bench, n=8), n=8
+        ).collect()
+    }
+    assert out == exact == {1: (True, 1), 2: (False, 0), 3: (False, 0), 100: (True, 1)}
+    # the filter is word-packed: 8-gram × 4 positions → ≤ 4 words set
+    assert contamination.bloom_build(bench, n=8).count() <= 4
+
+
+def test_bleu_known_values(spark):
+    from cflux_spark.extensions import evaluation
+
+    pairs = spark.createDataFrame(
+        [
+            (1, "a b c d", "a b c d"),      # identical → 1.0
+            (2, "x y z w", "a b c d"),      # disjoint → 0.0
+            (3, "", "a b"),                  # empty candidate → 0.0
+            (4, "a b c d e f", "a b c d e f g h"),  # truncation → BP < 1
+        ],
+        "pair_id long, candidate string, reference string",
+    )
+    got = {r.pair_id: r for r in evaluation.bleu_scores(pairs).collect()}
+    assert got[1].bleu == 1.0
+    assert got[2].bleu == 0.0
+    assert got[3].bleu == 0.0 and got[3].cand_len == 0
+    # pair 4: p_n all 1 (prefix), BP = exp(1 - 8/6)
+    import math
+
+    assert got[4].bleu == pytest.approx(round(math.exp(1 - 8 / 6), 6), abs=1e-9)
+
+
+def test_pagerank_cycle_and_dangling(spark):
+    from cflux_spark.extensions.graph import pagerank
+
+    # 2-cycle: symmetric, every iteration preserves uniform 0.5/0.5
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(cyc, iterations=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+    # star with a dangling center: 1->3, 2->3; 3 has no out-links so
+    # its mass redistributes uniformly. Hand-computed one iteration
+    # from uniform (n=3): r(3) = 0.15/3 + 0.85*(1/3 + 1/3 + (1/3)/3)
+    star = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    one = {r.node: r.rank for r in pagerank(star, iterations=1).collect()}
+    third = 1.0 / 3.0
+    base = (1.0 - 0.85) / 3 + 0.85 * (third / 3)
+    assert one[3] == pytest.approx(round(base + 0.85 * 2 * third, 6), abs=1e-9)
+    assert one[1] == one[2] == pytest.approx(round(base, 6), abs=1e-9)
+    # mass conserved
+    assert sum(one.values()) == pytest.approx(1.0, abs=1e-5)
+
+
 def test_contamination_counts_repeated_hits(spark):
     from cflux_spark.extensions import contamination
 
