@@ -620,3 +620,71 @@ def export_tar_shards(
 def _json_safe(v):
     """numpy scalars → JSON-serializable Python natives."""
     return v.item() if hasattr(v, "item") else v
+
+
+def waterfill_allocation(
+    sources: DataFrame,
+    budget: float,
+    source_col: str = "source",
+    avail_col: str = "avail",
+    weight_col: str = "weight",
+    round_to: int = 4,
+) -> DataFrame:
+    """Budget-constrained corpus mixing (X43): allocate a token budget
+    across sources proportionally to ``weight`` but never beyond a
+    source's ``avail`` — water-filling: find the level λ with
+    Σ min(avail_i, λ·w_i) = budget and allocate a_i = min(avail_i,
+    λ·w_i). The closed form behind every "sample a data mix under a
+    total token budget with per-source caps" step (the UniMax budget
+    variant).
+
+    Closed-form, no iteration: sort sources by saturation ratio
+    r_i = avail_i / w_i ascending; with EXCLUSIVE prefix sums ca_k /
+    cw_k (rows strictly before k), the candidate level when exactly
+    the first k sources saturate is λ_k = (budget − ca_k) /
+    (Σw − cw_k), valid iff lag(r) ≤ λ_k ≤ r_k — exactly one row when
+    the budget is binding, zero rows when it covers every source
+    (λ then coalesces to +∞ and everything saturates, Σ alloc =
+    Σ avail < budget, documented). One window pass over a
+    SOURCE-CARDINALITY frame — domains are thousands at most; the
+    corpus-sized work is the upstream per-source token aggregate,
+    not this.
+
+    Output: (source, avail, weight, alloc, saturated) with
+    Σ alloc = min(budget, Σ avail) up to rounding."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_r"), F.col(source_col))
+    wex = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = sources.select(
+        F.col(source_col),
+        F.col(avail_col).cast("double").alias("avail"),
+        F.col(weight_col).cast("double").alias("weight"),
+    ).withColumn("_r", F.col("avail") / F.col("weight"))
+    tot = base.agg(F.sum("weight").alias("_tw"))
+    cand = (
+        base.withColumn("_ca_ex", F.coalesce(F.sum("avail").over(wex), F.lit(0.0)))
+        .withColumn("_cw_ex", F.coalesce(F.sum("weight").over(wex), F.lit(0.0)))
+        .withColumn("_prev_r", F.lag("_r").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_lamk",
+            (F.lit(float(budget)) - F.col("_ca_ex")) / (F.col("_tw") - F.col("_cw_ex")),
+        )
+    )
+    lam = cand.filter(
+        (F.col("_lamk") <= F.col("_r"))
+        & F.coalesce(F.col("_lamk") >= F.col("_prev_r"), F.lit(True))
+    ).agg(F.min("_lamk").alias("_lam"))
+    out = base.crossJoin(F.broadcast(lam))
+    alloc = F.least(
+        F.col("avail"),
+        F.coalesce(F.col("_lam"), F.lit(float("inf"))) * F.col("weight"),
+    )
+    return out.select(
+        F.col(source_col),
+        "avail",
+        "weight",
+        F.round(alloc, round_to).alias("alloc"),
+        (F.round(alloc, round_to) >= F.col("avail")).alias("saturated"),
+    )

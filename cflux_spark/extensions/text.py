@@ -913,3 +913,51 @@ def robots_filter(
         F.coalesce(F.col("_brt") == "allow", F.lit(True)).alias("allowed"),
         "matched_prefix",
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy of the CHARACTER distribution
+    (bits/char) — the classic cheap gibberish/boilerplate signal
+    (X44): natural prose sits ~4–4.5 bits, single-char runs and
+    base64/hex blobs sit far off on either side. Output:
+    (id, n_chars, entropy); empty documents keep a row with
+    (0, 0.0) so a filter can treat them explicitly rather than lose
+    them.
+
+    Shape: one char explosion (map-only off the scan) + two keyed
+    aggregations on the doc key — same contract as the gram tiers; no
+    Python, `split(text, '')` and `log2` run in codegen."""
+    chars = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch"))
+        .filter(F.col("_ch") != "")
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
+    n = counts.groupBy(id_col).agg(F.sum("_c").alias("n_chars"))
+    ent = (
+        counts.join(n, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.any_value("n_chars").alias("n_chars"),
+            F.round(
+                -F.sum(
+                    (F.col("_c") / F.col("n_chars"))
+                    * F.log2(F.col("_c") / F.col("n_chars"))
+                ),
+                round_to,
+            ).alias("entropy"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(ent, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
+        )
+    )

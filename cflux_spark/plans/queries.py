@@ -4781,6 +4781,119 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier.ccnet_quality_filter(docs)
 
 
+# X43 (round 11): budget-constrained corpus mixing — closed-form
+# water-filling (sort by saturation ratio, exclusive-prefix candidate
+# level, exactly one valid row when the budget binds). Weights are
+# per-source literals (src0→1 … src4→5); the budget is half the
+# corpus's total token count, so some sources saturate and the rest
+# share the level — both branches exercised and replayed in SQL.
+@q(
+    "q_mix_allocation",
+    r"""
+    WITH tc AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))
+                  AS DOUBLE) AS avail
+      FROM documents GROUP BY 1
+    ),
+    src AS (
+      SELECT source, avail,
+             CAST(CAST(substring(source, 4) AS INT) + 1 AS DOUBLE) AS weight,
+             avail / (CAST(substring(source, 4) AS INT) + 1) AS r
+      FROM tc
+    ),
+    bud AS (SELECT 0.5 * sum(avail) AS b FROM src),
+    tot AS (SELECT sum(weight) AS tw FROM src),
+    cand AS (
+      SELECT s.*, bud.b, tot.tw,
+             COALESCE(sum(s.avail) OVER (ORDER BY s.r, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS ca_ex,
+             COALESCE(sum(s.weight) OVER (ORDER BY s.r, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw_ex,
+             lag(s.r) OVER (ORDER BY s.r, s.source) AS prev_r
+      FROM src s, bud, tot
+    ),
+    lam AS (
+      SELECT min((b - ca_ex) / (tw - cw_ex)) AS lam
+      FROM cand
+      WHERE (b - ca_ex) / (tw - cw_ex) <= r
+        AND COALESCE((b - ca_ex) / (tw - cw_ex) >= prev_r, TRUE)
+    )
+    SELECT s.source, s.avail, s.weight,
+           round(least(s.avail,
+                 COALESCE(lam.lam, CAST('infinity' AS DOUBLE)) * s.weight), 4) AS alloc,
+           round(least(s.avail,
+                 COALESCE(lam.lam, CAST('infinity' AS DOUBLE)) * s.weight), 4)
+             >= s.avail AS saturated
+    FROM src s, lam
+    """,
+)
+def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 budget-constrained corpus mixing: per-source whitespace
+    token totals are the capacities, weights are deterministic
+    per-source literals, the budget is HALF the corpus's tokens —
+    water-filling (sampling.waterfill_allocation) finds the unique
+    level λ with Σ min(avail, λ·w) = budget; heavy-weighted sources
+    saturate, the rest allocate λ·w. Every (alloc, saturated) verdict
+    hash-checked against the SQL replay of the closed form (exclusive
+    prefix sums + the one valid candidate row). Scale: the allocation
+    math runs on a source-cardinality frame; the corpus-sized work is
+    the per-source token aggregate that feeds it."""
+    from cflux_spark.extensions.sampling import waterfill_allocation
+    from cflux_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("double").alias("avail")
+    )
+    total = tc.agg(F.sum("avail").alias("_t")).first()["_t"]
+    src = tc.select(
+        "source",
+        "avail",
+        (F.substring("source", 4, 10).cast("int") + 1).cast("double").alias("weight"),
+    )
+    return waterfill_allocation(src, budget=0.5 * total)
+
+
+# X44 (round 11): character-entropy quality signal — Shannon entropy
+# of each document's character distribution in bits/char, the classic
+# cheap gibberish/boilerplate detector. Pure arithmetic over a char
+# histogram; log2 parity at 4 dp is the established ln-family policy.
+@q(
+    "q_char_entropy",
+    r"""
+    WITH c AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, count(*) AS c FROM c WHERE ch <> '' GROUP BY 1, 2
+    ),
+    n AS (SELECT doc_id, sum(c) AS n_chars FROM cc GROUP BY 1),
+    e AS (
+      SELECT cc.doc_id,
+             CAST(any_value(n.n_chars) AS BIGINT) AS n_chars,
+             round(-sum((cc.c * 1.0 / n.n_chars) * log2(cc.c * 1.0 / n.n_chars)), 4)
+               AS entropy
+      FROM cc JOIN n USING (doc_id) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(e.n_chars, 0) AS n_chars,
+           COALESCE(e.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 per-document character-distribution Shannon entropy
+    (text.char_entropy): bits/char over the char histogram — the
+    cheap gibberish / boilerplate / binary-blob signal every quality
+    stack runs before anything tokenizes. Empty docs keep a (0, 0.0)
+    row. Every (n_chars, entropy) hash-checked against the SQL char
+    histogram replay. Scale: one map-only char explosion + two
+    doc-keyed aggregations, same contract as the gram tiers."""
+    from cflux_spark.extensions.text import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 # X42 (round 11): link-graph PageRank (Page et al. 1999) — the
 # crawl-corpus quality prior. The synthetic graph is fixture gear
 # (3 md5-derived out-links per doc over a dense row_number index —
@@ -5721,10 +5834,12 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — the 19 named as the promised r11 head in the r10 comment plus the
 # other 19 r08-green entries the third wave bumped (q_dedup_jaccard
 # counted once — it is both r11-touched and r08-aged) except q_limit,
-# whose LIMIT/OFFSET mechanics are duplicated by the in-window
-# envelope queries and which heads the r12 window instead (the three
-# NEW r11 entries q_bleu/q_bloom_decontam/q_pagerank outrank it for
-# the 50 driver slots). Net: nothing in the r11
+# q_intersect, and q_alert_transitions — their mechanics are
+# duplicated by in-window entries (envelope LIMIT paths, the set-op
+# family, the q_deadman alerting sibling) and they head the r12
+# window instead: the five NEW r11 entries (q_bleu, q_bloom_decontam,
+# q_pagerank, q_mix_allocation, q_char_entropy) outrank them for the
+# 50 driver slots. Net: nothing in the r11
 # window is older than r09, and after this round no entry's latest
 # driver record predates r09. The 46 remaining r09 entries hold the
 # middle (they head the r12 window); the 45 r10-green entries rotate
@@ -5745,7 +5860,8 @@ _VERIFY_FIRST = [
     "q_bleu",
     "q_bloom_decontam",
     "q_pagerank",
-    "q_alert_transitions",
+    "q_mix_allocation",
+    "q_char_entropy",
     "q_approx_distinct",
     "q_approx_quantile",
     "q_count_distinct",
@@ -5760,7 +5876,6 @@ _VERIFY_FIRST = [
     "q_frequent_ngrams",
     "q_histogram",
     "q_ingest_smoke",
-    "q_intersect",
     "q_multimodal_audio",
     "q_pack_bpe",
     "q_quantize_embeddings",

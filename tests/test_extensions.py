@@ -981,6 +981,40 @@ def test_bleu_known_values(spark):
     assert got[4].bleu == pytest.approx(round(math.exp(1 - 8 / 6), 6), abs=1e-9)
 
 
+def test_waterfill_allocation_branches(spark):
+    from cflux_spark.extensions.sampling import waterfill_allocation
+
+    src = spark.createDataFrame(
+        [("a", 100.0, 1.0), ("b", 1000.0, 1.0), ("c", 10000.0, 2.0)],
+        "source string, avail double, weight double",
+    )
+    # binding budget: a saturates at 100, remainder 2000 splits 1:2
+    got = {r.source: r for r in waterfill_allocation(src, 2100).collect()}
+    assert got["a"].alloc == 100.0 and got["a"].saturated
+    assert got["b"].alloc == pytest.approx(2000 / 3, abs=1e-3) and not got["b"].saturated
+    assert got["c"].alloc == pytest.approx(4000 / 3, abs=1e-3)
+    assert sum(r.alloc for r in got.values()) == pytest.approx(2100, abs=1e-3)
+    # budget covers everything: all saturate
+    got = {r.source: r for r in waterfill_allocation(src, 50_000).collect()}
+    assert all(r.saturated for r in got.values())
+    assert sum(r.alloc for r in got.values()) == 11100.0
+    # nothing saturates: pure proportional λ = 300/4
+    got = {r.source: r for r in waterfill_allocation(src, 300).collect()}
+    assert [got[k].alloc for k in "abc"] == [75.0, 75.0, 150.0]
+    assert not any(r.saturated for r in got.values())
+
+
+def test_char_entropy_known_values(spark):
+    from cflux_spark.extensions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+    assert got == {1: (4, 0.0), 2: (4, 1.0), 3: (0, 0.0), 4: (4, 2.0)}
+
+
 def test_pagerank_cycle_and_dangling(spark):
     from cflux_spark.extensions.graph import pagerank
 
