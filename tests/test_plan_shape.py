@@ -364,3 +364,63 @@ def test_mmr_pairwise_sims_stay_within_shortlist(spark, sf_dir):
     # brute_force_topk (corpus x broadcast(queries) is the rel scan)
     assert plan.count("CartesianProduct") == 0
     assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan  # the greedy kernel
+
+
+def test_nb_classifier_weights_broadcast_no_collect(spark, sf_dir):
+    """X39: the NB weight/prior frames must reach the scoring pass as
+    broadcasts — no sort-merge shuffle of the corpus side, no
+    cartesian beyond the 1-row prior crossJoin."""
+    from cflux_spark.extensions.classifier import score_quality, train_nb_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("double"))
+    w, prior = train_nb_weights(labeled)
+    plan = _final_plan(score_quality(docs, w, prior))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_filter_broadcasts(spark, sf_dir):
+    """X41: the word-frame filter must broadcast onto the probe side;
+    the corpus never shuffles for the membership join."""
+    from cflux_spark.extensions.contamination import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _final_plan(bloom_probe(docs, bloom_build(bench, n=8), n=8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_join_shape(spark, sf_dir):
+    """X42: each iteration is an edges-ranks equi-join + dst-keyed
+    aggregation — no cartesian products anywhere in the final frame."""
+    from cflux_spark.extensions.graph import pagerank
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst"))
+    )
+    plan = _final_plan(pagerank(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    # ranks persist between iterations: the returned frame reads the
+    # cached final iteration, not a recomputed lineage chain
+    assert "InMemoryTableScan" in plan
+
+
+def test_bleu_gram_counting_no_self_join(spark, sf_dir):
+    """X40: gram counting must shuffle on the (pair, n, gram) key
+    only; candidate and reference sides join per pair — never a
+    corpus-wide cartesian."""
+    from cflux_spark.extensions.evaluation import bleu_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.col("text").alias("reference"),
+    )
+    plan = _final_plan(bleu_scores(pairs))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
