@@ -1029,17 +1029,32 @@ def q_alert_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_deadman",
     """
     WITH p AS (SELECT event_type, epoch_ns(ts) AS ts_ns FROM events),
-    meta AS (
+    meta0 AS (
       SELECT max(ts_ns) AS now_ns,
              ((6 + 3 * greatest(0, CAST(floor(log10(count(*))) AS BIGINT) - 5))
                * (max(ts_ns) - min(ts_ns)) * count(DISTINCT event_type))
-               // count(*) // 1000 * 1000 AS itv
+               // count(*) // 1000 * 1000 AS base_itv
       FROM p
     ),
     g AS (
       SELECT event_type, ts_ns,
              lead(ts_ns) OVER (PARTITION BY event_type ORDER BY ts_ns) AS next_ns
       FROM p
+    ),
+    cap AS (
+      -- B-th largest inter-event gap (min of top-B): the exact
+      -- alert-budget level. With fewer than B gaps this is the global
+      -- MINIMUM gap, which is <= mean < base_itv, so greatest() keeps
+      -- the base interval - no count guard needed.
+      SELECT min(next_ns - ts_ns) AS v FROM (
+        SELECT next_ns, ts_ns FROM g WHERE next_ns IS NOT NULL
+        ORDER BY (next_ns - ts_ns) DESC LIMIT 5000
+      )
+    ),
+    meta AS (
+      SELECT meta0.now_ns,
+             greatest(meta0.base_itv, COALESCE(cap.v, 0)) AS itv
+      FROM meta0, cap
     ),
     gaps AS (
       SELECT g.*, meta.itv FROM g, meta
@@ -1071,13 +1086,17 @@ def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded down to whole µs) — so the entry stays non-trivial at
     every scale factor (round 10, VERDICT r9 item 3: the fixed 2 h
     interval went vacuous at sf1 where 10× density closes all 2 h
-    gaps; under a ~exponential gap law P(gap > k×mean) keeps alerts
-    ∝ n_events at any SF). The multiplier follows the round-11
-    alert-budget schedule k = 6 + 3·max(0, ⌊log10 n_events⌋ − 5) so
-    the oracle compare stays driver-collectable as events grow (NEXT
-    r10 item 5: k=6 at sf1's 1.1M events collected 109k rows; each
-    decade of events adds an e-fold to the bar; the test SFs, all
-    ≤ 10^5 events, keep k=6 and their exact row counts). One lead()
+    gaps). The interval follows the round-11 alert-budget rule
+    interval = max(k·mean, B-th largest gap) with
+    k = 6 + 3·max(0, ⌊log10 n_events⌋ − 5) and B = 5000: the e-fold
+    schedule keeps the entry scale-calibrated, and the exact
+    rank-B cap bounds the output at ~2B + n_series rows under ANY gap
+    distribution (NEXT r10 item 5: the sf1 recipe's burst gaps are so
+    heavy-tailed that k=6 collected 109k oracle rows and k=9 still
+    81k; the cap lands it at 9,998 exactly). The cap is min-of-top-B
+    — TakeOrdered, never a global sort — and with fewer than B gaps
+    it degrades to the global min gap < mean, so small SFs keep their
+    uncapped row counts bit-identically (6/58/522). One lead()
     pass + a per-series max,
     no self-join (streaming/rollup.py deadman_transitions; the live
     twin stateful_deadman fires off the event-time watermark via
@@ -1107,6 +1126,31 @@ def q_deadman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mult = 6 + 3 * max(0, int(math.floor(math.log10(meta.n))) - 5)
     itv_ns = (mult * (meta.now_ns - meta.min_ns) * meta.s) // meta.n // 1000 * 1000
+    # exact alert-budget cap (round 11 second half): the e-fold
+    # schedule alone cannot bound alerts under the sf1 recipe's
+    # burst-gap distribution (measured: k=6 -> 109k rows, k=9 -> 81k).
+    # interval = max(base, B-th largest gap) bounds output at ~2B +
+    # n_series rows at ANY scale/distribution, stays a pure function
+    # of the data, and is TakeOrdered (orderBy+limit), never a global
+    # sort. With fewer than B gaps min-of-top-B is the global minimum
+    # gap <= mean < base, so max() keeps the base — small SFs are
+    # bit-identical to the uncapped schedule.
+    from pyspark.sql import Window as W
+
+    gap = F.col("_next") - F.col("ts_ns")
+    vb = (
+        ev.withColumn(
+            "_next",
+            F.lead("ts_ns").over(W.partitionBy("series_key").orderBy("ts_ns")),
+        )
+        .filter(F.col("_next").isNotNull())
+        .select(gap.alias("_gap"))
+        .orderBy(F.col("_gap").desc())
+        .limit(5000)
+        .agg(F.min("_gap").alias("_v"))
+        .first()["_v"]
+    )
+    itv_ns = max(itv_ns, vb or 0)
     out = deadman_transitions(ev, every_ns=itv_ns, now_ts_ns=meta.now_ns)
     return out.select(
         F.col("series_key").alias("event_type"), "ts", "level", "last_seen"
