@@ -501,6 +501,18 @@ def simhash_py(text: str, bits: int = 64) -> int:
 _AUTO_BANDING_THRESHOLD = 20_000
 
 
+def _block_widths(bits: int, nb: int) -> list[int]:
+    """BALANCED fingerprint partition: the first bits%nb blocks get
+    ⌈bits/nb⌉ bits, the rest ⌊bits/nb⌋ — every block within one bit of
+    even. The ceil-width scheme this replaced (round 11) left a runt
+    trailing block whenever nb ∤ bits — e.g. 9 blocks of ceil(64/9)=8
+    bits puts block 8 at width ZERO, a band key that matches the whole
+    corpus (measured: the d=8 tier at 50k docs ran 2× slower than its
+    own r10 baseline through that degenerate band)."""
+    base, extra = divmod(bits, nb)
+    return [base + 1] * extra + [base] * (nb - extra)
+
+
 def _auto_n_blocks(n_docs: int, max_hamming: int, bits: int = 64) -> int:
     """Pick the banding tier for :func:`hamming_near_pairs` from corpus
     size — pure function, unit-tested directly.
@@ -523,28 +535,40 @@ def _auto_n_blocks(n_docs: int, max_hamming: int, bits: int = 64) -> int:
     if n_docs < _AUTO_BANDING_THRESHOLD:
         return d + 1
     need = math.log2(max(n_docs, 2))
-    feasible: list[tuple[int, int, int]] = []  # (keybits, -ncombos, nb)
-    for nb in range(d + 1, d + 7):
-        width = (bits + nb - 1) // nb
+    feasible: list[tuple[int, int, int]] = []  # (worst_keybits, -ncombos, nb)
+    for nb in range(d + 1, min(d + 7, bits + 1)):
+        widths = _block_widths(bits, nb)
         keep = nb - d
-        keybits = keep * width
+        # the collision rate is governed by the NARROWEST combination
+        # key — sum of the keep smallest block widths (the round-11
+        # lesson: ceil-width blocks left a runt block whose combos
+        # collided like keys 2^6 narrower than the nominal keep×width)
+        worst = sum(sorted(widths)[:keep])
+        widest = sum(sorted(widths, reverse=True)[:keep])
         ncombos = comb(nb, keep)
-        if keybits > 63 or ncombos > 64:
+        if widest > 63 or ncombos > 64:
             continue
-        feasible.append((keybits, -ncombos, nb))
-        if keybits >= need + math.log2(ncombos) + 8:
+        feasible.append((worst, -ncombos, nb))
+        if worst >= need + math.log2(ncombos) + 8:
             return nb
-    if not feasible:  # unreachable for bits=64, d<=62: nb=d+1 always fits
-        return d + 1
-    keybits, neg_ncombos, nb = max(feasible)
+    # No tier meets the bound (large max_hamming exhausts the 64
+    # fingerprint bits — Manku's construction targets d≈3; d≈8 wants
+    # 128-bit fingerprints). Fall back to the MINIMAL explode: at this
+    # radius genuine hamming-d neighborhoods dominate the candidate
+    # tier, so wider combination keys buy little (measured at sf1,
+    # d=8, 50k docs: 694M candidates at 9 tables vs 477M at 45 tables)
+    # while multiplying the explode 5×; and the verified path is
+    # tier-independent anyway — Catalyst pushes the popcount filter
+    # below the candidate distinct (12.8 s vs 15.3 s measured).
     warnings.warn(
         f"hamming_near_pairs: no banding tier fully covers {n_docs} docs at "
-        f"max_hamming={d} with {bits}-bit fingerprints; using n_blocks={nb} "
-        f"({keybits}-bit keys, {-neg_ncombos} tables) — recall stays exact "
-        "but the candidate tier may grow superlinearly",
+        f"max_hamming={d} with {bits}-bit fingerprints; keeping the minimal "
+        f"{d + 1}-block pigeonhole — recall stays exact but the candidate "
+        "tier may grow superlinearly (consider a wider fingerprint or the "
+        "MinHash tier)",
         stacklevel=3,
     )
-    return nb
+    return d + 1
 
 
 def hamming_near_pairs(
@@ -598,12 +622,15 @@ def hamming_near_pairs(
         nb = _auto_n_blocks(n_docs, d, bits)
     if nb <= d:
         raise ValueError(f"n_blocks must exceed max_hamming ({d})")
-    width = (bits + nb - 1) // nb
+    if nb > bits:
+        raise ValueError(f"n_blocks={nb} exceeds the {bits} fingerprint bits")
+    widths = _block_widths(bits, nb)
+    offsets = [sum(widths[:i]) for i in range(nb)]
     keep = nb - d  # blocks per combination key
-    if keep * width > 63:
+    if sum(sorted(widths, reverse=True)[:keep]) > 63:
         raise ValueError(
-            f"combination key is {keep}×{width} bits — does not fit a long; "
-            "raise n_blocks or max_hamming"
+            f"combination key spans {sum(sorted(widths, reverse=True)[:keep])} "
+            "bits — does not fit a long; raise n_blocks or max_hamming"
         )
     combos = list(combinations(range(nb), keep))
     if len(combos) > 64:
@@ -613,21 +640,18 @@ def hamming_near_pairs(
         )
 
     def block(i: int):
-        shift = i * width
-        # clamp: with nb > bits/width the trailing blocks fall past the
-        # fingerprint; a zero-width block masks to 0 (vacuous key part)
-        # instead of raising 'negative shift count' at plan build
-        w = min(width, max(0, bits - shift))
-        mask = (1 << w) - 1
+        mask = (1 << widths[i]) - 1
         # arithmetic shiftright sign-extends, but the mask truncates to
         # the block width — equivalent to a logical shift
-        return F.shiftright(F.col(fp_col), shift).bitwiseAND(F.lit(mask))
+        return F.shiftright(F.col(fp_col), offsets[i]).bitwiseAND(F.lit(mask))
 
     band_structs = []
     for band_id, combo in enumerate(combos):
         key = F.lit(0).cast("long")
-        for j, blk in enumerate(combo):
-            key = key.bitwiseOR(F.shiftleft(block(blk), j * width))
+        pos = 0
+        for blk in combo:
+            key = key.bitwiseOR(F.shiftleft(block(blk), pos))
+            pos += widths[blk]
         band_structs.append(
             F.struct(F.lit(band_id).alias("band_id"), key.alias("band_bits"))
         )

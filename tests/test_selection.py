@@ -144,10 +144,15 @@ def test_banding_guards(spark):
     with pytest.raises(ValueError, match="n_blocks must exceed"):
         hamming_near_pairs(fp, max_hamming=3, fp_col="sig", n_blocks=3)
     with pytest.raises(ValueError, match="does not fit a long"):
-        # 9 blocks of ceil(64/9)=8 bits, keys of 8 blocks → 64 bits > 63
-        hamming_near_pairs(fp, max_hamming=1, fp_col="sig", n_blocks=9)
+        # d=0, one block: the "key" is the whole 64-bit fingerprint
+        hamming_near_pairs(fp, max_hamming=0, fp_col="sig", n_blocks=1)
     with pytest.raises(ValueError, match="explode too wide"):
         hamming_near_pairs(fp, max_hamming=8, fp_col="sig", n_blocks=16)
+    with pytest.raises(ValueError, match="exceeds the 64 fingerprint bits"):
+        hamming_near_pairs(fp, max_hamming=64, fp_col="sig", n_blocks=65)
+    # balanced widths: d=1 with 9 blocks keys 8 blocks of 7-8 bits
+    # (57 bits max) — the old ceil scheme rejected this as 64 bits
+    assert hamming_near_pairs(fp, max_hamming=1, fp_col="sig", n_blocks=9).count() == 0
 
 
 def test_banding_overhang_blocks_clamp_not_raise(spark):
@@ -171,15 +176,18 @@ def test_auto_n_blocks_selection():
     assert _auto_n_blocks(500, 3) == 4
     assert _auto_n_blocks(_AUTO_BANDING_THRESHOLD - 1, 3) == 4
     # the measured-collision regime (50k docs, d=3) → Manku C(6,3):
-    # 33-bit keys, 20 tables — the round-10 probe's fix configuration
+    # worst keys 31 bits (balanced 11/10 blocks), 20 tables
     assert _auto_n_blocks(50_000, 3) == 6
-    # 10^7 docs need wider keys → C(7,4) (40-bit keys, 35 tables)
-    assert _auto_n_blocks(10_000_000, 3) == 7
-    # d=8 exhausts 64 fingerprint bits: no tier meets the bound, so the
-    # selector falls back to the widest feasible key (C(10,2), 14-bit
-    # keys) and warns rather than silently keeping 8-bit keys
+    # 10^7 docs need wider keys → C(8,5) (40-bit keys, 56 tables; the
+    # balanced-width worst-case math rejects C(7,4), whose narrowest
+    # combos are 36 bits)
+    assert _auto_n_blocks(10_000_000, 3) == 8
+    # d=8 exhausts 64 fingerprint bits: no tier meets the bound, so
+    # the selector warns and keeps the MINIMAL pigeonhole — measured
+    # at sf1 the wider combos cut candidates only 694M→477M while
+    # 5×-ing the explode, and the verified path is tier-independent
     with pytest.warns(UserWarning, match="candidate tier may grow"):
-        assert _auto_n_blocks(50_000, 8) == 10
+        assert _auto_n_blocks(50_000, 8) == 9
 
 
 def test_auto_banding_kicks_in_past_threshold(spark):
