@@ -33,12 +33,43 @@ combine) that stay DataFrames end to end — no driver-side model, no
 collect anywhere in this module; scoring is one broadcast weight join
 + one doc-keyed aggregation. The corpus is never shuffled on anything
 wider than the doc key.
+
+Float-parity discipline (round 12, VERDICT r11 item 1): the trained
+weights are QUANTIZED TO INTEGER FIXED POINT (×``FIXED_SCALE``,
+round-half-away, cast long) the moment they leave the ln() calls, so
+the per-document dot product ``bias_fixed + Σ cnt·w_fixed`` is exact,
+order-independent integer arithmetic in every engine. ln/exp are not
+IEEE-correctly-rounded; JVM Math.log and another engine's libm can
+differ in the last ulp PER CALL, and a ~256-term accumulated dot
+product of such values can land within an ulp of a decimal rounding
+boundary — which is exactly the cross-environment hash flip the
+round-11 driver caught. Quantizing each weight once (a single
+rounding of a 2-ln expression, boundary-flip probability ~1e-9 per
+weight instead of per doc·term) and keeping everything downstream
+integer makes the compared ``log_odds = log_odds_fixed/FIXED_SCALE``
+bit-identical across engines. The sigmoid ``score`` is an engine-side
+convenience derived from the already-exact log_odds and is excluded
+from hash-compared oracle projections.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# weight quantum: 1e-6 in log-odds units. Large enough that one ulp of
+# cross-libm ln() disagreement (~1e-16 relative) cannot straddle a
+# rounding boundary in practice; small enough that quantization error
+# over a 10^4-gram document stays ≪ any decision margin.
+FIXED_SCALE = 1_000_000
+
+
+def _fixed(expr):
+    """Quantize a double log-weight expression to fixed point:
+    cast(round(expr · FIXED_SCALE) as long) — round is half-away-from-
+    zero in both Spark and DuckDB, so both engines land on the same
+    integer given inputs within an ulp of each other."""
+    return F.round(expr * F.lit(float(FIXED_SCALE))).cast("long")
 
 
 def hashed_doc_features(
@@ -70,11 +101,13 @@ def train_nb_weights(
     n_buckets: int = 256,
 ) -> tuple[DataFrame, DataFrame]:
     """Closed-form NB training: returns ``(weights, prior)`` —
-    weights a (bucket, w) frame over every bucket either class
-    observed, prior a 1-row (bias, w_missing) frame where
-    ``w_missing`` is the exact log-ratio of a bucket neither class
+    weights a (bucket, w_fixed) frame over every bucket either class
+    observed, prior a 1-row (bias_fixed, w_missing_fixed) frame where
+    ``w_missing_fixed`` is the log-ratio of a bucket neither class
     saw (both counts smoothed to 1 — NOT zero, because the class
     totals differ); scoring LEFT-joins weights and COALESCEs to it.
+    All weights are integer fixed point (×``FIXED_SCALE``, see module
+    docstring) so downstream dot products are exact in every engine.
     Both frames are ≤ n_buckets + 1 rows and broadcast at the score
     site — the model never touches the driver.
 
@@ -95,10 +128,10 @@ def train_nb_weights(
     b = float(n_buckets)
     weights = hist.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        (
+        _fixed(
             F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + F.lit(b)))
             - F.log((F.col("cn") + F.lit(1.0)) / (F.col("tn") + F.lit(b)))
-        ).alias("w"),
+        ).alias("w_fixed"),
     )
     # class prior from DOC counts; w_missing is the weight of a bucket
     # neither class observed (both smoothed to count 1) — needed when
@@ -108,11 +141,11 @@ def train_nb_weights(
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("mn"),
     )
     prior = docs_per_class.crossJoin(tot).select(
-        F.log(F.col("mp") / F.col("mn")).alias("bias"),
-        (
+        _fixed(F.log(F.col("mp") / F.col("mn"))).alias("bias_fixed"),
+        _fixed(
             F.log(F.lit(1.0) / (F.col("tp") + F.lit(b)))
             - F.log(F.lit(1.0) / (F.col("tn") + F.lit(b)))
-        ).alias("w_missing"),
+        ).alias("w_missing_fixed"),
     )
     return weights, prior
 
@@ -129,33 +162,37 @@ def score_quality(
     """Score every document under trained NB weights: one broadcast
     weight join onto the hashed features, one doc-keyed aggregation.
     Output: (doc_id, n_grams, log_odds, score, keep) with
-    log_odds = bias + Σ cnt·w (rounded), score = σ(log_odds) of the
-    ROUNDED log-odds so both engines sigmoid identical doubles, and
-    keep = log_odds ≥ 0. Docs with zero grams carry no row
-    (unfeaturizable — same contract as the DSIR weight tier)."""
+    log_odds = (bias_fixed + Σ cnt·w_fixed) / FIXED_SCALE — an EXACT
+    integer dot product divided once, so the value is bit-identical
+    across engines (module docstring); score = σ(log_odds) of that
+    exact double, rounded to ``round_to`` (engine-side convenience —
+    a transcendental of a computed value, so oracle projections hash
+    log_odds/keep, never score); keep = log_odds_fixed ≥ 0. Docs with
+    zero grams carry no row (unfeaturizable — same contract as the
+    DSIR weight tier)."""
     feats = hashed_doc_features(df, text_col, id_col, n_buckets)
     joined = feats.join(F.broadcast(weights), "bucket", "left").crossJoin(
         F.broadcast(prior)
     )
-    log_odds = F.round(
-        F.any_value("bias")
-        + F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.col("w_missing"))),
-        round_to,
+    log_odds_fixed = F.any_value("bias_fixed") + F.sum(
+        F.col("cnt") * F.coalesce(F.col("w_fixed"), F.col("w_missing_fixed"))
     )
     return (
         joined.groupBy("doc_id")
         .agg(
             F.any_value("n_grams").alias("n_grams"),
-            log_odds.alias("log_odds"),
+            log_odds_fixed.alias("_lof"),
         )
         .select(
             "doc_id",
             "n_grams",
-            "log_odds",
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds"))), round_to).alias(
-                "score"
-            ),
-            (F.col("log_odds") >= 0).alias("keep"),
+            (F.col("_lof") / F.lit(float(FIXED_SCALE))).alias("log_odds"),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.col("_lof") / F.lit(float(FIXED_SCALE)))),
+                round_to,
+            ).alias("score"),
+            (F.col("_lof") >= 0).alias("keep"),
         )
     )
 

@@ -250,8 +250,26 @@ def test_nb_classifier_unseen_bucket_uses_missing_weight(spark):
     rows = score_quality(novel, w, prior).collect()
     assert len(rows) == 1 and rows[0]["n_grams"] == 5  # 3 unigrams + 2 bigrams
     p = prior.collect()[0]
-    expected = round(p["bias"] + 5 * p["w_missing"], 4)
-    assert rows[0]["log_odds"] == pytest.approx(expected, abs=1e-9)
+    # fixed-point contract: exact integer dot product, one division
+    expected = (p["bias_fixed"] + 5 * p["w_missing_fixed"]) / 1e6
+    assert rows[0]["log_odds"] == expected
+
+
+def test_nb_classifier_log_odds_is_fixed_point(spark, sf_dir):
+    # round-12 float-parity contract (VERDICT r11 item 1): every
+    # emitted log_odds must be the correctly-rounded double of an
+    # integer count of 1e-6 weight quanta — i.e. reconstructible as
+    # round(log_odds·1e6)/1e6 — proving no raw accumulated-float
+    # transcendental ever reaches the hashed projection. A violation
+    # means someone reintroduced double weights into the dot product.
+    from cflux_spark.extensions.classifier import FIXED_SCALE, ccnet_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = ccnet_quality_filter(docs).select("log_odds").collect()
+    assert len(got) > 0
+    for r in got:
+        lof = round(r["log_odds"] * FIXED_SCALE)
+        assert r["log_odds"] == lof / FIXED_SCALE, r
 
 
 def test_dsir_weights_zero_when_target_is_raw(spark):
