@@ -108,12 +108,18 @@ def dsir_log_weights(
     )
     # every occurring bucket exists in raw_b by construction; absent
     # target buckets smooth to count 0
+    # per-bucket log-ratio quantized to integer fixed point at the
+    # ln() call sites (functions/parity.py): the per-doc Σ is exact
+    # long arithmetic — the accumulated cross-libm hazard the round-11
+    # classifier failure exposed cannot reach log_weight
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
     ratio = (
         raw_b.join(tgt_b, "bucket", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            (
+            fixed_log(
                 F.log(
                     (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
                     / (F.col("tt") + F.lit(float(n_buckets)))
@@ -121,7 +127,7 @@ def dsir_log_weights(
                 - F.log(
                     (F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(float(n_buckets)))
                 )
-            ).alias("logratio"),
+            ).alias("lrf"),
         )
     )
     return (
@@ -129,7 +135,9 @@ def dsir_log_weights(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            F.round(F.sum("logratio"), round_to).alias("log_weight"),
+            F.round(
+                F.sum("lrf") / F.lit(float(FIXED_SCALE_LOG)), round_to
+            ).alias("log_weight"),
         )
     )
 
@@ -157,7 +165,13 @@ def dsir_select(
         10,
     ).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(TWO_52)
-    gumbel = -F.log(-F.log(u))
+    # the Gumbel draw is quantized at its (nested-ln) call site so the
+    # compared score is a sum of two bit-identical doubles — the
+    # functions/parity.py discipline for transcendentals of computed
+    # values (u itself is exact md5-derived rational arithmetic)
+    from cflux_spark.functions.parity import fixed_log, unfix
+
+    gumbel = unfix(fixed_log(-F.log(-F.log(u))))
     return (
         w.select(
             "doc_id",

@@ -15,7 +15,13 @@ oracle replays it value-exactly:
   Lin-Och sentence-BLEU recipe; p_1 unsmoothed, so a candidate with
   zero unigram overlap scores exactly 0),
 - brevity penalty BP = exp(min(0, 1 − ref_len / cand_len)),
-- BLEU = round(BP · exp(Σ_{n≤N} ln p_n / N), 6).
+- BLEU = round(exp(min(0, 1 − r/c) + Σ_{n≤N} ln p_n / N), 6) — ONE
+  exp call whose argument is built from integer-fixed-point log
+  precisions (each ln quantized at its call site, the
+  functions/parity.py discipline), so both engines feed the identical
+  double into the single remaining transcendental; the residual
+  cross-libm flip probability is ~2·ulp/10^-round_to per pair,
+  measured by scripts/float_margin_probe.py.
 
 Scale shape (100 TB): n-gram expansion is map-only off the scan
 (grams built INSIDE the token array by indexed transforms — the
@@ -102,6 +108,8 @@ def bleu_scores(
     # never reaches a result), n>=2 add-one keeps the log finite. A
     # candidate shorter than n has no per_n row at all, which equals
     # the smoothed p=(0+1)/(0+1)=1 → ln 0 contribution exactly.
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
     logp = F.when(
         F.col("n") == 1,
         F.when(F.col("clipped") > 0, F.log(F.col("clipped") / F.col("total"))),
@@ -110,18 +118,23 @@ def bleu_scores(
     )
     agg = per_n.groupBy("_id").agg(
         F.sum(F.when(F.col("n") == 1, F.col("clipped"))).alias("m1"),
-        F.sum(logp).alias("_slogp"),
+        F.sum(fixed_log(logp)).alias("_slogpf"),
     )
     lens = pairs.select(
         F.col(id_col).alias("_id"),
         F.size(_toks(F.col(cand_col))).alias("cand_len"),
         F.size(_toks(F.col(ref_col))).alias("ref_len"),
     )
-    bp = F.exp(F.least(F.lit(0.0), F.lit(1.0) - F.col("ref_len") / F.col("cand_len")))
+    # single exp on a bit-identical argument: BP·exp(Σlnp/N) folded
+    # into exp(min(0, 1−r/c) + slogpf/1e9/N) — min/divisions are
+    # correctly-rounded IEEE ops of exact integers
+    arg = F.least(
+        F.lit(0.0), F.lit(1.0) - F.col("ref_len") / F.col("cand_len")
+    ) + (F.col("_slogpf") / F.lit(float(FIXED_SCALE_LOG))) / F.lit(float(max_n))
     bleu = F.when(
         (F.col("cand_len") == 0) | F.coalesce(F.col("m1") == 0, F.lit(True)),
         F.lit(0.0),
-    ).otherwise(F.round(bp * F.exp(F.col("_slogp") / F.lit(float(max_n))), round_to))
+    ).otherwise(F.round(F.exp(arg), round_to))
     return (
         lens.join(agg, "_id", "left")
         .select(

@@ -12,10 +12,18 @@ study before it.
     r_{t+1}(v) = (1−d)/N + d·( Σ_{u→v} r_t(u)/outdeg(u) + dangling_t/N )
 
 with dangling_t = Σ r_t over nodes with no out-links (their mass
-redistributes uniformly — the standard correction, keeps Σr = 1), and
-r_t rounded to 12 dp after each iteration so both engines carry
-identical doubles into the next one (per-iteration float-sum order
-differences are ~1e-15, far inside the rounding).
+redistributes uniformly — the standard correction, keeps Σr = 1).
+
+Round 12 (VERDICT r11 item 2): ranks are carried as INTEGER FIXED
+POINT (``RANK_SCALE`` = 1e12 quanta of mass). Each per-edge
+contribution round(rankf/outdeg) and the dangling share round(dangf/N)
+are single correctly-rounded double ops of exact integers, re-rounded
+to integers, so every Σ in the update is EXACT, ORDER-INDEPENDENT
+long arithmetic — immune to shuffle-order float-sum nondeterminism
+(the hazard the old 12-dp per-iteration rounding merely suppressed)
+and trivially replayable by the SQL oracle. Per-iteration
+quantization error ≤ 0.5e-12 per node, the same magnitude the old
+rounding introduced.
 
 Scale shape (100 TB of edges): each iteration is one join of the edge
 list against the rank frame (rank side is node-cardinality, shuffled
@@ -34,19 +42,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# one unit of PageRank mass = 1e12 quanta; all inter-iteration state
+# is long counts of quanta (see module docstring)
+RANK_SCALE = 1_000_000_000_000
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    iter_round: int = 12,
     round_to: int = 6,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Batch power-iteration PageRank over an (src, dst) edge frame.
     Nodes = distinct endpoints; duplicate edges count once (the crawl
     dedup convention). Output: (node, rank) with rank rounded to
-    ``round_to``; Σ rank ≈ 1."""
+    ``round_to``; Σ rank ≈ 1 (within N·5e-13 of fixed-point
+    quantization).
+
+    The returned frame reads the final iteration's CACHE — the caller
+    owns it and should ``.unpersist()`` (or let the session end) when
+    done; repeated calls in one long-lived session otherwise
+    accumulate node-sized cached frames.
+
+    ``checkpoint_every`` > 0 truncates lineage with an eager
+    localCheckpoint every K iterations instead of the persist+count
+    step barrier — at production iteration counts (≥ ~20) the
+    ever-growing logical plan otherwise dominates driver time (the
+    dedup_clusters lesson); at the default 3 iterations it is off."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -58,20 +83,28 @@ def pagerank(
     )
     n1 = nodes.agg(F.count("*").alias("_n"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    scale = F.lit(float(RANK_SCALE))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+        "node", F.round(scale / F.col("_n")).cast("long").alias("rankf")
     ).persist()
     d = float(damping)
-    for _ in range(iterations):
+    for it in range(iterations):
+        # per-edge quantum transfer: one correctly-rounded division of
+        # exact longs, re-quantized — the Σ below is exact integer
+        # arithmetic, order-independent under any shuffle
         contrib = (
             e.join(outdeg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .join(ranks.select(F.col("node").alias("src"), "rankf"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_in"))
+            .agg(
+                F.sum(F.round(F.col("rankf") / F.col("_deg")).cast("long")).alias(
+                    "_inf"
+                )
+            )
         )
         dangling = (
             ranks.join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+            .agg(F.coalesce(F.sum("rankf"), F.lit(0)).cast("long").alias("_dangf"))
         )
         nxt = (
             nodes.join(contrib, "node", "left")
@@ -80,23 +113,31 @@ def pagerank(
             .select(
                 "node",
                 F.round(
-                    (F.lit(1.0) - d) / F.col("_n")
+                    (F.lit(1.0) - d) * scale / F.col("_n")
                     + F.lit(d)
                     * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dang") / F.col("_n")
-                    ),
-                    iter_round,
-                ).alias("rank"),
+                        F.coalesce(F.col("_inf"), F.lit(0))
+                        + F.round(F.col("_dangf") / F.col("_n")).cast("long")
+                    )
+                )
+                .cast("long")
+                .alias("rankf"),
             )
-            .persist()
         )
-        # materialize BEFORE dropping the parent cache — unpersisting
-        # first would force the next iteration to recompute the whole
-        # lineage chain (node-sized job, one per iteration, same as any
-        # production iterative job's step barrier)
-        nxt.count()
+        if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
+            # eager localCheckpoint materializes AND truncates lineage
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            # materialize BEFORE dropping the parent cache —
+            # unpersisting first would force the next iteration to
+            # recompute the whole lineage chain (node-sized job, one
+            # per iteration, same as any production iterative job's
+            # step barrier)
+            nxt = nxt.persist()
+            nxt.count()
         ranks.unpersist()
         ranks = nxt
     nodes.unpersist()
-    return ranks.select("node", F.round("rank", round_to).alias("rank"))
+    return ranks.select(
+        "node", F.round(F.col("rankf") / scale, round_to).alias("rank")
+    )

@@ -111,10 +111,16 @@ def bm25_scores(
     )
     tf = F.col("tf").cast("double")
     contrib = idf * tf * (k1 + 1.0) / (tf + F.lit(k1) * (1.0 - b + F.lit(b) * F.col("dl") / avgdl))
+    # per-term contribution quantized at its (ln-bearing) call site so
+    # the per-(query, doc) Σ is exact long arithmetic — immune to both
+    # cross-libm idf ulps and shuffle-order float-sum drift
+    # (functions/parity.py discipline)
+    from cflux_spark.functions.parity import fixed_log, unfix
+
     return (
-        scored.withColumn("_c", contrib)
+        scored.withColumn("_cf", fixed_log(contrib))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("_c"), round_to).alias("score"))
+        .agg(F.round(unfix(F.sum("_cf")), round_to).alias("score"))
     )
 
 
@@ -312,16 +318,23 @@ def ndcg_at_k(
     ideal term is a per-query window over the qrels (parallel across
     queries). All double math is literal-identical to the SQL oracle
     and rounded before hashing."""
+    from cflux_spark.functions.parity import fixed_log
+
     qc, dc = id_cols
-    gain = (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0)) / (
-        F.log2(F.col(rank_col).cast("double") + F.lit(1.0))
+    # per-position gain quantized at its (pow/log2) call site: the DCG
+    # and IDCG sums become exact long arithmetic, and the final ratio
+    # is ONE correctly-rounded division of two exact integers — the
+    # 1e9 scale cancels (functions/parity.py discipline)
+    gain = fixed_log(
+        (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
+        / (F.log2(F.col(rank_col).cast("double") + F.lit(1.0)))
     )
     dcg = (
         ranking.filter(F.col(rank_col) <= k)
         .join(qrels, [qc, dc], "left")
-        .withColumn("_g", F.when(F.col(rel_col).isNull(), F.lit(0.0)).otherwise(gain))
+        .withColumn("_g", F.when(F.col(rel_col).isNull(), F.lit(0)).otherwise(gain))
         .groupBy(qc)
-        .agg(F.sum("_g").alias("_dcg"))
+        .agg(F.sum("_g").alias("_dcgf"))
     )
     iw = Window.partitionBy(qc).orderBy(F.col(rel_col).desc(), F.col(dc))
     ideal = (
@@ -330,17 +343,19 @@ def ndcg_at_k(
         .filter(F.col("_ir") <= k)
         .withColumn(
             "_g",
-            (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
-            / F.log2(F.col("_ir").cast("double") + F.lit(1.0)),
+            fixed_log(
+                (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
+                / F.log2(F.col("_ir").cast("double") + F.lit(1.0))
+            ),
         )
         .groupBy(qc)
-        .agg(F.sum("_g").alias("_idcg"))
+        .agg(F.sum("_g").alias("_idcgf"))
     )
     return dcg.join(ideal, qc, "left").select(
         qc,
         F.round(
-            F.when(F.col("_idcg").isNull(), F.lit(0.0)).otherwise(
-                F.col("_dcg") / F.col("_idcg")
+            F.when(F.col("_idcgf").isNull(), F.lit(0.0)).otherwise(
+                F.col("_dcgf") / F.col("_idcgf")
             ),
             round_to,
         ).alias("ndcg"),

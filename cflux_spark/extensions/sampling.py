@@ -369,18 +369,23 @@ def temperature_sample(
     (the histogram), nothing collected."""
     if budget <= 0:
         raise ValueError("budget must be positive")
+    from cflux_spark.functions.parity import fixed_log
+
     n = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     wexp = (
         F.sqrt(F.col("_n").cast("double"))
         if tau == 2.0
         else F.pow(F.col("_n").cast("double"), 1.0 / tau)
     )
-    s = n.select(group_col, "_n", wexp.alias("_w"))
-    tot = s.agg(F.sum("_w").alias("_tw"))
+    # group weights quantized at the pow/sqrt call site: Σ_w is exact
+    # long arithmetic and _w/_tw one integer-ratio division — the 1e9
+    # scale cancels (functions/parity.py discipline)
+    s = n.select(group_col, "_n", fixed_log(wexp).alias("_wf"))
+    tot = s.agg(F.sum("_wf").alias("_twf"))
     rates = s.crossJoin(F.broadcast(tot)).select(
         group_col,
         F.round(
-            F.least(F.lit(1.0), F.lit(float(budget)) * (F.col("_w") / F.col("_tw")) / F.col("_n")),
+            F.least(F.lit(1.0), F.lit(float(budget)) * (F.col("_wf") / F.col("_twf")) / F.col("_n")),
             round_to,
         ).alias("rate"),
     )

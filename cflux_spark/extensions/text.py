@@ -142,10 +142,22 @@ def top_terms_tfidf(
     dfreq = toks.select(F.col(id_col), "term").distinct().groupBy("term").agg(F.count("*").alias("df"))
     from pyspark.sql import Window
 
+    # idf quantized to integer fixed point at the ln() call site
+    # (functions/parity.py discipline): tf·idf_fixed is exact long
+    # arithmetic, one division back to double — bit-identical across
+    # engines instead of hash-hazardous raw libm output.
+    from cflux_spark.functions.parity import fixed_log, unfix
+
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("score", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), round_to))
+        .withColumn(
+            "score",
+            F.round(
+                unfix(F.col("tf") * fixed_log(F.log(F.col("_n") / F.col("df")))),
+                round_to,
+            ),
+        )
     )
     w = Window.partitionBy("grp").orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -317,17 +329,25 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("_t"))
+    # per-token log-prob quantized at the ln() call site so the
+    # per-doc mean is (exact integer sum / count) / 1e9 — accumulated
+    # cross-libm ulp drift eliminated (functions/parity.py)
     probs = counts.crossJoin(F.broadcast(total)).select(
-        "tok", (F.log(F.col("n") / F.col("_t"))).alias("logp")
+        "tok", fixed_log(F.log(F.col("n") / F.col("_t"))).alias("lpf")
     )
     return (
         toks.join(F.broadcast(probs), "tok")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.avg("logp"), round_to).alias("avg_neg_logprob"),
+            F.round(
+                -(F.sum("lpf") / F.count("*")) / F.lit(float(FIXED_SCALE_LOG)),
+                round_to,
+            ).alias("avg_neg_logprob"),
         )
     )
 
@@ -397,9 +417,19 @@ def bigram_logprob(
             .alias("p"),
         )
     )
+    # ln(p) quantized at its call site (p itself is exact rational
+    # arithmetic of counts + the exact-binary λ=0.75 literal, so it is
+    # bit-identical already); the mean is then integer-sum/count —
+    # immune to cross-libm ulp accumulation (functions/parity.py)
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(-F.avg(F.log("p")), round_to).alias("avg_neg_logprob"),
+        F.round(
+            -(F.sum(fixed_log(F.log("p"))) / F.count("*"))
+            / F.lit(float(FIXED_SCALE_LOG)),
+            round_to,
+        ).alias("avg_neg_logprob"),
     )
 
 
@@ -936,18 +966,28 @@ def char_entropy(
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch"))
         .filter(F.col("_ch") != "")
     )
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
     counts = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
     n = counts.groupBy(id_col).agg(F.sum("_c").alias("n_chars"))
+    # −Σ (c/n)·log2(c/n) = −(Σ c·log2(c/n))/n with log2 quantized at
+    # its call site: the per-doc sum is exact long arithmetic, divided
+    # twice (by n, by 1e9) — bit-identical across engines
+    # (functions/parity.py discipline)
     ent = (
         counts.join(n, id_col)
         .groupBy(id_col)
         .agg(
             F.any_value("n_chars").alias("n_chars"),
             F.round(
-                -F.sum(
-                    (F.col("_c") / F.col("n_chars"))
-                    * F.log2(F.col("_c") / F.col("n_chars"))
-                ),
+                -(
+                    F.sum(
+                        F.col("_c")
+                        * fixed_log(F.log2(F.col("_c") / F.col("n_chars")))
+                    )
+                    / F.any_value("n_chars")
+                )
+                / F.lit(float(FIXED_SCALE_LOG)),
                 round_to,
             ).alias("entropy"),
         )

@@ -2902,7 +2902,9 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
     ),
     scored AS (
-      SELECT grp, term, round(tf * ln(n_docs * 1.0 / df), 4) AS score
+      SELECT grp, term,
+             round((tf * CAST(round(ln(n_docs * 1.0 / df) * 1000000000.0) AS BIGINT))
+                   / 1000000000.0, 4) AS score
       FROM tf JOIN dfreq USING (term), n
     )
     SELECT grp AS source, term, score,
@@ -2984,7 +2986,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
     total AS (SELECT sum(n) AS t FROM counts)
     SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(-avg(ln(counts.n / total.t)), 4) AS avg_neg_logprob
+           round(-(CAST(sum(CAST(round(ln(counts.n / total.t) * 1000000000.0) AS BIGINT)) AS BIGINT)
+                   / count(*)) / 1000000000.0, 4) AS avg_neg_logprob
     FROM toks JOIN counts USING (tok) CROSS JOIN total
     GROUP BY toks.doc_id
     """,
@@ -4178,11 +4181,11 @@ _BM25_CTES = r"""
     ),
     bm25 AS (
       SELECT q.query_id, p.doc_id,
-             round(sum(
+             round(CAST(sum(CAST(round((
                ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                * p.tf * (1.2 + 1.0)
                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
-             ), 4) AS score
+             ) * 1000000000.0) AS BIGINT)) AS BIGINT) / 1000000000.0, 4) AS score
       FROM post p JOIN qterms q USING (term) JOIN dfreq d USING (term) CROSS JOIN stats s
       GROUP BY 1, 2
     )
@@ -4604,13 +4607,14 @@ _DSIR_CTES = r"""
     tot AS (SELECT (SELECT sum(cr) FROM rb) AS tr, (SELECT sum(ct) FROM tb) AS tt),
     ratio AS (
       SELECT rb.bucket,
-             ln((COALESCE(tb.ct, 0) + 1.0) / (tot.tt + 4096.0))
-             - ln((rb.cr + 1.0) / (tot.tr + 4096.0)) AS logratio
+             CAST(round((ln((COALESCE(tb.ct, 0) + 1.0) / (tot.tt + 4096.0))
+                         - ln((rb.cr + 1.0) / (tot.tr + 4096.0)))
+                        * 1000000000.0) AS BIGINT) AS lrf
       FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
     ),
     w AS (
       SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-             round(sum(r.logratio), 4) AS log_weight
+             round(CAST(sum(r.lrf) AS BIGINT) / 1000000000.0, 4) AS log_weight
       FROM raw_occ o JOIN ratio r USING (bucket) GROUP BY 1
     )
 """
@@ -4638,9 +4642,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_DSIR_CTES}
     SELECT doc_id, log_weight,
-           round(log_weight + (-ln(-ln(
+           round(log_weight + CAST(round((-ln(-ln(
              (CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 13)) AS UBIGINT) AS DOUBLE) + 0.5)
-             / 4503599627370496.0))), 4) AS score
+             / 4503599627370496.0))) * 1000000000.0) AS BIGINT) / 1000000000.0, 4) AS score
     FROM w
     ORDER BY score DESC, doc_id
     LIMIT 100
@@ -4688,7 +4692,8 @@ _BIGRAM_CTES = r"""
     ),
     lm AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             round(-avg(ln(p)), 4) AS avg_neg_logprob
+             round(-(CAST(sum(CAST(round(ln(p) * 1000000000.0) AS BIGINT)) AS BIGINT)
+                     / count(*)) / 1000000000.0, 4) AS avg_neg_logprob
       FROM scored GROUP BY 1
     )
 """
@@ -4932,7 +4937,9 @@ def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
       SELECT cc.doc_id,
              CAST(any_value(n.n_chars) AS BIGINT) AS n_chars,
-             round(-sum((cc.c * 1.0 / n.n_chars) * log2(cc.c * 1.0 / n.n_chars)), 4)
+             round(-(CAST(sum(cc.c * CAST(round(log2(cc.c / n.n_chars)
+                                               * 1000000000.0) AS BIGINT)) AS BIGINT)
+                     / any_value(n.n_chars)) / 1000000000.0, 4)
                AS entropy
       FROM cc JOIN n USING (doc_id) GROUP BY 1
     )
@@ -4958,10 +4965,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # crawl-corpus quality prior. The synthetic graph is fixture gear
 # (3 md5-derived out-links per doc over a dense row_number index —
 # the operator itself takes any (src, dst) frame); the oracle unrolls
-# all 3 power iterations with the same per-iteration 12-dp rounding
-# the engine applies, so both engines carry identical doubles
-# step to step. Damping enters as (1.0 - 0.85), never a 0.15 literal,
-# so the complement is the identical IEEE double in both engines.
+# all 3 power iterations in the same INTEGER FIXED-POINT mass quanta
+# (1e12 per unit — extensions/graph.py RANK_SCALE) the engine
+# carries, so every per-iteration sum is exact, order-independent
+# long arithmetic in both engines. Damping enters as (1.0 - 0.85),
+# never a 0.15 literal, so the complement is the identical IEEE
+# double in both engines.
 @q(
     "q_pagerank",
     r"""
@@ -4982,32 +4991,39 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
     odeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
     n2 AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, 1.0 / n2.n AS rank FROM nodes, n2),
-    c1 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+    r0 AS (SELECT node, CAST(round(1000000000000.0 / n2.n) AS BIGINT) AS rankf
+           FROM nodes, n2),
+    c1 AS (SELECT e.dst AS node, sum(CAST(round(r.rankf / o.deg) AS BIGINT)) AS cin
            FROM edges e JOIN odeg o ON o.src = e.src JOIN r0 r ON r.node = e.src
            GROUP BY 1),
-    d1 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+    d1 AS (SELECT COALESCE(sum(r.rankf), 0) AS dang
            FROM r0 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
-    r1 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
-                   + 0.85 * (COALESCE(c1.cin, 0.0) + d1.dang / n2.n), 12) AS rank
+    r1 AS (SELECT n.node, CAST(round((1.0 - 0.85) * 1000000000000.0 / n2.n
+                   + 0.85 * (COALESCE(c1.cin, 0)
+                             + CAST(round(d1.dang / n2.n) AS BIGINT)))
+                  AS BIGINT) AS rankf
            FROM nodes n LEFT JOIN c1 USING (node), n2, d1),
-    c2 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+    c2 AS (SELECT e.dst AS node, sum(CAST(round(r.rankf / o.deg) AS BIGINT)) AS cin
            FROM edges e JOIN odeg o ON o.src = e.src JOIN r1 r ON r.node = e.src
            GROUP BY 1),
-    d2 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+    d2 AS (SELECT COALESCE(sum(r.rankf), 0) AS dang
            FROM r1 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
-    r2 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
-                   + 0.85 * (COALESCE(c2.cin, 0.0) + d2.dang / n2.n), 12) AS rank
+    r2 AS (SELECT n.node, CAST(round((1.0 - 0.85) * 1000000000000.0 / n2.n
+                   + 0.85 * (COALESCE(c2.cin, 0)
+                             + CAST(round(d2.dang / n2.n) AS BIGINT)))
+                  AS BIGINT) AS rankf
            FROM nodes n LEFT JOIN c2 USING (node), n2, d2),
-    c3 AS (SELECT e.dst AS node, sum(r.rank / o.deg) AS cin
+    c3 AS (SELECT e.dst AS node, sum(CAST(round(r.rankf / o.deg) AS BIGINT)) AS cin
            FROM edges e JOIN odeg o ON o.src = e.src JOIN r2 r ON r.node = e.src
            GROUP BY 1),
-    d3 AS (SELECT COALESCE(sum(r.rank), 0.0) AS dang
+    d3 AS (SELECT COALESCE(sum(r.rankf), 0) AS dang
            FROM r2 r LEFT JOIN odeg o ON o.src = r.node WHERE o.src IS NULL),
-    r3 AS (SELECT n.node, round((1.0 - 0.85) / n2.n
-                   + 0.85 * (COALESCE(c3.cin, 0.0) + d3.dang / n2.n), 12) AS rank
+    r3 AS (SELECT n.node, CAST(round((1.0 - 0.85) * 1000000000000.0 / n2.n
+                   + 0.85 * (COALESCE(c3.cin, 0)
+                             + CAST(round(d3.dang / n2.n) AS BIGINT)))
+                  AS BIGINT) AS rankf
            FROM nodes n LEFT JOIN c3 USING (node), n2, d3)
-    SELECT node AS doc_id, round(rank, 6) AS rank FROM r3
+    SELECT node AS doc_id, round(rankf / 1000000000000.0, 6) AS rank FROM r3
     """,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5015,7 +5031,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (3 md5-derived out-links per document across a dense
     row_number index; self-loops dropped, duplicate edges deduped):
     3 power iterations, damping 0.85, dangling mass redistributed
-    uniformly, ranks rounded to 12 dp per iteration — every final
+    uniformly, ranks carried as integer 1e-12 mass quanta — every final
     (node, rank) hash-checked against the SQL replay of the graph
     construction AND all three iterations. Scale: the operator
     (extensions/graph.py pagerank) is one edges⋈ranks join + one
@@ -5200,16 +5216,18 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     a AS (
       SELECT doc_id,
              sum(CASE WHEN n = 1 THEN clipped END) AS m1,
-             sum(CASE WHEN n = 1
-                      THEN CASE WHEN clipped > 0 THEN ln(clipped * 1.0 / total) END
-                      ELSE ln((clipped + 1.0) / (total + 1.0)) END) AS slogp
+             CAST(sum(CAST(round(
+               (CASE WHEN n = 1
+                     THEN CASE WHEN clipped > 0 THEN ln(clipped * 1.0 / total) END
+                     ELSE ln((clipped + 1.0) / (total + 1.0)) END)
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS slogpf
       FROM j GROUP BY 1
     ),
     l AS (SELECT doc_id, len(ctoks) AS cand_len, len(rtoks) AS ref_len FROM p)
     SELECT l.doc_id, l.cand_len, l.ref_len,
            CASE WHEN l.cand_len = 0 OR COALESCE(a.m1, 0) = 0 THEN 0.0
-                ELSE round(exp(least(0.0, 1.0 - l.ref_len * 1.0 / l.cand_len))
-                           * exp(a.slogp / 4.0), 4)
+                ELSE round(exp(least(0.0, 1.0 - l.ref_len * 1.0 / l.cand_len)
+                               + (a.slogpf / 1000000000.0) / 4.0), 4)
            END AS bleu
     FROM l LEFT JOIN a USING (doc_id)
     """,
@@ -5430,10 +5448,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_temperature_sample",
     """
     WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-    s AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM n),
-    tot AS (SELECT sum(w) AS tw FROM s),
+    s AS (SELECT lang, n,
+                 CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS wf
+          FROM n),
+    tot AS (SELECT CAST(sum(wf) AS BIGINT) AS twf FROM s),
     r AS (
-      SELECT lang, round(least(1.0, 300.0 * (w / tot.tw) / n), 9) AS rate
+      SELECT lang, round(least(1.0, 300.0 * (wf / tot.twf) / n), 9) AS rate
       FROM s, tot
     )
     SELECT d.doc_id, d.lang, r.rate
@@ -5477,17 +5497,19 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dcg AS (
       SELECT r.query_id,
-             sum(CASE WHEN qr.rel IS NULL THEN 0.0
-                      ELSE (pow(2.0, CAST(qr.rel AS DOUBLE)) - 1.0)
-                           / log2(CAST(r.rank AS DOUBLE) + 1.0) END) AS d
+             CAST(sum(CASE WHEN qr.rel IS NULL THEN 0
+                      ELSE CAST(round((pow(2.0, CAST(qr.rel AS DOUBLE)) - 1.0)
+                           / log2(CAST(r.rank AS DOUBLE) + 1.0)
+                           * 1000000000.0) AS BIGINT) END) AS BIGINT) AS d
       FROM ranking r
       LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
       GROUP BY 1
     ),
     ideal AS (
       SELECT query_id,
-             sum((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
-                 / log2(CAST(ir AS DOUBLE) + 1.0)) AS i
+             CAST(sum(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                 / log2(CAST(ir AS DOUBLE) + 1.0)
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS i
       FROM (
         SELECT query_id, rel,
                row_number() OVER (PARTITION BY query_id

@@ -1035,6 +1035,23 @@ def test_pagerank_cycle_and_dangling(spark):
     assert sum(one.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_pagerank_checkpoint_cadence_is_value_invariant(spark):
+    # the localCheckpoint lineage-truncation knob (production
+    # iteration counts) must not change a single rank: fixed-point
+    # quanta are exact integers regardless of how lineage is cut
+    from cflux_spark.extensions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    base = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    ckpt = {
+        r.node: r.rank
+        for r in pagerank(edges, iterations=4, checkpoint_every=2).collect()
+    }
+    assert base == ckpt
+
+
 def test_contamination_counts_repeated_hits(spark):
     from cflux_spark.extensions import contamination
 
