@@ -343,9 +343,14 @@ def bloom_probe(
     broadcasts; the per-gram all-bits-set check is one
     (id, gram-occurrence)-keyed aggregation followed by the doc-keyed
     count — the corpus never shuffles on anything wider."""
-    occ = text_ngrams(docs, n, text_col, id_col).select(
+    # deterministic positional occurrence key (ADVICE r11: a
+    # monotonically_increasing_id here was correct only while
+    # assignment and the (id, _gidx) aggregation shared one lineage —
+    # task retries / plan reuse could regenerate ids; pos is a pure
+    # function of the data, matching the SQL oracle's gidx)
+    occ = text_ngrams_pos(docs, n, text_col, id_col).select(
         F.col(id_col),
-        F.monotonically_increasing_id().alias("_gidx"),
+        F.col("pos").alias("_gidx"),
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("_h1"),
         F.conv(F.substring(F.md5("gram"), 9, 8), 16, 10)
         .cast("long")

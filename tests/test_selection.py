@@ -156,10 +156,12 @@ def test_banding_guards(spark):
 
 
 def test_banding_overhang_blocks_clamp_not_raise(spark):
-    # r10 ADVICE: (nb-1)*width > bits used to hit a negative shift count
-    # at plan build (e.g. max_hamming=11, n_blocks=12: width 6, block 11
-    # starts at bit 66). The overhang block clamps to width 0 (vacuous)
-    # and the pairing still verifies exactly.
+    # r10 ADVICE: under the old ceil-width scheme (nb-1)*width > bits
+    # hit a negative shift count at plan build (e.g. max_hamming=11,
+    # n_blocks=12: width 6, block 11 starts at bit 66). The r11
+    # balanced _block_widths eliminate the overhang entirely (12
+    # blocks of 5-6 bits) — this pins that the formerly-raising
+    # configuration now builds and verifies exactly.
     fp = spark.createDataFrame(
         [(0, 5), (1, 5), (2, -1)], "doc_id long, sig long"
     )
