@@ -815,8 +815,10 @@ def parse_robots(
     user_agent: str | None = None,
 ) -> DataFrame:
     """Parse robots.txt bodies into (host, rule_type, path_prefix)
-    rules for one crawler (RFC 9309, simplified to literal path
-    prefixes — no ``*``/``$`` patterns).
+    rules for one crawler (RFC 9309). Path values pass through
+    verbatim — including ``*``/``$`` wildcard patterns, which
+    :func:`robots_filter` compiles and matches (round 12; prefixes
+    without wildcards stay on the codegen startswith fast path).
 
     Group attribution per the RFC: CONSECUTIVE ``User-agent:`` lines
     head one group and every one of them owns the rule lines that
@@ -892,16 +894,43 @@ def parse_robots(
     )
 
 
+def _robots_pattern_regex(p) -> "F.Column":
+    """Compile an RFC 9309 path pattern (literal prefix + ``*``
+    any-sequence wildcards + optional trailing ``$`` end anchor) to an
+    anchored regex, as a pure column expression both engines replay
+    byte-identically (Java regex and DuckDB's RE2 agree on the
+    restricted output grammar ``^…(\\.\\*)…(\\$)?``):
+
+    1. escape every regex metachar EXCEPT ``*`` and ``$``,
+    2. strip a trailing ``$`` (the anchor) before step 3,
+    3. escape interior ``$`` (literal per the RFC) and turn ``*``
+       into ``.*``,
+    4. anchor with ``^`` (+ ``$`` if step 2 stripped one)."""
+    esc = F.regexp_replace(p, r"([\\.\[\]{}()+?|^])", r"\\$1")
+    anchored = F.substring(p, -1, 1) == "$"
+    core = F.when(anchored, F.substring(esc, F.lit(1), F.length(esc) - 1)).otherwise(esc)
+    core = F.replace(core, F.lit("$"), F.lit("\\$"))
+    core = F.replace(core, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), core, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
 ) -> DataFrame:
-    """Apply robots rules to a URL table: longest-prefix-match per URL
-    (RFC 9309 precedence — the most specific rule wins; ``allow``
-    beats ``disallow`` on equal length), URLs with no matching rule
-    are allowed. Input rules are :func:`parse_robots` output (or any
-    (host, rule_type, path_prefix) frame).
+    """Apply robots rules to a URL table: most-specific-match per URL
+    (RFC 9309 precedence — longest pattern wins; ``allow`` beats
+    ``disallow`` on equal length), URLs with no matching rule are
+    allowed. Input rules are :func:`parse_robots` output (or any
+    (host, rule_type, path_prefix) frame). Patterns may use the RFC's
+    ``*`` (any char sequence) and trailing ``$`` (end anchor) — rules
+    without either stay on the codegen ``startswith`` fast path;
+    wildcard rules compile to an anchored regex
+    (:func:`_robots_pattern_regex`) evaluated per matching host's
+    rule set only.
 
     Output: the input columns + (host, path, allowed, matched_prefix).
 
@@ -914,13 +943,18 @@ def robots_filter(
     rawpath = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
     u = urls.withColumn("host", host).withColumn("path", path)
+    is_wild = F.col("path_prefix").contains("*") | F.col("path_prefix").endswith("$")
     r = rules.select(
         F.col("host").alias("_rh"),
         F.col("rule_type").alias("_rt"),
         F.col("path_prefix").alias("_rp"),
+        is_wild.alias("_wild"),
+        F.when(is_wild, _robots_pattern_regex(F.col("path_prefix"))).alias("_rx"),
     )
     matched = u.join(r, u.host == F.col("_rh")).filter(
-        F.col("path").startswith(F.col("_rp"))
+        F.when(F.col("_wild"), F.regexp_like(F.col("path"), F.col("_rx"))).otherwise(
+            F.col("path").startswith(F.col("_rp"))
+        )
     )
     ww = Window.partitionBy(url_col).orderBy(
         F.length("_rp").desc(),

@@ -5633,6 +5633,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
              'Allow: /private/ok  # reviewed' || chr(10) ||
              'Disallow:' || chr(10) ||
              'Disallow: /tmp' || chr(10) ||
+             'Disallow: /data/*.json$' || chr(10) ||
+             'Allow: /data/pub*' || chr(10) ||
              chr(10) ||
              'User-agent: evilbot' || chr(10) ||
              'Disallow: /' AS body
@@ -5657,18 +5659,34 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
       FROM parsed
     ),
-    rules AS (
-      SELECT host, key AS rule_type, val AS path_prefix
+    rules0 AS (
+      SELECT host, key AS rule_type, val AS path_prefix,
+             (contains(val, '*') OR substr(val, length(val), 1) = '$') AS wild,
+             regexp_replace(val, '([\\.\[\]{}()+?|^])', '\\\1', 'g') AS esc
       FROM grouped
       WHERE key IN ('allow', 'disallow') AND ua = '*' AND val <> ''
     ),
+    rules AS (
+      SELECT host, rule_type, path_prefix, wild,
+             CASE WHEN wild THEN
+               '^' || replace(replace(
+                 CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                      THEN substr(esc, 1, length(esc) - 1) ELSE esc END,
+                 '$', '\$'), '*', '.*')
+               || CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                       THEN '$' ELSE '' END
+             END AS rx
+      FROM rules0
+    ),
     urls AS (
       SELECT doc_id, 'https://www.' || source || '.com' ||
-             CASE CAST(doc_id % 4 AS INT)
+             CASE CAST(doc_id % 6 AS INT)
                WHEN 0 THEN '/public/' || doc_id
                WHEN 1 THEN '/private/' || doc_id
                WHEN 2 THEN '/private/ok/' || doc_id
-               ELSE '/tmp/cache/' || doc_id
+               WHEN 3 THEN '/tmp/cache/' || doc_id
+               WHEN 4 THEN '/data/pub' || doc_id || '.json'
+               ELSE '/data/pub' || doc_id
              END AS url
       FROM documents
     ),
@@ -5686,7 +5704,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY length(r.path_prefix) DESC, r.rule_type ASC,
                                            r.path_prefix ASC) AS rn
         FROM u JOIN rules r ON r.host = u.host
-        WHERE starts_with(u.path, r.path_prefix)
+        WHERE CASE WHEN r.wild THEN regexp_matches(u.path, r.rx)
+                   ELSE starts_with(u.path, r.path_prefix) END
       ) WHERE rn = 1
     )
     SELECT u.doc_id, u.url, u.host, u.path,
@@ -5712,7 +5731,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("www."), F.col("source"), F.lit(".com")).alias("host"),
         F.concat(
             F.lit("User-agent: *\nDisallow: /private\nAllow: /private/ok  # reviewed\n"),
-            F.lit("Disallow:\nDisallow: /tmp\n\nUser-agent: evilbot\nDisallow: /"),
+            F.lit("Disallow:\nDisallow: /tmp\n"),
+            F.lit("Disallow: /data/*.json$\nAllow: /data/pub*\n"),
+            F.lit("\nUser-agent: evilbot\nDisallow: /"),
         ).alias("robots_txt"),
     )
     rules = textops.parse_robots(robots)
@@ -5722,10 +5743,15 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://www."),
             F.col("source"),
             F.lit(".com"),
-            F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
-            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
-            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
-            .otherwise(F.concat(F.lit("/tmp/cache/"), F.col("doc_id"))),
+            F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/tmp/cache/"), F.col("doc_id")))
+            .when(
+                F.col("doc_id") % 6 == 4,
+                F.concat(F.lit("/data/pub"), F.col("doc_id"), F.lit(".json")),
+            )
+            .otherwise(F.concat(F.lit("/data/pub"), F.col("doc_id"))),
         ).alias("url"),
     )
     return textops.robots_filter(urls, rules)
@@ -5756,6 +5782,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
              'Disallow: /tmp' || chr(10) ||
              'Allow: /tmp/cache' || chr(10) ||
              'Disallow: /public/raw' || chr(10) ||
+             'Disallow: /tmp/*.bak$' || chr(10) ||
              chr(10) ||
              'User-agent: evilbot' || chr(10) ||
              'Disallow: /' AS body
@@ -5804,19 +5831,39 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE u.ua = '*' OR starts_with('trainbot-2.1', u.ua))
       ) WHERE rn = 1
     ),
-    rules AS (
+    rules1 AS (
       SELECT DISTINCT r.host, r.rule_type, r.path_prefix
       FROM rule_rows r
       JOIN uas u ON u.host = r.host AND u.grp = r.grp
       JOIN best b ON b.host = r.host AND b.ua = u.ua
     ),
+    rules2 AS (
+      SELECT host, rule_type, path_prefix,
+             (contains(path_prefix, '*')
+              OR substr(path_prefix, length(path_prefix), 1) = '$') AS wild,
+             regexp_replace(path_prefix, '([\\.\[\]{}()+?|^])', '\\\1', 'g') AS esc
+      FROM rules1
+    ),
+    rules AS (
+      SELECT host, rule_type, path_prefix, wild,
+             CASE WHEN wild THEN
+               '^' || replace(replace(
+                 CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                      THEN substr(esc, 1, length(esc) - 1) ELSE esc END,
+                 '$', '\$'), '*', '.*')
+               || CASE WHEN substr(path_prefix, length(path_prefix), 1) = '$'
+                       THEN '$' ELSE '' END
+             END AS rx
+      FROM rules2
+    ),
     urls AS (
       SELECT doc_id, 'https://www.' || source || '.com' ||
-             CASE CAST(doc_id % 5 AS INT)
+             CASE CAST(doc_id % 6 AS INT)
                WHEN 0 THEN '/public/' || doc_id
                WHEN 1 THEN '/private/' || doc_id
                WHEN 2 THEN '/tmp/cache/' || doc_id
                WHEN 3 THEN '/tmp/scratch/' || doc_id
+               WHEN 4 THEN '/tmp/cache/b' || doc_id || '.bak'
                ELSE '/public/raw/' || doc_id
              END AS url
       FROM documents
@@ -5835,7 +5882,8 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY length(r.path_prefix) DESC, r.rule_type ASC,
                                            r.path_prefix ASC) AS rn
         FROM u JOIN rules r ON r.host = u.host
-        WHERE starts_with(u.path, r.path_prefix)
+        WHERE CASE WHEN r.wild THEN regexp_matches(u.path, r.rx)
+                   ELSE starts_with(u.path, r.path_prefix) END
       ) WHERE rn = 1
     )
     SELECT u.doc_id, u.url, u.host, u.path,
@@ -5865,7 +5913,8 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("User-agent: train\nDisallow: /public\n\n"),
             F.lit("User-agent: trainbot  # the specific crawler\n"),
             F.lit("User-agent: backupbot\n"),
-            F.lit("Disallow: /tmp\nAllow: /tmp/cache\nDisallow: /public/raw\n\n"),
+            F.lit("Disallow: /tmp\nAllow: /tmp/cache\nDisallow: /public/raw\n"),
+            F.lit("Disallow: /tmp/*.bak$\n\n"),
             F.lit("User-agent: evilbot\nDisallow: /"),
         ).alias("robots_txt"),
     )
@@ -5876,10 +5925,14 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://www."),
             F.col("source"),
             F.lit(".com"),
-            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
-            .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
-            .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/tmp/cache/"), F.col("doc_id")))
-            .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/scratch/"), F.col("doc_id")))
+            F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("/public/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("/private/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("/tmp/cache/"), F.col("doc_id")))
+            .when(F.col("doc_id") % 6 == 3, F.concat(F.lit("/tmp/scratch/"), F.col("doc_id")))
+            .when(
+                F.col("doc_id") % 6 == 4,
+                F.concat(F.lit("/tmp/cache/b"), F.col("doc_id"), F.lit(".bak")),
+            )
             .otherwise(F.concat(F.lit("/public/raw/"), F.col("doc_id"))),
         ).alias("url"),
     )

@@ -665,3 +665,48 @@ def test_robots_filter_same_length_prefix_tie_deterministic(spark):
     assert r1["matched_prefix"] == "/ab" and not r1["allowed"]
     got = {r["doc_id"]: r["matched_prefix"] for r in robots_filter(both, tie).collect()}
     assert got == {0: "/ab", 1: "/ac"}
+
+
+def test_robots_wildcard_patterns_rfc9309(spark):
+    # r12 (VERDICT r11 item 4): '*' any-sequence and trailing '$'
+    # end-anchor patterns; regex metachars in patterns stay literal;
+    # interior '$' is literal; longest PATTERN wins precedence
+    from cflux_spark.extensions.text import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "disallow", "/data/*.json$"),
+            ("h.com", "allow", "/data/pub*"),
+            ("h.com", "disallow", "/x$"),
+            ("h.com", "disallow", "/a+b[1].c*"),
+            ("h.com", "disallow", "/we$ird"),
+        ],
+        "host string, rule_type string, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "https://h.com/data/pub0.json"),   # both match; 13 > 10 → disallow
+            (1, "https://h.com/data/pub1"),        # allow via /data/pub*
+            (2, "https://h.com/data/x2.json"),     # $-anchored disallow
+            (3, "https://h.com/data/x3.jsonx"),    # NOT anchored-match → unruled
+            (4, "https://h.com/x"),                # exact end anchor
+            (5, "https://h.com/xy"),               # anchor must not prefix-match
+            (6, "https://h.com/a+b[1].cQQz"),      # metachars literal, '*' wild
+            (7, "https://h.com/aXbY1Z.cQQz"),      # '.'/'+'/'[' must NOT be regex
+            (8, "https://h.com/we$ird/page"),      # interior '$' literal
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got[0] == (False, "/data/*.json$")
+    assert got[1] == (True, "/data/pub*")
+    assert got[2] == (False, "/data/*.json$")
+    assert got[3] == (True, None)
+    assert got[4] == (False, "/x$")
+    assert got[5] == (True, None)
+    assert got[6] == (False, "/a+b[1].c*")
+    assert got[7] == (True, None)
+    assert got[8] == (False, "/we$ird")
