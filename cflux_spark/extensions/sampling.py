@@ -656,7 +656,27 @@ def waterfill_allocation(
     not this.
 
     Output: (source, avail, weight, alloc, saturated) with
-    Σ alloc = min(budget, Σ avail) up to rounding."""
+    Σ alloc = min(budget, Σ avail) up to rounding.
+    :func:`waterfill_allocation_int` is the token-exact variant."""
+    out = _waterfill_raw(sources, float(budget), source_col, avail_col, weight_col)
+    return out.select(
+        F.col(source_col),
+        "avail",
+        "weight",
+        F.round(F.col("_alloc"), round_to).alias("alloc"),
+        (F.round(F.col("_alloc"), round_to) >= F.col("avail")).alias("saturated"),
+    )
+
+
+def _waterfill_raw(
+    sources: DataFrame,
+    budget: float,
+    source_col: str,
+    avail_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Shared closed form: (source, avail, weight, _alloc) with
+    ``_alloc`` the UNROUNDED double allocation min(avail, λ·w)."""
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("_r"), F.col(source_col))
@@ -681,15 +701,66 @@ def waterfill_allocation(
         (F.col("_lamk") <= F.col("_r"))
         & F.coalesce(F.col("_lamk") >= F.col("_prev_r"), F.lit(True))
     ).agg(F.min("_lamk").alias("_lam"))
-    out = base.crossJoin(F.broadcast(lam))
     alloc = F.least(
         F.col("avail"),
         F.coalesce(F.col("_lam"), F.lit(float("inf"))) * F.col("weight"),
     )
-    return out.select(
+    return base.crossJoin(F.broadcast(lam)).select(
+        F.col(source_col), "avail", "weight", alloc.alias("_alloc")
+    )
+
+
+def waterfill_allocation_int(
+    sources: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    avail_col: str = "avail",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Token-exact water-filling (round 12, VERDICT r11 item 5):
+    integer allocations via floor + largest-remainder distribution of
+    the residue, so Σ alloc_tokens = min(budget, Σ avail) EXACTLY —
+    directly consumable by pack_offsets / per-source take-N steps
+    without rounding drift.
+
+    Integerization: saturated sources take their full (integer)
+    ``avail``; unsaturated sources take floor(λ·w) plus one extra
+    token for the ``residue`` sources with the largest fractional
+    parts (ties → source name, deterministic; a bumped source stays
+    ≤ avail because its raw allocation was strictly below it). When
+    the budget exceeds Σ avail everything saturates and the residue
+    is unallocatable (Σ = Σ avail < budget, same contract as the
+    double form). All arithmetic after λ is exact integer/comparison
+    work, so the SQL oracle replays it bit-for-bit.
+
+    Output: (source, avail_tokens, weight, alloc_tokens, saturated)."""
+    from pyspark.sql import Window
+
+    raw = _waterfill_raw(sources, float(budget), source_col, avail_col, weight_col)
+    staged = raw.select(
         F.col(source_col),
-        "avail",
+        F.col("avail").cast("long").alias("avail_tokens"),
         "weight",
-        F.round(alloc, round_to).alias("alloc"),
-        (F.round(alloc, round_to) >= F.col("avail")).alias("saturated"),
+        (F.col("_alloc") >= F.col("avail")).alias("saturated"),
+        F.floor("_alloc").cast("long").alias("_fl"),
+        (F.col("_alloc") - F.floor("_alloc")).alias("_frac"),
+    )
+    resid = staged.agg(
+        (F.lit(int(budget)) - F.sum("_fl")).cast("long").alias("_resid")
+    )
+    wr = Window.orderBy(F.col("_frac").desc(), F.col(source_col))
+    ranked = staged.crossJoin(F.broadcast(resid)).withColumn(
+        "_j", F.row_number().over(wr)
+    )
+    bump = (
+        (~F.col("saturated"))
+        & (F.col("_frac") > 0)
+        & (F.col("_j") <= F.greatest(F.col("_resid"), F.lit(0)))
+    )
+    return ranked.select(
+        F.col(source_col),
+        "avail_tokens",
+        "weight",
+        (F.col("_fl") + bump.cast("long")).alias("alloc_tokens"),
+        "saturated",
     )

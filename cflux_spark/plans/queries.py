@@ -4920,6 +4920,96 @@ def q_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(src, budget=0.5 * total)
 
 
+# X43b (round 12, VERDICT r11 item 5): token-exact water-filling —
+# floor + largest-remainder distribution of the residue so
+# Σ alloc_tokens = budget EXACTLY (integer), composable with
+# pack_offsets without rounding drift. λ replays as in
+# q_mix_allocation; everything after it is exact integer arithmetic.
+@q(
+    "q_mix_allocation_int",
+    r"""
+    WITH tc AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')))
+                  AS BIGINT) AS availt
+      FROM documents GROUP BY 1
+    ),
+    bud AS (SELECT CAST(sum(availt) // 2 AS BIGINT) AS b FROM tc),
+    src AS (
+      SELECT source, availt, CAST(availt AS DOUBLE) AS avail,
+             CAST(CAST(substring(source, 4) AS INT) + 1 AS DOUBLE) AS weight,
+             CAST(availt AS DOUBLE) / (CAST(substring(source, 4) AS INT) + 1) AS r
+      FROM tc
+    ),
+    tot AS (SELECT sum(weight) AS tw FROM src),
+    cand AS (
+      SELECT s.*, CAST(bud.b AS DOUBLE) AS b, tot.tw,
+             COALESCE(sum(s.avail) OVER (ORDER BY s.r, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS ca_ex,
+             COALESCE(sum(s.weight) OVER (ORDER BY s.r, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cw_ex,
+             lag(s.r) OVER (ORDER BY s.r, s.source) AS prev_r
+      FROM src s, bud, tot
+    ),
+    lam AS (
+      SELECT min((b - ca_ex) / (tw - cw_ex)) AS lam
+      FROM cand
+      WHERE (b - ca_ex) / (tw - cw_ex) <= r
+        AND COALESCE((b - ca_ex) / (tw - cw_ex) >= prev_r, TRUE)
+    ),
+    raw AS (
+      SELECT s.source, s.availt AS avail_tokens, s.weight,
+             least(s.avail,
+                   COALESCE(lam.lam, CAST('infinity' AS DOUBLE)) * s.weight) AS alloc,
+             least(s.avail,
+                   COALESCE(lam.lam, CAST('infinity' AS DOUBLE)) * s.weight)
+               >= s.avail AS saturated
+      FROM src s, lam
+    ),
+    staged AS (
+      SELECT source, avail_tokens, weight, saturated,
+             CAST(floor(alloc) AS BIGINT) AS fl,
+             alloc - floor(alloc) AS frac
+      FROM raw
+    ),
+    resid AS (SELECT CAST((SELECT b FROM bud) - sum(fl) AS BIGINT) AS res FROM staged),
+    ranked AS (
+      SELECT s.*, resid.res,
+             row_number() OVER (ORDER BY s.frac DESC, s.source) AS j
+      FROM staged s, resid
+    )
+    SELECT source, avail_tokens, weight,
+           fl + CASE WHEN NOT saturated AND frac > 0 AND j <= greatest(res, 0)
+                     THEN 1 ELSE 0 END AS alloc_tokens,
+           saturated
+    FROM ranked
+    """,
+)
+def q_mix_allocation_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43b token-exact corpus mixing: same capacities/weights/budget
+    recipe as q_mix_allocation but with integer allocations — floor of
+    each raw water-fill allocation plus one token to the
+    largest-fractional-remainder sources until the residue is spent,
+    so Σ alloc_tokens = ⌊Σ tokens / 2⌋ EXACTLY. Every
+    (alloc_tokens, saturated) verdict hash-checked against the SQL
+    replay (λ, floors, remainder ranking, residue). Scale: identical
+    to q_mix_allocation — source-cardinality math."""
+    from cflux_spark.extensions.sampling import waterfill_allocation_int
+    from cflux_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("availt")
+    )
+    total = tc.agg(F.sum("availt").alias("_t")).first()["_t"]
+    src = tc.select(
+        "source",
+        F.col("availt").alias("avail"),
+        (F.substring("source", 4, 10).cast("int") + 1).cast("double").alias("weight"),
+    )
+    return waterfill_allocation_int(src, budget=int(total) // 2)
+
+
 # X44 (round 11): character-entropy quality signal — Shannon entropy
 # of each document's character distribution in bits/char, the classic
 # cheap gibberish/boilerplate detector. Pure arithmetic over a char

@@ -1004,6 +1004,34 @@ def test_waterfill_allocation_branches(spark):
     assert not any(r.saturated for r in got.values())
 
 
+def test_waterfill_allocation_int_exact_budget(spark):
+    # r12 (VERDICT r11 item 5): integer mode — floor + largest
+    # remainder. Σ alloc_tokens must equal the budget EXACTLY when
+    # binding, and equal Σ avail when the budget covers everything.
+    from cflux_spark.extensions.sampling import waterfill_allocation_int
+
+    src = spark.createDataFrame(
+        [("a", 10, 1.0), ("b", 100, 3.0), ("c", 100, 2.0)],
+        "source string, avail long, weight double",
+    )
+    # λ = 50/6: raw a=8.33, b=25.0, c=16.67 → floors 49, residue 1
+    # goes to c (largest frac .667); b's frac is exactly 0 — no bump
+    got = {r.source: r for r in waterfill_allocation_int(src, 50).collect()}
+    assert {k: got[k].alloc_tokens for k in "abc"} == {"a": 8, "b": 25, "c": 17}
+    assert sum(r.alloc_tokens for r in got.values()) == 50
+    assert not any(r.saturated for r in got.values())
+    # a saturates at 10; λ=(81−10)/5=14.2 → b=42.6, c=28.4; residue 1
+    # goes to b (frac .6 > .4)
+    got = {r.source: r for r in waterfill_allocation_int(src, 81).collect()}
+    assert {k: got[k].alloc_tokens for k in "abc"} == {"a": 10, "b": 43, "c": 28}
+    assert got["a"].saturated and not got["b"].saturated
+    assert sum(r.alloc_tokens for r in got.values()) == 81
+    # budget above Σ avail: everyone saturates at integer avail
+    got = {r.source: r for r in waterfill_allocation_int(src, 10_000).collect()}
+    assert all(r.saturated for r in got.values())
+    assert sum(r.alloc_tokens for r in got.values()) == 210
+
+
 def test_char_entropy_known_values(spark):
     from cflux_spark.extensions.text import char_entropy
 
