@@ -995,9 +995,21 @@ def char_entropy(
 
     Shape: one char explosion (map-only off the scan) + two keyed
     aggregations on the doc key — same contract as the gram tiers; no
-    Python, `split(text, '')` and `log2` run in codegen."""
+    Python, the regex iterator and `log2` run in codegen.
+
+    Round 12 (VERDICT r11 item 7): characters are CODE POINTS, not
+    UTF-16 code units — ``regexp_extract_all(text, '(?s).')`` iterates
+    code points identically in Java regex and RE2, where the old
+    ``split(text, '')`` split Spark on surrogate halves and DuckDB on
+    code points (divergent n_chars/entropy on emoji/CJK-ext text —
+    now pinned by a planted non-BMP fixture row in the oracle)."""
     chars = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch"))
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(r"(?s)."), F.lit(0))
+            ).alias("_ch"),
+        )
         .filter(F.col("_ch") != "")
     )
     from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log

@@ -5014,11 +5014,27 @@ def q_mix_allocation_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of each document's character distribution in bits/char, the classic
 # cheap gibberish/boilerplate detector. Pure arithmetic over a char
 # histogram; log2 parity at 4 dp is the established ln-family policy.
+# Round 12: characters are CODE POINTS via regexp_extract_all('(?s).')
+# in both engines (Java regex and RE2 agree), replacing the divergent
+# empty-split (UTF-16 halves vs code points); doc_id = -1 plants a
+# non-BMP emoji/CJK-ext row to pin the agreement.
+_NONBMP_FIXTURE = (
+    "\U0001f600\U0001f600\U0001f389\U0001f389 "
+    "\U0001d11e\U0001d11e 汉字 \U0001f000\U0001f000"
+)
+
+
 @q(
     "q_char_entropy",
     r"""
-    WITH c AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    WITH docs_cp AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT -1 AS doc_id, '"""
+    + _NONBMP_FIXTURE
+    + r"""' AS text
+    ),
+    c AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM docs_cp
     ),
     cc AS (
       SELECT doc_id, ch, count(*) AS c FROM c WHERE ch <> '' GROUP BY 1, 2
@@ -5035,20 +5051,24 @@ def q_mix_allocation_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, COALESCE(e.n_chars, 0) AS n_chars,
            COALESCE(e.entropy, 0.0) AS entropy
-    FROM documents d LEFT JOIN e USING (doc_id)
+    FROM docs_cp d LEFT JOIN e USING (doc_id)
     """,
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X44 per-document character-distribution Shannon entropy
-    (text.char_entropy): bits/char over the char histogram — the
-    cheap gibberish / boilerplate / binary-blob signal every quality
-    stack runs before anything tokenizes. Empty docs keep a (0, 0.0)
-    row. Every (n_chars, entropy) hash-checked against the SQL char
-    histogram replay. Scale: one map-only char explosion + two
-    doc-keyed aggregations, same contract as the gram tiers."""
+    (text.char_entropy): bits/char over the CODE-POINT histogram —
+    the cheap gibberish / boilerplate / binary-blob signal every
+    quality stack runs before anything tokenizes. Empty docs keep a
+    (0, 0.0) row; doc_id −1 is a planted non-BMP emoji/CJK-ext row
+    pinning that both engines count code points (10 for the fixture),
+    not UTF-16 units. Every (n_chars, entropy) hash-checked against
+    the SQL char histogram replay. Scale: one map-only char explosion
+    + two doc-keyed aggregations, same contract as the gram tiers."""
     from cflux_spark.extensions.text import char_entropy
 
-    return char_entropy(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame([(-1, _NONBMP_FIXTURE)], "doc_id long, text string")
+    return char_entropy(docs.unionByName(planted))
 
 
 # X42 (round 11): link-graph PageRank (Page et al. 1999) — the

@@ -1043,6 +1043,21 @@ def test_char_entropy_known_values(spark):
     assert got == {1: (4, 0.0), 2: (4, 1.0), 3: (0, 0.0), 4: (4, 2.0)}
 
 
+def test_char_entropy_counts_code_points_not_utf16_units(spark):
+    # r12 (VERDICT r11 item 7): non-BMP chars (surrogate pairs in
+    # UTF-16) must count as ONE character — 4 emoji = 4 chars /
+    # 2 distinct = entropy 1.0, where the old empty-split counted 8
+    # surrogate halves
+    from cflux_spark.extensions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "\U0001f600\U0001f600\U0001f389\U0001f389"), (2, "𝄞汉𝄞汉")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_chars, r.entropy) for r in char_entropy(df).collect()}
+    assert got == {1: (4, 1.0), 2: (4, 1.0)}
+
+
 def test_pagerank_cycle_and_dangling(spark):
     from cflux_spark.extensions.graph import pagerank
 
