@@ -144,3 +144,107 @@ def bleu_scores(
             bleu.alias("bleu"),
         )
     )
+
+
+def rouge_n_scores(
+    pairs: DataFrame,
+    n: int = 2,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-pair ROUGE-N RECALL (Lin 2004, ACL — public paper): the
+    fraction of the REFERENCE's n-grams recovered by the candidate,
+    with clipped counts — the summarization-side complement of BLEU's
+    candidate-side precision:
+
+        ROUGE-N = Σ_g min(c_cand(g), c_ref(g)) / Σ_g c_ref(g)
+
+    A pair whose reference has no n-grams scores 0.0 (kept as a row —
+    same keep-the-failures contract as BLEU). Pure RATIONAL arithmetic
+    of integer counts — no transcendentals anywhere, so cross-engine
+    parity is exact by construction (functions/parity.py tier "pure
+    rational").
+
+    Scale shape: identical to BLEU's — gram expansion map-only inside
+    the token array, counting shuffles on the (pair, gram) key, one
+    pair-keyed reduction. Output: (id, ref_grams, matched, rouge_n)."""
+    cg = _gram_rows(pairs, id_col, cand_col, n).filter(F.col("n") == n)
+    rg = _gram_rows(pairs, id_col, ref_col, n).filter(F.col("n") == n)
+    joined = rg.withColumnRenamed("cnt", "r_cnt").join(
+        cg.withColumnRenamed("cnt", "c_cnt"), ["_id", "n", "gram"], "left"
+    )
+    agg = joined.groupBy("_id").agg(
+        F.sum("r_cnt").alias("ref_grams"),
+        F.sum(F.least(F.col("r_cnt"), F.coalesce(F.col("c_cnt"), F.lit(0)))).alias(
+            "matched"
+        ),
+    )
+    base = pairs.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(agg, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("ref_grams"), F.lit(0)).alias("ref_grams"),
+            F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
+            F.when(F.coalesce(F.col("ref_grams"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("matched") / F.col("ref_grams"), round_to)
+            )
+            .alias("rouge_n"),
+        )
+    )
+
+
+def token_f1_scores(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-pair token-level F1 (the SQuAD evaluation metric —
+    Rajpurkar et al. 2016): overlap = Σ_t min(c_cand(t), c_ref(t))
+    over unigram bags, F1 = 2·overlap / (cand_len + ref_len). The
+    harmonic mean of bag precision and recall in one closed form —
+    the standard extractive-QA / span-answer evaluation a data
+    pipeline runs over generated answers. Pure rational arithmetic of
+    integer counts — exact cross-engine parity by construction.
+
+    Both sides empty scores 1.0 (two empty answers agree — the SQuAD
+    convention); one side empty scores 0.0.
+
+    Scale: one (pair, token) counting shuffle per side + one
+    pair-keyed reduction. Output: (id, cand_len, ref_len, overlap,
+    f1)."""
+    cg = _gram_rows(pairs, id_col, cand_col, 1).withColumnRenamed("cnt", "c_cnt")
+    rg = _gram_rows(pairs, id_col, ref_col, 1).withColumnRenamed("cnt", "r_cnt")
+    joined = cg.join(rg, ["_id", "n", "gram"], "inner")
+    ov = joined.groupBy("_id").agg(
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt"))).alias("overlap")
+    )
+    lens = pairs.select(
+        F.col(id_col).alias("_id"),
+        F.size(_toks(F.col(cand_col))).alias("cand_len"),
+        F.size(_toks(F.col(ref_col))).alias("ref_len"),
+    )
+    return lens.join(ov, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cand_len",
+        "ref_len",
+        F.coalesce(F.col("overlap"), F.lit(0)).alias("overlap"),
+        F.when(
+            (F.col("cand_len") == 0) & (F.col("ref_len") == 0), F.lit(1.0)
+        )
+        .when((F.col("cand_len") == 0) | (F.col("ref_len") == 0), F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("overlap"), F.lit(0))
+                / (F.col("cand_len") + F.col("ref_len")),
+                round_to,
+            )
+        )
+        .alias("f1"),
+    )

@@ -141,3 +141,104 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rankf") / scale, round_to).alias("rank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM — public
+    paper), the other classic link-quality prior for crawl corpora:
+    authority(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} authority(v),
+    each L1-normalized per half-step. Fixed iteration count, same
+    replayable-batch philosophy as :func:`pagerank`.
+
+    Like pagerank, scores are carried as INTEGER 1e-12 mass quanta
+    (``RANK_SCALE``): each half-step is one equi-join + one keyed Σ of
+    longs (exact, order-independent), then a renormalization
+    ``round(score/Σ·1e12)`` — two correctly-rounded double ops of
+    exact integers, bit-identical across engines, SQL-replayable.
+
+    Scale shape (100 TB of edges): two edge⋈score joins + two keyed
+    aggregations per iteration, node-sized score frames eagerly
+    localCheckpoint-ed between half-steps, 1-row normalization
+    aggregates broadcast — nothing collected. Each half-step
+    references its parent TWICE (the join and the Σ normalizer), so
+    unlike pagerank the logical plan would grow ~4^t without
+    checkpointing — 3 iterations were enough to OOM the optimizer
+    (measured on a 5-edge graph); lineage truncation per half-step is
+    mandatory here, not a knob.
+
+    Output: (node, authority, hub), each rounded to ``round_to``;
+    Σ authority ≈ Σ hub ≈ 1. Nodes = distinct endpoints; duplicate
+    edges count once."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n1 = nodes.agg(F.count("*").alias("_n"))
+    scale = F.lit(float(RANK_SCALE))
+    hubs = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.round(scale / F.col("_n")).cast("long").alias("hf")
+    ).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(iterations):
+        # authority half-step: pull hub mass along in-edges
+        araw = (
+            e.join(hubs.select(F.col("node").alias("src"), "hf"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hf").alias("_araw"))
+        )
+        asum = araw.agg(F.sum("_araw").alias("_s"))
+        auths = (
+            nodes.join(araw, "node", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_araw"), F.lit(0)) / F.col("_s") * scale
+                )
+                .cast("long")
+                .alias("af"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # hub half-step: pull the NEW authority mass along out-edges
+        hraw = (
+            e.join(auths.select(F.col("node").alias("dst"), "af"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("af").alias("_hraw"))
+        )
+        hsum = hraw.agg(F.sum("_hraw").alias("_s"))
+        hubs = (
+            nodes.join(hraw, "node", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_hraw"), F.lit(0)) / F.col("_s") * scale
+                )
+                .cast("long")
+                .alias("hf"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(auths, "node", "left")
+        .join(hubs, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("af"), F.lit(0)) / scale, round_to).alias(
+                "authority"
+            ),
+            F.round(F.coalesce(F.col("hf"), F.lit(0)) / scale, round_to).alias("hub"),
+        )
+    )

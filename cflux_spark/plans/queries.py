@@ -5196,6 +5196,129 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("doc_id"), "rank")
 
 
+def _synthetic_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_pagerank fixture graph (3 md5-derived out-links per doc,
+    self-loops dropped, duplicates deduped) as an (src, dst) frame —
+    shared by q_pagerank and q_hits so both link-priors rank the same
+    synthetic crawl."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    ids = docs.select("doc_id", (F.row_number().over(w) - 1).alias("idx"))
+    n1 = docs.agg(F.count("*").alias("_n"))
+    links = ids.crossJoin(F.broadcast(n1)).select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.col("doc_id").cast("string"),
+                                        F.lit(":"),
+                                        F.lit(str(j)),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % F.col("_n")
+                    ).alias(str(j))
+                    for j in range(3)
+                ]
+            )
+        ).alias("tidx"),
+    )
+    return (
+        links.join(
+            ids.select(F.col("idx").alias("tidx"), F.col("doc_id").alias("dst")), "tidx"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+# X45 (round 12): HITS hubs-and-authorities (Kleinberg 1999) — the
+# second classic link prior, over the SAME synthetic graph as
+# q_pagerank. The oracle unrolls all 3 iterations (6 half-steps) in
+# the same integer 1e-12 mass quanta the engine carries: every Σ is
+# exact long/hugeint arithmetic; each renormalization is
+# round(score/Σ·1e12) — correctly-rounded double ops of exact
+# integers, bit-identical across engines.
+_HITS_GRAPH_CTES = r"""
+    ids AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM ids),
+    lk AS (
+      SELECT i.doc_id AS src,
+             CAST(CAST(('0x' || substring(md5(CAST(i.doc_id AS VARCHAR) || ':' ||
+                  CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT) % nn.n AS BIGINT) AS tidx
+      FROM ids i, (VALUES (0), (1), (2)) j(j), nn
+    ),
+    edges AS (
+      SELECT DISTINCT lk.src, t.doc_id AS dst
+      FROM lk JOIN ids t ON t.idx = lk.tidx WHERE t.doc_id <> lk.src
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n2 AS (SELECT count(*) AS n FROM nodes)
+"""
+
+
+def _hits_halfstep_sql(t: int) -> str:
+    """One HITS iteration (authority then hub half-step) as SQL CTEs,
+    reading h{t-1} and emitting a{t}, h{t}."""
+    return f"""
+    a{t}raw AS (SELECT e.dst AS node, sum(h.hf) AS raw
+           FROM edges e JOIN h{t - 1} h ON h.node = e.src GROUP BY 1),
+    a{t}s AS (SELECT sum(raw) AS s FROM a{t}raw),
+    a{t} AS (SELECT n.node,
+             CAST(round(COALESCE(r.raw, 0) / s.s * 1000000000000.0) AS BIGINT) AS af
+           FROM nodes n LEFT JOIN a{t}raw r USING (node), a{t}s s),
+    h{t}raw AS (SELECT e.src AS node, sum(a.af) AS raw
+           FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY 1),
+    h{t}s AS (SELECT sum(raw) AS s FROM h{t}raw),
+    h{t} AS (SELECT n.node,
+             CAST(round(COALESCE(r.raw, 0) / s.s * 1000000000000.0) AS BIGINT) AS hf
+           FROM nodes n LEFT JOIN h{t}raw r USING (node), h{t}s s)"""
+
+
+@q(
+    "q_hits",
+    "WITH "
+    + _HITS_GRAPH_CTES
+    + r""",
+    h0 AS (SELECT node, CAST(round(1000000000000.0 / n2.n) AS BIGINT) AS hf
+           FROM nodes, n2),"""
+    + ",".join(_hits_halfstep_sql(t) for t in (1, 2, 3))
+    + r"""
+    SELECT n.node AS doc_id,
+           round(a3.af / 1000000000000.0, 6) AS authority,
+           round(h3.hf / 1000000000000.0, 6) AS hub
+    FROM nodes n JOIN a3 USING (node) JOIN h3 USING (node)
+    """,
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 HITS hubs-and-authorities over the q_pagerank synthetic
+    link graph: 3 iterations of the mutual-reinforcement update with
+    per-half-step L1 renormalization, scores carried as integer 1e-12
+    mass quanta end to end — every final (authority, hub) pair
+    hash-checked against the SQL replay of all 6 half-steps. Scale:
+    two edge⋈score equi-joins + two keyed integer Σs per iteration,
+    node-sized persisted score frames, broadcast 1-row normalizers —
+    the production batch shape (extensions/graph.py hits)."""
+    from cflux_spark.extensions.graph import hits
+
+    out = hits(_synthetic_link_graph(spark, sf_dir), iterations=3)
+    return out.select(F.col("node").alias("doc_id"), "authority", "hub")
+
+
 # X41 (round 11): Bloom-filter decontamination (Bloom 1970;
 # Kirsch-Mitzenmacher double hashing off one md5 so both engines
 # derive identical bit positions). The filter is the (word_idx, word)

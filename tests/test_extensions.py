@@ -2460,3 +2460,33 @@ def test_jpeg_restart_markers_roundtrip():
     rst = encode_jpeg(img, quality=80, restart_interval=1)
     with pytest.raises(ValueError):
         decode_jpeg(rst[: len(rst) - 12])
+
+
+def test_hits_known_values_and_mass(spark):
+    # X45: star graph — 1,2 point at 3: node 3 takes all authority;
+    # hubs 1,2 split hub mass; 3 is no hub. L1 mass conserved.
+    from cflux_spark.extensions.graph import hits
+
+    star = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(star, iterations=3).collect()}
+    assert got[3] == (1.0, 0.0)
+    assert got[1] == (0.0, 0.5) and got[2] == (0.0, 0.5)
+    # 2-cycle: symmetric fixed point at 0.5/0.5 everywhere
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: (r.authority, r.hub) for r in hits(cyc, iterations=3).collect()}
+    assert got == {1: (0.5, 0.5), 2: (0.5, 0.5)}
+
+
+def test_hits_deep_iterations_no_plan_blowup(spark):
+    # each HITS half-step references its parent twice; without the
+    # per-half-step localCheckpoint the logical plan grows ~4^t and 3
+    # iterations OOMed the optimizer (measured) — pin that 5 now runs
+    from cflux_spark.extensions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], "src long, dst long"
+    )
+    out = hits(edges, iterations=5).collect()
+    assert len(out) == 4
+    assert sum(r.authority for r in out) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r.hub for r in out) == pytest.approx(1.0, abs=1e-5)
