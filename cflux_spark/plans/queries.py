@@ -5492,6 +5492,200 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X47 (round 12): ROUGE-N recall (Lin 2004) — the summarization-side
+# complement of BLEU over the same candidate/reference fixture. Pure
+# rational arithmetic of integer gram counts: zero transcendental
+# exposure (functions/parity.py tier "pure rational").
+@q(
+    "q_rouge2",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                         (x, i) -> i % 7 != 0) AS ctoks,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS rtoks
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id, array_to_string(ctoks[i.i : i.i + 1], ' ') AS gram,
+             count(*) AS c_cnt
+      FROM p, unnest(range(1, greatest(len(ctoks) - 0, 1))) i(i)
+      WHERE len(ctoks) >= 2
+      GROUP BY 1, 2
+    ),
+    rg AS (
+      SELECT doc_id, array_to_string(rtoks[i.i : i.i + 1], ' ') AS gram,
+             count(*) AS r_cnt
+      FROM p, unnest(range(1, greatest(len(rtoks) - 0, 1))) i(i)
+      WHERE len(rtoks) >= 2
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT rg.doc_id, sum(rg.r_cnt) AS ref_grams,
+             sum(least(rg.r_cnt, COALESCE(cg.c_cnt, 0))) AS matched
+      FROM rg LEFT JOIN cg ON cg.doc_id = rg.doc_id AND cg.gram = rg.gram
+      GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(COALESCE(j.ref_grams, 0) AS BIGINT) AS ref_grams,
+           CAST(COALESCE(j.matched, 0) AS BIGINT) AS matched,
+           CASE WHEN COALESCE(j.ref_grams, 0) = 0 THEN 0.0
+                ELSE round(j.matched / j.ref_grams, 6) END AS rouge_n
+    FROM p LEFT JOIN j USING (doc_id)
+    """,
+)
+def q_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 ROUGE-2 recall over the q_bleu pair fixture (candidate =
+    the document minus every 7th token, reference = the document):
+    the fraction of reference bigrams the candidate recovers, clipped
+    counts — every (ref_grams, matched, rouge_n) hash-checked against
+    the SQL twin. Pure integer-count rationals, no transcendentals.
+    Scale: gram counting shuffles on the (pair, gram) key; one
+    pair-keyed reduction (extensions/evaluation.py rouge_n_scores)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    pairs = docs.select(F.col("doc_id").alias("pair_id"), toks.alias("_t")).select(
+        "pair_id",
+        F.array_join(
+            F.filter(F.col("_t"), lambda x, i: (i + 1) % 7 != 0), " "
+        ).alias("candidate"),
+        F.array_join(F.col("_t"), " ").alias("reference"),
+    )
+    return evaluation.rouge_n_scores(pairs, n=2, id_col="pair_id").select(
+        F.col("pair_id").alias("doc_id"), "ref_grams", "matched", "rouge_n"
+    )
+
+
+# X48 (round 12): token-level F1 (the SQuAD metric, Rajpurkar et al.
+# 2016) — bag-overlap harmonic mean over the same pair fixture. Pure
+# rational arithmetic of integer counts.
+@q(
+    "q_token_f1",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(list_filter(string_split(lower(text), ' '), x -> x <> ''),
+                         (x, i) -> i % 7 != 0) AS ctoks,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS rtoks
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id, t.tok, count(*) AS c_cnt
+      FROM p, unnest(ctoks) t(tok) GROUP BY 1, 2
+    ),
+    rg AS (
+      SELECT doc_id, t.tok, count(*) AS r_cnt
+      FROM p, unnest(rtoks) t(tok) GROUP BY 1, 2
+    ),
+    ov AS (
+      SELECT cg.doc_id, sum(least(cg.c_cnt, rg.r_cnt)) AS overlap
+      FROM cg JOIN rg ON rg.doc_id = cg.doc_id AND rg.tok = cg.tok
+      GROUP BY 1
+    )
+    SELECT p.doc_id, len(ctoks) AS cand_len, len(rtoks) AS ref_len,
+           CAST(COALESCE(ov.overlap, 0) AS BIGINT) AS overlap,
+           CASE WHEN len(ctoks) = 0 AND len(rtoks) = 0 THEN 1.0
+                WHEN len(ctoks) = 0 OR len(rtoks) = 0 THEN 0.0
+                ELSE round(2.0 * COALESCE(ov.overlap, 0)
+                           / (len(ctoks) + len(rtoks)), 6) END AS f1
+    FROM p LEFT JOIN ov USING (doc_id)
+    """,
+)
+def q_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 SQuAD-style token F1 over the q_bleu pair fixture:
+    2·bag-overlap/(cand_len + ref_len) — the extractive-QA answer
+    metric. Every (cand_len, ref_len, overlap, f1) hash-checked; pure
+    integer-count rationals. Scale: one (pair, token) counting shuffle
+    per side + one pair-keyed reduction
+    (extensions/evaluation.py token_f1_scores)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    pairs = docs.select(F.col("doc_id").alias("pair_id"), toks.alias("_t")).select(
+        "pair_id",
+        F.array_join(
+            F.filter(F.col("_t"), lambda x, i: (i + 1) % 7 != 0), " "
+        ).alias("candidate"),
+        F.array_join(F.col("_t"), " ").alias("reference"),
+    )
+    return evaluation.token_f1_scores(pairs, id_col="pair_id").select(
+        F.col("pair_id").alias("doc_id"), "cand_len", "ref_len", "overlap", "f1"
+    )
+
+
+# X46 (round 12): count-min sketch (Cormode & Muthukrishnan 2005) —
+# the mergeable fixed-size frequency summary. Kirsch–Mitzenmacher
+# positions off one md5 (the Bloom tier's recipe), exact integer
+# counters, min-of-4-rows point queries; estimates NEVER
+# underestimate (pinned per row by the never_under column). The
+# oracle replays tokens, positions, the sketch groupBy, AND the
+# min-probe against exact counts.
+@q(
+    "q_cms_topk",
+    r"""
+    WITH toks AS (
+      SELECT t.tok AS item
+      FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents), unnest(l) t(tok)
+    ),
+    cells AS (
+      SELECT kk.i AS row,
+             ((CAST(CAST(('0x' || substring(md5(item), 1, 8)) AS UBIGINT) AS BIGINT)
+               + kk.i * (CAST(CAST(('0x' || substring(md5(item), 9, 8)) AS UBIGINT) AS BIGINT) | 1))
+              % 4096) AS col
+      FROM toks, (VALUES (0), (1), (2), (3)) kk(i)
+    ),
+    sketch AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (SELECT item, count(*) AS exact FROM toks GROUP BY 1),
+    top AS (SELECT item, exact FROM exact ORDER BY exact DESC, item LIMIT 50),
+    qpos AS (
+      SELECT t.item, t.exact, kk.i AS row,
+             ((CAST(CAST(('0x' || substring(md5(t.item), 1, 8)) AS UBIGINT) AS BIGINT)
+               + kk.i * (CAST(CAST(('0x' || substring(md5(t.item), 9, 8)) AS UBIGINT) AS BIGINT) | 1))
+              % 4096) AS col
+      FROM top t, (VALUES (0), (1), (2), (3)) kk(i)
+    )
+    SELECT q.item, CAST(any_value(q.exact) AS BIGINT) AS exact,
+           CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS estimate,
+           min(COALESCE(s.cnt, 0)) >= any_value(q.exact) AS never_under
+    FROM qpos q LEFT JOIN sketch s USING (row, col)
+    GROUP BY 1
+    """,
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 count-min sketch frequency estimation: a depth-4 ×
+    width-4096 CMS built over every token occurrence (one counter
+    groupBy — map-side partial sketches merge by addition, the reason
+    CMS scales), point-queried for the exact-count top-50 tokens.
+    Every (exact, estimate, never_under) row hash-checked against the
+    SQL replay of positions, counters, and min-probe; never_under
+    pins the CMS no-underestimate guarantee per row. Scale: the
+    sketch is ≤ depth·width rows broadcast to probes; the corpus
+    shuffles only on the (row, col) counter key
+    (extensions/sketches.py)."""
+    from cflux_spark.extensions.sketches import cms_build, cms_point_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+        ).alias("item")
+    )
+    sketch = cms_build(toks, depth=4, width=4096)
+    exact = toks.groupBy("item").agg(F.count("*").alias("exact"))
+    top = exact.orderBy(F.col("exact").desc(), "item").limit(50)
+    est = cms_point_query(sketch, top.select("item"), depth=4, width=4096)
+    return top.join(est, "item").select(
+        "item",
+        "exact",
+        "estimate",
+        (F.col("estimate") >= F.col("exact")).alias("never_under"),
+    )
+
+
 # X32 (round 10): MMR diversified retrieval (Carbonell & Goldstein
 # SIGIR'98). The oracle replays the greedy selection as a recursive
 # CTE with LIST state (the HOLT_WINTERS precedent): base case = the

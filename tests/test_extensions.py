@@ -2490,3 +2490,53 @@ def test_hits_deep_iterations_no_plan_blowup(spark):
     assert len(out) == 4
     assert sum(r.authority for r in out) == pytest.approx(1.0, abs=1e-5)
     assert sum(r.hub for r in out) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_rouge_and_token_f1_known_values(spark):
+    from cflux_spark.extensions.evaluation import rouge_n_scores, token_f1_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (0, "the cat sat", "the cat sat on the mat"),  # prefix candidate
+            (1, "", "some reference"),                      # empty candidate
+            (2, "exact match here", "exact match here"),    # identical
+            (3, "", ""),                                     # both empty
+        ],
+        "pair_id long, candidate string, reference string",
+    )
+    r = {x.pair_id: x for x in rouge_n_scores(pairs, n=2).collect()}
+    # ref bigrams of 0: [the cat, cat sat, sat on, on the, the mat] = 5;
+    # candidate recovers [the cat, cat sat] = 2
+    assert (r[0].ref_grams, r[0].matched, r[0].rouge_n) == (5, 2, 0.4)
+    assert r[1].rouge_n == 0.0
+    assert r[2].rouge_n == 1.0
+    assert r[3] .rouge_n == 0.0  # no reference grams
+    f = {x.pair_id: x for x in token_f1_scores(pairs).collect()}
+    # overlap 3, lens 3+6 → f1 = 6/9
+    assert f[0].overlap == 3 and f[0].f1 == round(6 / 9, 6)
+    assert f[1].f1 == 0.0
+    assert f[2].f1 == 1.0
+    assert f[3].f1 == 1.0  # SQuAD convention: two empties agree
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.sketches import cms_build, cms_point_query
+
+    # 3 distinct items in a 4x4096 sketch: collisions are practically
+    # impossible, estimates must be EXACT; and by the CMS guarantee
+    # estimate >= exact always
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    items = spark.createDataFrame(rows, "item string")
+    sk = cms_build(items)
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "item string")
+    got = {r.item: r.estimate for r in cms_point_query(sk, q).collect()}
+    assert got == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+    # force collisions with a tiny width: still never under
+    sk2 = cms_build(items, width=2, depth=2)
+    got2 = {
+        r.item: r.estimate
+        for r in cms_point_query(sk2, q.filter(F.col("item") != "zzz"), width=2, depth=2).collect()
+    }
+    assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
