@@ -5686,6 +5686,56 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X49 (round 12): per-source robust scaling (median/IQR z + ECDF
+# rank) of the document token-count feature — the cross-source
+# threshold-normalization step production quality filters run.
+# Continuous-interpolation quartiles over INTEGER-valued inputs are
+# dyadic rationals (exact doubles in both engines); the z is one
+# correctly-rounded division; cume_dist is an integer ratio — zero
+# transcendental exposure.
+@q(
+    "q_robust_scale",
+    r"""
+    WITH v AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                  AS DOUBLE) AS value
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) AS q3
+      FROM v GROUP BY 1
+    )
+    SELECT v.doc_id, v.source, v.value, s.med AS median, s.q3 - s.q1 AS iqr,
+           CASE WHEN s.q3 - s.q1 = 0 THEN 0.0
+                ELSE round((v.value - s.med) / (s.q3 - s.q1), 6) END AS robust_z,
+           round(cume_dist() OVER (PARTITION BY v.source ORDER BY v.value), 6)
+             AS pct_rank
+    FROM v JOIN s USING (source)
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 per-source robust scaling of doc token counts: median/IQR
+    z-score (RobustScaler recipe — outlier-insensitive, so one spam
+    mega-doc can't shift a source's threshold) + within-source ECDF
+    percentile rank. Every (median, iqr, robust_z, pct_rank)
+    hash-checked — quartile interpolation over integer token counts
+    is exact dyadic-rational arithmetic in both engines
+    (extensions/stats.py). Scale: one per-source aggregate broadcast
+    back + one per-source window; the corpus shuffles once on the
+    group key."""
+    from cflux_spark.extensions.stats import robust_scale
+    from cflux_spark.extensions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return robust_scale(docs, "n_tokens", group_col="source")
+
+
 # X32 (round 10): MMR diversified retrieval (Carbonell & Goldstein
 # SIGIR'98). The oracle replays the greedy selection as a recursive
 # CTE with LIST state (the HOLT_WINTERS precedent): base case = the

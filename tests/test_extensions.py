@@ -2540,3 +2540,22 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
         for r in cms_point_query(sk2, q.filter(F.col("item") != "zzz"), width=2, depth=2).collect()
     }
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
+
+
+def test_robust_scale_known_values(spark):
+    from cflux_spark.extensions.stats import robust_scale
+
+    df = spark.createDataFrame(
+        [(0, "a", 1), (1, "a", 2), (2, "a", 3), (3, "a", 4), (4, "a", 5),
+         (5, "b", 7), (6, "b", 7)],
+        "doc_id long, source string, n long",
+    )
+    got = {r.doc_id: r for r in robust_scale(df, "n").collect()}
+    # group a: median 3, q1 2, q3 4 → iqr 2; z(1) = -1, z(5) = 1
+    assert got[0].median == 3.0 and got[0].iqr == 2.0
+    assert got[0].robust_z == -1.0 and got[4].robust_z == 1.0
+    assert got[2].robust_z == 0.0
+    # ECDF: value 3 is 3rd of 5 → 0.6
+    assert got[2].pct_rank == 0.6
+    # constant group: iqr 0 → z forced to 0, ranks all 1.0 (ties ≤)
+    assert got[5].iqr == 0.0 and got[5].robust_z == 0.0 and got[5].pct_rank == 1.0
