@@ -424,3 +424,49 @@ def test_bleu_gram_counting_no_self_join(spark, sf_dir):
     )
     plan = _final_plan(bleu_scores(pairs))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_no_cartesian(spark, sf_dir):
+    """X45: each HITS half-step is an equi-join + keyed Σ — no
+    cartesian beyond the broadcast 1-row normalizers."""
+    from cflux_spark.extensions.graph import hits
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % 50).alias("dst"))
+    )
+    plan = _final_plan(hits(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_broadcasts_to_probes(spark, sf_dir):
+    """X46: the counter frame must broadcast onto the probe side —
+    point queries never shuffle the query set on anything wider than
+    the (row, col) key."""
+    from cflux_spark.extensions.sketches import cms_build, cms_point_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+        ).alias("item")
+    )
+    sk = cms_build(toks)
+    plan = _final_plan(cms_point_query(sk, toks.limit(20)))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_scale_single_group_shuffle(spark, sf_dir):
+    """X49: per-source stats broadcast back; the corpus-side join must
+    be a broadcast join, not a sort-merge shuffle of the doc frame."""
+    from cflux_spark.extensions.stats import robust_scale
+    from cflux_spark.extensions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n")
+    )
+    plan = _final_plan(robust_scale(docs, "n"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
