@@ -154,6 +154,14 @@ BENCH_QUERIES = [
     # plus a cheap k-position explode
     "q_bleu",
     "q_pagerank",
+    # round-12: HITS adds the second iterative link-prior shape (two
+    # joins per iteration + per-half-step localCheckpoint); CMS adds
+    # the counter-key shuffle + broadcast probe; q_rouge2/q_token_f1
+    # share q_bleu's gram machinery and q_robust_scale is one
+    # aggregate + one window — they add no scale-new stage, so only
+    # the two new shapes join the sweep
+    "q_hits",
+    "q_cms_topk",
 ]
 
 

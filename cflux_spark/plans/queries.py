@@ -6434,52 +6434,101 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-11 rotation (policy above; VERDICT r10 item 1 — the rotation
-# promise, kept exactly). Window = (a) the 7 entries new or changed
-# this round (q_robots_agent + q_quality_classifier are new;
-# q_robots_filter gained the prefix tiebreak; q_hard_negatives'
-# oracle gained the zero-token filter; q_image_dedup,
-# q_image_clusters, q_simhash_near now flow through the banding
-# auto-selector; q_deadman gained the alert-budget multiplier
-# schedule; q_dedup_jaccard/q_dedup_edit gained the max_shingle_df
-# candidate budget — 10 entries total); (b) ALL 38 entries whose last driver record is r08
-# — the 19 named as the promised r11 head in the r10 comment plus the
-# other 19 r08-green entries the third wave bumped (q_dedup_jaccard
-# counted once — it is both r11-touched and r08-aged) except q_limit,
-# q_intersect, and q_alert_transitions — their mechanics are
-# duplicated by in-window entries (envelope LIMIT paths, the set-op
-# family, the q_deadman alerting sibling) and they head the r12
-# window instead: the five NEW r11 entries (q_bleu, q_bloom_decontam,
-# q_pagerank, q_mix_allocation, q_char_entropy) outrank them for the
-# 50 driver slots. Net: nothing in the r11
-# window is older than r09, and after this round no entry's latest
-# driver record predates r09. The 46 remaining r09 entries hold the
-# middle (they head the r12 window); the 45 r10-green entries rotate
-# last. All stay oracle-verified every CI run by
+# Round-12 rotation (policy above). Window = (a) the 24 entries NEW
+# or CHANGED this round — the fixed-point float-parity sweep touched
+# q_quality_classifier (the r11 red row, heads the window),
+# q_bigram_logprob/q_ccnet_buckets/q_unigram_logprob/
+# q_tfidf_top_terms/q_char_entropy (also the codepoint splitter +
+# non-BMP fixture)/q_dsir_weights/q_dsir_select/q_bleu/q_pagerank
+# (integer mass quanta)/q_bm25_topk/q_hybrid_rrf/q_ndcg/
+# q_hard_negatives/q_temperature_sample; the RFC 9309 wildcard
+# grammar touched q_robots_filter/q_robots_agent; the deterministic
+# probe key touched q_bloom_decontam; and six entries are new
+# (q_mix_allocation_int, q_hits, q_rouge2, q_token_f1, q_cms_topk,
+# q_robust_scale); (b) the 3 r08-aged entries promised this head
+# (q_limit, q_intersect, q_alert_transitions); (c) 23 of the 47
+# r09-aged entries — every one the r11 VERDICT named (q_time_iso,
+# q_tag_filter, q_name_filter, q_label_matchers, q_ts_convert,
+# q_agg_suite, the q_ta_* four, the q_show_* five) plus the eight
+# with the least in-window mechanical duplication. The 24 remaining
+# r09 entries did not fit because re-verifying CHANGED code outranks
+# rotating stable code — they head the r13 window (promise recorded
+# in NEXT.md): q_chunk_documents, q_cosine_pairs_bulk,
+# q_cumulative_sum, q_curation_verdict, q_dedup_canonical,
+# q_dedup_semantic, q_distinct_groupby, q_dup_spans,
+# q_fingerprint_stable, q_hour_bucket, q_labels_json,
+# q_multimodal_decode, q_multimodal_jpeg, q_multimodal_video,
+# q_normalize_text, q_pack_sequences, q_project_embeddings,
+# q_series_difference, q_series_difference_seg, q_simhash,
+# q_split_leakage_safe, q_time_bucket_param, q_vector_ivf,
+# q_vector_lsh. All stay oracle-verified every CI run by
 # tests/test_oracle_parity.py regardless of ordering.
 
 _VERIFY_FIRST = [
-    "q_robots_agent",
     "q_quality_classifier",
-    "q_robots_filter",
-    "q_hard_negatives",
-    "q_image_dedup",
-    "q_image_clusters",
-    "q_simhash_near",
-    "q_deadman",
-    "q_dedup_jaccard",
-    "q_dedup_edit",
-    "q_bleu",
-    "q_bloom_decontam",
-    "q_pagerank",
-    "q_mix_allocation",
+    "q_hits",
+    "q_cms_topk",
+    "q_rouge2",
+    "q_token_f1",
+    "q_robust_scale",
+    "q_mix_allocation_int",
+    "q_bigram_logprob",
+    "q_ccnet_buckets",
+    "q_unigram_logprob",
+    "q_tfidf_top_terms",
     "q_char_entropy",
+    "q_dsir_weights",
+    "q_dsir_select",
+    "q_bleu",
+    "q_pagerank",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_ndcg",
+    "q_hard_negatives",
+    "q_temperature_sample",
+    "q_robots_filter",
+    "q_robots_agent",
+    "q_bloom_decontam",
+    "q_limit",
+    "q_intersect",
+    "q_alert_transitions",
+    "q_time_iso",
+    "q_tag_filter",
+    "q_name_filter",
+    "q_label_matchers",
+    "q_ts_convert",
+    "q_agg_suite",
+    "q_ta_ema",
+    "q_ta_rsi",
+    "q_ta_cmo",
+    "q_ta_kama",
+    "q_show_field_keys",
+    "q_show_measurements",
+    "q_show_series",
+    "q_show_tag_keys",
+    "q_show_tag_values",
+    "q_asof_join",
+    "q_dedup_clusters",
+    "q_except",
+    "q_moving_average",
+    "q_series_join",
+    "q_subquery_having",
+    "q_union_sorted",
+    "q_vector_topk",
+]
+
+# r11-green entries not re-touched this round rotate behind the
+# r09/r10 remainder (which fills the r13 window next).
+_VERIFY_LAST: list[str] = [
     "q_approx_distinct",
     "q_approx_quantile",
     "q_count_distinct",
+    "q_deadman",
+    "q_dedup_edit",
     "q_dedup_embedding",
     "q_dedup_exact",
     "q_dedup_incremental",
+    "q_dedup_jaccard",
     "q_dedup_near",
     "q_domain_cap",
     "q_embed_cluster",
@@ -6487,7 +6536,10 @@ _VERIFY_FIRST = [
     "q_export_tar",
     "q_frequent_ngrams",
     "q_histogram",
+    "q_image_clusters",
+    "q_image_dedup",
     "q_ingest_smoke",
+    "q_mix_allocation",
     "q_multimodal_audio",
     "q_pack_bpe",
     "q_quantize_embeddings",
@@ -6499,8 +6551,10 @@ _VERIFY_FIRST = [
     "q_sessionize",
     "q_shard_assign",
     "q_show_cardinality",
+    "q_simhash_near",
     "q_span_cuts",
     "q_subquery_raw_inner",
+    "q_time_relative",
     "q_token_bpe",
     "q_top_per_bucket",
     "q_tpch_q1",
@@ -6508,55 +6562,6 @@ _VERIFY_FIRST = [
     "q_union_fields",
     "q_vector_ivfpq",
     "q_vector_pq",
-]
-
-# r10-green entries rotate behind the r09 cohort (which fills the
-# r12 window next).
-_VERIFY_LAST: list[str] = [
-    "q_asof_forward",
-    "q_bigram_logprob",
-    "q_bm25_topk",
-    "q_ccnet_buckets",
-    "q_contamination",
-    "q_decontam_semantic",
-    "q_doc_fingerprint",
-    "q_dsir_select",
-    "q_dsir_weights",
-    "q_elapsed",
-    "q_epoch_shuffle",
-    "q_hll_rollup",
-    "q_holt_winters",
-    "q_html_extract",
-    "q_hybrid_rrf",
-    "q_integral",
-    "q_lang_filter",
-    "q_lang_id",
-    "q_length_buckets",
-    "q_lp_parse",
-    "q_minute_avg",
-    "q_mmr_topk",
-    "q_multimodal_features",
-    "q_ndcg",
-    "q_orders_join",
-    "q_paragraph_dedup",
-    "q_pipeline_export",
-    "q_quality_score",
-    "q_redact_pii",
-    "q_sample_hash",
-    "q_semdedup",
-    "q_series_pivot",
-    "q_series_rate",
-    "q_series_semijoin",
-    "q_tag_filter_or",
-    "q_temperature_sample",
-    "q_text_tokens",
-    "q_tfidf_top_terms",
-    "q_time_absolute",
-    "q_unigram_logprob",
-    "q_url_dedup",
-    "q_vector_pq_bulk",
-    "q_warc_roundtrip",
-    "q_winnow_fingerprints",
 ]
 
 
