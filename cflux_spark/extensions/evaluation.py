@@ -40,10 +40,13 @@ def _toks(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
 
 
-def _gram_rows(df: DataFrame, id_col: str, text_col: str, max_n: int) -> DataFrame:
-    """(id, n, gram, cnt) counts for n = 1..max_n. The token array is
-    materialized in its own projection before any lambda references it
-    (no CSE across HOF lambda boundaries — the text_stats lesson)."""
+def _gram_rows(
+    df: DataFrame, id_col: str, text_col: str, max_n: int, min_n: int = 1
+) -> DataFrame:
+    """(id, n, gram, cnt) counts for n = min_n..max_n. The token array
+    is materialized in its own projection before any lambda references
+    it (no CSE across HOF lambda boundaries — the text_stats
+    lesson)."""
     base = df.select(F.col(id_col).alias("_id"), _toks(F.col(text_col)).alias("_toks"))
     t = F.col("_toks")
 
@@ -62,7 +65,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, max_n: int) -> DataFra
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    per_n = [gram_array(n).alias(f"_g{n}") for n in range(1, max_n + 1)]
+    per_n = [gram_array(n).alias(f"_g{n}") for n in range(min_n, max_n + 1)]
     wide = base.select("_id", *per_n)
     stacked = wide.select(
         "_id",
@@ -72,7 +75,7 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, max_n: int) -> DataFra
                     F.struct(
                         F.lit(n).alias("n"), F.col(f"_g{n}").alias("grams")
                     )
-                    for n in range(1, max_n + 1)
+                    for n in range(min_n, max_n + 1)
                 ]
             )
         ).alias("s"),
@@ -170,8 +173,8 @@ def rouge_n_scores(
     Scale shape: identical to BLEU's — gram expansion map-only inside
     the token array, counting shuffles on the (pair, gram) key, one
     pair-keyed reduction. Output: (id, ref_grams, matched, rouge_n)."""
-    cg = _gram_rows(pairs, id_col, cand_col, n).filter(F.col("n") == n)
-    rg = _gram_rows(pairs, id_col, ref_col, n).filter(F.col("n") == n)
+    cg = _gram_rows(pairs, id_col, cand_col, n, min_n=n)
+    rg = _gram_rows(pairs, id_col, ref_col, n, min_n=n)
     joined = rg.withColumnRenamed("cnt", "r_cnt").join(
         cg.withColumnRenamed("cnt", "c_cnt"), ["_id", "n", "gram"], "left"
     )
