@@ -43,14 +43,22 @@ def cms_build(
     item_col: str = "item",
     depth: int = 4,
     width: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Build a count-min sketch over an item-occurrence frame (one row
-    per occurrence; pre-aggregate with a weight column upstream if you
-    have counts). Returns the (row, col, cnt) counter frame —
-    depth·width counters at most, usually far fewer (zero counters
-    carry no row; point queries COALESCE absent counters to 0)."""
+    """Build a count-min sketch over an item frame — one row per
+    occurrence, or (with ``weight_col``) one row per DISTINCT item
+    carrying its count. The weighted form yields bit-identical
+    counters while hashing each item once instead of once per
+    occurrence — at sf1 that cut the q_cms_topk build from
+    per-occurrence md5 over ~15M tokens to vocabulary-sized work
+    (measured 11.3× → see SCALE.md). Returns the (row, col, cnt)
+    counter frame — depth·width counters at most, usually far fewer
+    (zero counters carry no row; point queries COALESCE absent
+    counters to 0)."""
     pos = _positions(F.col(item_col), depth, width)
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     exploded = items.select(
+        w.alias("_w"),
         F.explode(
             F.array(
                 *[
@@ -58,9 +66,9 @@ def cms_build(
                     for i, p in enumerate(pos)
                 ]
             )
-        ).alias("_rc")
-    ).select(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
-    return exploded.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+        ).alias("_rc"),
+    ).select(F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"), "_w")
+    return exploded.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
 
 
 def cms_point_query(

@@ -5674,8 +5674,11 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
         ).alias("item")
     )
-    sketch = cms_build(toks, depth=4, width=4096)
+    # one vocabulary aggregate feeds BOTH the weighted sketch build
+    # (bit-identical counters, md5 once per distinct token) and the
+    # exact top-k — the occurrence stream is scanned once
     exact = toks.groupBy("item").agg(F.count("*").alias("exact"))
+    sketch = cms_build(exact, depth=4, width=4096, weight_col="exact")
     top = exact.orderBy(F.col("exact").desc(), "item").limit(50)
     est = cms_point_query(sketch, top.select("item"), depth=4, width=4096)
     return top.join(est, "item").select(
