@@ -69,9 +69,13 @@ def pagerank(
 
     ``checkpoint_every`` > 0 truncates lineage with an eager
     localCheckpoint every K iterations instead of the persist+count
-    step barrier — at production iteration counts (≥ ~20) the
-    ever-growing logical plan otherwise dominates driver time (the
-    dedup_clusters lesson); at the default 3 iterations it is off."""
+    step barrier. The contrib + dangling stages reference the cached
+    rank frame TWICE, so the LOGICAL plan grows ~2^t even though
+    execution reads the cache — measured: 6 iterations over the sf1
+    fixture graph OOMed a 16 GB driver at analysis time without
+    truncation (scripts/pagerank_convergence_probe.py, round 12).
+    Anything beyond the contracted 3 iterations should set it; the
+    knob is value-invariant (unit-pinned)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()

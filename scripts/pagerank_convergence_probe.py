@@ -82,8 +82,12 @@ def main() -> None:
     prev = None
     curve = []
     for t in range(1, max_iters + 1):
+        # checkpoint_every=2: pagerank's contrib+dangling double
+        # reference grows the logical plan ~2^t — t=6 OOMed a 16 GB
+        # driver without lineage truncation (measured here, r12);
+        # the knob is value-invariant (unit-pinned)
         cur = (
-            pagerank(edges, iterations=t, round_to=12)
+            pagerank(edges, iterations=t, round_to=12, checkpoint_every=2)
             .select(
                 "node",
                 F.round(F.col("rank") * F.lit(float(RANK_SCALE))).cast("long").alias("rf"),
