@@ -1,4 +1,4 @@
-"""Text-generation evaluation metrics (SURVEY.md §2.13 X40).
+"""Text-generation evaluation metrics (SURVEY.md §2.13 X40/X47/X48/X50).
 
 BLEU (Papineni et al. 2002, ACL — public paper) with Lin & Och 2004
 add-one smoothing for the higher orders: the standard automatic score
@@ -197,6 +197,95 @@ def rouge_n_scores(
             )
             .alias("rouge_n"),
         )
+    )
+
+
+def _lcs_length(cand: list, ref: list) -> int:
+    """Exact LCS length via the running-max row recurrence, vectorized
+    over the reference axis with numpy. The classic cell update
+    dp[i][j] = max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1] + match) folds
+    into new[j] = runmax_{k<=j} max(old[k], old[k-1] + match(k)) —
+    the within-row j-1 dependency becomes one np.maximum.accumulate
+    pass, so each candidate token costs O(n) vectorized integer ops.
+    Pure integer arithmetic: bit-identical in any environment."""
+    import numpy as np
+
+    m, n = len(cand), len(ref)
+    if m == 0 or n == 0:
+        return 0
+    barr = np.asarray(ref, dtype=object)
+    old = np.zeros(n + 1, dtype=np.int32)
+    shifted = np.empty(n + 1, dtype=np.int32)
+    for tok in cand:
+        match = (barr == tok).astype(np.int32)
+        shifted[0] = 0
+        np.add(old[:-1], match, out=shifted[1:])
+        np.maximum(old, shifted, out=shifted)
+        np.maximum.accumulate(shifted, out=old)
+    return int(old[n])
+
+
+def rouge_l_scores(
+    pairs: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    id_col: str = "pair_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-pair ROUGE-L (Lin 2004, ACL — public paper): the
+    LCS-based member of the ROUGE family. With β = 1 the F-measure
+    closes to 2·LCS/(cand_len + ref_len) — a pure rational of integer
+    counts, so cross-engine parity is exact by construction
+    (functions/parity.py tier "pure rational"). A pair with zero LCS
+    or two empty sides scores 0.0 (kept as a row — the
+    keep-the-failures contract shared with BLEU/ROUGE-N).
+
+    The LCS kernel is the one operator in the evaluation family the
+    DataFrame algebra genuinely can't express (a per-pair O(m·n)
+    dynamic program), so it runs as an Arrow-batched ``mapInPandas``
+    over JVM-built token arrays — tokenization stays engine-side (the
+    shared single-space+lower idiom), Python sees only integer DP.
+    ``id_col`` must be integral (cast to long through the Arrow
+    boundary).
+
+    Scale shape (100 TB): map-only off the scan — no shuffle, no
+    join, no driver collect; per-pair work is O(m·n) vectorized ints,
+    row-independent across the corpus. Output: (id, cand_len,
+    ref_len, lcs, rouge_l)."""
+    import pandas as pd
+
+    base = pairs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _toks(F.col(cand_col)).alias("_c"),
+        _toks(F.col(ref_col)).alias("_r"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            cl, rl, lcs = [], [], []
+            for a, b in zip(pdf["_c"], pdf["_r"]):
+                a, b = list(a), list(b)
+                cl.append(len(a))
+                rl.append(len(b))
+                lcs.append(_lcs_length(a, b))
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "cand_len": cl, "ref_len": rl, "lcs": lcs}
+            )
+
+    raw = base.mapInPandas(run, schema="_id long, cand_len long, ref_len long, lcs long")
+    return raw.select(
+        F.col("_id").alias(id_col),
+        "cand_len",
+        "ref_len",
+        "lcs",
+        F.when(F.col("cand_len") + F.col("ref_len") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0) * F.col("lcs") / (F.col("cand_len") + F.col("ref_len")),
+                round_to,
+            )
+        )
+        .alias("rouge_l"),
     )
 
 

@@ -5558,6 +5558,97 @@ def q_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X50 (round 12): ROUGE-L — the LCS member of the ROUGE family over
+# the leading-40-token window of the pair fixture (ROUGE is a
+# summary-scale metric; the window bounds the O(m·n) DP in both
+# engines and is the documented fixture contract). β=1 F-measure =
+# 2·LCS/(m+n): pure rational of integer counts, zero transcendental
+# exposure. The oracle replays the DP exactly as an anti-diagonal
+# wavefront recursive CTE — diagonal d needs only elementwise reads
+# of diagonals d−1/d−2, so each step is one list_transform, no
+# aggregates or window functions in the recursive term.
+@q(
+    "q_rouge_l",
+    r"""
+    WITH RECURSIVE
+    p AS (
+      SELECT doc_id,
+             list_filter(list_filter(string_split(lower(text), ' '), x -> x <> '')[1:40],
+                         (x, i) -> i % 7 != 0) AS ctoks,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')[1:40] AS rtoks
+      FROM documents
+    ),
+    dims AS (SELECT doc_id, ctoks, rtoks, len(ctoks) AS m, len(rtoks) AS n FROM p),
+    diag AS (
+      -- dp over i=0..m (candidate), j=0..n (reference); diagonal d
+      -- holds dp[i][d-i] for i in [greatest(0, d-n), least(m, d)],
+      -- 1-based list position p <=> i = greatest(0, d-n) + p - 1
+      SELECT doc_id, m, n, ctoks, rtoks, 0 AS d,
+             [0] AS cur, CAST(NULL AS INTEGER[]) AS prev
+      FROM dims WHERE m > 0 AND n > 0
+      UNION ALL
+      SELECT doc_id, m, n, ctoks, rtoks, d + 1,
+             list_transform(
+               range(1, least(m, d + 1) - greatest(0, d + 1 - n) + 2),
+               p -> CASE
+                 WHEN greatest(0, d + 1 - n) + p - 1 = 0 THEN 0
+                 WHEN d + 1 - (greatest(0, d + 1 - n) + p - 1) = 0 THEN 0
+                 ELSE greatest(
+                   -- dp[i-1][j] on diag d
+                   cur[(greatest(0, d + 1 - n) + p - 2) - greatest(0, d - n) + 1],
+                   -- dp[i][j-1] on diag d
+                   cur[(greatest(0, d + 1 - n) + p - 1) - greatest(0, d - n) + 1],
+                   -- dp[i-1][j-1] on diag d-1, +1 on token match
+                   prev[(greatest(0, d + 1 - n) + p - 2) - greatest(0, d - 1 - n) + 1]
+                     + CASE WHEN ctoks[greatest(0, d + 1 - n) + p - 1]
+                               = rtoks[d + 1 - (greatest(0, d + 1 - n) + p - 1)]
+                            THEN 1 ELSE 0 END)
+               END) AS cur,
+             cur AS prev
+      FROM diag WHERE d < m + n
+    ),
+    lcs AS (SELECT doc_id, cur[1] AS lcs FROM diag WHERE d = m + n)
+    SELECT dims.doc_id,
+           CAST(dims.m AS BIGINT) AS cand_len,
+           CAST(dims.n AS BIGINT) AS ref_len,
+           CAST(COALESCE(lcs.lcs, 0) AS BIGINT) AS lcs,
+           CASE WHEN dims.m + dims.n = 0 THEN 0.0
+                ELSE round(2.0 * COALESCE(lcs.lcs, 0) / (dims.m + dims.n), 6)
+           END AS rouge_l
+    FROM dims LEFT JOIN lcs USING (doc_id)
+    """,
+)
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 ROUGE-L over the leading-40-token window (candidate = the
+    window minus every 7th token, reference = the window): β=1
+    F-measure 2·LCS/(cand_len + ref_len). The LCS runs as a map-only
+    Arrow DP over JVM-built token arrays (extensions/evaluation.py
+    rouge_l_scores — the one evaluation kernel DataFrame algebra
+    can't express); every (cand_len, ref_len, lcs, rouge_l) row is
+    hash-checked against the oracle's anti-diagonal recursive-CTE
+    replay of the same DP. Pure integer DP + one rational — no
+    transcendentals. Scale: no shuffle/join/collect; O(m·n)
+    vectorized ints per pair, row-independent."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")),
+        1,
+        40,
+    )
+    pairs = docs.select(F.col("doc_id").alias("pair_id"), toks.alias("_t")).select(
+        "pair_id",
+        F.array_join(
+            F.filter(F.col("_t"), lambda x, i: (i + 1) % 7 != 0), " "
+        ).alias("candidate"),
+        F.array_join(F.col("_t"), " ").alias("reference"),
+    )
+    return evaluation.rouge_l_scores(pairs, id_col="pair_id").select(
+        F.col("pair_id").alias("doc_id"), "cand_len", "ref_len", "lcs", "rouge_l"
+    )
+
+
 # X48 (round 12): token-level F1 (the SQuAD metric, Rajpurkar et al.
 # 2016) — bag-overlap harmonic mean over the same pair fixture. Pure
 # rational arithmetic of integer counts.
@@ -6472,6 +6563,7 @@ _VERIFY_FIRST = [
     "q_hits",
     "q_cms_topk",
     "q_rouge2",
+    "q_rouge_l",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

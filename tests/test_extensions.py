@@ -2519,6 +2519,55 @@ def test_rouge_and_token_f1_known_values(spark):
     assert f[3].f1 == 1.0  # SQuAD convention: two empties agree
 
 
+def test_rouge_l_known_values(spark):
+    from cflux_spark.extensions.evaluation import rouge_l_scores
+
+    pairs = spark.createDataFrame(
+        [
+            (0, "the cat sat", "the cat sat on the mat"),  # LCS 3
+            (1, "", "some reference"),                      # empty candidate
+            (2, "exact match here", "exact match here"),    # identical
+            (3, "", ""),                                     # both empty
+            (4, "mat the on", "the cat sat on the mat"),    # order matters: LCS [the on]=2
+        ],
+        "pair_id long, candidate string, reference string",
+    )
+    r = {x.pair_id: x for x in rouge_l_scores(pairs).collect()}
+    assert (r[0].lcs, r[0].rouge_l) == (3, round(6 / 9, 6))
+    assert (r[1].lcs, r[1].rouge_l) == (0, 0.0)
+    assert (r[2].lcs, r[2].rouge_l) == (3, 1.0)
+    assert (r[3].lcs, r[3].rouge_l) == (0, 0.0)
+    assert (r[4].lcs, r[4].rouge_l) == (2, round(4 / 9, 6))
+
+
+def test_rouge_l_lcs_matches_classic_dp():
+    # the vectorized running-max recurrence vs the textbook O(m·n)
+    # cell DP over random token sequences — exercises empty sides,
+    # repeats, and full mismatches
+    import random
+
+    from cflux_spark.extensions.evaluation import _lcs_length
+
+    def classic(a, b):
+        m, n = len(a), len(b)
+        dp = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                dp[i][j] = (
+                    dp[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(dp[i - 1][j], dp[i][j - 1])
+                )
+        return dp[m][n]
+
+    rng = random.Random(7)
+    for _ in range(200):
+        m, n = rng.randint(0, 14), rng.randint(0, 14)
+        a = [rng.choice("abcd") for _ in range(m)]
+        b = [rng.choice("abcd") for _ in range(n)]
+        assert _lcs_length(a, b) == classic(a, b)
+
+
 def test_cms_never_underestimates_and_exact_when_sparse(spark):
     from pyspark.sql import functions as F
 

@@ -440,6 +440,24 @@ def test_hits_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_rouge_l_map_only_no_shuffle(spark, sf_dir):
+    """X50: the LCS DP is map-only off the scan — no Exchange, no
+    join anywhere; the Arrow kernel shows up as one MapInPandas over
+    JVM-tokenized arrays."""
+    from cflux_spark.extensions.evaluation import rouge_l_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.col("text").alias("candidate"),
+        F.col("text").alias("reference"),
+    )
+    plan = _final_plan(rouge_l_scores(pairs))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_cms_sketch_broadcasts_to_probes(spark, sf_dir):
     """X46: the counter frame must broadcast onto the probe side —
     point queries never shuffle the query set on anything wider than
