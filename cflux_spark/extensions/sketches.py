@@ -71,6 +71,151 @@ def cms_build(
     return exploded.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
 
 
+#: 32-bit hashed universe, branching factor 4 → 16 dyadic levels
+#: (level ℓ key = u >> 2ℓ; level 15 has 4 root nodes)
+HH_LEVELS = 16
+
+
+def _node_positions(lvl_col, key_col, depth: int, width: int):
+    """KM positions of a dyadic node: the hashed string is
+    'L<lvl>:<key>' so every level gets independent rows — identical
+    construction in the SQL oracle."""
+    s = F.concat(
+        F.lit("L"), lvl_col.cast("string"), F.lit(":"), key_col.cast("string")
+    )
+    return _positions(s, depth, width)
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    phi: float = 0.002,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """All items with frequency ≥ φ·N, found by the dyadic count-min
+    descent (Cormode & Muthukrishnan 2005 §4 — the range-query /
+    heavy-hitter construction): items hash into a 32-bit universe; a
+    CMS per dyadic LEVEL (branch 4, 16 levels — level ℓ summarizes
+    the prefix u >> 2ℓ) summarizes range counts; the query walks from
+    the 4 root nodes down, expanding only children whose estimate ≥
+    T = ⌈φN⌉. Because CMS never underestimates, every TRUE heavy
+    hitter's whole ancestor path passes — NO FALSE NEGATIVES, the
+    guarantee pinned by the unit test; false positives are bounded by
+    the per-level εN overcount.
+
+    The descent is equivalent to "keep an item iff ALL 16 of its
+    ancestor nodes estimate ≥ T" (a leaf is reached iff every
+    ancestor passed) — the flat form the SQL oracle replays with zero
+    recursion. All arithmetic is exact integers (md5-derived
+    positions, long counters), so both engines agree bit-for-bit.
+
+    Scale shape (100 TB): the level sketches build from ONE weighted
+    vocabulary aggregate (md5 once per distinct item per level, the
+    q_cms_topk lesson) via a single (lvl, row, col) counter groupBy —
+    map-side partials ARE the merge; the descent touches only
+    sketch-sized frames (frontier ≤ 4/φ + false positives per level,
+    broadcast); the corpus reappears once at the end, semi-joined
+    against the ≤ 1/φ surviving leaf buckets. Output: (item, exact,
+    estimate, true_heavy) where estimate is the leaf-level CMS
+    estimate and true_heavy = exact ≥ T."""
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
+    vocab = (
+        items.select(F.col(item_col).alias("item"), w.alias("_w"))
+        .groupBy("item")
+        .agg(F.sum("_w").alias("exact"))
+        .withColumn(
+            "_u", F.conv(F.substring(F.md5("item"), 1, 8), 16, 10).cast("long")
+        )
+        .persist()
+    )
+    thr = vocab.agg(
+        F.ceil(F.lit(float(phi)) * F.sum("exact")).cast("long").alias("_t")
+    )
+    # all 16 level sketches in one pass off the vocabulary: each item
+    # contributes its count to its node's cells at every level
+    leveled = vocab.select(
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(l).alias("lvl"),
+                        F.shiftrightunsigned(F.col("_u"), 2 * l).alias("key"),
+                    )
+                    for l in range(HH_LEVELS)
+                ]
+            )
+        ).alias("_n"),
+    ).select("exact", F.col("_n.lvl").alias("lvl"), F.col("_n.key").alias("key"))
+    pos = _node_positions(F.col("lvl"), F.col("key"), depth, width)
+    sketch = (
+        leveled.select(
+            "exact",
+            "lvl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("row"), p.alias("col"))
+                        for i, p in enumerate(pos)
+                    ]
+                )
+            ).alias("_rc"),
+        )
+        .select("lvl", F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"), "exact")
+        .groupBy("lvl", "row", "col")
+        .agg(F.sum("exact").alias("cnt"))
+        .persist()
+    )
+    spark = items.sparkSession
+    frontier = None
+    for l in range(HH_LEVELS - 1, -1, -1):
+        if frontier is None:
+            cand = spark.range(0, 4).select(F.col("id").alias("key"))
+        else:
+            cand = frontier.select(
+                F.explode(
+                    F.array(*[(F.col("key") * 4 + c) for c in range(4)])
+                ).alias("key")
+            )
+        cpos = _node_positions(F.lit(l), F.col("key"), depth, width)
+        probes = cand.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("row"), p.alias("col"))
+                        for i, p in enumerate(cpos)
+                    ]
+                )
+            ).alias("_rc"),
+        ).select("key", F.col("_rc.row").alias("row"), F.col("_rc.col").alias("col"))
+        est = (
+            probes.join(
+                F.broadcast(sketch.filter(F.col("lvl") == l).drop("lvl")),
+                ["row", "col"],
+                "left",
+            )
+            .groupBy("key")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        )
+        frontier = est.crossJoin(F.broadcast(thr)).filter(
+            F.col("est") >= F.col("_t")
+        ).select("key", "est")
+    leaves = frontier.select(F.col("key").alias("_u"), F.col("est").alias("estimate"))
+    return (
+        vocab.join(F.broadcast(leaves), "_u")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "item",
+            "exact",
+            "estimate",
+            (F.col("exact") >= F.col("_t")).alias("true_heavy"),
+        )
+    )
+
+
 def cms_point_query(
     sketch: DataFrame,
     queries: DataFrame,

@@ -5780,6 +5780,94 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X46b (round 12): CMS heavy hitters — the dyadic-descent range
+# construction (Cormode & Muthukrishnan 2005 §4) over the token
+# stream: 16 branch-4 level sketches off one weighted vocabulary
+# pass, top-down threshold walk from the 4 roots. The descent output
+# equals "keep an item iff ALL 16 ancestor nodes estimate ≥ T", which
+# the oracle replays flat (no recursion): per item, 16 levels × 4
+# probes against the level sketches, bool_and over levels. All exact
+# integer arithmetic → bit parity by construction. No false
+# negatives (CMS never under → every true-heavy path passes).
+@q(
+    "q_cms_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT t.tok AS item
+      FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents), unnest(l) t(tok)
+    ),
+    vocab AS (
+      SELECT item, count(*) AS exact,
+             CAST(CAST(('0x' || substring(md5(item), 1, 8)) AS UBIGINT) AS BIGINT) AS u
+      FROM toks GROUP BY 1
+    ),
+    thr AS (SELECT CAST(ceil(0.002 * sum(exact)) AS BIGINT) AS t FROM vocab),
+    lv AS (SELECT CAST(i AS INTEGER) AS lvl FROM range(0, 16) r(i)),
+    cells AS (
+      SELECT n.lvl, kk.i AS row,
+             ((CAST(CAST(('0x' || substring(md5(n.node), 1, 8)) AS UBIGINT) AS BIGINT)
+               + kk.i * (CAST(CAST(('0x' || substring(md5(n.node), 9, 8)) AS UBIGINT) AS BIGINT) | 1))
+              % 2048) AS col,
+             n.exact
+      FROM (SELECT lvl, 'L' || CAST(lvl AS VARCHAR) || ':'
+                        || CAST((u >> (2 * lvl)) AS VARCHAR) AS node, exact
+            FROM vocab, lv) n,
+           (VALUES (0), (1), (2), (3)) kk(i)
+    ),
+    sketch AS (SELECT lvl, row, col, sum(exact) AS cnt FROM cells GROUP BY 1, 2, 3),
+    probes AS (
+      SELECT v.item, v.exact, p.lvl, kk.i AS row,
+             ((CAST(CAST(('0x' || substring(md5(p.node), 1, 8)) AS UBIGINT) AS BIGINT)
+               + kk.i * (CAST(CAST(('0x' || substring(md5(p.node), 9, 8)) AS UBIGINT) AS BIGINT) | 1))
+              % 2048) AS col
+      FROM vocab v
+      JOIN (SELECT u, lvl, 'L' || CAST(lvl AS VARCHAR) || ':'
+                          || CAST((u >> (2 * lvl)) AS VARCHAR) AS node
+            FROM (SELECT DISTINCT u FROM vocab), lv) p USING (u),
+           (VALUES (0), (1), (2), (3)) kk(i)
+    ),
+    est AS (
+      SELECT p.item, p.exact, p.lvl, min(COALESCE(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s USING (lvl, row, col)
+      GROUP BY 1, 2, 3
+    ),
+    surv AS (
+      SELECT item, any_value(exact) AS exact,
+             min(est) FILTER (WHERE lvl = 0) AS estimate,
+             bool_and(est >= (SELECT t FROM thr)) AS all_pass
+      FROM est GROUP BY 1
+    )
+    SELECT item, CAST(exact AS BIGINT) AS exact,
+           CAST(estimate AS BIGINT) AS estimate,
+           exact >= (SELECT t FROM thr) AS true_heavy
+    FROM surv WHERE all_pass
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46b CMS heavy hitters: all tokens with frequency ≥ 0.2% of
+    the corpus occurrence count, found by the dyadic count-min
+    descent (16 branch-4 level sketches over the md5 32-bit universe,
+    top-down walk keeping nodes with estimate ≥ T). No false
+    negatives by the CMS no-underestimate guarantee (unit-pinned);
+    every (exact, estimate, true_heavy) row hash-checked against the
+    oracle's flat all-ancestors-pass replay. Scale: sketches build
+    from one weighted vocabulary aggregate via a single
+    (lvl, row, col) groupBy; the descent touches only broadcast-sized
+    frontiers; the vocabulary reappears once, semi-joined against the
+    surviving leaf buckets (extensions/sketches.py
+    cms_heavy_hitters)."""
+    from cflux_spark.extensions.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+        ).alias("item")
+    )
+    return cms_heavy_hitters(toks, phi=0.002)
+
+
 # X49 (round 12): per-source robust scaling (median/IQR z + ECDF
 # rank) of the document token-count feature — the cross-source
 # threshold-normalization step production quality filters run.
@@ -6562,6 +6650,7 @@ _VERIFY_FIRST = [
     "q_quality_classifier",
     "q_hits",
     "q_cms_topk",
+    "q_cms_heavy_hitters",
     "q_rouge2",
     "q_rouge_l",
     "q_token_f1",

@@ -2591,6 +2591,36 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_cms_heavy_hitters_no_false_negatives(spark):
+    # the descent guarantee: every item with exact >= ceil(phi*N)
+    # MUST be emitted (CMS never underestimates, so a true-heavy
+    # path cannot fail any level) — even with a tiny width forcing
+    # collisions, which may only ADD false positives
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.sketches import cms_heavy_hitters
+
+    rows = (
+        [("alpha",)] * 40 + [("beta",)] * 25 + [("gamma",)] * 10
+        + [(f"rare{i}",) for i in range(25)]
+    )
+    items = spark.createDataFrame(rows, "item string")
+    n = len(rows)
+    for width in (2048, 8):
+        phi = 0.2
+        t = math.ceil(phi * n)
+        got = {r.item: r for r in cms_heavy_hitters(items, phi=phi, width=width).collect()}
+        true_heavy = {"alpha", "beta"}  # 40, 25 >= 20; gamma 10 < 20
+        assert true_heavy <= set(got), (width, got)
+        for it in true_heavy:
+            assert got[it].true_heavy and got[it].estimate >= got[it].exact
+        if width == 2048:
+            # sparse sketch: no collisions, so no false positives either
+            assert set(got) == true_heavy
+
+
 def test_robust_scale_known_values(spark):
     from cflux_spark.extensions.stats import robust_scale
 

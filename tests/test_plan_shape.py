@@ -440,6 +440,24 @@ def test_hits_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_cms_heavy_hitters_descent_broadcasts(spark, sf_dir):
+    """X46b: the descent must never shuffle the vocabulary against
+    the frontier — level sketches and surviving leaves broadcast;
+    the only crossJoins are 1-row threshold frames."""
+    from cflux_spark.extensions.sketches import cms_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+        ).alias("item")
+    )
+    plan = _final_plan(cms_heavy_hitters(toks))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_rouge_l_map_only_no_shuffle(spark, sf_dir):
     """X50: the LCS DP is map-only off the scan — no Exchange, no
     join anywhere; the Arrow kernel shows up as one MapInPandas over
