@@ -1,4 +1,4 @@
-"""Robust per-group feature statistics (SURVEY.md §2.13 X49).
+"""Robust per-group feature statistics (SURVEY.md §2.13 X49/X53).
 
 Quality-score distributions differ wildly across corpus sources (a
 news crawl's length histogram is nothing like a forum dump's), so
@@ -26,6 +26,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str], round_to: int = 6
+) -> DataFrame:
+    """Pearson correlation over every unordered pair of INTEGRAL
+    feature columns — the quality-signal redundancy audit a pipeline
+    runs before thresholding on correlated features. One aggregation
+    pass computes n, Σx, Σx², and Σxy for all pairs (map-side
+    combine); the matrix assembles driver-free from the single
+    result row.
+
+    Float parity: the sums are EXACT long arithmetic
+    (order-independent under any shuffle); corr = (n·Σxy − Σx·Σy) /
+    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) touches floats only through
+    sqrt/×/÷ — all IEEE correctly-rounded, so both engines emit the
+    identical double (functions/parity.py tier "pure rational +
+    sqrt"). Long sums hold to ~10^9 rows of 10^4-magnitude features;
+    beyond that promote the sums to DECIMAL(38,0) — same shape.
+
+    Output: (col_x, col_y, n, corr) for each pair x < y in the given
+    order; corr is NULL when either column has zero variance."""
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        v = F.col(c).cast("long")
+        aggs.append(F.sum(v).alias(f"_s_{c}"))
+        aggs.append(F.sum(v * v).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("long") * F.col(b).cast("long")).alias(f"_sp_{a}_{b}")
+        )
+    one = df.agg(*aggs)
+    n = F.col("_n")
+
+    def corr(a: str, b: str):
+        num = n * F.col(f"_sp_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+        vx = n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+        vy = n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+        return F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), round_to),
+        )
+
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        n.alias("n"),
+                        corr(a, b).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.col_x", "_p.col_y", "_p.n", "_p.corr")
 
 
 def robust_scale(

@@ -5649,6 +5649,93 @@ def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X51 (round 12): chrF (Popović 2015) — character-n-gram F-score
+# over the leading-30-token window of the pair fixture (chrF is a
+# segment-level MT metric; the window bounds the 6-order char-gram
+# expansion at sf1). Each P/R/F_n is a fixed-shape expression of
+# exact integer counts (correctly-rounded ops only); the cross-order
+# mean accumulates 1e9-quantized F_n in longs — the parity.py
+# discipline, replayed verbatim in SQL.
+@q(
+    "q_chrf",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_replace(array_to_string(
+               list_filter(list_filter(string_split(lower(text), ' '), x -> x <> '')[1:30],
+                           (x, i) -> i % 7 != 0), ' '), '\s+', '', 'g') AS ctext,
+             regexp_replace(array_to_string(
+               list_filter(string_split(lower(text), ' '), x -> x <> '')[1:30],
+               ' '), '\s+', '', 'g') AS rtext
+      FROM documents
+    ),
+    cg AS (
+      SELECT doc_id, n.n, substr(ctext, i.i, n.n) AS gram, count(*) AS c_cnt
+      FROM p, range(1, 7) n(n),
+           unnest(range(1, greatest(len(ctext) - n.n + 2, 1))) i(i)
+      GROUP BY 1, 2, 3
+    ),
+    rg AS (
+      SELECT doc_id, n.n, substr(rtext, i.i, n.n) AS gram, count(*) AS r_cnt
+      FROM p, range(1, 7) n(n),
+           unnest(range(1, greatest(len(rtext) - n.n + 2, 1))) i(i)
+      GROUP BY 1, 2, 3
+    ),
+    j AS (
+      SELECT COALESCE(cg.doc_id, rg.doc_id) AS doc_id,
+             COALESCE(cg.n, rg.n) AS n,
+             sum(least(COALESCE(cg.c_cnt, 0), COALESCE(rg.r_cnt, 0))) AS m,
+             sum(COALESCE(cg.c_cnt, 0)) AS c_tot,
+             sum(COALESCE(rg.r_cnt, 0)) AS r_tot
+      FROM cg FULL JOIN rg
+        ON cg.doc_id = rg.doc_id AND cg.n = rg.n AND cg.gram = rg.gram
+      GROUP BY 1, 2
+    ),
+    fq AS (
+      SELECT doc_id,
+             sum(CAST(round(
+               CASE WHEN m > 0 AND c_tot > 0 AND r_tot > 0
+                    THEN (5.0 * (m / c_tot) * (m / r_tot))
+                         / (4.0 * (m / c_tot) + (m / r_tot))
+                    ELSE 0.0 END * 1000000000.0) AS BIGINT)) AS sf
+      FROM j GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(len(ctext) AS BIGINT) AS cand_chars,
+           CAST(len(rtext) AS BIGINT) AS ref_chars,
+           round(COALESCE(fq.sf, 0) / 1000000000.0 / 6.0, 6) AS chrf
+    FROM p LEFT JOIN fq USING (doc_id)
+    """,
+)
+def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 chrF over the leading-30-token window (candidate = window
+    minus every 7th token, reference = window): 6-order character
+    n-gram F-score, β=2. Every (cand_chars, ref_chars, chrf) row
+    hash-checked against the SQL replay of gram counts, the
+    fixed-shape F_n expression, and the quantized-long cross-order
+    mean. Scale: char-gram expansion map-only inside the string;
+    counting shuffles on the (pair, n, gram) key; one pair-keyed
+    reduction (extensions/evaluation.py chrf_scores)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit("")),
+        1,
+        30,
+    )
+    pairs = docs.select(F.col("doc_id").alias("pair_id"), toks.alias("_t")).select(
+        "pair_id",
+        F.array_join(
+            F.filter(F.col("_t"), lambda x, i: (i + 1) % 7 != 0), " "
+        ).alias("candidate"),
+        F.array_join(F.col("_t"), " ").alias("reference"),
+    )
+    return evaluation.chrf_scores(pairs, id_col="pair_id").select(
+        F.col("pair_id").alias("doc_id"), "cand_chars", "ref_chars", "chrf"
+    )
+
+
 # X48 (round 12): token-level F1 (the SQuAD metric, Rajpurkar et al.
 # 2016) — bag-overlap harmonic mean over the same pair fixture. Pure
 # rational arithmetic of integer counts.
@@ -5778,6 +5865,157 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimate",
         (F.col("estimate") >= F.col("exact")).alias("never_under"),
     )
+
+
+# X52 (round 12): Z-order (Morton) layout keys — the
+# multi-dimensional clustering key a lakehouse layout rewrite sorts
+# by (Morton 1966; the public technique behind Delta's OPTIMIZE
+# ZORDER). Ranks are exact integer arithmetic; the interleave is a
+# pure bit-ops sum; the oracle replays rank, interleave, and the
+# ntile bucketing over the identical (zkey, o_orderkey) total order.
+# The 16-row bucket digest (count/min/max/sum of zkey) pins the full
+# key ORDER: any interleave defect moves bucket boundaries.
+_ZORDER_INTERLEAVE = " + ".join(
+    [f"(((rx >> {b}) & 1) << {2 * b})" for b in range(16)]
+    + [f"(((ry >> {b}) & 1) << {2 * b + 1})" for b in range(16)]
+)
+
+
+@q(
+    "q_zorder",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey AS ck,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    stats AS (
+      SELECT min(ck) AS ck_min, max(ck) AS ck_max,
+             min(cents) AS c_min, max(cents) AS c_max
+      FROM base
+    ),
+    ranked AS (
+      SELECT o_orderkey,
+             ((ck - ck_min) * 65535) // greatest(ck_max - ck_min, 1) AS rx,
+             ((cents - c_min) * 65535) // greatest(c_max - c_min, 1) AS ry
+      FROM base, stats
+    ),
+    keyed AS (
+      SELECT o_orderkey, {_ZORDER_INTERLEAVE} AS zkey FROM ranked
+    ),
+    bucketed AS (
+      SELECT zkey, ntile(16) OVER (ORDER BY zkey, o_orderkey) AS bucket
+      FROM keyed
+    )
+    SELECT bucket, count(*) AS n_rows,
+           CAST(min(zkey) AS BIGINT) AS zkey_min,
+           CAST(max(zkey) AS BIGINT) AS zkey_max,
+           CAST(sum(zkey) AS BIGINT) AS zkey_sum
+    FROM bucketed GROUP BY 1
+    """,
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 Z-order layout keys over orders (o_custkey × integer-cents
+    o_totalprice, 16 bits each → a 32-bit Morton key), bucketed into
+    16 ntile ranges over the (zkey, o_orderkey) total order — the
+    deterministic twin of the production `zorder_partition`
+    repartitionByRange path. The 16-row (count, min, max, sum) digest
+    is hash-checked against the SQL replay of rank, interleave, and
+    bucketing. Scale: min/max is one aggregate broadcast back; the
+    key is map-side; production layout pays one range shuffle
+    (extensions/layout.py)."""
+    from pyspark.sql import Window
+
+    from cflux_spark.extensions.layout import zorder_key, zorder_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    stats = base.agg(
+        F.min("ck").alias("ck_min"),
+        F.max("ck").alias("ck_max"),
+        F.min("cents").alias("c_min"),
+        F.max("cents").alias("c_max"),
+    )
+    keyed = base.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        zorder_key(
+            [
+                zorder_rank(F.col("ck"), F.col("ck_min"), F.col("ck_max")),
+                zorder_rank(F.col("cents"), F.col("c_min"), F.col("c_max")),
+            ]
+        ).alias("zkey"),
+    )
+    w = Window.orderBy("zkey", "o_orderkey")
+    bucketed = keyed.select("zkey", F.ntile(16).over(w).alias("bucket"))
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("zkey").alias("zkey_min"),
+        F.max("zkey").alias("zkey_max"),
+        F.sum("zkey").alias("zkey_sum"),
+    )
+
+
+# X53 (round 12): Pearson correlation matrix over integral document
+# features — exact long sums in one aggregation pass; the only float
+# ops are sqrt/×/÷ (IEEE correctly-rounded), so both engines emit
+# identical doubles with no quantization needed.
+@q(
+    "q_corr_matrix",
+    r"""
+    WITH feats AS (
+      SELECT n_chars,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_toks,
+             len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_distinct
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(n_chars) AS s_c, sum(n_chars * n_chars) AS ss_c,
+             sum(n_toks) AS s_t, sum(n_toks * n_toks) AS ss_t,
+             sum(n_distinct) AS s_d, sum(n_distinct * n_distinct) AS ss_d,
+             sum(n_chars * n_toks) AS sp_ct,
+             sum(n_chars * n_distinct) AS sp_cd,
+             sum(n_toks * n_distinct) AS sp_td
+      FROM feats
+    )
+    SELECT p.col_x, p.col_y, CAST(s.n AS BIGINT) AS n,
+           CASE WHEN p.vx > 0 AND p.vy > 0
+                THEN round(p.num / (sqrt(CAST(p.vx AS DOUBLE)) * sqrt(CAST(p.vy AS DOUBLE))), 6)
+           END AS corr
+    FROM s, LATERAL (
+      SELECT * FROM (VALUES
+        ('n_chars', 'n_toks', n * sp_ct - s_c * s_t,
+         n * ss_c - s_c * s_c, n * ss_t - s_t * s_t),
+        ('n_chars', 'n_distinct', n * sp_cd - s_c * s_d,
+         n * ss_c - s_c * s_c, n * ss_d - s_d * s_d),
+        ('n_toks', 'n_distinct', n * sp_td - s_t * s_d,
+         n * ss_t - s_t * s_t, n * ss_d - s_d * s_d)
+      ) v(col_x, col_y, num, vx, vy)
+    ) p
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 Pearson correlation matrix over three integral document
+    features (n_chars, token count, distinct-token count): every
+    (n, corr) hash-checked against the SQL replay of the exact long
+    sums and the correctly-rounded sqrt/÷ assembly. Scale: ONE
+    aggregation pass with map-side combine; the matrix assembles from
+    the 1-row result without touching the driver
+    (extensions/stats.py corr_matrix)."""
+    from cflux_spark.extensions.stats import corr_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    feats = docs.select(
+        "n_chars",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    return corr_matrix(feats, ["n_chars", "n_toks", "n_distinct"])
 
 
 # X46b (round 12): CMS heavy hitters — the dyadic-descent range
@@ -6653,6 +6891,9 @@ _VERIFY_FIRST = [
     "q_cms_heavy_hitters",
     "q_rouge2",
     "q_rouge_l",
+    "q_chrf",
+    "q_zorder",
+    "q_corr_matrix",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

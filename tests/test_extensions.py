@@ -2591,6 +2591,116 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_corr_matrix_known_values(spark):
+    from cflux_spark.extensions.stats import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1, 2, -1, 7), (2, 4, -2, 7), (3, 6, -3, 7), (4, 8, -4, 7)],
+        "a long, b long, c long, k long",
+    )
+    got = {(r.col_x, r.col_y): r for r in corr_matrix(df, ["a", "b", "c", "k"]).collect()}
+    assert len(got) == 6 and all(r.n == 4 for r in got.values())
+    assert got[("a", "b")].corr == 1.0      # b = 2a
+    assert got[("a", "c")].corr == -1.0     # c = -a
+    assert got[("a", "k")].corr is None     # k constant: zero variance
+
+
+def test_zorder_key_known_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.layout import zorder_key, zorder_rank
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")
+    # bits=3: x=0b101 lands at positions 0/2/4, y=0b011 at 1/3/5
+    # → key = 1 + 2 + 8 + 16 = 27
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=3).alias("k")
+    ).first()["k"]
+    assert got == 27
+    # rank: exact integer scaling, endpoints map to 0 and 2^bits-1
+    r = spark.createDataFrame(
+        [(0,), (50,), (100,)], "v long"
+    ).select(
+        zorder_rank(F.col("v"), F.lit(0), F.lit(100), bits=8).alias("r")
+    ).collect()
+    assert [x.r for x in r] == [0, 127, 255]
+
+
+def test_zorder_partition_ranges_disjoint_and_sorted(spark):
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.layout import zorder_key, zorder_partition
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, (i * 61) % 100) for i in range(400)],
+        "id long, x long, y long",
+    )
+    out = zorder_partition(df, [F.col("x"), F.col("y")], n_partitions=4, bits=8)
+    withpid = out.select(
+        F.spark_partition_id().alias("pid"),
+        zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey"),
+    ).collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in withpid:
+        by_pid.setdefault(r.pid, []).append(r.zkey)
+    # sorted within every partition
+    for keys in by_pid.values():
+        assert keys == sorted(keys)
+    # ranges across partitions disjoint (range partitioning)
+    spans = sorted((min(k), max(k)) for k in by_pid.values() if k)
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
+
+
+def test_chrf_properties_and_python_twin(spark):
+    import math
+    import random
+
+    from cflux_spark.extensions.evaluation import chrf_scores
+
+    def twin(cand, ref, max_n=6, b2=4.0):
+        c = "".join(cand.split())
+        r = "".join(ref.split())
+        sf = 0
+        for n in range(1, max_n + 1):
+            cg, rg = {}, {}
+            for i in range(len(c) - n + 1):
+                g = c[i : i + n]
+                cg[g] = cg.get(g, 0) + 1
+            for i in range(len(r) - n + 1):
+                g = r[i : i + n]
+                rg[g] = rg.get(g, 0) + 1
+            m = sum(min(v, rg.get(k, 0)) for k, v in cg.items())
+            ct, rt = sum(cg.values()), sum(rg.values())
+            f = (
+                ((1 + b2) * (m / ct) * (m / rt)) / (b2 * (m / ct) + (m / rt))
+                if m > 0 and ct > 0 and rt > 0
+                else 0.0
+            )
+            sf += math.floor(f * 1e9 + 0.5)  # round half away, f >= 0
+        return sf / 1e9 / max_n
+
+    rng = random.Random(13)
+    rows = [
+        (0, "abcdefgh", "abcdefgh"),   # identical, all 6 orders → 1.0
+        (1, "", "something here"),     # empty candidate → 0.0
+        (2, "xxxx", "yyyy"),           # disjoint → 0.0
+    ]
+    for i in range(3, 20):
+        mk = lambda: " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 5))
+        )
+        rows.append((i, mk(), mk()))
+    pairs = spark.createDataFrame(rows, "pair_id long, candidate string, reference string")
+    got = {x.pair_id: x.chrf for x in chrf_scores(pairs).collect()}
+    assert got[0] == 1.0
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    for i, cand, ref in rows:
+        assert abs(got[i] - twin(cand, ref)) < 2e-6, (i, cand, ref, got[i], twin(cand, ref))
+
+
 def test_cms_heavy_hitters_no_false_negatives(spark):
     # the descent guarantee: every item with exact >= ceil(phi*N)
     # MUST be emitted (CMS never underestimates, so a true-heavy

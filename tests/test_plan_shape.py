@@ -440,6 +440,23 @@ def test_hits_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_zorder_partition_is_one_range_shuffle(spark, sf_dir):
+    """X52: the layout rewrite must be exactly one range-partitioning
+    exchange + a partition-local sort — no global sort, no extra
+    shuffle for the key expression (it's map-side bit ops)."""
+    from cflux_spark.extensions.layout import zorder_partition
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    plan = _final_plan(zorder_partition(orders, [F.col("x"), F.col("y")], 8))
+    assert "rangepartitioning" in plan.lower()
+    assert plan.lower().count("exchange") == 1
+    assert "global=false" in plan.lower() or "Sort" in plan
+
+
 def test_cms_heavy_hitters_descent_broadcasts(spark, sf_dir):
     """X46b: the descent must never shuffle the vocabulary against
     the frontier — level sketches and surviving leaves broadcast;
