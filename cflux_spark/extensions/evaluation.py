@@ -404,6 +404,65 @@ def rouge_l_scores(
     )
 
 
+def auc_scores(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC-AUC of a score against binary labels, optionally per group
+    — the quality-classifier audit a pipeline runs before trusting a
+    model's keep/drop threshold. Computed from the SCORE HISTOGRAM,
+    not per-row ranks: AUC = P(score⁺ > score⁻) + ½·P(score⁺ =
+    score⁻) (the Mann–Whitney U with midrank ties), which over
+    distinct-score counts closes to
+
+        2·P·N·AUC = Σ_s pos_s · (2·neg_below(s) + neg_s)
+
+    — exact integer arithmetic end to end, one final division
+    (functions/parity.py tier "pure rational"). Degenerate groups
+    (no positives or no negatives) emit NULL.
+
+    Scale shape (100 TB): one (group, score) aggregation with
+    map-side combine; the window (cumulative negatives) runs over the
+    DISTINCT-SCORE frame — histogram-sized, not corpus-sized — and is
+    parallel across groups. Output: (group?, n_pos, n_neg, auc)."""
+    from pyspark.sql import Window
+
+    gcols = [group_col] if group_col else []
+    lab = F.col(label_col).cast("int")
+    hist = df.groupBy(*gcols, F.col(score_col).alias("_s")).agg(
+        F.sum(lab).alias("_pos"),
+        F.sum(F.lit(1) - lab).alias("_neg"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        *gcols,
+        "_pos",
+        "_neg",
+        (
+            F.col("_pos")
+            * (2 * F.coalesce(F.sum("_neg").over(w), F.lit(0)) + F.col("_neg"))
+        ).alias("_num2"),
+    )
+    return contrib.groupBy(*gcols).agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.when(
+            (F.sum("_pos") > 0) & (F.sum("_neg") > 0),
+            F.round(
+                F.sum("_num2") / (F.lit(2.0) * F.sum("_pos") * F.sum("_neg")),
+                round_to,
+            ),
+        ).alias("auc"),
+    )
+
+
 def token_f1_scores(
     pairs: DataFrame,
     cand_col: str = "candidate",

@@ -216,6 +216,110 @@ def cms_heavy_hitters(
     )
 
 
+def kmv_overlap(
+    df: DataFrame,
+    elem_col: str,
+    group_col: str,
+    k: int = 128,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise set-overlap matrix between groups via K-MINIMUM-VALUES
+    sketches (Bar-Yossef et al. 2002, RANDOM — public paper; the
+    bottom-k Jaccard estimator of Cohen & Kaplan 2007): each group
+    keeps only its k smallest element hashes; for a pair, the fraction
+    of the UNION's k smallest present in BOTH sketches is an unbiased
+    Jaccard estimate. The cross-source contamination/redundancy audit
+    a pipeline runs before mixing corpora — without ever joining the
+    corpora themselves.
+
+    Everything is exact integer arithmetic on 60-bit md5 hashes
+    (deterministic ranks; hash ties collapse identically in both
+    engines because sketches hold DISTINCT (group, hash) rows), so
+    the SQL oracle replays estimates bit-for-bit. The output also
+    carries the EXACT Jaccard per pair — cheap at fixture scale and
+    the estimator-quality pin; at 100 TB you drop it and keep the
+    sketch path, whose cost is groups·k regardless of corpus size.
+
+    Scale shape: one distinct + one per-group top-k window (the only
+    per-group sort); sketches are groups·k rows — broadcast-sized for
+    thousands of groups; pair expansion is sketch×pairs, never
+    corpus-sized. The exact tier's element self-join shuffles on the
+    element hash and fans out at most groups² per hot element.
+
+    Output: (src_a, src_b, inter_topk, jaccard_est, jaccard_exact)
+    for each unordered group pair a < b."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(elem_col)), 1, 15), 16, 10).cast("long")
+    elems = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        elems.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+    groups = elems.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("src_a"))
+        .crossJoin(groups.select(F.col("grp").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pa = pairs.join(sk.withColumnRenamed("grp", "src_a"), "src_a").select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    pb = pairs.join(sk.withColumnRenamed("grp", "src_b"), "src_b").select(
+        "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    pu = (
+        pa.union(pb)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        pu.withColumn("_r", F.row_number().over(wu))
+        .filter(F.col("_r") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).alias("inter_topk"),
+            # when the union has fewer than k distinct hashes the
+            # union is fully known — the estimator divides by the
+            # realized sketch size, not the nominal k
+            F.count("*").alias("_union_k"),
+        )
+    )
+    # exact tier: element-hash self-join restricted to a < b
+    ei = (
+        elems.select(F.col("grp").alias("src_a"), "h")
+        .join(elems.select(F.col("grp").alias("src_b"), "h"), "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    sz = elems.groupBy("grp").agg(F.count("*").alias("_n"))
+    return (
+        pairs.join(est, ["src_a", "src_b"], "left")
+        .join(ei, ["src_a", "src_b"], "left")
+        .join(F.broadcast(sz.withColumnRenamed("grp", "src_a").withColumnRenamed("_n", "_na")), "src_a")
+        .join(F.broadcast(sz.withColumnRenamed("grp", "src_b").withColumnRenamed("_n", "_nb")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("inter_topk"), F.lit(0)).alias("inter_topk"),
+            F.round(
+                F.coalesce(F.col("inter_topk"), F.lit(0))
+                / F.coalesce(F.col("_union_k"), F.lit(1)).cast("double"),
+                round_to,
+            ).alias("jaccard_est"),
+            F.round(
+                F.coalesce(F.col("_inter"), F.lit(0))
+                / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_inter"), F.lit(0))),
+                round_to,
+            ).alias("jaccard_exact"),
+        )
+    )
+
+
 def cms_point_query(
     sketch: DataFrame,
     queries: DataFrame,

@@ -5959,6 +5959,129 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X55 (round 12): per-source ROC-AUC from the score histogram — the
+# Mann–Whitney U with midrank ties as exact integer arithmetic
+# (2PN·AUC = Σ pos_s·(2·neg_below + neg_s)); the window runs over
+# distinct scores, never rows. Deterministic fixture: score = n_chars
+# (heavy ties exercise the midrank path), label = doc_id % 3 = 0.
+@q(
+    "q_classifier_auc",
+    r"""
+    WITH hist AS (
+      SELECT source, n_chars AS s,
+             sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS neg
+      FROM documents GROUP BY 1, 2
+    ),
+    contrib AS (
+      SELECT source, pos, neg,
+             pos * (2 * COALESCE(sum(neg) OVER (
+               PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + neg) AS num2
+      FROM hist
+    )
+    SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+                THEN round(sum(num2) / (2.0 * sum(pos) * sum(neg)), 6)
+           END AS auc
+    FROM contrib GROUP BY 1
+    """,
+)
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 per-source ROC-AUC of the n_chars score against the
+    deterministic doc_id%3 label (ties-heavy on purpose — the midrank
+    path is the hard part): every (n_pos, n_neg, auc) row
+    hash-checked against the SQL replay of the histogram, the
+    cumulative-negatives window, and the integer U statistic. Scale:
+    one (group, score) aggregate; the window is histogram-sized,
+    parallel across groups (extensions/evaluation.py auc_scores)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        F.col("n_chars").alias("score"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    return evaluation.auc_scores(feats, "score", "label", group_col="source")
+
+
+# X54 (round 12): KMV source-overlap matrix — bottom-k sketches of
+# each source's token vocabulary, pairwise Jaccard estimated from the
+# union's k smallest hashes (Bar-Yossef 2002 / Cohen-Kaplan 2007).
+# Exact integer 60-bit md5 hashes → deterministic ranks; the exact
+# Jaccard rides along as the estimator-quality pin.
+@q(
+    "q_source_overlap",
+    r"""
+    WITH elems AS (
+      SELECT DISTINCT source AS grp,
+             CAST(CAST(('0x' || substring(md5(t.tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM (SELECT source, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+            FROM documents), unnest(l) t(tok)
+    ),
+    sk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM elems) WHERE rn <= 128
+    ),
+    groups AS (SELECT DISTINCT grp FROM elems),
+    pairs AS (SELECT a.grp AS src_a, b.grp AS src_b
+              FROM groups a JOIN groups b ON a.grp < b.grp),
+    pu AS (
+      SELECT p.src_a, p.src_b, s.h,
+             max(CASE WHEN s.grp = p.src_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.grp = p.src_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.grp = p.src_a OR s.grp = p.src_b
+      GROUP BY 1, 2, 3
+    ),
+    topu AS (
+      SELECT * FROM (
+        SELECT pu.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        FROM pu) WHERE rn <= 128
+    ),
+    est AS (SELECT src_a, src_b, sum(in_a * in_b) AS inter_topk,
+                   count(*) AS union_k
+            FROM topu GROUP BY 1, 2),
+    ei AS (SELECT a.grp AS src_a, b.grp AS src_b, count(*) AS inter
+           FROM elems a JOIN elems b ON a.h = b.h AND a.grp < b.grp
+           GROUP BY 1, 2),
+    sz AS (SELECT grp, count(*) AS n FROM elems GROUP BY 1)
+    SELECT p.src_a, p.src_b,
+           CAST(COALESCE(est.inter_topk, 0) AS BIGINT) AS inter_topk,
+           round(COALESCE(est.inter_topk, 0)
+                 / CAST(COALESCE(est.union_k, 1) AS DOUBLE), 6) AS jaccard_est,
+           round(COALESCE(ei.inter, 0)
+                 / (sa.n + sb.n - COALESCE(ei.inter, 0)), 6) AS jaccard_exact
+    FROM pairs p
+    LEFT JOIN est USING (src_a, src_b)
+    LEFT JOIN ei USING (src_a, src_b)
+    JOIN sz sa ON sa.grp = p.src_a
+    JOIN sz sb ON sb.grp = p.src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 cross-source vocabulary overlap via bottom-128 KMV
+    sketches: every (inter_topk, jaccard_est, jaccard_exact) row for
+    all 190 source pairs hash-checked against the SQL replay of
+    hashes, per-group top-k ranks, the union-merge, and both Jaccard
+    tiers. Scale: sketches are groups·k rows (broadcast-sized); the
+    pair expansion never touches the corpus; only the exact pin tier
+    (dropped at production scale) self-joins element hashes
+    (extensions/sketches.py kmv_overlap)."""
+    from cflux_spark.extensions.sketches import kmv_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    return kmv_overlap(toks, "tok", "source", k=128)
+
+
 # X53 (round 12): Pearson correlation matrix over integral document
 # features — exact long sums in one aggregation pass; the only float
 # ops are sqrt/×/÷ (IEEE correctly-rounded), so both engines emit
@@ -6894,6 +7017,8 @@ _VERIFY_FIRST = [
     "q_chrf",
     "q_zorder",
     "q_corr_matrix",
+    "q_source_overlap",
+    "q_classifier_auc",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

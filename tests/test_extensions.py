@@ -2591,6 +2591,53 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_auc_matches_pairwise_definition(spark):
+    # AUC = P(score+ > score-) + 0.5*P(score+ = score-): brute-force
+    # the pairwise definition over random ties-heavy data and compare
+    import random
+
+    from cflux_spark.extensions.evaluation import auc_scores
+
+    rng = random.Random(42)
+    rows = [
+        ("g1", rng.randint(0, 5), rng.random() < 0.4) for _ in range(60)
+    ] + [
+        ("g2", rng.randint(0, 3), rng.random() < 0.6) for _ in range(40)
+    ] + [
+        ("g3", rng.randint(0, 5), True) for _ in range(5)  # no negatives → NULL
+    ]
+    df = spark.createDataFrame(rows, "grp string, score long, label boolean")
+    got = {r.grp: r for r in auc_scores(df, "score", "label", group_col="grp").collect()}
+
+    def brute(grp):
+        pos = [s for g, s, l in rows if g == grp and l]
+        neg = [s for g, s, l in rows if g == grp and not l]
+        num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+        return round(num / (len(pos) * len(neg)), 6)
+
+    for grp in ("g1", "g2"):
+        assert got[grp].auc == brute(grp), (grp, got[grp].auc, brute(grp))
+    assert got["g3"].auc is None and got["g3"].n_neg == 0
+
+
+def test_kmv_overlap_exact_when_sets_fit_in_sketch(spark):
+    from cflux_spark.extensions.sketches import kmv_overlap
+
+    rows = (
+        [("A", e) for e in "abcdefgh"]           # 8 elems
+        + [("B", e) for e in "efghijkl"]          # overlap {e,f,g,h} = 4, union 12
+        + [("C", e) for e in "xyz"]               # disjoint from both
+    )
+    df = spark.createDataFrame(rows, "grp string, elem string")
+    got = {(r.src_a, r.src_b): r for r in kmv_overlap(df, "elem", "grp", k=64).collect()}
+    ab = got[("A", "B")]
+    # k > |union|: the sketch covers the whole union — estimate IS exact
+    assert ab.inter_topk == 4
+    assert ab.jaccard_est == round(4 / 12, 6) == ab.jaccard_exact
+    assert got[("A", "C")].jaccard_est == 0.0 == got[("A", "C")].jaccard_exact
+    assert got[("B", "C")].inter_topk == 0
+
+
 def test_corr_matrix_known_values(spark):
     from cflux_spark.extensions.stats import corr_matrix
 
