@@ -162,6 +162,18 @@ BENCH_QUERIES = [
     # the two new shapes join the sweep
     "q_hits",
     "q_cms_topk",
+    # round-12 second half: ROUGE-L adds the map-only Arrow LCS DP
+    # kernel; CMS heavy hitters adds the 16-level descent (iterative
+    # broadcast narrowing over level sketches); Z-order adds the
+    # ntile-over-Morton-key global window (production twin is one
+    # range shuffle); KMV overlap adds per-group top-k windows + the
+    # pair union merge. q_chrf shares q_bleu's (pair, n, gram)
+    # counting shape, q_corr_matrix is one aggregate, and
+    # q_classifier_auc is histogram + window — no scale-new stages.
+    "q_rouge_l",
+    "q_cms_heavy_hitters",
+    "q_zorder",
+    "q_source_overlap",
 ]
 
 

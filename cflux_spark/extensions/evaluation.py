@@ -404,6 +404,61 @@ def rouge_l_scores(
     )
 
 
+def distinct_n_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_n: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group distinct-n diversity (Li et al. 2016, NAACL — public
+    paper): the fraction of n-gram OCCURRENCES that are distinct
+    types — the standard mode-collapse / templated-text detector a
+    pipeline runs over generated or scraped corpora (a source whose
+    distinct-2 craters is boilerplate). Pure rational of integer
+    counts — exact cross-engine parity by construction.
+
+    Scale shape (100 TB): gram expansion map-only inside the token
+    array (the no-self-join house rule); ONE (group, n, gram)
+    counting shuffle; the per-(group, n) reduction both counts rows
+    (types) and sums counts (occurrences) in the same pass. Output:
+    (group, n, total_grams, distinct_grams, distinct_ratio)."""
+    base = df.select(
+        F.col(group_col).alias("_g"), _toks(F.col(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+
+    def gram_array(n: int):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wide = base.select("_g", *[gram_array(n).alias(f"_n{n}") for n in range(1, max_n + 1)])
+    stacked = wide.select(
+        "_g",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(n).alias("n"), F.col(f"_n{n}").alias("grams"))
+                    for n in range(1, max_n + 1)
+                ]
+            )
+        ).alias("s"),
+    ).select("_g", F.col("s.n").alias("n"), F.explode("s.grams").alias("gram"))
+    counted = stacked.groupBy("_g", "n", "gram").agg(F.count("*").alias("cnt"))
+    return counted.groupBy("_g", "n").agg(
+        F.sum("cnt").alias("total_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.round((F.count("*") / F.sum("cnt")), round_to).alias("distinct_ratio"),
+    ).withColumnRenamed("_g", group_col)
+
+
 def auc_scores(
     df: DataFrame,
     score_col: str,

@@ -87,6 +87,79 @@ def corr_matrix(
     ).select("_p.col_x", "_p.col_y", "_p.n", "_p.corr")
 
 
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Map each group's value distribution onto the GLOBAL
+    distribution (the microarray-era quantile-normalization recipe,
+    Bolstad 2003 — public paper): a value at within-group rank k of
+    n_s lands at global position p = (k−1)/(n_s−1) and takes the
+    globally-ranked value there, linearly interpolated. The
+    cross-source score calibration a pipeline runs so one threshold
+    means the same thing in every corpus slice.
+
+    Float parity: the interpolation position is kept as EXACT
+    integers — pos_num = (k−1)·(n_g−1), denom = max(n_s−1, 1), lo =
+    pos_num div denom, rem = pos_num mod denom — and the interpolated
+    value v_lo + (v_hi − v_lo)·rem/denom touches floats only through
+    one division and one multiply-add of exact integers (correctly
+    rounded, bit-identical cross-engine). Within-group rank
+    tie-breaks on (value, id) for determinism; GLOBAL rank order
+    among equal values is irrelevant — only the value at each rank
+    is read, and tied ranks hold equal values. Single-row groups map
+    to the global minimum (p = 0), documented.
+
+    Scale shape (100 TB): one window per side (within-group rank is
+    group-parallel; the global rank is the one genuine global sort —
+    at production scale swap the exact ranked frame for a sampled
+    quantile table, same join shape) + two rank-keyed joins. Output:
+    (id, group, value, normalized)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(id_col), F.col(group_col), v.alias("value"))
+    wg = Window.partitionBy(group_col).orderBy("value", id_col)
+    ranked = base.withColumn("_k", F.row_number().over(wg))
+    sizes = base.groupBy(group_col).agg(F.count("*").alias("_ns"))
+    n_g = base.agg(F.count("*").alias("_ng"))
+    g = base.select("value").withColumn(
+        "_r", F.row_number().over(Window.orderBy("value"))
+    )
+    pos = (
+        ranked.join(F.broadcast(sizes), group_col)
+        .crossJoin(F.broadcast(n_g))
+        .withColumn("_denom", F.greatest(F.col("_ns") - 1, F.lit(1)).cast("long"))
+        .withColumn("_pn", (F.col("_k") - 1).cast("long") * (F.col("_ng") - 1))
+        .withColumn("_lo", ((F.col("_pn") - F.pmod("_pn", F.col("_denom"))) / F.col("_denom")).cast("long"))
+        .withColumn("_rem", F.pmod("_pn", F.col("_denom")))
+    )
+    glo = g.select(F.col("_r").alias("_lo1"), F.col("value").alias("_vlo"))
+    ghi = g.select(F.col("_r").alias("_hi1"), F.col("value").alias("_vhi"))
+    out = (
+        pos.join(glo, pos["_lo"] + 1 == glo["_lo1"])
+        .join(ghi, pos["_lo"] + 2 == ghi["_hi1"], "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("value"),
+            F.round(
+                F.col("_vlo")
+                + F.when(
+                    F.col("_rem") > 0,
+                    (F.coalesce(F.col("_vhi"), F.col("_vlo")) - F.col("_vlo"))
+                    * (F.col("_rem") / F.col("_denom")),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("normalized"),
+        )
+    )
+    return out
+
+
 def robust_scale(
     df: DataFrame,
     value_col: str,

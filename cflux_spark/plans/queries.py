@@ -5959,6 +5959,99 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X57 (round 12): distinct-n diversity (Li et al. 2016) — the
+# mode-collapse / boilerplate detector: fraction of n-gram
+# occurrences that are distinct types, per source. Pure rational of
+# integer counts.
+@q(
+    "q_distinct_n",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, n.n,
+             array_to_string(l[i.i : i.i + n.n - 1], ' ') AS gram
+      FROM toks, (VALUES (1), (2)) n(n),
+           unnest(range(1, greatest(len(l) - n.n + 2, 1))) i(i)
+      WHERE len(l) >= n.n
+    ),
+    counted AS (
+      SELECT source, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3
+    )
+    SELECT source, n,
+           CAST(sum(cnt) AS BIGINT) AS total_grams,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           round(count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS distinct_ratio
+    FROM counted GROUP BY 1, 2
+    """,
+)
+def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 per-source distinct-1/distinct-2 diversity over documents:
+    every (total_grams, distinct_grams, distinct_ratio) row
+    hash-checked against the SQL gram replay. Scale: map-only gram
+    expansion, one (group, n, gram) counting shuffle, one
+    (group, n) reduction (extensions/evaluation.py
+    distinct_n_scores)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return evaluation.distinct_n_scores(docs, group_col="source", max_n=2).select(
+        "source", "n", "total_grams", "distinct_grams", "distinct_ratio"
+    )
+
+
+# X56 (round 12): cross-source quantile normalization (Bolstad 2003)
+# — within-group rank k of n_s maps to global position
+# (k−1)·(n_g−1)/(n_s−1), interpolation kept as exact integer
+# div/mod so the one division + multiply-add is bit-identical in
+# both engines. Global rank ties hold equal values, so tie order is
+# irrelevant by construction.
+@q(
+    "q_quantile_normalize",
+    r"""
+    WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS value FROM documents),
+    ranked AS (
+      SELECT doc_id, source, value,
+             row_number() OVER (PARTITION BY source ORDER BY value, doc_id) AS k
+      FROM base
+    ),
+    sizes AS (SELECT source, count(*) AS ns FROM base GROUP BY 1),
+    ng AS (SELECT count(*) AS ng FROM base),
+    g AS (SELECT value, row_number() OVER (ORDER BY value) AS r FROM base),
+    pos AS (
+      SELECT ranked.doc_id, ranked.source, ranked.value,
+             greatest(sizes.ns - 1, 1) AS denom,
+             (ranked.k - 1) * (ng.ng - 1) AS pn
+      FROM ranked JOIN sizes USING (source), ng
+    )
+    SELECT pos.doc_id, pos.source, pos.value,
+           round(glo.value
+                 + CASE WHEN pn % denom > 0
+                        THEN (COALESCE(ghi.value, glo.value) - glo.value)
+                             * ((pn % denom) / CAST(denom AS DOUBLE))
+                        ELSE 0.0 END, 6) AS normalized
+    FROM pos
+    JOIN g glo ON glo.r = (pn // denom) + 1
+    LEFT JOIN g ghi ON ghi.r = (pn // denom) + 2
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 quantile normalization of per-source n_chars onto the
+    global distribution: every (value, normalized) row hash-checked
+    against the SQL replay of within-group ranks, the integer div/mod
+    interpolation position, and the two rank-keyed lookups. Scale:
+    one group-parallel window + one global rank (swap for a sampled
+    quantile table at production scale, same join shape) + two
+    rank-keyed joins (extensions/stats.py quantile_normalize)."""
+    from cflux_spark.extensions.stats import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(docs, "n_chars", group_col="source", id_col="doc_id")
+
+
 # X55 (round 12): per-source ROC-AUC from the score histogram — the
 # Mann–Whitney U with midrank ties as exact integer arithmetic
 # (2PN·AUC = Σ pos_s·(2·neg_below + neg_s)); the window runs over
@@ -6986,9 +7079,11 @@ def q_robots_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (integer mass quanta)/q_bm25_topk/q_hybrid_rrf/q_ndcg/
 # q_hard_negatives/q_temperature_sample; the RFC 9309 wildcard
 # grammar touched q_robots_filter/q_robots_agent; the deterministic
-# probe key touched q_bloom_decontam; and six entries are new
-# (q_mix_allocation_int, q_hits, q_rouge2, q_token_f1, q_cms_topk,
-# q_robust_scale); (b) the 3 r08-aged entries promised this head
+# probe key touched q_bloom_decontam; and THIRTEEN entries are new —
+# six from the first half (q_mix_allocation_int, q_hits, q_rouge2,
+# q_token_f1, q_cms_topk, q_robust_scale) and seven from the second
+# (q_rouge_l, q_cms_heavy_hitters, q_chrf, q_zorder, q_corr_matrix,
+# q_source_overlap, q_classifier_auc); (b) the 3 r08-aged entries promised this head
 # (q_limit, q_intersect, q_alert_transitions); (c) 23 of the 47
 # r09-aged entries — every one the r11 VERDICT named (q_time_iso,
 # q_tag_filter, q_name_filter, q_label_matchers, q_ts_convert,
@@ -7019,6 +7114,8 @@ _VERIFY_FIRST = [
     "q_corr_matrix",
     "q_source_overlap",
     "q_classifier_auc",
+    "q_quantile_normalize",
+    "q_distinct_n",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

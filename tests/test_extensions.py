@@ -2591,6 +2591,41 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_quantile_normalize_known_values(spark):
+    from cflux_spark.extensions.stats import quantile_normalize
+
+    rows = [
+        (0, "a", 1), (1, "a", 2), (2, "a", 3),
+        (3, "b", 10), (4, "b", 20),
+        (5, "c", 5),  # single-row group → global min (p = 0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+    got = {r.doc_id: r.normalized for r in quantile_normalize(df, "v").collect()}
+    # global sorted: [1, 2, 3, 5, 10, 20], n_g = 6
+    # group a (n_s=3): ranks map to global positions 0, 2.5, 5
+    assert got[0] == 1.0
+    assert got[1] == 4.0  # g[3]=3 + (g[4]-g[3])*0.5 = 3 + 1 = 4
+    assert got[2] == 20.0
+    # group b (n_s=2): endpoints
+    assert got[3] == 1.0 and got[4] == 20.0
+    # single-row group
+    assert got[5] == 1.0
+
+
+def test_distinct_n_known_values(spark):
+    from cflux_spark.extensions.evaluation import distinct_n_scores
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s1", "a b")], "source string, text string"
+    )
+    got = {r.n: r for r in distinct_n_scores(df).collect()}
+    # unigrams: 5 occurrences, 2 types; bigrams: [a a, a b] + [a b]
+    assert (got[1].total_grams, got[1].distinct_grams, got[1].distinct_ratio) == (5, 2, 0.4)
+    assert (got[2].total_grams, got[2].distinct_grams, got[2].distinct_ratio) == (
+        3, 2, round(2 / 3, 6),
+    )
+
+
 def test_auc_matches_pairwise_definition(spark):
     # AUC = P(score+ > score-) + 0.5*P(score+ = score-): brute-force
     # the pairwise definition over random ties-heavy data and compare
