@@ -63,6 +63,30 @@ def zorder_key(ranks: list[Column], bits: int = 16) -> Column:
     return key
 
 
+def zorder_partition_auto(
+    df: DataFrame, cols: list[str], n_partitions: int, bits: int = 16
+) -> DataFrame:
+    """`zorder_partition` over RAW integral columns: computes each
+    column's min/max (one aggregate, broadcast back) and ranks
+    internally. Exists because passing raw values where ranks belong
+    silently interleaves overflow noise and prunes nothing — measured
+    in scripts/zorder_prune_probe.py before this guard-rail existed."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"_zmin_{c}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"_zmax_{c}"))
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    ranks = [
+        zorder_rank(
+            F.col(c).cast("long"), F.col(f"_zmin_{c}"), F.col(f"_zmax_{c}"), bits
+        )
+        for c in cols
+    ]
+    out = zorder_partition(joined, ranks, n_partitions, bits)
+    return out.drop(*[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols])
+
+
 def zorder_partition(
     df: DataFrame, rank_cols: list[Column], n_partitions: int, bits: int = 16
 ) -> DataFrame:

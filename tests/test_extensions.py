@@ -2734,6 +2734,44 @@ def test_zorder_partition_ranges_disjoint_and_sorted(spark):
         assert hi_a <= lo_b
 
 
+def test_zorder_partition_auto_matches_manual_ranks(spark):
+    from pyspark.sql import functions as F
+
+    from cflux_spark.extensions.layout import (
+        zorder_key,
+        zorder_partition_auto,
+        zorder_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1000, (i * 61) % 50000) for i in range(300)],
+        "id long, x long, y long",
+    )
+    out = zorder_partition_auto(df, ["x", "y"], n_partitions=4)
+    assert set(out.columns) == {"id", "x", "y"}
+    assert out.count() == 300
+    # partition ranges disjoint under the PROPER rank-based key
+    stats = df.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    )
+    keyed = out.crossJoin(F.broadcast(stats)).select(
+        F.spark_partition_id().alias("pid"),
+        zorder_key(
+            [
+                zorder_rank(F.col("x"), F.col("x0"), F.col("x1")),
+                zorder_rank(F.col("y"), F.col("y0"), F.col("y1")),
+            ]
+        ).alias("zkey"),
+    ).collect()
+    by_pid: dict[int, list[int]] = {}
+    for r in keyed:
+        by_pid.setdefault(r.pid, []).append(r.zkey)
+    spans = sorted((min(k), max(k)) for k in by_pid.values() if k)
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b
+
+
 def test_chrf_properties_and_python_twin(spark):
     import math
     import random
