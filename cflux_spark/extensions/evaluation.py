@@ -404,6 +404,50 @@ def rouge_l_scores(
     )
 
 
+def classification_report(
+    df: DataFrame,
+    pred_col: str,
+    label_col: str,
+    group_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binary confusion counts + precision/recall/F1, optionally per
+    group — the filter-threshold audit a pipeline runs when a
+    keep/drop model replaces a heuristic. Pure rationals of exact
+    integer counts (one aggregation pass, map-side combine); metrics
+    with a zero denominator emit NULL rather than a fabricated 0.
+
+    Output: (group?, tp, fp, fn, tn, precision, recall, f1)."""
+    gcols = [group_col] if group_col else []
+    p = F.col(pred_col).cast("boolean")
+    y = F.col(label_col).cast("boolean")
+    agg = df.groupBy(*gcols).agg(
+        F.sum((p & y).cast("long")).alias("tp"),
+        F.sum((p & ~y).cast("long")).alias("fp"),
+        F.sum((~p & y).cast("long")).alias("fn"),
+        F.sum((~p & ~y).cast("long")).alias("tn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), round_to),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), round_to),
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.round(
+            F.lit(2.0) * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            round_to,
+        ),
+    )
+    return agg.select(
+        *gcols, "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
 def distinct_n_scores(
     df: DataFrame,
     text_col: str = "text",

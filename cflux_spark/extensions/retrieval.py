@@ -432,3 +432,44 @@ def mine_hard_negatives(
     return jac.filter(F.col("jaccard") < jaccard_threshold).select(
         "query_id", "positive_id", "doc_id", "score", "rank", "jaccard"
     )
+
+
+def reciprocal_rank_at_k(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    round_to: int = 6,
+    id_cols: tuple[str, str] = ("query_id", "doc_id"),
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query reciprocal rank (the MRR building block — Voorhees
+    1999, TREC): 1 / rank of the FIRST relevant document in the
+    ranking, 0.0 when none of the retrieved docs are judged relevant.
+    Emitted PER QUERY rather than pre-averaged so the output is a
+    pure rational of integers (one correctly-rounded division) — the
+    corpus mean would be an order-sensitive double sum; callers
+    average downstream (or quantize, the parity.py discipline).
+
+    Scale shape: one (query, doc) join of two output-sized frames +
+    one query-keyed min — never corpus-sized. Output: (query_id,
+    first_rel_rank, rr); first_rel_rank is NULL when no retrieved doc
+    is relevant."""
+    qc, dc = id_cols
+    hit = (
+        ranking.join(qrels.select(qc, dc), [qc, dc])
+        .groupBy(qc)
+        .agg(F.min(rank_col).alias("first_rel_rank"))
+    )
+    return (
+        ranking.select(qc).distinct()
+        .join(hit, qc, "left")
+        .select(
+            qc,
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.round(F.lit(1.0) / F.col("first_rel_rank"), round_to),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rr"),
+        )
+    )

@@ -87,6 +87,55 @@ def corr_matrix(
     ).select("_p.col_x", "_p.col_y", "_p.n", "_p.corr")
 
 
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10, round_to: int = 6
+) -> DataFrame:
+    """Join/shuffle-key skew audit: the top-k hottest keys with their
+    row share and cumulative share, plus the global key-count
+    coefficient of variation — the numbers that decide whether a
+    planned groupBy/join needs salting or AQE skew handling BEFORE
+    the 100 TB run is launched. cv = σ/μ of per-key counts computed
+    from exact integer sums (cv = √(k·Σc² − (Σc)²) / Σc — one
+    correctly-rounded sqrt + division, bit-identical cross-engine).
+
+    Scale shape: one key-count aggregation (map-side combine), a
+    3-number global aggregate broadcast back, and a top-k — no
+    corpus-sized sort. Output: (key, cnt, rank, share, cum_share,
+    n_keys, cv), top-k rows ordered by (cnt desc, key)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("cnt"))
+    g = counts.agg(
+        F.count("*").alias("_k"),
+        F.sum("cnt").alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("_ss"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), "key")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn("_cum", F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            F.round(F.col("cnt") / F.col("_s"), round_to).alias("share"),
+            F.round(F.col("_cum") / F.col("_s"), round_to).alias("cum_share"),
+            F.col("_k").alias("n_keys"),
+            F.round(
+                F.sqrt(
+                    (F.col("_k") * F.col("_ss") - F.col("_s") * F.col("_s")).cast(
+                        "double"
+                    )
+                )
+                / F.col("_s"),
+                round_to,
+            ).alias("cv"),
+        )
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     value_col: str,

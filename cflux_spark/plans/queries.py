@@ -5959,6 +5959,54 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# X59 (round 12): per-source binary classification report — exact
+# integer confusion counts + rational P/R/F1 with NULL on zero
+# denominators. Deterministic fixture: pred = n_chars ≥ 300,
+# label = doc_id % 3 = 0.
+@q(
+    "q_classification_report",
+    r"""
+    SELECT source,
+           CAST(sum(CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN n_chars >= 300 AND doc_id % 3 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN n_chars < 300 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN n_chars < 300 AND doc_id % 3 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CASE WHEN sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                           / CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+           END AS precision,
+           CASE WHEN sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                           / CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+           END AS recall,
+           CASE WHEN sum(CASE WHEN n_chars >= 300 OR doc_id % 3 = 0 THEN
+                         CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 2 ELSE 1 END
+                         ELSE 0 END) > 0
+                THEN round(2.0 * sum(CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                           / sum(CASE WHEN n_chars >= 300 OR doc_id % 3 = 0 THEN
+                                 CASE WHEN n_chars >= 300 AND doc_id % 3 = 0 THEN 2 ELSE 1 END
+                                 ELSE 0 END), 6)
+           END AS f1
+    FROM documents GROUP BY 1
+    """,
+)
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 per-source confusion matrix + P/R/F1 of the n_chars≥300
+    predictor against the doc_id%3 label: every row hash-checked
+    against the SQL replay of the integer counts and rational
+    metrics. Scale: one aggregation pass, map-side combine
+    (extensions/evaluation.py classification_report)."""
+    from cflux_spark.extensions import evaluation
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "source",
+        (F.col("n_chars") >= 300).alias("pred"),
+        (F.col("doc_id") % 3 == 0).alias("label"),
+    )
+    return evaluation.classification_report(feats, "pred", "label", group_col="source")
+
+
 # X57 (round 12): distinct-n diversity (Li et al. 2016) — the
 # mode-collapse / boilerplate detector: fraction of n-gram
 # occurrences that are distinct types, per source. Pure rational of
@@ -6001,6 +6049,92 @@ def q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.distinct_n_scores(docs, group_col="source", max_n=2).select(
         "source", "n", "total_grams", "distinct_grams", "distinct_ratio"
     )
+
+
+# X58 (round 12): per-query reciprocal rank over the BM25 ranking
+# against the q_ndcg qrels — MRR's building block, emitted per query
+# so the output stays a pure integer rational (the corpus mean would
+# be an order-sensitive double sum).
+@q(
+    "q_mrr",
+    f"WITH qs AS ({_QS_SQL}),\n{_BM25_CTES}\n"
+    """
+    , ranking AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM bm25 QUALIFY rank <= 10
+    ),
+    qrels AS (
+      SELECT q.query_id, d.doc_id
+      FROM documents d, qs q
+      WHERE (d.doc_id + q.query_id) % 10 = 0
+    ),
+    hit AS (
+      SELECT r.query_id, min(r.rank) AS first_rel_rank
+      FROM ranking r JOIN qrels USING (query_id, doc_id)
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(hit.first_rel_rank AS BIGINT) AS first_rel_rank,
+           CASE WHEN hit.first_rel_rank IS NULL THEN 0.0
+                ELSE round(1.0 / hit.first_rel_rank, 6) END AS rr
+    FROM (SELECT DISTINCT query_id FROM ranking) q
+    LEFT JOIN hit USING (query_id)
+    """,
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 per-query reciprocal rank of the BM25@10 ranking against
+    the deterministic (doc+query)%10 qrels: every (first_rel_rank,
+    rr) hash-checked against the SQL replay. Scale: one output-sized
+    (query, doc) join + a query-keyed min
+    (extensions/retrieval.py reciprocal_rank_at_k)."""
+    from cflux_spark.extensions import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = _retrieval_queries_df(spark)
+    ranking = retrieval.bm25_topk(docs, qs, k=10)
+    qrels = (
+        docs.crossJoin(qs.select("query_id"))
+        .filter((F.col("doc_id") + F.col("query_id")) % 10 == 0)
+        .select("query_id", "doc_id")
+    )
+    return retrieval.reciprocal_rank_at_k(ranking, qrels)
+
+
+# X60 (round 12): shuffle-key skew audit — top-10 hottest event
+# user_ids with shares and the global key-count coefficient of
+# variation (exact integer sums, one sqrt + division).
+@q(
+    "q_key_skew",
+    r"""
+    WITH counts AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+    g AS (SELECT count(*) AS k, sum(cnt) AS s, sum(cnt * cnt) AS ss FROM counts),
+    top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts QUALIFY rank <= 10
+    )
+    SELECT top.key, CAST(top.cnt AS BIGINT) AS cnt,
+           CAST(top.rank AS BIGINT) AS rank,
+           round(top.cnt / CAST(g.s AS DOUBLE), 6) AS share,
+           round(top.cum / CAST(g.s AS DOUBLE), 6) AS cum_share,
+           CAST(g.k AS BIGINT) AS n_keys,
+           round(sqrt(CAST(g.k * g.ss - g.s * g.s AS DOUBLE)) / g.s, 6) AS cv
+    FROM top, g
+    """,
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 shuffle-key skew audit over events.user_id: every (cnt,
+    rank, share, cum_share, n_keys, cv) hash-checked against the SQL
+    replay of the key counts, the windowed cumulative, and the
+    integer-sum cv. Scale: one key-count aggregate + a 3-number
+    global broadcast + a top-k — no corpus-sized sort
+    (extensions/stats.py key_skew_report)."""
+    from cflux_spark.extensions.stats import key_skew_report
+
+    return key_skew_report(_events(spark, sf_dir), "user_id")
 
 
 # X56 (round 12): cross-source quantile normalization (Bolstad 2003)
@@ -7116,6 +7250,9 @@ _VERIFY_FIRST = [
     "q_classifier_auc",
     "q_quantile_normalize",
     "q_distinct_n",
+    "q_mrr",
+    "q_classification_report",
+    "q_key_skew",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

@@ -2591,6 +2591,53 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_classification_report_known_values(spark):
+    from cflux_spark.extensions.evaluation import classification_report
+
+    df = spark.createDataFrame(
+        [(True, True)] * 3 + [(True, False)] * 1 + [(False, True)] * 2 + [(False, False)] * 4,
+        "pred boolean, label boolean",
+    )
+    r = classification_report(df, "pred", "label").first()
+    assert (r.tp, r.fp, r.fn, r.tn) == (3, 1, 2, 4)
+    assert r.precision == 0.75 and r.recall == 0.6
+    assert r.f1 == round(2 * 3 / (2 * 3 + 1 + 2), 6)
+    # degenerate: nothing predicted positive and no positives → NULLs
+    d = spark.createDataFrame([(False, False)] * 3, "pred boolean, label boolean")
+    r2 = classification_report(d, "pred", "label").first()
+    assert r2.precision is None and r2.recall is None and r2.f1 is None
+
+
+def test_reciprocal_rank_known_values(spark):
+    from cflux_spark.extensions.retrieval import reciprocal_rank_at_k
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1), (2, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (9, 10)], "query_id long, doc_id long"
+    )
+    got = {r.query_id: r for r in reciprocal_rank_at_k(ranking, qrels).collect()}
+    assert got[1].first_rel_rank == 2 and got[1].rr == 0.5
+    assert got[2].first_rel_rank is None and got[2].rr == 0.0
+
+
+def test_key_skew_report_known_values(spark):
+    import math
+
+    from cflux_spark.extensions.stats import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.rank: r for r in key_skew_report(df, "k", top_k=2).collect()}
+    assert got[1].key == "hot" and got[1].cnt == 6 and got[1].share == 0.6
+    assert got[2].key == "warm" and got[2].cum_share == 0.9
+    # counts [6,3,1]: cv = sqrt(3*46 - 100)/10
+    assert got[1].cv == round(math.sqrt(3 * 46 - 100) / 10, 6)
+    assert got[1].n_keys == 3
+
+
 def test_quantile_normalize_known_values(spark):
     from cflux_spark.extensions.stats import quantile_normalize
 

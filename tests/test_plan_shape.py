@@ -440,6 +440,36 @@ def test_hits_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_corr_matrix_single_aggregate_no_join(spark, sf_dir):
+    """X53: the matrix assembles from one aggregation pass — no join
+    anywhere in the plan, exactly one shuffle (the agg exchange)."""
+    from cflux_spark.extensions.stats import corr_matrix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "n_chars", (F.col("doc_id") % 7).alias("a"), (F.col("doc_id") % 11).alias("b")
+    )
+    plan = _final_plan(corr_matrix(docs, ["n_chars", "a", "b"]))
+    assert "Join" not in plan
+
+
+def test_auc_window_over_histogram_not_rows(spark, sf_dir):
+    """X55: the cumulative window must consume the (group, score)
+    AGGREGATE — the plan aggregates before it windows."""
+    from cflux_spark.extensions.evaluation import auc_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.col("n_chars").alias("s"), (F.col("doc_id") % 2 == 0).alias("y")
+    )
+    plan = _final_plan(auc_scores(docs, "s", "y", group_col="source"))
+    assert "Join" not in plan
+    # plans print root-first: the Window must sit ABOVE an aggregate
+    # child (i.e. appear earlier in the string than the HashAggregate
+    # that feeds it) — a row-level window would have the scan as its
+    # direct child instead
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.rindex("HashAggregate")
+
+
 def test_zorder_partition_is_one_range_shuffle(spark, sf_dir):
     """X52: the layout rewrite must be exactly one range-partitioning
     exchange + a partition-local sort — no global sort, no extra
