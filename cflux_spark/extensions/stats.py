@@ -243,3 +243,94 @@ def robust_scale(
             F.round(F.cume_dist().over(w), round_to).alias("pct_rank"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table — the CDC
+    audit an incremental pipeline runs before promoting a refreshed
+    corpus (what changed, how much, and is the churn plausible).
+    Rows classify as ``added`` (key only in new), ``removed`` (key
+    only in old), ``changed`` (key in both, any compared column
+    differs), or ``unchanged``.
+
+    Change detection compares an md5 CONTENT FINGERPRINT of the
+    compared columns (null-tagged, unit-separator-joined — the
+    fingerprint discipline of model/fingerprint.py) rather than
+    column-by-column equality, so the comparison cost is one hash per
+    side regardless of column count, and the SQL oracle replays it
+    byte-identically.
+
+    Scale shape (100 TB): one full outer join on the key (both sides
+    shuffle once on the key — the minimum any diff pays; co-locate
+    with bucketed storage to eliminate it) with the hash computed
+    map-side before the join. Output: (key, status) plus per-side
+    fingerprints for changed-row drill-down."""
+    def fp(df: DataFrame):
+        parts: list = []
+        for c in compare_cols:
+            parts.append(
+                F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
+                    F.col(c).cast("string")
+                )
+            )
+        return F.md5(F.concat_ws("\x1f", *parts))
+
+    o = old.select(F.col(key_col).alias("key"), fp(old).alias("old_fp"))
+    n = new.select(F.col(key_col).alias("key"), fp(new).alias("new_fp"))
+    j = o.join(n, "key", "full")
+    return j.select(
+        "key",
+        "old_fp",
+        "new_fp",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def profile_table(
+    df: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Per-column data profile — row count, null count, exact
+    distinct count, and lexicographic min/max of the STRING cast
+    (documented: string order, so the output type is uniform and the
+    comparison is byte-identical in every engine; numeric columns
+    wanting numeric extremes use their own aggregates). The
+    dataset-card summary a pipeline publishes with every export.
+
+    One aggregation pass for counts/extremes + one count-distinct per
+    column (Spark rewrites multiple exact distincts via expand — at
+    production scale swap approx_count_distinct in, same shape).
+    Output: (column, n_rows, n_nulls, n_distinct, min_str, max_str)."""
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+        aggs.append(F.min(s).alias(f"_min_{c}"))
+        aggs.append(F.max(s).alias(f"_max_{c}"))
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("_n").alias("n_rows"),
+                        F.col(f"_nulls_{c}").alias("n_nulls"),
+                        F.col(f"_dist_{c}").alias("n_distinct"),
+                        F.col(f"_min_{c}").alias("min_str"),
+                        F.col(f"_max_{c}").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")

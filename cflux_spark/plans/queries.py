@@ -6102,6 +6102,123 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.reciprocal_rank_at_k(ranking, qrels)
 
 
+# X61 (round 12): snapshot diff (CDC audit) — old = documents, new =
+# a deterministic mutation (drop %17 keys, uppercase %13 texts, add
+# %29 copies under shifted keys); rows classify via md5 content
+# fingerprints (null-tagged, unit-separator-joined), replayed
+# byte-identically in SQL.
+@q(
+    "q_table_diff",
+    r"""
+    WITH old AS (
+      SELECT doc_id AS key,
+             md5(concat_ws(chr(31),
+                 CASE WHEN text IS NULL THEN chr(0) ELSE text END,
+                 CASE WHEN lang IS NULL THEN chr(0) ELSE lang END,
+                 CASE WHEN source IS NULL THEN chr(0) ELSE source END)) AS old_fp
+      FROM documents
+    ),
+    newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source
+      FROM documents WHERE doc_id % 17 != 0
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source
+      FROM documents WHERE doc_id % 29 = 0
+    ),
+    new AS (
+      SELECT doc_id AS key,
+             md5(concat_ws(chr(31),
+                 CASE WHEN text IS NULL THEN chr(0) ELSE text END,
+                 CASE WHEN lang IS NULL THEN chr(0) ELSE lang END,
+                 CASE WHEN source IS NULL THEN chr(0) ELSE source END)) AS new_fp
+      FROM newdocs
+    )
+    SELECT COALESCE(old.key, new.key) AS key, old_fp, new_fp,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL JOIN new ON old.key = new.key
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 snapshot diff between documents and a deterministic
+    mutation of it (removed %17, changed %13, added %29 under shifted
+    keys): every (key, old_fp, new_fp, status) row hash-checked
+    against the SQL replay of the content fingerprints and the full
+    outer classification. Scale: hashes map-side, ONE key-keyed full
+    outer join — the minimum any diff pays
+    (extensions/stats.py table_diff)."""
+    from cflux_spark.extensions.stats import table_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang", "source")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+        )
+        .union(
+            docs.filter(F.col("doc_id") % 29 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+            )
+        )
+    )
+    return table_diff(old, new, "doc_id", ["text", "lang", "source"])
+
+
+# X62 (round 12): per-column table profile — the dataset-card
+# summary: row/null/exact-distinct counts + lexicographic min/max of
+# the string cast (uniform output type, byte-identical comparison in
+# both engines).
+@q(
+    "q_profile",
+    r"""
+    WITH d AS (SELECT * FROM documents)
+    SELECT 'doc_id' AS column, count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           min(CAST(doc_id AS VARCHAR)) AS min_str, max(CAST(doc_id AS VARCHAR)) AS max_str
+    FROM d
+    UNION ALL
+    SELECT 'text', count(*),
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT text) AS BIGINT), min(text), max(text) FROM d
+    UNION ALL
+    SELECT 'lang', count(*),
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM d
+    UNION ALL
+    SELECT 'source', count(*),
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM d
+    UNION ALL
+    SELECT 'n_chars', count(*),
+           CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM d
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 dataset-card profile of documents (all five columns):
+    every (n_rows, n_nulls, n_distinct, min_str, max_str) row
+    hash-checked against the SQL replay. Scale: one aggregation pass
+    for counts/extremes (exact distincts via Spark's expand rewrite;
+    swap approx_count_distinct at production scale, same shape)
+    (extensions/stats.py profile_table)."""
+    from cflux_spark.extensions.stats import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
 # X60 (round 12): shuffle-key skew audit — top-10 hottest event
 # user_ids with shares and the global key-count coefficient of
 # variation (exact integer sums, one sqrt + division).
@@ -7253,6 +7370,8 @@ _VERIFY_FIRST = [
     "q_mrr",
     "q_classification_report",
     "q_key_skew",
+    "q_table_diff",
+    "q_profile",
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",

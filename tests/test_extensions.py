@@ -2591,6 +2591,32 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     assert got2["a"] >= 5 and got2["b"] >= 3 and got2["c"] >= 1
 
 
+def test_table_diff_classifies_all_statuses(spark):
+    from cflux_spark.extensions.stats import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x"), (3, "c", "y")], "k long, t string, u string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "x"), (3, "CHANGED", "y"), (4, "d", "z")], "k long, t string, u string"
+    )
+    got = {r.key: r.status for r in table_diff(old, new, "k", ["t", "u"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from cflux_spark.extensions.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "a long, b string"
+    )
+    got = {r.column: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert (got["a"].n_rows, got["a"].n_nulls, got["a"].n_distinct) == (3, 0, 2)
+    assert (got["a"].min_str, got["a"].max_str) == ("1", "2")
+    assert (got["b"].n_nulls, got["b"].n_distinct) == (1, 2)
+    assert (got["b"].min_str, got["b"].max_str) == ("x", "y")
+
+
 def test_classification_report_known_values(spark):
     from cflux_spark.extensions.evaluation import classification_report
 
