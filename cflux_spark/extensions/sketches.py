@@ -119,7 +119,12 @@ def cms_heavy_hitters(
     broadcast); the corpus reappears once at the end, semi-joined
     against the ≤ 1/φ surviving leaf buckets. Output: (item, exact,
     estimate, true_heavy) where estimate is the leaf-level CMS
-    estimate and true_heavy = exact ≥ T."""
+    estimate and true_heavy = exact ≥ T.
+
+    The returned plan reads the vocabulary and sketch CACHES (the
+    sketch is probed 16 times, the vocabulary twice) — the caller
+    owns them and should ``.unpersist()`` when done, the same
+    contract as graph.pagerank."""
     w = (F.col(weight_col) if weight_col else F.lit(1)).cast("long")
     vocab = (
         items.select(F.col(item_col).alias("item"), w.alias("_w"))
@@ -247,11 +252,19 @@ def kmv_overlap(
     element hash and fans out at most groups² per hot element.
 
     Output: (src_a, src_b, inter_topk, jaccard_est, jaccard_exact)
-    for each unordered group pair a < b."""
+    for each unordered group pair a < b.
+
+    The distinct (group, hash) element frame feeds four downstream
+    consumers (sketch, group list, exact tier, sizes), so it is
+    cached — the returned plan reads that cache; the caller owns it
+    and should ``.unpersist()`` when done (the graph.pagerank
+    contract)."""
     from pyspark.sql import Window
 
     h = F.conv(F.substring(F.md5(F.col(elem_col)), 1, 15), 16, 10).cast("long")
-    elems = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    elems = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct().persist()
+    )
     w = Window.partitionBy("grp").orderBy("h")
     sk = (
         elems.withColumn("_r", F.row_number().over(w))

@@ -165,8 +165,11 @@ def quantile_normalize(
     Scale shape (100 TB): one window per side (within-group rank is
     group-parallel; the global rank is the one genuine global sort —
     at production scale swap the exact ranked frame for a sampled
-    quantile table, same join shape) + two rank-keyed joins. Output:
-    (id, group, value, normalized)."""
+    quantile table, same join shape) + two rank-keyed joins. The
+    (id, group, value) projection is consumed four times (ranks,
+    sizes, total, global rank) — each is a pruned columnar rescan;
+    persist the input upstream if the scan itself is expensive.
+    Output: (id, group, value, normalized)."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("long")
@@ -270,18 +273,20 @@ def table_diff(
     with bucketed storage to eliminate it) with the hash computed
     map-side before the join. Output: (key, status) plus per-side
     fingerprints for changed-row drill-down."""
-    def fp(df: DataFrame):
-        parts: list = []
-        for c in compare_cols:
-            parts.append(
+    # one fingerprint expression, resolved against each side
+    fp = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
                 F.when(F.col(c).isNull(), F.lit("\x00")).otherwise(
                     F.col(c).cast("string")
                 )
-            )
-        return F.md5(F.concat_ws("\x1f", *parts))
-
-    o = old.select(F.col(key_col).alias("key"), fp(old).alias("old_fp"))
-    n = new.select(F.col(key_col).alias("key"), fp(new).alias("new_fp"))
+                for c in compare_cols
+            ],
+        )
+    )
+    o = old.select(F.col(key_col).alias("key"), fp.alias("old_fp"))
+    n = new.select(F.col(key_col).alias("key"), fp.alias("new_fp"))
     j = o.join(n, "key", "full")
     return j.select(
         "key",
