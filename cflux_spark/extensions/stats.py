@@ -24,7 +24,7 @@ groups, the one per-group sort this operator genuinely needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -339,3 +339,153 @@ def profile_table(
             )
         ).alias("_p")
     ).select("_p.*")
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str = "value",
+    split: Column | None = None,
+    by: str = "event_type",
+    cents: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Welch two-sample t-test (unequal variances) between
+    the A/B populations selected by `split` (default: even vs odd
+    user_id) — the experiment-analysis primitive a metrics store
+    runs constantly.
+
+    Determinism contract: values quantize to exact integer
+    `cents`-ths (the 2-decimal value column is exact at 100), so n /
+    Σv / Σv² are order-independent integer aggregates; every
+    downstream op (mean, Welch variance, t, Satterthwaite df) is a
+    fixed tree of +,−,×,÷,sqrt — all IEEE correctly rounded — so
+    both engines emit bit-identical doubles BEFORE the final
+    round(…, 6). Σv² is computed as double(v)·double(v) products
+    summed in integer cents² space via long Σv² (exact below 2^63:
+    |v| ≤ 9.6e4 cents ⇒ v² ≤ 9.2e9, 10^9 rows fit).
+
+    Scale shape: one (by)-keyed aggregate with map-side combine —
+    conditional sums fold A and B in a single pass; output is
+    one row per group. Output: (by, n_a, n_b, mean_a, mean_b,
+    t_stat, df)."""
+    if split is None:
+        split = F.col("user_id") % 2 == 0
+    v = F.round(F.col(value_col) * cents).cast("long")
+    a = F.when(split, v)
+    b = F.when(~split, v)
+    g = df.groupBy(by).agg(
+        F.count(a).alias("n_a"),
+        F.count(b).alias("n_b"),
+        F.sum(a).alias("_sa"),
+        F.sum(b).alias("_sb"),
+        F.sum(a * a).alias("_ssa"),
+        F.sum(b * b).alias("_ssb"),
+    )
+    # fixed expression tree, mirrored token-for-token in the oracle
+    ma = F.col("_sa").cast("double") / F.col("n_a")
+    mb = F.col("_sb").cast("double") / F.col("n_b")
+    va = (
+        F.col("_ssa").cast("double")
+        - F.col("_sa").cast("double") * F.col("_sa").cast("double") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    vb = (
+        F.col("_ssb").cast("double")
+        - F.col("_sb").cast("double") * F.col("_sb").cast("double") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    sea = va / F.col("n_a")
+    seb = vb / F.col("n_b")
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (F.col("n_a") - 1) + seb * seb / (F.col("n_b") - 1)
+    )
+    # degenerate guards (NULL, mirrored in the oracle): a mean needs
+    # n ≥ 1, the test needs both n ≥ 2 AND nonzero pooled variance —
+    # nested CASEs so no division-by-zero is ever evaluated (ANSI)
+    both = (F.col("n_a") > 1) & (F.col("n_b") > 1)
+    return g.select(
+        by,
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(ma / cents, round_to)).alias("mean_a"),
+        F.when(F.col("n_b") > 0, F.round(mb / cents, round_to)).alias("mean_b"),
+        F.when(both, F.when(se2 > 0, F.round(t, round_to))).alias("t_stat"),
+        F.when(both, F.when(se2 > 0, F.round(dof, round_to))).alias("df"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str = "value",
+    split: Column | None = None,
+    by: str = "event_type",
+    cents: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) between the A/B
+    populations selected by `split` — the non-parametric sibling of
+    :func:`welch_ttest` for non-normal metric distributions.
+
+    Midrank ties stay EXACT integers via the doubled-rank identity:
+    over the per-group value histogram ordered by v,
+    2·midrank(v) = 2·cum_before(v) + cnt(v) + 1, so
+    2R_A = Σ_v a_v·(2·cum_before + cnt + 1) and
+    U2 = 2U_A = 2R_A − n_a(n_a+1) are order-independent long sums.
+    z uses the tie-corrected variance
+    var = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))) with Σ(t³−t) an
+    exact long sum (constraint: per-value tie group < 2^21 rows —
+    beyond that t³ overflows; a coarser `cents` makes ties larger,
+    a finer one smaller), then one fixed ÷/sqrt tree. Continuity
+    correction omitted (both engines would replay it identically;
+    the plain z matches SciPy's default asymptotic form).
+
+    Scale shape: histogram aggregate on (by, v) with map-side
+    combine — window runs over DISTINCT values, never rows; one
+    (by)-keyed reduction. Output: (by, n_a, n_b, u2, z)."""
+    if split is None:
+        split = F.col("user_id") % 2 == 0
+    v = F.round(F.col(value_col) * cents).cast("long")
+    hist = df.groupBy(F.col(by).alias("_by"), v.alias("_v")).agg(
+        F.sum(F.when(split, 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(~split, 1).otherwise(0)).alias("_b"),
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.col("_a") + F.col("_b")
+    hist = hist.withColumn(
+        "_cum", F.coalesce(F.sum(F.col("_a") + F.col("_b")).over(w), F.lit(0))
+    )
+    g = hist.groupBy(F.col("_by").alias(by)).agg(
+        F.sum("_a").alias("n_a"),
+        F.sum("_b").alias("n_b"),
+        F.sum(F.col("_a") * (2 * F.col("_cum") + cnt + 1)).alias("_r2a"),
+        F.sum(cnt * cnt * cnt - cnt).alias("_ties"),
+    )
+    u2 = F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("_ties").cast("double") / (n.cast("double") * (n - 1))
+        )
+    )
+    z = (u2.cast("double") - F.col("n_a").cast("double") * F.col("n_b")) / (
+        2.0 * F.sqrt(var)
+    )
+    # degenerate guards (NULL, mirrored in the oracle): z needs both
+    # sides populated, n ≥ 2, and nonzero tie-corrected variance —
+    # nested CASEs so no division-by-zero is ever evaluated (ANSI)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (n > 1)
+    return g.select(
+        by,
+        "n_a",
+        "n_b",
+        u2.cast("long").alias("u2"),
+        F.when(ok, F.when(var > 0, F.round(z, round_to))).alias("z"),
+    )

@@ -2941,3 +2941,60 @@ def test_robust_scale_known_values(spark):
     assert got[2].pct_rank == 0.6
     # constant group: iqr 0 → z forced to 0, ranks all 1.0 (ties ≤)
     assert got[5].iqr == 0.0 and got[5].robust_z == 0.0 and got[5].pct_rank == 1.0
+
+
+# ---------------------------------------------------------------- X64 A/B tests
+
+
+def _ab_frame(spark, a_vals, b_vals):
+    # even user_id = group A, odd = group B
+    rows = [(i, 2, "m", float(v)) for i, v in enumerate(a_vals)]
+    rows += [(1000 + i, 3, "m", float(v)) for i, v in enumerate(b_vals)]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+
+
+def test_welch_ttest_known_values(spark):
+    """Textbook two-sample case, cross-checked against the closed
+    form computed with numpy-equivalent arithmetic."""
+    from cflux_spark.extensions.stats import welch_ttest
+
+    a = [27.5, 21.0, 19.0, 23.6, 17.0, 17.9, 16.9, 20.1, 21.9, 22.6, 23.1, 19.6]
+    b = [27.1, 22.0, 20.8, 23.4, 23.4, 23.5, 25.8, 22.0, 24.8, 20.2, 21.9, 22.1]
+    r = welch_ttest(_ab_frame(spark, a, b)).collect()[0]
+    na, nb = len(a), len(b)
+    sa = sum(round(v * 100) for v in a)
+    sb = sum(round(v * 100) for v in b)
+    ssa = sum(round(v * 100) ** 2 for v in a)
+    ssb = sum(round(v * 100) ** 2 for v in b)
+    ma, mb = sa / na, sb / nb
+    sea = (ssa - sa * sa / na) / (na - 1) / na
+    seb = (ssb - sb * sb / nb) / (nb - 1) / nb
+    t = (ma - mb) / (sea + seb) ** 0.5
+    df = (sea + seb) ** 2 / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["mean_a"] == round(ma / 100, 6)
+    assert r["t_stat"] == round(t, 6)
+    assert r["df"] == round(df, 6)
+
+
+def test_mann_whitney_small_exact(spark):
+    """Hand-computable case with ties: A=[1,2,2], B=[2,3].
+    Midranks: 1→1, 2→3 (ranks 2,3,4), 3→5.
+    R_A = 1+3+3 = 7, U_A = 7 − 6 = 1 → u2 = 2."""
+    from cflux_spark.extensions.stats import mann_whitney_u
+
+    r = mann_whitney_u(_ab_frame(spark, [1, 2, 2], [2, 3])).collect()[0]
+    assert (r["n_a"], r["n_b"], r["u2"]) == (3, 2, 2)
+
+
+def test_mann_whitney_all_tied_is_degenerate(spark):
+    """Every value identical → tie-corrected variance is exactly 0
+    → z is NULL (the guarded degenerate case, mirrored in the
+    oracle); u2 collapses to n_a·n_b (every midrank = (n+1)/2)."""
+    from cflux_spark.extensions.stats import mann_whitney_u
+
+    r = mann_whitney_u(_ab_frame(spark, [5, 5], [5, 5, 5])).collect()[0]
+    assert r["u2"] == 2 * 3
+    assert r["z"] is None
