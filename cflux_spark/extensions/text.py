@@ -1047,3 +1047,155 @@ def char_entropy(
             F.coalesce(F.col("entropy"), F.lit(0.0)).alias("entropy"),
         )
     )
+
+
+def js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the unigram word
+    distributions of every pair of groups (Lin 1991) — the standard
+    domain-mix / distribution-shift diagnostic before blending
+    corpora.
+
+    All-integer derivation so both engines agree bit-for-bit: with
+    word counts a_w (total A) and b_w (total B),
+    p_w/m_w = 2·a_w·B / (a_w·B + b_w·A), so
+
+        KL(P‖M) = (1/A)·Σ_{a_w>0} a_w·[qln(2·a_w·B) − qln(a_w·B + b_w·A)]
+
+    where qln quantizes each ln AT ITS CALL SITE to integer 1e-7
+    quanta (functions/parity.py discipline, local scale): the sum is
+    exact long arithmetic, divided once by A and once by 1e7.
+    JS = (KL(P‖M) + KL(Q‖M))/2. Overflow bound: |term| ≤
+    a_w·ln(2·4e18)·1e7 — safe while per-group token totals stay
+    ≤ 2e10; beyond that (a 100 TB single pair) shard the corpus or
+    widen to decimal accumulation.
+
+    Scale shape: one token-histogram aggregate (map-side combine),
+    a broadcast group-totals pair frame, one vocab-keyed LEFT join
+    per ordered pair (S·(S−1) linear passes over the histogram —
+    quadratic in GROUPS, linear in vocab), one pair-keyed reduction.
+    Output: (source_a, source_b, js) for each unordered pair."""
+    scale = 10_000_000
+    toks = df.select(
+        F.col(group_col).alias("_s"), F.explode(word_tokens(F.col(text_col))).alias("_w")
+    )
+    hist = toks.groupBy("_s", "_w").agg(F.count("*").alias("_c"))
+    tot = hist.groupBy("_s").agg(F.sum("_c").alias("_t"))
+    pairs = (
+        tot.select(F.col("_s").alias("_sa"), F.col("_t").alias("_ta"))
+        .crossJoin(F.broadcast(tot.select(F.col("_s").alias("_sb"), F.col("_t").alias("_tb"))))
+        .where(F.col("_sa") != F.col("_sb"))
+    )
+    qln = lambda e: F.round(F.log(e) * F.lit(float(scale))).cast("long")  # noqa: E731
+    p_side = hist.select(
+        F.col("_s").alias("_sa"), F.col("_w"), F.col("_c").alias("_a")
+    ).join(F.broadcast(pairs), "_sa")
+    q_side = hist.select(
+        F.col("_s").alias("_sb"), F.col("_w"), F.col("_c").alias("_b")
+    )
+    terms = p_side.join(q_side, ["_sb", "_w"], "left").select(
+        "_sa",
+        "_sb",
+        "_ta",
+        "_tb",
+        (
+            F.col("_a")
+            * (
+                qln(2 * F.col("_a") * F.col("_tb"))
+                - qln(
+                    F.col("_a") * F.col("_tb")
+                    + F.coalesce(F.col("_b"), F.lit(0)) * F.col("_ta")
+                )
+            )
+        ).alias("_term"),
+    )
+    s = terms.groupBy("_sa", "_sb").agg(
+        F.any_value("_ta").alias("_ta"), F.sum("_term").alias("_sum")
+    )
+    rev = s.select(
+        F.col("_sa").alias("_sb"),
+        F.col("_sb").alias("_sa"),
+        F.col("_ta").alias("_rta"),
+        F.col("_sum").alias("_rsum"),
+    )
+    return (
+        s.join(rev, ["_sa", "_sb"])
+        .where(F.col("_sa") < F.col("_sb"))
+        .select(
+            F.col("_sa").alias("source_a"),
+            F.col("_sb").alias("source_b"),
+            F.round(
+                (
+                    F.col("_sum").cast("double") / F.col("_ta") / F.lit(float(scale))
+                    + F.col("_rsum").cast("double")
+                    / F.col("_rta")
+                    / F.lit(float(scale))
+                )
+                / 2,
+                round_to,
+            ).alias("js"),
+        )
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zipf-law fit per group: OLS slope/intercept of
+    ln(frequency) ~ ln(rank) over the top_k terms — a corpus-health
+    diagnostic (natural text sits near slope −1; templated or
+    machine-generated text deviates sharply; Zipf 1949, Piantadosi
+    2014).
+
+    Both lns quantize at their call sites to 1e-6 quanta so
+    n/Σx/Σy/Σx²/Σxy are exact long sums (bound: x·y ≤
+    (ln 1e9·1e6)² ≈ 1.4e14, Σ over top_k=1000 ≈ 1.4e17 — safe to
+    astronomically large counts); slope and intercept are then one
+    fixed double tree (÷ is correctly rounded; the 1e-6 scale
+    cancels inside the slope ratio, the intercept divides once).
+
+    Scale shape: token histogram (map-side combine) → per-group
+    top-k window over DISTINCT terms → 5-number per-group reduce.
+    Output: (source, n_terms, slope, intercept)."""
+    scale = 1_000_000
+    toks = df.select(
+        F.col(group_col).alias("_s"), F.explode(word_tokens(F.col(text_col))).alias("_w")
+    )
+    hist = toks.groupBy("_s", "_w").agg(F.count("*").alias("_c"))
+    w = Window.partitionBy("_s").orderBy(F.col("_c").desc(), "_w")
+    top = hist.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= top_k)
+    qln = lambda e: F.round(F.log(e) * F.lit(float(scale))).cast("long")  # noqa: E731
+    q = top.select("_s", qln(F.col("_r")).alias("_x"), qln(F.col("_c")).alias("_y"))
+    g = q.groupBy(F.col("_s").alias(group_col)).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    num = F.col("n_terms").cast("double") * F.col("_sxy") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sy")
+    den = F.col("n_terms").cast("double") * F.col("_sxx") - F.col("_sx").cast(
+        "double"
+    ) * F.col("_sx")
+    g = g.withColumn("_slope", F.when(F.col("n_terms") > 1, num / den))
+    return g.select(
+        group_col,
+        "n_terms",
+        F.round(F.col("_slope"), round_to).alias("slope"),
+        F.round(
+            (F.col("_sy").cast("double") - F.col("_slope") * F.col("_sx"))
+            / F.col("n_terms")
+            / F.lit(float(scale)),
+            round_to,
+        ).alias("intercept"),
+    )

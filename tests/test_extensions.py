@@ -2998,3 +2998,41 @@ def test_mann_whitney_all_tied_is_degenerate(spark):
     r = mann_whitney_u(_ab_frame(spark, [5, 5], [5, 5, 5])).collect()[0]
     assert r["u2"] == 2 * 3
     assert r["z"] is None
+
+
+# ------------------------------------------------- X65 corpus distributions
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    from cflux_spark.extensions.text import js_divergence
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z x"),
+            ("b", "x y z x"),   # identical distribution to a -> JS = 0
+            ("c", "p q p q"),   # disjoint vocab -> JS = ln 2
+        ],
+        "source string, text string",
+    )
+    out = {(r["source_a"], r["source_b"]): r["js"] for r in js_divergence(df).collect()}
+    assert out[("a", "b")] == 0.0
+    assert abs(out[("a", "c")] - 0.693147) < 1e-6
+    assert abs(out[("b", "c")] - 0.693147) < 1e-6
+
+
+def test_zipf_slope_exact_power_law(spark):
+    """freq = 16/rank at ranks 1,2,4,8 → ln f = ln 16 − ln r, an
+    exact OLS fit with slope −1 and intercept ln 16."""
+    import math
+
+    from cflux_spark.extensions.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [("s", " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3))],
+        "source string, text string",
+    )
+    # freq 12,6,4,3 at ranks 1,2,3,4 = 12/r exactly
+    r = zipf_slope(df).collect()[0]
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - (-1.0)) < 2e-6
+    assert abs(r["intercept"] - math.log(12)) < 2e-6
