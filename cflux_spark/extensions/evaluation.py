@@ -613,3 +613,108 @@ def token_f1_scores(
         )
         .alias("f1"),
     )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    by: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement (Cohen 1960) between
+    two label columns, optionally per group — the standard QA check
+    on human or model-judge label streams before training on them.
+
+    All-integer derivation: with contingency counts, observed
+    agreement po = diag/N and chance agreement pe = Σ_k row_k·col_k
+    / N², so kappa = (N·diag − Σ row·col)/(N² − Σ row·col) — both
+    operands exact longs (bound: N ≤ 3e9 keeps N² < 2^63), one
+    correctly-rounded division. Degenerate pe = 1 (both raters
+    constant and equal) → NULL kappa, mirrored in the oracle.
+
+    Scale shape: one (by, a, b) contingency aggregate (map-side
+    combine; cells, not rows), marginal aggregates over cells, one
+    label-keyed join of marginals — nothing row-scale after the
+    first pass. Output: (by?, n, po, pe, kappa)."""
+    keys = [by] if by else []
+    cells = df.groupBy(*keys, F.col(a_col).alias("_a"), F.col(b_col).alias("_b")).agg(
+        F.count("*").alias("_c")
+    )
+    n = cells.groupBy(*keys).agg(
+        F.sum("_c").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0)).alias(
+            "_diag"
+        ),
+    )
+    ra = cells.groupBy(*keys, F.col("_a").alias("_k")).agg(F.sum("_c").alias("_ra"))
+    cb = cells.groupBy(*keys, F.col("_b").alias("_k")).agg(F.sum("_c").alias("_cb"))
+    s = (
+        ra.join(cb, keys + ["_k"])
+        .groupBy(*keys)
+        .agg(F.sum(F.col("_ra") * F.col("_cb")).alias("_s"))
+    )
+    j = n.join(s, keys) if keys else n.crossJoin(F.broadcast(s))
+    den = F.col("n") * F.col("n") - F.col("_s")
+    return j.select(
+        *keys,
+        "n",
+        F.round(F.col("_diag").cast("double") / F.col("n"), round_to).alias("po"),
+        F.round(
+            F.col("_s").cast("double") / (F.col("n").cast("double") * F.col("n")),
+            round_to,
+        ).alias("pe"),
+        F.when(
+            den != 0,
+            F.round(
+                (F.col("n") * F.col("_diag") - F.col("_s")).cast("double")
+                / den.cast("double"),
+                round_to,
+            ),
+        ).alias("kappa"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-bin calibration report (reliability diagram data +
+    expected-calibration-error contributions; Naeini 2015, Guo 2017)
+    for a classifier score against a boolean label.
+
+    Determinism contract: `score_col` must be an exact multiple of
+    1/`scale` (the caller quantizes — model scores should be emitted
+    that way for reproducible evaluation anyway); then bin ids,
+    counts, Σ score·scale and Σ label are exact integers and every
+    emitted double is one fixed ÷/× tree of exact longs. ECE = Σ
+    contrib over the output rows.
+
+    Scale shape: one bin-keyed aggregate with map-side combine + a
+    broadcast 1-row total. Output: (bin, n, conf, acc, contrib),
+    bin ∈ [0, n_bins)."""
+    m = F.round(F.col(score_col) * scale).cast("long")
+    b = F.least(
+        F.floor(m * n_bins / F.lit(scale)).cast("int"), F.lit(n_bins - 1)
+    )
+    g = df.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
+        F.sum(m).alias("_sm"),
+    )
+    tot = g.agg(F.sum("n").alias("_nt"))
+    conf = F.col("_sm").cast("double") / F.col("n") / scale
+    acc = F.col("_pos").cast("double") / F.col("n")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(conf, round_to).alias("conf"),
+        F.round(acc, round_to).alias("acc"),
+        F.round(
+            F.abs(acc - conf) * F.col("n") / F.col("_nt"), round_to
+        ).alias("contrib"),
+    )

