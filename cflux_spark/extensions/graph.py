@@ -246,3 +246,65 @@ def hits(
             F.round(F.coalesce(F.col("hf"), F.lit(0)) / scale, round_to).alias("hub"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the UNDIRECTED view of an (src, dst)
+    edge frame — the cheap community pass crawl pipelines run to
+    group mirror/template site families before per-community
+    sampling caps.
+
+    Deterministic variant (so a SQL oracle replays it exactly):
+    label_0(v) = v; each iteration every node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST
+    label, isolated nodes keep their label — synchronous updates, a
+    FIXED iteration count, no randomized visit order (the published
+    algorithm's asynchronous random order trades determinism for
+    faster mixing; fixed-sweep synchronous LPA is the standard batch
+    adaptation). All state is integer node ids — zero float
+    exposure.
+
+    Scale shape: per iteration one labels⋈edges equi-join (labels
+    are node-sized, shuffled on the join key), one (node, label)
+    count aggregate, one per-node argmax window over candidate
+    labels (bounded by distinct neighbor labels, ≤ degree), and one
+    left join back onto the node set. Labels persist between
+    iterations with the same persist→count→unpersist step barrier as
+    :func:`pagerank`; the returned frame reads the final cache — the
+    caller owns `.unpersist()`. Output: (node, community)."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("lab")).persist()
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("lab").asc())
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels.select(F.col("node").alias("b"), "lab"), "b")
+            .groupBy(F.col("a").alias("node"), "lab")
+            .agg(F.count("*").alias("_c"))
+        )
+        best = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("lab").alias("_new"))
+        )
+        nxt = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce(F.col("_new"), F.col("lab")).alias("lab"))
+            .persist()
+        )
+        nxt.count()  # step barrier: materialize before dropping the parent
+        labels.unpersist()
+        labels = nxt
+    nodes.unpersist()
+    return labels.select("node", F.col("lab").alias("community"))

@@ -3075,3 +3075,33 @@ def test_calibration_report_exact_bins(spark):
     assert out[0]["conf"] == 0.05 and out[0]["acc"] == 0.5
     assert out[0]["contrib"] == round(abs(0.5 - 0.05) * 2 / 4, 6)
     assert out[9]["conf"] == 0.975 and out[9]["acc"] == 1.0
+
+
+# ------------------------------------------------- X67 label propagation
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge: the exact 2-sweep
+    synchronous trace (sweep 1 is min-of-neighbors since all labels
+    are distinct; sweep 2 is the count-mode step). The left triangle
+    converges to 1; the right is mid-propagation — pinning the exact
+    values is the determinism contract the oracle replays."""
+    from cflux_spark.extensions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(edges, 2).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+
+
+def test_label_propagation_tie_breaks_to_smallest(spark):
+    """A node with equal-count neighbor labels adopts the smaller."""
+    from cflux_spark.extensions.graph import label_propagation
+
+    # star center 5 with leaves 1 and 9: after sweep 1 center sees
+    # {1, 9} tied -> adopts 1
+    edges = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
+    out = {r["node"]: r["community"] for r in label_propagation(edges, 1).collect()}
+    assert out[5] == 1
