@@ -1199,3 +1199,94 @@ def zipf_slope(
             round_to,
         ).alias("intercept"),
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an
+    INTERPOLATED KNESER–NEY bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999) trained on the corpus itself — the stronger-smoothing
+    upgrade of :func:`bigram_logprob` (absolute discounting +
+    continuation probability instead of raw-unigram interpolation):
+
+        p(w|u) = (c(u,w) − D)/c(u) + D·N1+(u,·)/c(u) · N1+(·,w)/B
+
+    with c(u) = Σ_w c(u,w) (bigram-table context totals), N1+(u,·) =
+    distinct continuations of u, N1+(·,w) = distinct left contexts
+    of w, B = total bigram types, and the document-initial token
+    scored by its raw unigram probability (the bigram_logprob
+    convention — a continuation-probability fallback would zero out
+    on words that only ever open documents). Trained on the scoring
+    corpus, every scored bigram has c(u,w) ≥ 1, so max(c−D, 0) = c−D
+    for any D < 1; D = 0.75 is an exact binary literal.
+
+    Float parity: p is one fixed tree of exact integer counts and
+    the exact-binary D (÷ and × correctly rounded → bit-identical
+    cross-engine); ln(p) quantizes at its call site and the per-doc
+    mean is an exact long sum divided twice (functions/parity.py).
+
+    Scale shape: identical to bigram_logprob — (tok, prev) pairs
+    built inside the token array (no self-join), vocabulary-sized
+    count frames broadcast back, one corpus-bigram-sized join.
+    Output: (doc_id, n_tokens, kn_neg_logprob)."""
+    toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks"))
+    t = F.col("_toks")
+    pairs = F.transform(
+        t,
+        lambda x, i: F.struct(
+            x.alias("tok"),
+            F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
+        ),
+    )
+    rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
+    )
+    uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
+    total = uni.agg(F.sum("n").alias("_t"))
+    big = (
+        rows.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("n2"))
+    )
+    ctx = big.groupBy("prev").agg(
+        F.sum("n2").alias("n_ctx"), F.count("*").alias("n1f")
+    )
+    back = big.groupBy("tok").agg(F.count("*").alias("n1b"))
+    btypes = big.agg(F.count("*").alias("_b"))
+    d = float(discount)
+    scored = (
+        rows.join(F.broadcast(uni), "tok")
+        .join(big, ["prev", "tok"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .join(F.broadcast(back), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.col("n") / F.col("_t"))
+            .otherwise(
+                (F.col("n2") - F.lit(d)) / F.col("n_ctx")
+                + F.lit(d)
+                * F.col("n1f")
+                / F.col("n_ctx")
+                * (F.col("n1b") / F.col("_b"))
+            )
+            .alias("p"),
+        )
+    )
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -(F.sum(fixed_log(F.log("p"))) / F.count("*"))
+            / F.lit(float(FIXED_SCALE_LOG)),
+            round_to,
+        ).alias("kn_neg_logprob"),
+    )

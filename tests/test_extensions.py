@@ -3105,3 +3105,45 @@ def test_label_propagation_tie_breaks_to_smallest(spark):
     edges = spark.createDataFrame([(5, 1), (5, 9)], "src long, dst long")
     out = {r["node"]: r["community"] for r in label_propagation(edges, 1).collect()}
     assert out[5] == 1
+
+
+# ------------------------------------------------- X68 Kneser-Ney LM
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Tiny corpus, hand-computed interpolated KN (D=0.75):
+    docs: 'a b' and 'a c'. Bigrams: (a,b):1, (a,c):1.
+    c(a)=2, N1+(a,.)=2, N1+(.,b)=1, N1+(.,c)=1, B=2.
+    p(b|a) = (1-.75)/2 + .75*2/2*(1/2) = 0.125 + 0.375 = 0.5
+    initial 'a': unigram 2/4 = 0.5.
+    Both docs: mean neg log = -(ln .5 + ln .5)/2 = ln 2."""
+    import math
+
+    from cflux_spark.extensions.text import kneser_ney_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 2
+    assert abs(out[1]["kn_neg_logprob"] - math.log(2)) < 1e-3
+    assert out[1]["kn_neg_logprob"] == out[2]["kn_neg_logprob"]
+
+
+def test_kneser_ney_prefers_diverse_continuations(spark):
+    """The continuation term rewards words seen after MANY contexts:
+    with equal bigram counts, the word with more distinct left
+    contexts gets higher probability (lower neg-logprob) — the
+    signature KN property a raw-unigram interpolation lacks."""
+    from cflux_spark.extensions.text import kneser_ney_logprob
+
+    # 'x' follows 4 distinct contexts; 'y' follows only 'q' 4 times.
+    corpus = [
+        (1, "a x"), (2, "b x"), (3, "c x"), (4, "d x"),
+        (5, "q y"), (6, "q y"), (7, "q y"), (8, "q y"),
+        # probe docs share the SAME context word 'p':
+        (9, "p x"), (10, "p y"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r["kn_neg_logprob"] for r in kneser_ney_logprob(df).collect()}
+    assert out[9] < out[10]
