@@ -489,3 +489,71 @@ def mann_whitney_u(
         u2.cast("long").alias("u2"),
         F.when(ok, F.when(var > 0, F.round(z, round_to))).alias("z"),
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: str = "event_type",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) on per-bucket
+    event counts — the drift/changepoint monitor a metrics store
+    runs on ingest volumes. Exact-integer end to end.
+
+    The sequential recurrence s_t = max(0, s_{t-1} + y_t) is NOT a
+    window function, but its closed form is: with C_t = Σ_{j≤t} y_j,
+
+        s_t = C_t − min_{j≤t} C_j   (min over the prefix, seeded 0)
+
+    (the running min is the last time the counter reset). y_t =
+    cnt_t − k with target k = floor(total/buckets) per group, so
+    everything is long arithmetic. A bucket SPINE (dense range
+    min..max bucket per group) is generated so silent buckets count
+    as zero events — exactly the case CUSUM must see. Alarm when
+    s_t > k (one target's worth of excess accumulation).
+
+    Scale shape: one (by, bucket) count aggregate, a per-group
+    4-number stats frame exploded into the spine (sequence() —
+    bounded by time range, not row count), one left join, one
+    ordered window per group. Output: (by, bucket, cnt, cusum,
+    alarm)."""
+    # integer `div`, NOT double division + cast: a correctly-rounded
+    # double quotient can land one ulp under an exact integer and
+    # truncate to bucket−1
+    b = F.expr(f"unix_micros({ts_col}) div {bucket_seconds * 1_000_000}")
+    counts = df.groupBy(F.col(by).alias("_by"), b.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    g = counts.groupBy("_by").agg(
+        F.min("bucket").alias("_lo"),
+        F.max("bucket").alias("_hi"),
+        F.sum("cnt").alias("_tot"),
+    )
+    spine = g.select(
+        "_by",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+        # integer div again (see bucket index comment)
+        F.expr("_tot div (_hi - _lo + 1)").alias("_k"),
+    )
+    w = Window.partitionBy("_by").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dense = (
+        spine.join(counts, ["_by", "bucket"], "left")
+        .select(
+            "_by",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            "_k",
+        )
+        .withColumn("_c", F.sum(F.col("cnt") - F.col("_k")).over(w))
+        .withColumn("_m", F.least(F.lit(0).cast("long"), F.min("_c").over(w)))
+    )
+    return dense.select(
+        F.col("_by").alias(by),
+        "bucket",
+        "cnt",
+        (F.col("_c") - F.col("_m")).alias("cusum"),
+        ((F.col("_c") - F.col("_m")) > F.col("_k")).alias("alarm"),
+    )

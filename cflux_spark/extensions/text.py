@@ -1290,3 +1290,93 @@ def kneser_ney_logprob(
             round_to,
         ).alias("kn_neg_logprob"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990) — the phrase-mining pass that
+    finds multiword units ("new york", "neural network") worth
+    treating as single tokens.
+
+        PMI(u,w) = ln( p(u,w) / (p(u)·p(w)) )
+                 = ln( (c(u,w)·T·T) / (B·c(u)·c(w)) )
+
+    with unigram counts over all token slots (total T) and bigram
+    counts over adjacent pairs (total B). The ln argument is ONE
+    fixed ×/÷ tree of exact longs (correctly rounded, bit-identical
+    cross-engine), the single ln quantizes at its call site
+    (functions/parity.py), and ranking orders by the ROUNDED pmi
+    with (tok_a, tok_b) tie-breaks so rank ties resolve identically.
+    `min_count` suppresses the low-count PMI explosion (a hapax pair
+    maximizes PMI by construction — the standard guard).
+
+    Scale shape: the bigram_logprob pair construction (inside the
+    token array, no self-join), two vocabulary-sized count frames
+    broadcast onto the bigram frame, one global top-k. Output:
+    (tok_a, tok_b, n_pair, pmi, rank)."""
+    toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+    base = df.select(toks_expr.alias("_toks"))
+    t = F.col("_toks")
+    pairs = F.transform(
+        t,
+        lambda x, i: F.struct(
+            x.alias("tok"),
+            F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
+        ),
+    )
+    rows = base.select(F.explode(pairs).alias("p")).select(
+        F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
+    )
+    uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
+    total = uni.agg(F.sum("n").alias("_t"))
+    big = (
+        rows.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("tok_a"), F.col("tok").alias("tok_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    btot = (
+        rows.filter(F.col("prev").isNotNull()).agg(F.count("*").alias("_b"))
+    )
+    from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
+
+    scored = (
+        big.join(F.broadcast(uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("_na"))), "tok_a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("_nb"))), "tok_b")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                fixed_log(
+                    F.log(
+                        F.col("n_pair").cast("double")
+                        * F.col("_t")
+                        * F.col("_t")
+                        / (
+                            F.col("_b").cast("double")
+                            * F.col("_na")
+                            * F.col("_nb")
+                        )
+                    )
+                )
+                / F.lit(float(FIXED_SCALE_LOG)),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    # TakeOrdered top-k first (no full-frame row_number), window only
+    # over the k survivors — the key_skew_report pattern
+    top = scored.orderBy(F.col("pmi").desc(), "tok_a", "tok_b").limit(top_k)
+    w = Window.orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "tok_a", "tok_b", "n_pair", "pmi", "rank"
+    )

@@ -3147,3 +3147,51 @@ def test_kneser_ney_prefers_diverse_continuations(spark):
     df = spark.createDataFrame(corpus, "doc_id long, text string")
     out = {r["doc_id"]: r["kn_neg_logprob"] for r in kneser_ney_logprob(df).collect()}
     assert out[9] < out[10]
+
+
+# ------------------------------------------------- X69 CUSUM + PMI
+
+
+def test_cusum_closed_form_matches_sequential(spark):
+    """The window identity s_t = C_t − min(0, prefix-min C) must
+    reproduce the sequential recurrence s_t = max(0, s_{t-1} + y_t)
+    on a burst pattern, including zero-filled silent buckets."""
+    from datetime import datetime, timedelta
+
+    from cflux_spark.extensions.stats import cusum_alerts
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hourly counts: 2,2,2,0(silent),8,8 -> k = floor(22/6) = 3
+    for h, cnt in enumerate([2, 2, 2, 0, 8, 8]):
+        for _ in range(cnt):
+            rows.append((eid, "m", t0 + timedelta(hours=h, minutes=1)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {r["bucket"]: r for r in cusum_alerts(df).collect()}
+    buckets = sorted(out)
+    assert len(buckets) == 6  # silent hour zero-filled by the spine
+    # sequential replay
+    s, k, got = 0, 3, []
+    for h, cnt in enumerate([2, 2, 2, 0, 8, 8]):
+        s = max(0, s + cnt - k)
+        got.append(s)
+    assert [out[b]["cusum"] for b in buckets] == got
+    assert [out[b]["alarm"] for b in buckets] == [v > k for v in got]
+
+
+def test_pmi_collocations_ranks_true_pair_first(spark):
+    """A pair that ALWAYS co-occurs beats tokens that pair freely:
+    'new york' (exclusive) outranks ('the', 'cat')."""
+    from cflux_spark.extensions.text import pmi_collocations
+
+    docs = [(i, "new york") for i in range(5)]
+    docs += [(100 + i, "the cat") for i in range(5)]
+    docs += [(200 + i, "the dog") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, top_k=10).collect()
+    by_rank = {r["rank"]: (r["tok_a"], r["tok_b"]) for r in out}
+    assert by_rank[1] == ("new", "york")
+    pmis = {(r["tok_a"], r["tok_b"]): r["pmi"] for r in out}
+    assert pmis[("new", "york")] > pmis[("the", "cat")]
