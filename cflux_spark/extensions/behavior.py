@@ -223,3 +223,42 @@ def sequence_count(
             F.sum("_b") - F.greatest(F.lit(0).cast("long"), F.max("_d"))
         ).alias("pairs"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current event type), the
+    behavioral fingerprint a product-analytics store derives for
+    journey modeling and bot detection (a scripted client's rows
+    concentrate on one transition).
+
+    Exact integers: successor pairs come from one lead() window per
+    user (sequence boundaries contribute no pair), the matrix is a
+    (cur, nxt) count aggregate, and prob = pair count / row total of
+    cur — one correctly-rounded division. Output rows are bounded by
+    (#event types)², independent of corpus size. Output:
+    (cur, nxt, n, prob)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("cur"),
+            F.lead(type_col).over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("_t"))
+    return pairs.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("_t"), round_to).alias("prob"),
+    )

@@ -163,3 +163,25 @@ def test_funnel_partition_invariant(spark, sf_dir, shuffle):
         test_funnel_partition_invariant._snap = rows
     else:
         assert rows == test_funnel_partition_invariant._snap
+
+
+def test_markov_transitions_exact_probs(spark):
+    """user 1: a->b->a->b (transitions ab, ba, ab); user 2: a->c.
+    P(b|a) = 2/3, P(c|a) = 1/3, P(a|b) = 1."""
+    from cflux_spark.extensions.behavior import markov_transitions
+
+    rows = [
+        (0, 1, "2024-01-01T00:00:00", "a"),
+        (1, 1, "2024-01-01T00:01:00", "b"),
+        (2, 1, "2024-01-01T00:02:00", "a"),
+        (3, 1, "2024-01-01T00:03:00", "b"),
+        (4, 2, "2024-01-01T00:00:00", "a"),
+        (5, 2, "2024-01-01T00:01:00", "c"),
+    ]
+    df = _ev(spark, [(u, ts, et) for _, u, ts, et in rows])
+    out = {(r["cur"], r["nxt"]): (r["n"], r["prob"]) for r in markov_transitions(df).collect()}
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user pair: user 1's last b never links to user 2's a
+    assert ("b", "c") not in out and len(out) == 3
