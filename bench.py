@@ -174,6 +174,22 @@ BENCH_QUERIES = [
     "q_cms_heavy_hitters",
     "q_zorder",
     "q_source_overlap",
+    # round-12 third wave: the funnel DP adds the chained-Window
+    # shape over user sequences (q_sequence_count / q_markov share
+    # that one user-keyed sort and add nothing); JS divergence adds
+    # the per-pair vocab-keyed LEFT-join sweep (quadratic in
+    # sources); Kneser–Ney adds the two distinct-count tables on top
+    # of q_bigram_logprob's bigram join; label propagation adds the
+    # per-sweep labels⋈edges + argmax-window iteration. q_ab_ttest /
+    # q_mann_whitney / q_cohen_kappa / q_calibration are single
+    # aggregates (± a distinct-value window) — no scale-new stage;
+    # q_cusum_alerts is one count + spine + window; q_rate_anomaly
+    # reuses the X49 shape; q_pmi_collocations shares the bigram
+    # machinery + TakeOrdered.
+    "q_funnel_levels",
+    "q_js_divergence",
+    "q_kneser_ney",
+    "q_label_propagation",
 ]
 
 

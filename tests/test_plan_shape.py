@@ -553,3 +553,61 @@ def test_robust_scale_single_group_shuffle(spark, sf_dir):
     plan = _final_plan(robust_scale(docs, "n"))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_window_funnel_single_shuffle_no_join(spark, sf_dir):
+    """X63: the funnel DP is chained Window execs over ONE user-keyed
+    sort — no join of any kind, exactly one Exchange for the window
+    partitioning (plus the final aggregate's)."""
+    from cflux_spark.extensions.behavior import window_funnel
+    from cflux_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _final_plan(window_funnel(ev, ["view", "click", "purchase"], "6 hours"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_welch_ttest_single_pass_no_join(spark, sf_dir):
+    """X64: both arms fold in ONE aggregation pass — no join, no
+    second scan of events."""
+    from cflux_spark.extensions.stats import welch_ttest
+    from cflux_spark.sources.readers import load_table
+
+    plan = _final_plan(welch_ttest(load_table(spark, sf_dir, "events")))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_js_divergence_pair_frame_broadcasts(spark, sf_dir):
+    """X65: the group-totals pair frame must broadcast onto the
+    histogram; only the vocab-keyed hist-hist join may shuffle."""
+    from cflux_spark.extensions.text import js_divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _final_plan(js_divergence(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_top_k_is_take_ordered_not_global_sort(spark, sf_dir):
+    """X69: the top-k must compile to TakeOrdered — never a full
+    global Sort of the scored bigram frame."""
+    from cflux_spark.extensions.text import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _final_plan(pmi_collocations(docs))
+    assert "TakeOrdered" in plan
+
+
+def test_cusum_spine_no_cartesian(spark, sf_dir):
+    """X69: the dense bucket spine joins back on (group, bucket) —
+    an equi-join, never a cartesian blow-up."""
+    from cflux_spark.extensions.stats import cusum_alerts
+    from cflux_spark.sources.readers import load_table
+
+    plan = _final_plan(cusum_alerts(load_table(spark, sf_dir, "events")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
