@@ -262,3 +262,91 @@ def markov_transitions(
         "n",
         F.round(F.col("n").cast("double") / F.col("_t"), round_to).alias("prob"),
     )
+
+
+def interarrival_quartiles(
+    events: DataFrame,
+    by: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group inter-arrival-time quartiles (seconds) over
+    per-user event streams — the latency/cadence profile behind
+    deadman thresholds and sessionization gaps.
+
+    Gaps are exact integer MICROSECONDS from one lag() window per
+    (group, user); quartiles use continuous interpolation over those
+    integers, so every interpolated value is a dyadic rational —
+    an exact double in both engines (the X49 robust-scale parity
+    tier) — and the µs→s conversion is one correctly-rounded
+    division. Output: (by, n_gaps, p25_s, p50_s, p75_s)."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(by, user_col).orderBy("_us", tiebreak_col)
+    gaps = (
+        events.select(F.col(by), F.col(user_col), us.alias("_us"), F.col(tiebreak_col))
+        .withColumn("_gap", F.col("_us") - F.lag("_us").over(w))
+        .where(F.col("_gap").isNotNull())
+    )
+    g = gaps.groupBy(by).agg(
+        F.count("*").alias("n_gaps"),
+        F.percentile(F.col("_gap").cast("double"), F.lit(0.25)).alias("_q1"),
+        F.percentile(F.col("_gap").cast("double"), F.lit(0.5)).alias("_q2"),
+        F.percentile(F.col("_gap").cast("double"), F.lit(0.75)).alias("_q3"),
+    )
+    return g.select(
+        by,
+        "n_gaps",
+        F.round(F.col("_q1") / 1000000.0, round_to).alias("p25_s"),
+        F.round(F.col("_q2") / 1000000.0, round_to).alias("p50_s"),
+        F.round(F.col("_q3") / 1000000.0, round_to).alias("p75_s"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple = ("view", "click"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every `conversion`
+    event, credit the MOST RECENT strictly-earlier touch event
+    (one of `touches`) in the same user's stream — 'direct' when no
+    touch precedes it. The marketing-analytics primitive every
+    event store ships.
+
+    One last_value(ignorenulls) window over the strict-prior frame
+    per user — the as-of join collapsed into the sequence sort; all
+    integers + one share division. Output: (touch, n_conversions,
+    share)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(*touches), F.col(type_col))
+    attributed = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            F.col(type_col).alias("_et"),
+            F.last(touch, ignorenulls=True).over(w).alias("_touch"),
+        )
+        .where(F.col("_et") == F.lit(conversion))
+        .select(F.coalesce(F.col("_touch"), F.lit("direct")).alias("touch"))
+    )
+    g = attributed.groupBy("touch").agg(F.count("*").alias("n_conversions"))
+    tot = g.agg(F.sum("n_conversions").alias("_t"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "touch",
+        "n_conversions",
+        F.round(F.col("n_conversions").cast("double") / F.col("_t"), round_to).alias(
+            "share"
+        ),
+    )

@@ -185,3 +185,43 @@ def test_markov_transitions_exact_probs(spark):
     assert out[("b", "a")] == (1, 1.0)
     # no cross-user pair: user 1's last b never links to user 2's a
     assert ("b", "c") not in out and len(out) == 3
+
+
+def test_interarrival_quartiles_exact(spark):
+    """One user, one type, gaps 60s, 120s, 300s -> p25=90 (dyadic
+    midpoint), p50=120, p75=210."""
+    from cflux_spark.extensions.behavior import interarrival_quartiles
+
+    rows = [
+        (1, "2024-01-01T00:00:00", "m"),
+        (1, "2024-01-01T00:01:00", "m"),
+        (1, "2024-01-01T00:03:00", "m"),
+        (1, "2024-01-01T00:08:00", "m"),
+    ]
+    r = interarrival_quartiles(_ev(spark, rows)).collect()[0]
+    assert (r["n_gaps"], r["p25_s"], r["p50_s"], r["p75_s"]) == (3, 90.0, 120.0, 210.0)
+
+
+def test_last_touch_attribution(spark):
+    """click then purchase -> click; view then purchase (later click
+    AFTER it doesn't count) -> view; purchase with no touch ->
+    direct; a touch from ANOTHER user never leaks."""
+    from cflux_spark.extensions.behavior import last_touch_attribution
+
+    rows = [
+        (1, "2024-01-01T00:00:00", "click"),
+        (1, "2024-01-01T00:01:00", "purchase"),
+        (2, "2024-01-01T00:00:00", "view"),
+        (2, "2024-01-01T00:01:00", "purchase"),
+        (2, "2024-01-01T00:02:00", "click"),
+        (3, "2024-01-01T00:00:00", "purchase"),
+    ]
+    out = {
+        r["touch"]: (r["n_conversions"], r["share"])
+        for r in last_touch_attribution(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        "click": (1, round(1 / 3, 6)),
+        "view": (1, round(1 / 3, 6)),
+        "direct": (1, round(1 / 3, 6)),
+    }
