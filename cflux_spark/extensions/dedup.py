@@ -984,3 +984,80 @@ class MinHashIndex:
             kept = kept.localCheckpoint(eager=True)
             self.append(kept, text_col, id_col)
         return kept
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram OVERLAP-COEFFICIENT similarity join
+    (Szymkiewicz–Simpson): pairs (a < b) with
+    |A∩B| / min(|A|, |B|) ≥ threshold — the SUBSET-duplicate
+    detector Jaccard structurally misses: a document embedded
+    verbatim inside a 10× longer one has Jaccard ≤ 0.1 but overlap
+    1.0 (the Broder 1997 containment variant of resemblance; the
+    quote/aggregator-page case in training-corpus dedup).
+
+    Same machinery and contracts as :func:`ngram_jaccard_pairs` —
+    exact integer intersection counts, one division, candidate
+    self-join on shingles with the optional ``max_shingle_df``
+    candidate budget (exclusion applies to candidate generation
+    only; reported overlaps recompute over full shingle sets).
+    Output: (id_a, id_b, overlap) — also emits the directional
+    containments (containment_a = |A∩B|/|A|, containment_b
+    symmetric) so the caller can tell WHICH side is the subset."""
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if max_shingle_df is None:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        capped = sh.join(rare, "shingle", "left_semi")
+        cand = (
+            capped.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(capped.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), round_to),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "overlap",
+            F.round(F.col("n_common") / F.col("n_a"), round_to).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), round_to).alias("containment_b"),
+        )
+    )

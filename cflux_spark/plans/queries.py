@@ -8164,6 +8164,71 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior.last_touch_attribution(_events(spark, sf_dir))
 
 
+# X72 (round 12): n-gram overlap-coefficient (containment) dedup
+# tier (Broder 1997's containment variant) — the subset-duplicate
+# detector Jaccard structurally misses. Fixture plants aggregator
+# docs (original text + boilerplate suffix) for every 50th document
+# in BOTH engines, so containment(original ⊂ aggregator) = 1.0 rows
+# must surface.
+@q(
+    "q_dedup_containment",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             text || ' aggregator boilerplate item entry listing'
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    s AS (
+      SELECT DISTINCT t.doc_id,
+             array_to_string(t.toks[g.i : g.i + 2], ' ') AS shingle
+      FROM t, (SELECT unnest(range(1, 100000)) AS i) g
+      WHERE g.i <= greatest(len(t.toks) - 2, 1)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / least(sa.n_sh, sb.n_sh), 4) AS overlap,
+           round(n_common / sa.n_sh, 4) AS containment_a,
+           round(n_common / sb.n_sh, 4) AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 overlap-coefficient containment join (threshold 0.9, with
+    directional containments) over the corpus plus planted
+    aggregator docs: every (pair, overlap, containment_a/b)
+    hash-checked against the SQL replay of the shingle intersection.
+    Scale: identical contracts to q_dedup_jaccard — exact verifier
+    tier, banded/MinHash tiers are the 100 TB candidate path, and
+    the same max_shingle_df budget applies (extensions/dedup.py
+    ngram_containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" aggregator boilerplate item entry listing"),
+            ).alias("text"),
+        )
+    )
+    return dedup.ngram_containment_pairs(corpus, n=3, threshold=0.9)
+
+
 # ------------------------------------------------- driver window ordering
 # The driver's CORRECTNESS gate records only the FIRST 50 catalog entries
 # in iteration order (observed in rounds 1-2: CORRECTNESS_r0N.json holds
@@ -8225,6 +8290,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_oracle_parity.py regardless of ordering.
 
 _VERIFY_FIRST = [
+    "q_dedup_containment",
     "q_interarrival",
     "q_attribution",
     "q_markov_transitions",

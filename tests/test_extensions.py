@@ -3195,3 +3195,39 @@ def test_pmi_collocations_ranks_true_pair_first(spark):
     assert by_rank[1] == ("new", "york")
     pmis = {(r["tok_a"], r["tok_b"]): r["pmi"] for r in out}
     assert pmis[("new", "york")] > pmis[("the", "cat")]
+
+
+# ------------------------------------------------- X72 containment dedup
+
+
+def test_containment_finds_subset_jaccard_misses(spark):
+    """A short doc embedded in a 5x longer one: overlap = 1.0 while
+    jaccard is far below any dedup threshold — the structural gap
+    this tier closes."""
+    from cflux_spark.extensions.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(10))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_a"], r["id_b"], r["overlap"]) == (1, 2, 1.0)
+    assert r["containment_a"] == 1.0 and r["containment_b"] < 0.2
+    jac = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []  # jaccard blind to the subset pair
+
+
+def test_containment_direction_columns(spark):
+    """containment_a names the subset side (a < b by id)."""
+    from cflux_spark.extensions.dedup import ngram_containment_pairs
+
+    short = "one two three four five"
+    df = spark.createDataFrame(
+        [(5, short + " six seven eight nine ten eleven twelve"), (9, short)],
+        "doc_id long, text string",
+    )
+    r = ngram_containment_pairs(df, n=3, threshold=0.9).collect()[0]
+    # id 9 (the short doc) is id_b here: its containment_b = 1.0
+    assert (r["id_a"], r["id_b"]) == (5, 9)
+    assert r["containment_b"] == 1.0
