@@ -8247,68 +8247,68 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Update both lists when adding queries or touching operators.
 
-# Round-12 rotation (policy above). Window = (a) the 24 entries NEW
-# or CHANGED this round — the fixed-point float-parity sweep touched
-# q_quality_classifier (the r11 red row, heads the window),
-# q_bigram_logprob/q_ccnet_buckets/q_unigram_logprob/
-# q_tfidf_top_terms/q_char_entropy (also the codepoint splitter +
-# non-BMP fixture)/q_dsir_weights/q_dsir_select/q_bleu/q_pagerank
-# (integer mass quanta)/q_bm25_topk/q_hybrid_rrf/q_ndcg/
-# q_hard_negatives/q_temperature_sample; the RFC 9309 wildcard
-# grammar touched q_robots_filter/q_robots_agent; the deterministic
-# probe key touched q_bloom_decontam; and TWENTY entries are new —
-# six from the first half (q_mix_allocation_int, q_hits, q_rouge2,
-# q_token_f1, q_cms_topk, q_robust_scale) and fourteen from the
-# second (q_rouge_l, q_cms_heavy_hitters, q_chrf, q_zorder,
-# q_corr_matrix, q_source_overlap, q_classifier_auc,
-# q_quantile_normalize, q_distinct_n, q_mrr, q_classification_report,
-# q_key_skew, q_table_diff, q_profile). Never-driver-verified entries
-# outrank everything, so the second-half fourteen push the tail of
-# this list past the 50-entry window cutoff (now after q_ta_cmo):
-# q_ta_kama, the five q_show_*, q_asof_join, q_dedup_clusters,
-# q_except, q_moving_average, q_series_join, q_subquery_having,
-# q_union_sorted, q_vector_topk slip to the r13 head (promise
-# recorded in NEXT.md; all stay oracle-verified every CI run by
-# tests/test_oracle_parity.py, and this session's local full-catalog
-# run was 164/164); (b) the 3 r08-aged entries promised this head
-# (q_limit, q_intersect, q_alert_transitions); (c) 23 of the 47
-# r09-aged entries — every one the r11 VERDICT named (q_time_iso,
+# Round-12 rotation (policy above). The window (first 50) after the
+# third-wave additions:
+#   (a) 38 NEVER-driver-verified entries — 18 from the third wave
+#       (X63-X72: q_funnel_levels, q_cohort_retention,
+#       q_sequence_count, q_ab_ttest, q_mann_whitney,
+#       q_js_divergence, q_zipf_slope, q_cohen_kappa, q_calibration,
+#       q_label_propagation, q_kneser_ney, q_cusum_alerts,
+#       q_pmi_collocations, q_markov_transitions, q_rate_anomaly,
+#       q_interarrival, q_attribution, q_dedup_containment) and 20
+#       from the first/second waves (q_hits ... q_mix_allocation_int)
+#       — never-verified outranks everything;
+#   (b) q_quality_classifier — the r11 red row, carrying the
+#       integer-fixed-point fix the driver environment must confirm;
+#   (c) 8 entries whose VALUES changed in the fixed-point sweep and
+#       whose swept stage has no in-window sibling: q_bigram_logprob,
+#       q_unigram_logprob, q_tfidf_top_terms, q_char_entropy (also
+#       the codepoint splitter), q_dsir_weights, q_bleu, q_pagerank
+#       (integer mass quanta), q_bm25_topk — plus q_robots_agent for
+#       the RFC 9309 wildcard grammar;
+#   (d) the 3 r08-aged entries promised to this head (q_limit,
+#       q_intersect, q_alert_transitions).
+# Swept entries whose changed stage IS covered by an in-window
+# sibling rotate just past the cutoff (q_ccnet_buckets shares
+# q_bigram_logprob's LM; q_dsir_select shares q_dsir_weights;
+# q_hybrid_rrf shares q_bm25_topk; q_robots_filter shares
+# q_robots_agent's compiled grammar; q_bloom_decontam's
+# deterministic-key change is behavior-invariant and unit-pinned;
+# q_ndcg/q_temperature_sample/q_hard_negatives share swept stages
+# with q_bm25_topk/q_bleu). The r09-aged cohort (q_time_iso,
 # q_tag_filter, q_name_filter, q_label_matchers, q_ts_convert,
-# q_agg_suite, the q_ta_* four, the q_show_* five) plus the eight
-# with the least in-window mechanical duplication. The 24 remaining
-# r09 entries did not fit because re-verifying CHANGED code outranks
-# rotating stable code — they head the r13 window (promise recorded
-# in NEXT.md): q_chunk_documents, q_cosine_pairs_bulk,
-# q_cumulative_sum, q_curation_verdict, q_dedup_canonical,
-# q_dedup_semantic, q_distinct_groupby, q_dup_spans,
-# q_fingerprint_stable, q_hour_bucket, q_labels_json,
-# q_multimodal_decode, q_multimodal_jpeg, q_multimodal_video,
-# q_normalize_text, q_pack_sequences, q_project_embeddings,
-# q_series_difference, q_series_difference_seg, q_simhash,
-# q_split_leakage_safe, q_time_bucket_param, q_vector_ivf,
-# q_vector_lsh. All stay oracle-verified every CI run by
-# tests/test_oracle_parity.py regardless of ordering.
+# q_agg_suite, the q_ta_* four, the q_show_* five, and the 24 listed
+# in NEXT.md) plus the 14 displaced in the second half again did not
+# fit — 56 new/changed entries competed for 50 slots; never-verified
+# and changed code outrank re-verification of UNCHANGED code whose
+# r08/r09 records remain valid. They are the PROMISED r13 head
+# (NEXT.md); all stay oracle-verified on every CI run by
+# tests/test_oracle_parity.py (full catalog at sf0.001) and by the
+# unified sf1 gate regardless of this ordering.
 
 _VERIFY_FIRST = [
-    "q_dedup_containment",
-    "q_interarrival",
-    "q_attribution",
-    "q_markov_transitions",
-    "q_rate_anomaly",
-    "q_cusum_alerts",
-    "q_pmi_collocations",
-    "q_kneser_ney",
-    "q_label_propagation",
-    "q_cohen_kappa",
-    "q_calibration",
-    "q_js_divergence",
-    "q_zipf_slope",
-    "q_ab_ttest",
-    "q_mann_whitney",
+    # (a) third-wave never-verified (18)
     "q_funnel_levels",
     "q_cohort_retention",
     "q_sequence_count",
+    "q_ab_ttest",
+    "q_mann_whitney",
+    "q_js_divergence",
+    "q_zipf_slope",
+    "q_cohen_kappa",
+    "q_calibration",
+    "q_label_propagation",
+    "q_kneser_ney",
+    "q_cusum_alerts",
+    "q_pmi_collocations",
+    "q_markov_transitions",
+    "q_rate_anomaly",
+    "q_interarrival",
+    "q_attribution",
+    "q_dedup_containment",
+    # (b) the r11 red row with its fix
     "q_quality_classifier",
+    # (a) first/second-wave never-verified (20)
     "q_hits",
     "q_cms_topk",
     "q_cms_heavy_hitters",
@@ -8329,26 +8329,31 @@ _VERIFY_FIRST = [
     "q_token_f1",
     "q_robust_scale",
     "q_mix_allocation_int",
+    # (c) fixed-point-swept, no in-window sibling (9)
     "q_bigram_logprob",
-    "q_ccnet_buckets",
     "q_unigram_logprob",
     "q_tfidf_top_terms",
     "q_char_entropy",
     "q_dsir_weights",
-    "q_dsir_select",
     "q_bleu",
     "q_pagerank",
     "q_bm25_topk",
-    "q_hybrid_rrf",
-    "q_ndcg",
-    "q_hard_negatives",
-    "q_temperature_sample",
-    "q_robots_filter",
     "q_robots_agent",
-    "q_bloom_decontam",
+    # (d) the promised r08-aged trio
     "q_limit",
     "q_intersect",
     "q_alert_transitions",
+    # --- 50-entry window cutoff ---
+    # swept entries covered by in-window siblings, then the aged
+    # cohort (promised r13 head, see NEXT.md)
+    "q_ccnet_buckets",
+    "q_dsir_select",
+    "q_hybrid_rrf",
+    "q_robots_filter",
+    "q_bloom_decontam",
+    "q_ndcg",
+    "q_hard_negatives",
+    "q_temperature_sample",
     "q_time_iso",
     "q_tag_filter",
     "q_name_filter",
