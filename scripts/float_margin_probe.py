@@ -132,6 +132,30 @@ def main() -> None:
         4,
     )
 
+    # round-12 third wave: the four new transcendental-bearing ops
+    out["js_divergence@6dp"] = grid_margin(
+        [r[0] for r in text.js_divergence(docs, round_to=12).select("js").collect()], 6
+    )
+    zf = text.zipf_slope(docs, round_to=12).select("slope", "intercept").collect()
+    out["zipf_slope@6dp"] = grid_margin([r[0] for r in zf], 6)
+    out["zipf_intercept@6dp"] = grid_margin([r[1] for r in zf], 6)
+    out["kneser_ney@4dp"] = grid_margin(
+        [
+            r[0]
+            for r in text.kneser_ney_logprob(docs, round_to=9)
+            .select("kn_neg_logprob")
+            .collect()
+        ],
+        4,
+    )
+    out["pmi@6dp"] = grid_margin(
+        [
+            r[0]
+            for r in text.pmi_collocations(docs, round_to=12).select("pmi").collect()
+        ],
+        6,
+    )
+
     # ---- tier 2: call-site quantization margins ----
     from cflux_spark.extensions.classifier import hashed_doc_features
     from cflux_spark.extensions.text import bigram_logprob  # noqa: F401 (documented pairing)
