@@ -240,3 +240,111 @@ def test_merge_series_grid_conserves_values(data, desc, limit, offset):
     lo = offset or 0
     hi = lo + limit if limit is not None else None
     assert se["values"] == full["values"][lo:hi]
+
+
+# ------------------------------------------------ behavioral identities
+# The round-12 behavioral operators rest on three closed-form
+# identities (extensions/behavior.py, extensions/stats.py). The Spark
+# implementations are direct transcriptions; these properties verify
+# the IDENTITIES themselves against brute force over random inputs
+# (pure Python — no SparkSession, milliseconds per case).
+
+
+@given(
+    st.lists(st.sampled_from("abx"), min_size=0, max_size=14),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=300, deadline=None)
+def test_funnel_max_chain_start_dp_equals_brute_force(seq, window):
+    """window_funnel's DP (carry the MAX valid chain-start time) must
+    equal the brute-force 'exists an ordered chain within window'
+    level, for 3 steps over all event orderings. Times = indices."""
+    steps = ["a", "b", "x"]
+
+    # brute force: max k such that i1 < i2 < ... < ik with matching
+    # steps and t_k - t_1 <= window
+    def brute():
+        best = 0
+        n = len(seq)
+
+        def extend(level, last_i, start_i):
+            nonlocal best
+            best = max(best, level)
+            if level == 3:
+                return
+            for j in range(last_i + 1, n):
+                if seq[j] == steps[level] and (
+                    level == 0 or j - start_i <= window
+                ):
+                    extend(level + 1, j, j if level == 0 else start_i)
+
+        extend(0, -1, -1)
+        return best
+
+    # the DP from behavior.window_funnel
+    b = [None, None]  # best chain start for levels 1, 2 (strictly prior)
+    reached = [False, False, False]
+    c_prev = [None, None, None]  # c_i computed at each event, applied after
+    for i, e in enumerate(seq):
+        c1 = i if e == "a" else None
+        c2 = b[0] if (e == "b" and b[0] is not None and i - b[0] <= window) else None
+        c3 = b[1] if (e == "x" and b[1] is not None and i - b[1] <= window) else None
+        if c1 is not None:
+            reached[0] = True
+        if c2 is not None:
+            reached[1] = True
+        if c3 is not None:
+            reached[2] = True
+        # update strict-prior maxima AFTER evaluating this event
+        if c1 is not None:
+            b[0] = c1 if b[0] is None else max(b[0], c1)
+        if c2 is not None:
+            b[1] = c2 if b[1] is None else max(b[1], c2)
+    level = sum(1 for r in reached if r)
+    assert level == brute()
+
+
+@given(st.lists(st.sampled_from("abz"), min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_sequence_count_bracket_identity(seq):
+    """Greedy disjoint a→b pairing equals Σb − max(0, max prefix
+    (b_t − a_t)) — the bracket-matching identity sequence_count
+    compiles to window functions."""
+    # greedy simulator
+    open_a, pairs = 0, 0
+    for e in seq:
+        if e == "a":
+            open_a += 1
+        elif e == "b":
+            if open_a > 0:
+                open_a -= 1
+                pairs += 1
+    # closed form
+    a = b = 0
+    worst = 0
+    for e in seq:
+        a += e == "a"
+        b += e == "b"
+        worst = max(worst, b - a)
+    assert pairs == (b - max(0, worst))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_cusum_prefix_min_identity(counts, k):
+    """The sequential CUSUM recurrence s_t = max(0, s_{t-1} + y_t)
+    equals C_t − min(0, min prefix C_j) — the closed form
+    cusum_alerts compiles to window functions."""
+    s, seq = 0, []
+    for c in counts:
+        s = max(0, s + c - k)
+        seq.append(s)
+    cum, mn, closed = 0, 0, []
+    for c in counts:
+        cum += c - k
+        mn = min(mn, cum)
+        closed.append(cum - min(0, mn))
+    assert seq == closed
