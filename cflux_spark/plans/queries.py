@@ -7721,8 +7721,9 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_calibration",
     r"""
     WITH p AS (
-      SELECT doc_id, (doc_id * 2654435761) % 1000 AS m,
-             CASE WHEN (doc_id * 48271) % 1000 < (doc_id * 2654435761) % 1000
+      SELECT doc_id, ((doc_id % 100000) * 2654435761) % 1000 AS m,
+             CASE WHEN ((doc_id % 100000) * 48271) % 1000
+                       < ((doc_id % 100000) * 2654435761) % 1000
                   THEN 1 ELSE 0 END AS lab
       FROM documents
     ),
@@ -7750,15 +7751,16 @@ def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration_report)."""
     from cflux_spark.extensions.evaluation import calibration_report
 
+    # doc_id is reduced mod 1e5 BEFORE the hash multiply: sf1 replica
+    # ids carry +i*1e9 offsets and the raw product overflows int64
+    # under ANSI (caught by the sf1 gate)
+    did = F.col("doc_id") % 100000
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (((F.col("doc_id") * F.lit(2654435761)) % 1000) / F.lit(1000.0)).alias(
-            "score"
+        (((did * F.lit(2654435761)) % 1000) / F.lit(1000.0)).alias("score"),
+        (((did * 48271) % 1000) < ((did * F.lit(2654435761)) % 1000)).alias(
+            "label"
         ),
-        (
-            ((F.col("doc_id") * 48271) % 1000)
-            < ((F.col("doc_id") * F.lit(2654435761)) % 1000)
-        ).alias("label"),
     )
     return calibration_report(docs, "score", "label")
 
