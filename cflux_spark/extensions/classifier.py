@@ -99,6 +99,7 @@ def train_nb_weights(
     id_col: str = "doc_id",
     label_col: str = "label",
     n_buckets: int = 256,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Closed-form NB training: returns ``(weights, prior)`` —
     weights a (bucket, w_fixed) frame over every bucket either class
@@ -112,12 +113,21 @@ def train_nb_weights(
     site — the model never touches the driver.
 
     ``label`` is 1/0 (truthy cast to double). Gradient-free: one gram
-    explosion over the exemplars, two class histograms, arithmetic."""
+    explosion over the exemplars, two class histograms, arithmetic.
+
+    ``features`` optionally supplies a precomputed
+    :func:`hashed_doc_features` frame COVERING the labeled docs (e.g.
+    the whole-corpus features the score pass needs anyway); the label
+    join restricts it to the exemplars, so the exemplar text is not
+    re-tokenized — the histogram is identical either way because
+    featurization is per-document."""
     y = labeled.select(
         F.col(id_col).alias("doc_id"),
         (F.col(label_col).cast("double") > 0).alias("_pos"),
     )
-    occ = hashed_doc_features(labeled, text_col, id_col, n_buckets).join(y, "doc_id")
+    if features is None:
+        features = hashed_doc_features(labeled, text_col, id_col, n_buckets)
+    occ = features.join(y, "doc_id")
     hist = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(F.lit(0))).alias("cp"),
         F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(F.lit(0))).alias("cn"),
@@ -158,9 +168,13 @@ def score_quality(
     id_col: str = "doc_id",
     n_buckets: int = 256,
     round_to: int = 4,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under trained NB weights: one broadcast
-    weight join onto the hashed features, one doc-keyed aggregation.
+    weight join onto the hashed features (``features`` optionally
+    supplies a precomputed :func:`hashed_doc_features` frame so a
+    pipeline that already built it — e.g. for training — does not
+    re-tokenize the corpus), one doc-keyed aggregation.
     Output: (doc_id, n_grams, log_odds, score, keep) with
     log_odds = (bias_fixed + Σ cnt·w_fixed) / FIXED_SCALE — an EXACT
     integer dot product divided once, so the value is bit-identical
@@ -170,7 +184,11 @@ def score_quality(
     log_odds/keep, never score); keep = log_odds_fixed ≥ 0. Docs with
     zero grams carry no row (unfeaturizable — same contract as the
     DSIR weight tier)."""
-    feats = hashed_doc_features(df, text_col, id_col, n_buckets)
+    feats = (
+        features
+        if features is not None
+        else hashed_doc_features(df, text_col, id_col, n_buckets)
+    )
     joined = feats.join(F.broadcast(weights), "bucket", "left").crossJoin(
         F.broadcast(prior)
     )
@@ -211,10 +229,23 @@ def ccnet_quality_filter(
     the NB model on those exemplars, then score EVERY document —
     middle tier included; generalizing beyond the bootstrap labels is
     the point of the classifier.
-    Output: (doc_id, n_grams, log_odds, score, keep)."""
+    Output: (doc_id, n_grams, log_odds, score, keep).
+
+    Round-12 optimization (guide §2.4 — remove recomputed passes):
+    the corpus text is tokenized/hashed ONCE. ``lm`` is persisted
+    because :func:`perplexity_buckets` both collects its domain at
+    build time AND replays it inside the final plan (the old shape
+    ran the whole bigram LM twice); the md5 feature frame is persisted
+    and shared between training (restricted to the exemplars by a
+    label join — exactly the oracle's ``feat JOIN train`` structure,
+    identical histograms because featurization is per-document) and
+    corpus-wide scoring (the old shape re-tokenized the exemplar text
+    AND the corpus — three gram explosions; now one). Caches are
+    doc-keyed aggregates (≪ corpus text); the caller/session owns
+    `.unpersist()` — the graph.pagerank contract."""
     from cflux_spark.extensions.text import bigram_logprob, perplexity_buckets
 
-    lm = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam)
+    lm = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam).persist()
     tiers = perplexity_buckets(lm)
     labels = tiers.filter(F.col("bucket").isin("head", "tail")).select(
         F.col("doc_id").alias(id_col),
@@ -223,13 +254,21 @@ def ccnet_quality_filter(
         ),
     )
     labeled = docs.join(labels, id_col)
+    feats = hashed_doc_features(docs, text_col, id_col, n_buckets).persist()
     weights, prior = train_nb_weights(
         labeled,
         text_col=text_col,
         id_col=id_col,
         label_col="label",
         n_buckets=n_buckets,
+        features=feats,
     )
     return score_quality(
-        docs, weights, prior, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        docs,
+        weights,
+        prior,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        features=feats,
     )

@@ -40,21 +40,32 @@ def _toks(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), " "), lambda x: x != F.lit(""))
 
 
-def _gram_rows(
-    df: DataFrame, id_col: str, text_col: str, max_n: int, min_n: int = 1
+def _gram_rows_sided(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int,
+    min_n: int = 1,
 ) -> DataFrame:
-    """(id, n, gram, cnt) counts for n = min_n..max_n. The token array
-    is materialized in its own projection before any lambda references
-    it (no CSE across HOF lambda boundaries — the text_stats
-    lesson)."""
-    base = df.select(F.col(id_col).alias("_id"), _toks(F.col(text_col)).alias("_toks"))
-    t = F.col("_toks")
+    """(id, n, gram, c_cnt, r_cnt) counts over BOTH sides of a pair in
+    ONE pass (round-12 optimization, guide §2.3/§2.4): the candidate
+    and reference gram streams melt into a single explosion tagged by
+    side, and one (_id, n, gram) aggregation pivots the side tag into
+    the two count columns — replacing the old two-aggregate +
+    shuffle-join shape (two Exchanges + an SMJ) with a single
+    Exchange. Counts are 0 (never null) for a side that lacks the
+    gram; every output row has c_cnt + r_cnt ≥ 1. Value-identical to
+    joining two per-side (id, n, gram, cnt) aggregates — filtering
+    c_cnt > 0 / r_cnt > 0 / both recovers the left / right / inner
+    join variants."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _toks(F.col(cand_col)).alias("_ctoks"),
+        _toks(F.col(ref_col)).alias("_rtoks"),
+    )
 
-    def gram_array(n: int) -> Column:
-        # n captured by closure, NOT a lambda default — pyspark infers
-        # the HOF lambda's arity from its parameter list, so a bound
-        # default would be mistaken for the index argument. element_at
-        # is 1-based.
+    def gram_array(t: Column, n: int) -> Column:
         return F.when(
             F.size(t) >= n,
             F.transform(
@@ -65,22 +76,37 @@ def _gram_rows(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    per_n = [gram_array(n).alias(f"_g{n}") for n in range(min_n, max_n + 1)]
-    wide = base.select("_id", *per_n)
+    orders = range(min_n, max_n + 1)
+    wide = base.select(
+        "_id",
+        *[gram_array(F.col("_ctoks"), n).alias(f"_c{n}") for n in orders],
+        *[gram_array(F.col("_rtoks"), n).alias(f"_r{n}") for n in orders],
+    )
     stacked = wide.select(
         "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(n).alias("n"), F.col(f"_g{n}").alias("grams")
+                        F.lit(n).alias("n"),
+                        F.lit(side).alias("side"),
+                        F.col(f"_{side}{n}").alias("grams"),
                     )
-                    for n in range(min_n, max_n + 1)
+                    for n in orders
+                    for side in ("c", "r")
                 ]
             )
         ).alias("s"),
-    ).select("_id", F.col("s.n").alias("n"), F.explode("s.grams").alias("gram"))
-    return stacked.groupBy("_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    ).select(
+        "_id",
+        F.col("s.n").alias("n"),
+        F.col("s.side").alias("side"),
+        F.explode("s.grams").alias("gram"),
+    )
+    return stacked.groupBy("_id", "n", "gram").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("c_cnt"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("r_cnt"),
+    )
 
 
 def bleu_scores(
@@ -96,14 +122,17 @@ def bleu_scores(
 
     A pair whose candidate has no tokens, or zero unigram overlap with
     its reference, scores bleu = 0.0 (kept as a row — an evaluation
-    that silently drops failures overstates the corpus mean)."""
-    cg = _gram_rows(pairs, id_col, cand_col, max_n).withColumnRenamed("cnt", "c_cnt")
-    rg = _gram_rows(pairs, id_col, ref_col, max_n).withColumnRenamed("cnt", "r_cnt")
-    joined = cg.join(rg, ["_id", "n", "gram"], "left")
+    that silently drops failures overstates the corpus mean).
+
+    Both sides' grams are counted in ONE pass (:func:`_gram_rows_sided`
+    — round-12: one Exchange where the per-side count + join shape had
+    three); restricting to c_cnt > 0 reproduces the old left join's
+    candidate-gram rows exactly."""
+    joined = _gram_rows_sided(pairs, id_col, cand_col, ref_col, max_n).filter(
+        F.col("c_cnt") > 0
+    )
     per_n = joined.groupBy("_id", "n").agg(
-        F.sum(F.least(F.col("c_cnt"), F.coalesce(F.col("r_cnt"), F.lit(0)))).alias(
-            "clipped"
-        ),
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt"))).alias("clipped"),
         F.sum("c_cnt").alias("total"),
     )
     # smoothed log-precision: n=1 unsmoothed (null when clipped=0 —
@@ -173,16 +202,12 @@ def rouge_n_scores(
     Scale shape: identical to BLEU's — gram expansion map-only inside
     the token array, counting shuffles on the (pair, gram) key, one
     pair-keyed reduction. Output: (id, ref_grams, matched, rouge_n)."""
-    cg = _gram_rows(pairs, id_col, cand_col, n, min_n=n)
-    rg = _gram_rows(pairs, id_col, ref_col, n, min_n=n)
-    joined = rg.withColumnRenamed("cnt", "r_cnt").join(
-        cg.withColumnRenamed("cnt", "c_cnt"), ["_id", "n", "gram"], "left"
+    joined = _gram_rows_sided(pairs, id_col, cand_col, ref_col, n, min_n=n).filter(
+        F.col("r_cnt") > 0
     )
     agg = joined.groupBy("_id").agg(
         F.sum("r_cnt").alias("ref_grams"),
-        F.sum(F.least(F.col("r_cnt"), F.coalesce(F.col("c_cnt"), F.lit(0)))).alias(
-            "matched"
-        ),
+        F.sum(F.least(F.col("r_cnt"), F.col("c_cnt"))).alias("matched"),
     )
     base = pairs.select(F.col(id_col).alias("_id"))
     return (
@@ -200,42 +225,62 @@ def rouge_n_scores(
     )
 
 
-def _char_gram_rows(
-    df: DataFrame, id_col: str, text_col: str, max_n: int
+def _char_gram_rows_sided(
+    df: DataFrame, id_col: str, cand_col: str, ref_col: str, max_n: int
 ) -> DataFrame:
-    """(id, n, gram, cnt) CHARACTER n-gram counts for n = 1..max_n
-    over the whitespace-stripped text (the chrF convention — sacrebleu
-    removes all whitespace before char-gram extraction). Grams build
-    inside the string by indexed substr — map-only, no self-join."""
+    """Two-sided CHARACTER n-gram counts in one pass: (id, n, gram,
+    c_cnt, r_cnt), zeros for the absent side — the char twin of
+    :func:`_gram_rows_sided` (round-12: single Exchange instead of two
+    aggregates + a full outer join)."""
     base = df.select(
         F.col(id_col).alias("_id"),
-        F.regexp_replace(F.col(text_col), r"\s+", "").alias("_s"),
+        F.regexp_replace(F.col(cand_col), r"\s+", "").alias("_cs"),
+        F.regexp_replace(F.col(ref_col), r"\s+", "").alias("_rs"),
     )
-    per_n = [
-        F.when(
-            F.length("_s") >= n,
-            F.expr(
-                f"transform(sequence(1, char_length(_s) - {n} + 1),"
-                f" i -> substr(_s, i, {n}))"
-            ),
+
+    def gram_array(col: str, n: int):
+        return (
+            F.when(
+                F.length(col) >= n,
+                F.expr(
+                    f"transform(sequence(1, char_length({col}) - {n} + 1),"
+                    f" i -> substr({col}, i, {n}))"
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias(f"_g{n}")
-        for n in range(1, max_n + 1)
-    ]
-    wide = base.select("_id", F.length("_s").alias("_chars"), *per_n)
+
+    orders = range(1, max_n + 1)
+    wide = base.select(
+        "_id",
+        *[gram_array("_cs", n).alias(f"_c{n}") for n in orders],
+        *[gram_array("_rs", n).alias(f"_r{n}") for n in orders],
+    )
     stacked = wide.select(
         "_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(n).alias("n"), F.col(f"_g{n}").alias("grams"))
-                    for n in range(1, max_n + 1)
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.lit(side).alias("side"),
+                        F.col(f"_{side}{n}").alias("grams"),
+                    )
+                    for n in orders
+                    for side in ("c", "r")
                 ]
             )
         ).alias("s"),
-    ).select("_id", F.col("s.n").alias("n"), F.explode("s.grams").alias("gram"))
-    return stacked.groupBy("_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    ).select(
+        "_id",
+        F.col("s.n").alias("n"),
+        F.col("s.side").alias("side"),
+        F.explode("s.grams").alias("gram"),
+    )
+    return stacked.groupBy("_id", "n", "gram").agg(
+        F.sum(F.when(F.col("side") == "c", 1).otherwise(0)).alias("c_cnt"),
+        F.sum(F.when(F.col("side") == "r", 1).otherwise(0)).alias("r_cnt"),
+    )
 
 
 def chrf_scores(
@@ -272,22 +317,11 @@ def chrf_scores(
     ref_chars, chrf)."""
     from cflux_spark.functions.parity import FIXED_SCALE_LOG, fixed_log
 
-    cg = _char_gram_rows(pairs, id_col, cand_col, max_n).withColumnRenamed(
-        "cnt", "c_cnt"
-    )
-    rg = _char_gram_rows(pairs, id_col, ref_col, max_n).withColumnRenamed(
-        "cnt", "r_cnt"
-    )
-    joined = cg.join(rg, ["_id", "n", "gram"], "full")
+    joined = _char_gram_rows_sided(pairs, id_col, cand_col, ref_col, max_n)
     per_n = joined.groupBy("_id", "n").agg(
-        F.sum(
-            F.least(
-                F.coalesce(F.col("c_cnt"), F.lit(0)),
-                F.coalesce(F.col("r_cnt"), F.lit(0)),
-            )
-        ).alias("m"),
-        F.sum(F.coalesce(F.col("c_cnt"), F.lit(0))).alias("c_tot"),
-        F.sum(F.coalesce(F.col("r_cnt"), F.lit(0))).alias("r_tot"),
+        F.sum(F.least(F.col("c_cnt"), F.col("r_cnt"))).alias("m"),
+        F.sum("c_cnt").alias("c_tot"),
+        F.sum("r_cnt").alias("r_tot"),
     )
     b2 = float(beta) * float(beta)
     p = F.col("m") / F.col("c_tot")
@@ -580,12 +614,12 @@ def token_f1_scores(
     Both sides empty scores 1.0 (two empty answers agree — the SQuAD
     convention); one side empty scores 0.0.
 
-    Scale: one (pair, token) counting shuffle per side + one
-    pair-keyed reduction. Output: (id, cand_len, ref_len, overlap,
-    f1)."""
-    cg = _gram_rows(pairs, id_col, cand_col, 1).withColumnRenamed("cnt", "c_cnt")
-    rg = _gram_rows(pairs, id_col, ref_col, 1).withColumnRenamed("cnt", "r_cnt")
-    joined = cg.join(rg, ["_id", "n", "gram"], "inner")
+    Scale: ONE two-sided (pair, token) counting shuffle
+    (:func:`_gram_rows_sided`) + one pair-keyed reduction. Output:
+    (id, cand_len, ref_len, overlap, f1)."""
+    joined = _gram_rows_sided(pairs, id_col, cand_col, ref_col, 1).filter(
+        (F.col("c_cnt") > 0) & (F.col("r_cnt") > 0)
+    )
     ov = joined.groupBy("_id").agg(
         F.sum(F.least(F.col("c_cnt"), F.col("r_cnt"))).alias("overlap")
     )

@@ -76,6 +76,15 @@ def pagerank(
     truncation (scripts/pagerank_convergence_probe.py, round 12).
     Anything beyond the contracted 3 iterations should set it; the
     knob is value-invariant (unit-pinned)."""
+    # Loop-invariant frames are computed ONCE and persisted (round-12
+    # optimization, guide §2.4): the old shape re-ran the edge
+    # distinct, the outdeg aggregation, and the dangling anti-join
+    # lineage inside EVERY iteration's step-barrier job. ``edeg``
+    # (edges with out-degree attached) is the per-iteration join's
+    # left side — cached already partitioned by src, so each iteration
+    # shuffles only the node-sized rank frame; ``dang_nodes`` (the
+    # no-out-link node set) turns the per-iteration anti-join into a
+    # node-sized semi-join against a cached frame.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
@@ -87,6 +96,10 @@ def pagerank(
     )
     n1 = nodes.agg(F.count("*").alias("_n"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    edeg = e.join(outdeg, "src").persist()
+    dang_nodes = nodes.join(
+        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
     scale = F.lit(float(RANK_SCALE))
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", F.round(scale / F.col("_n")).cast("long").alias("rankf")
@@ -97,8 +110,7 @@ def pagerank(
         # exact longs, re-quantized — the Σ below is exact integer
         # arithmetic, order-independent under any shuffle
         contrib = (
-            e.join(outdeg, "src")
-            .join(ranks.select(F.col("node").alias("src"), "rankf"), "src")
+            edeg.join(ranks.select(F.col("node").alias("src"), "rankf"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.sum(F.round(F.col("rankf") / F.col("_deg")).cast("long")).alias(
@@ -107,7 +119,7 @@ def pagerank(
             )
         )
         dangling = (
-            ranks.join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+            ranks.join(dang_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rankf"), F.lit(0)).cast("long").alias("_dangf"))
         )
         nxt = (
@@ -142,6 +154,8 @@ def pagerank(
         ranks.unpersist()
         ranks = nxt
     nodes.unpersist()
+    edeg.unpersist()
+    dang_nodes.unpersist()
     return ranks.select(
         "node", F.round(F.col("rankf") / scale, round_to).alias("rank")
     )
@@ -179,9 +193,13 @@ def hits(
     Output: (node, authority, hub), each rounded to ``round_to``;
     Σ authority ≈ Σ hub ≈ 1. Nodes = distinct endpoints; duplicate
     edges count once."""
+    # the deduped edge frame feeds BOTH half-steps of every iteration
+    # (2·iterations joins) plus the node derivation — persist it once
+    # instead of re-running the distinct inside every eager
+    # checkpoint's job (round-12, guide §2.4)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -235,6 +253,7 @@ def hits(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return (
         nodes.join(auths, "node", "left")
         .join(hubs, "node", "left")
@@ -283,7 +302,14 @@ def label_propagation(
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # the undirected view joins against labels EVERY sweep — persist
+    # it once instead of re-running the union+distinct inside every
+    # iteration's step-barrier job (round-12, guide §2.4)
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
     labels = nodes.select("node", F.col("node").alias("lab")).persist()
     w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("lab").asc())
@@ -307,4 +333,5 @@ def label_propagation(
         labels.unpersist()
         labels = nxt
     nodes.unpersist()
+    und.unpersist()
     return labels.select("node", F.col("lab").alias("community"))

@@ -389,10 +389,17 @@ def bigram_logprob(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
+    # the (doc, tok, prev) occurrence stream feeds FIVE subtrees of
+    # the final plan (the unigram/bigram aggregates, the up/total
+    # derivations, and the scoring probe), each of which would re-run
+    # the tokenize+explode pass — persist it once (round-12, guide
+    # §2.4; the session/caller owns eventual unpersist — the pagerank
+    # contract). ``uni`` likewise feeds three subtrees and is
+    # vocabulary-sized, so caching it is nearly free.
     rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    )
-    uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
+    ).persist()
+    uni = rows.groupBy("tok").agg(F.count("*").alias("n")).persist()
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
         rows.filter(F.col("prev").isNotNull())
@@ -552,30 +559,37 @@ def winnow_fingerprints(
     Output: (doc_id, fp_pos, fp_hash), distinct per doc. Documents
     shorter than k + w − 1 tokens yield none (no full window).
 
-    One doc-partitioned window pass, no self-join: the rightmost-min
-    rule is lexicographic min over (hash, −position), which packs into
-    a single sortable long — key = h·2²³ + (2²³ − 1 − j) with h a
-    36-bit md5-derived hash — so ``min(key)`` over the trailing window
+    MAP-ONLY, no self-join, no sort (round-12 optimization, guide
+    §2.4): the rightmost-min rule is lexicographic min over
+    (hash, −position), which packs into a single sortable long —
+    key = h·2²³ + (2²³ − 1 − j) with h a 36-bit md5-derived hash — so
+    ``array_min`` over each trailing w-slice of the per-doc key array
     IS the winnowing selection (min hash, rightmost position on ties),
-    decoded back by integer div/mod. Valid for documents up to 2²³
+    decoded back by shift/mask. The old shape exploded every gram
+    position into rows and ran a doc-partitioned running-min window +
+    a distinct — a per-doc sort of the full gram sequence plus a
+    corpus-fingerprint-sized hash aggregate; the sliding min is
+    instead computed INSIDE the token array (O(w) per position,
+    w = 4) and the per-doc dedup by ``array_distinct`` before the
+    explode, so the only remaining exchange is the parallelism
+    repartition of doc-level rows. Valid for documents up to 2²³
     grams (8.4M tokens); hash ties across DIFFERENT grams inside one
     window only affect which position is recorded, identically in
     engine and oracle (same integer arithmetic both sides)."""
     toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
-    # The downstream window shuffles on doc_id anyway — hoisting that
-    # exchange ABOVE the gram build (repartition doc-level rows, then
-    # explode) keeps the shuffle count at one while running the
-    # expensive per-gram slice+md5 work at full parallelism even off a
-    # single-file scan, and the shuffled rows are doc-level (smaller
-    # than the exploded gram rows the window would otherwise move).
+    # repartition doc-level rows so the per-gram md5 work runs at full
+    # parallelism even off a single-file scan (the rows moved are
+    # doc-level — cheaper than any post-explode exchange would be)
     base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")).repartition(
         F.col("doc_id")
     )
     t = F.col("_toks")
     # guard: sequence(0, n) counts DOWN for n < 0 (docs shorter than k
-    # tokens would produce negative slice starts); the token array is
-    # materialized above so the lambda's slice() reads an attribute,
-    # not a re-evaluated split (O(n²) otherwise — the text_stats lesson)
+    # tokens would produce negative slice starts); each array is
+    # materialized in its own projection before the next lambda
+    # references it — an expression referenced inside a HOF lambda is
+    # re-evaluated per element (no CSE across lambda boundaries, the
+    # text_stats lesson)
     grams = F.when(
         F.size(t) >= k,
         F.transform(
@@ -583,36 +597,38 @@ def winnow_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # NO pre-explode size filter: Catalyst pushes such a predicate
-    # below the projections, inlining (and re-evaluating) the whole
-    # gram transform inside the filter — measured 7.6 s → 1.3 s on the
-    # sf0.1 gram build. It is also redundant: docs with fewer than w
-    # grams never produce a full window (the j >= w−1 filter below).
     j_space = 1 << 23
-    rows = (
-        base.select("doc_id", grams.alias("_g"))
-        .select("doc_id", F.posexplode("_g").alias("j", "gram"))
-        .select(
-            "doc_id",
-            "j",
-            (
-                F.conv(F.substring(F.md5("gram"), 1, 9), 16, 10).cast("long")
-                * F.lit(j_space)
-                + (F.lit(j_space - 1) - F.col("j"))
-            ).alias("_key"),
-        )
+    keys = F.transform(
+        F.col("_g"),
+        lambda x, i: F.conv(F.substring(F.md5(x), 1, 9), 16, 10).cast("long")
+        * F.lit(j_space)
+        + (F.lit(j_space - 1) - i),
     )
-    win = Window.partitionBy("doc_id").orderBy("j").rowsBetween(-(w - 1), 0)
-    sel = rows.withColumn("_mink", F.min("_key").over(win)).filter(F.col("j") >= w - 1)
+    # trailing-window min per 1-based position jj = w..|keys|: the
+    # first full window ends at gram index w−1 (0-based) — identical
+    # coverage to the old j ≥ w−1 filter
+    sel = F.when(
+        F.size(F.col("_k")) >= w,
+        F.transform(
+            F.sequence(F.lit(w), F.size(F.col("_k"))),
+            lambda jj: F.array_min(F.slice(F.col("_k"), jj - (w - 1), w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    picked = (
+        base.select("doc_id", grams.alias("_g"))
+        .select("doc_id", keys.alias("_k"))
+        .select("doc_id", sel.alias("_s"))
+        .select("doc_id", F.explode(F.array_distinct("_s")).alias("_mink"))
+    )
     # decode with shift/mask (integer-exact — a double division would
     # lose bits above 2^53)
-    return sel.select(
+    return picked.select(
         "doc_id",
         (F.lit(j_space - 1) - F.col("_mink").bitwiseAND(F.lit(j_space - 1)))
         .cast("int")
         .alias("fp_pos"),
         F.shiftright(F.col("_mink"), 23).alias("fp_hash"),
-    ).distinct()
+    )
 
 
 # Portable PII patterns (valid under both Java regex and RE2, global
@@ -1244,16 +1260,20 @@ def kneser_ney_logprob(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
+    # persist the shared frames (round-12, guide §2.4): ``rows`` feeds
+    # the unigram aggregate, the bigram aggregate, and the scoring
+    # probe; ``big`` feeds ctx/back/btypes AND the scoring join — four
+    # subtrees that would each re-run the whole explosion otherwise
     rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    )
+    ).persist()
     uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
         rows.filter(F.col("prev").isNotNull())
         .groupBy("prev", "tok")
         .agg(F.count("*").alias("n2"))
-    )
+    ).persist()
     ctx = big.groupBy("prev").agg(
         F.sum("n2").alias("n_ctx"), F.count("*").alias("n1f")
     )
@@ -1330,9 +1350,11 @@ def pmi_collocations(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
+    # rows feeds the unigram and bigram aggregates (plus the total
+    # derivation) — persist once (round-12, guide §2.4)
     rows = base.select(F.explode(pairs).alias("p")).select(
         F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    )
+    ).persist()
     uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
