@@ -169,11 +169,17 @@ def minhash_signatures(
     the i-th function is then derived by hashing the (fixed-width)
     base long with the index — 64 long-hashes per shingle instead of
     64 string-hashes, all inside whole-stage codegen. One groupBy with
-    map-side partial min keeps the shuffle at one row per doc."""
+    map-side partial min keeps the shuffle at one row per doc.
+
+    The 64 aggregate expressions build as SQL strings (round-12,
+    guide §7.3 "planning time itself can become the bottleneck"): the
+    nested-Column construction paid ~4 py4j round-trips per hash —
+    hundreds of driver RPCs before a single task ran; one parsed
+    string per aggregate is ~4× cheaper to construct, byte-identical
+    in semantics (int literals stay INT, so xxhash64 seeds hash the
+    same types)."""
     based = sh.withColumn("_base", F.xxhash64("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    aggs = [F.expr(f"min(xxhash64(_base, {i})) AS h{i}") for i in range(num_hashes)]
     return based.groupBy(id_col).agg(*aggs)
 
 
@@ -184,17 +190,19 @@ def _band_stack(sig: DataFrame, num_hashes: int, bands: int, id_col: str) -> Dat
     codegen — a map over the signature frame, no shuffle."""
     rows_per_band = num_hashes // bands
     band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band{b}"
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f") AS band{b}"
         )
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
+    structs = ", ".join(
+        f"struct({b} AS band_id, band{b} AS bh)" for b in range(bands)
+    )
     return banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh")) for b in range(bands)])
-        ).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({structs})) AS bb")
     ).select(F.col(id_col), F.col("bb.band_id"), F.col("bb.bh"))
 
 
@@ -228,10 +236,17 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # estimate similarity from full signatures for the surviving pairs
-    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
-    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
-    matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_hashes)
+    # (selectExpr strings + one parsed match-count expression — the
+    # minhash_signatures py4j-cost note applies to these 64-wide
+    # projections too)
+    sa = sig.selectExpr(
+        f"{id_col} AS id_a", *[f"h{i} AS a{i}" for i in range(num_hashes)]
+    )
+    sb = sig.selectExpr(
+        f"{id_col} AS id_b", *[f"h{i} AS b{i}" for i in range(num_hashes)]
+    )
+    matches = F.expr(
+        " + ".join(f"CAST((a{i} = b{i}) AS INT)" for i in range(num_hashes))
     )
     return (
         cand.join(sa, "id_a")
@@ -414,19 +429,23 @@ def simhash(
         # majority vote per bit via ones-count: vote_i > 0 ⇔ 2·ones_i > n.
         # Plain sums of extracted bits (no conditionals) keep the 64 agg
         # expressions inside whole-stage codegen; map-side partial agg
-        # shrinks the shuffle to 65 longs per doc.
+        # shrinks the shuffle to 65 longs per doc. The 64 aggregates and
+        # the 64-term fingerprint reconstruction build as SQL strings
+        # (round-12, guide §7.3): the nested-Column construction spent
+        # ~1.3 s of DRIVER time per call on py4j round-trips before any
+        # task ran — measured 2.3 s → 0.85 s end-to-end at sf0.1,
+        # bit-identical output.
         votes = toks.groupBy(id_col).agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"b{i}") for i in range(bits)],
+            F.expr("count(*) AS _n"),
+            *[F.expr(f"sum(shiftright(_h, {i}) & 1) AS b{i}") for i in range(bits)],
         )
-        # shiftleft (not lit(1 << i)) — 1 << 63 overflows a Python->JVM long
-        fp = sum(
-            F.when(
-                F.col(f"b{i}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
+        # shiftleft (not a 1 << i literal) — 1 << 63 overflows a long
+        fp = " + ".join(
+            f"(CASE WHEN b{i} * 2 > _n THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
             for i in range(bits)
         )
-        return votes.select(F.col(id_col), fp.alias("simhash"))
+        return votes.select(F.col(id_col), F.expr(fp).alias("simhash"))
 
     lanes = 3
     lane_w = 21
@@ -639,24 +658,27 @@ def hamming_near_pairs(
             "lower n_blocks"
         )
 
-    def block(i: int):
+    def block(i: int) -> str:
         mask = (1 << widths[i]) - 1
         # arithmetic shiftright sign-extends, but the mask truncates to
         # the block width — equivalent to a logical shift
-        return F.shiftright(F.col(fp_col), offsets[i]).bitwiseAND(F.lit(mask))
+        return f"(shiftright({fp_col}, {offsets[i]}) & {mask})"
 
+    # band keys as SQL strings (round-12, guide §7.3 — the py4j-chatter
+    # note on minhash_signatures; semantics unchanged: INT literals,
+    # BIGINT fingerprint arithmetic)
     band_structs = []
     for band_id, combo in enumerate(combos):
-        key = F.lit(0).cast("long")
+        key = "CAST(0 AS BIGINT)"
         pos = 0
         for blk in combo:
-            key = key.bitwiseOR(F.shiftleft(block(blk), pos))
+            key = f"({key} | shiftleft({block(blk)}, {pos}))"
             pos += widths[blk]
-        band_structs.append(
-            F.struct(F.lit(band_id).alias("band_id"), key.alias("band_bits"))
-        )
+        band_structs.append(f"struct({band_id} AS band_id, {key} AS band_bits)")
     stacked = fp.select(
-        F.col(id_col), F.col(fp_col).alias("_fp"), F.explode(F.array(*band_structs)).alias("bb")
+        F.col(id_col),
+        F.col(fp_col).alias("_fp"),
+        F.expr(f"explode(array({', '.join(band_structs)})) AS bb")
     ).select(F.col(id_col), "_fp", F.col("bb.band_id"), F.col("bb.band_bits"))
     a = stacked.select(
         F.col(id_col).alias("id_a"), F.col("_fp").alias("fp_a"), "band_id", "band_bits"
@@ -868,7 +890,7 @@ class MinHashIndex:
         import shutil
 
         sig = self.signatures().groupBy("doc_id").agg(
-            *[F.first(f"h{i}").alias(f"h{i}") for i in range(self.num_hashes)]
+            *[F.expr(f"first(h{i}) AS h{i}") for i in range(self.num_hashes)]
         )
         tmp = self.path + "/signatures.compact"
         sig.write.mode("overwrite").parquet(tmp)
@@ -934,16 +956,18 @@ class MinHashIndex:
         if exclude_same_id:
             cand = cand.filter(F.col("batch_id") != F.col("corpus_id"))
         hits = cand.select("corpus_id").distinct().withColumnRenamed("corpus_id", "doc_id")
-        a = isig.join(F.broadcast(hits), "doc_id", "left_semi").select(
-            F.col("doc_id").alias("corpus_id"),
-            *[F.col(f"h{i}").alias(f"a{i}") for i in range(self.num_hashes)],
+        a = isig.join(F.broadcast(hits), "doc_id", "left_semi").selectExpr(
+            "doc_id AS corpus_id",
+            *[f"h{i} AS a{i}" for i in range(self.num_hashes)],
         )
-        b = bsig.select(
-            F.col(id_col).alias("batch_id"),
-            *[F.col(f"h{i}").alias(f"b{i}") for i in range(self.num_hashes)],
+        b = bsig.selectExpr(
+            f"{id_col} AS batch_id",
+            *[f"h{i} AS b{i}" for i in range(self.num_hashes)],
         )
-        matches = sum(
-            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(self.num_hashes)
+        matches = F.expr(
+            " + ".join(
+                f"CAST((a{i} = b{i}) AS INT)" for i in range(self.num_hashes)
+            )
         )
         return (
             cand.join(a, "corpus_id")

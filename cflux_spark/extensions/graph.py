@@ -85,24 +85,35 @@ def pagerank(
     # shuffles only the node-sized rank frame; ``dang_nodes`` (the
     # no-out-link node set) turns the per-iteration anti-join into a
     # node-sized semi-join against a cached frame.
+    # the deduped edge frame is the root of EVERY loop-invariant
+    # derivation (nodes, outdeg, edeg, the dangling set) — persist it
+    # so the upstream edge construction (for the catalog fixture: a
+    # scan + global row_number window + join) runs once, not once per
+    # derivation job
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n1 = nodes.agg(F.count("*").alias("_n"))
+    # node count as a DRIVER LITERAL (the accepted 1-row-aggregate
+    # collect idiom): the old per-iteration crossJoin(broadcast(n1))
+    # paid one broadcast-exchange job EVERY iteration for a number
+    # that never changes. The count also materializes the e + nodes
+    # caches so the planner sees real sizes instead of parquet guesses.
+    n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     edeg = e.join(outdeg, "src").persist()
+    edeg.count()  # materialize: accurate stats → AQE picks broadcast joins
     dang_nodes = nodes.join(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
     scale = F.lit(float(RANK_SCALE))
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.round(scale / F.col("_n")).cast("long").alias("rankf")
+    ranks = nodes.select(
+        "node", F.round(scale / F.lit(float(n))).cast("long").alias("rankf")
     ).persist()
     d = float(damping)
     for it in range(iterations):
@@ -124,16 +135,15 @@ def pagerank(
         )
         nxt = (
             nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n1))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 F.round(
-                    (F.lit(1.0) - d) * scale / F.col("_n")
+                    (F.lit(1.0) - d) * scale / F.lit(float(n))
                     + F.lit(d)
                     * (
                         F.coalesce(F.col("_inf"), F.lit(0))
-                        + F.round(F.col("_dangf") / F.col("_n")).cast("long")
+                        + F.round(F.col("_dangf") / F.lit(float(n))).cast("long")
                     )
                 )
                 .cast("long")
@@ -154,6 +164,7 @@ def pagerank(
         ranks.unpersist()
         ranks = nxt
     nodes.unpersist()
+    e.unpersist()
     edeg.unpersist()
     dang_nodes.unpersist()
     return ranks.select(
@@ -312,6 +323,10 @@ def label_propagation(
     )
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
     labels = nodes.select("node", F.col("node").alias("lab")).persist()
+    # materialize the caches BEFORE the first sweep plans its join: an
+    # unmaterialized InMemoryRelation reports default (huge) stats, so
+    # the sweep joins would plan sort-merge where broadcast is right
+    labels.count()
     w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("lab").asc())
     for _ in range(iterations):
         neigh = (

@@ -393,7 +393,14 @@ def mine_hard_negatives(
     score into the BM25 ranking that feeds this stage."""
     from cflux_spark.extensions.dedup import shingles
 
-    ranking = bm25_topk(docs, queries, k=k, **bm25_kwargs)
+    # the BM25 ranking feeds pos/cand/involved — half a dozen subtree
+    # references that would each replay the posting-build shuffle and
+    # top-k window; the restricted shingle frame likewise feeds both
+    # pair sides and the size aggregate. Persist each once (round-12,
+    # guide §2.4; session/caller owns unpersist — the pagerank
+    # contract). Both are output-sized (|queries|·k rows; shingles of
+    # ≤ |queries|·k docs), not corpus-sized.
+    ranking = bm25_topk(docs, queries, k=k, **bm25_kwargs).persist()
     pos = ranking.filter(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("positive_id")
     )
@@ -403,7 +410,9 @@ def mine_hard_negatives(
         .union(cand.select("doc_id"))
         .distinct()
     )
-    sh = shingles(docs.join(F.broadcast(involved), "doc_id", "left_semi"), n=shingle_n)
+    sh = shingles(
+        docs.join(F.broadcast(involved), "doc_id", "left_semi"), n=shingle_n
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sp = sh.select(F.col("doc_id").alias("positive_id"), "shingle")
     sc = sh.select(F.col("doc_id").alias("doc_id"), "shingle")
