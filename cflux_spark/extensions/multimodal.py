@@ -442,7 +442,9 @@ def synthetic_family_images(
                 rows.append((mid, "image", encode_bmp(px)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+    return _spread(df.select(id_col), id_col).mapInPandas(
+        run, schema="media_id long, kind string, content binary"
+    )
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -583,6 +585,26 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def _spread(ids: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition an ID-ONLY frame before a generator kernel
+    (round-12, guide §2.5 input parallelism): the media fixtures hang
+    a Python encode kernel directly off the documents scan, and a
+    small single-file scan plans as ONE partition - serializing the
+    whole codec pipeline on one core (measured: q_multimodal_video
+    ran its entire 7.7 s encode+sample+decode chain in one task).
+    Only the ids move (the payloads are generated AFTER the
+    exchange), so the shuffle is bytes-per-row tiny at any scale. The
+    partition count is pinned to the session's core count
+    (defaultParallelism — scale-adaptive, not a constant): a keyed
+    repartition WITHOUT an explicit count is an AQE-coalescible
+    shuffle, and the id rows are so small that AQE folds them back to
+    ONE partition — re-serializing the codec kernel it was meant to
+    spread (measured: q_multimodal_video flat at 7.5 s until the
+    count was pinned)."""
+    n = max(ids.sparkSession.sparkContext.defaultParallelism, 8)
+    return ids.repartition(n, F.col(id_col))
+
+
 def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") -> DataFrame:
     """Deterministic per-row test images: width 3+id%5, height 2+id%4,
     constant channels (r,g,b) = (id%256, 2*id%256, 7*id%256). Every
@@ -616,7 +638,9 @@ def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") ->
                 rows.append((mid, "image", enc(px)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+    return _spread(df.select(id_col), id_col).mapInPandas(
+        run, schema="media_id long, kind string, content binary"
+    )
 
 
 def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -642,7 +666,9 @@ def synthetic_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((mid, "video", encode_avi_mjpeg(frames, fps=2, quality=95)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+    return _spread(df.select(id_col), id_col).mapInPandas(
+        run, schema="media_id long, kind string, content binary"
+    )
 
 
 def synthetic_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000) -> DataFrame:
@@ -660,4 +686,6 @@ def synthetic_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 80
                 rows.append((mid, "audio", encode_wav(samples, sample_rate)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return df.select(id_col).mapInPandas(run, schema="media_id long, kind string, content binary")
+    return _spread(df.select(id_col), id_col).mapInPandas(
+        run, schema="media_id long, kind string, content binary"
+    )
