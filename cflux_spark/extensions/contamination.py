@@ -46,8 +46,15 @@ def text_ngrams(
     referencing the tokenize expression directly inside the transform
     lambda re-evaluates regexp+split once per gram (no common-
     subexpression elimination inside HOF lambdas) — measured 5.6×
-    slower at sf0.1."""
-    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+    slower at sf0.1. The doc-level rows spread across cores with a
+    pinned-count repartition before the gram build (round-12,
+    functions/partitioning.py — a single-file scan otherwise runs the
+    whole slice+join explosion in one task)."""
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks")), id_col
+    )
     toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -63,8 +70,13 @@ def text_ngrams_pos(
 ) -> DataFrame:
     """Positional variant of :func:`text_ngrams`: (id, pos, gram) with
     ``pos`` the 0-based token offset of the window start — the input
-    to span-level dedup, where WHERE the duplicate sits matters."""
-    base = df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+    to span-level dedup, where WHERE the duplicate sits matters.
+    Same pinned-count spread as :func:`text_ngrams`."""
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks")), id_col
+    )
     toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -201,8 +213,10 @@ def apply_span_cuts(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
         ).alias("_cuts")
     )
+    from cflux_spark.functions.partitioning import spread_by
+
     base = (
-        df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks"))
+        spread_by(df.select(F.col(id_col), _norm_tokens(text_col).alias("_toks")), id_col)
         .join(ranges, id_col, "left")
         .withColumn(
             "_cl",

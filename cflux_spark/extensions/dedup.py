@@ -58,7 +58,16 @@ def shingles(
     # elimination across HOF expressions, so referencing the tokenize
     # expr at every use site re-runs the regex split per reference
     # (measured 5.6× on the contamination op; same class here).
-    base = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+    # Pinned-count spread of the doc-level rows (round-12,
+    # functions/partitioning.py): a single-file scan would run the
+    # whole zip+concat gram build in one task; downstream doc-keyed
+    # aggregations reuse this partitioning, so the exchange count is
+    # unchanged.
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks")), id_col
+    )
     toks = F.col("_toks")
     # sliding n-gram via arrays_zip of n shifted views of the token
     # array — one zip + one transform, instead of a slice+concat per
@@ -420,8 +429,16 @@ def simhash(
     Both modes are bit-identical (asserted in tests)."""
     # materialize the token hash ONCE as a projected column — inlining
     # xxhash64 into each of the 64 aggregate expressions would hash
-    # every token 64× (no CSE across aggregate buffers)
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")).select(
+    # every token 64× (no CSE across aggregate buffers). Doc-level
+    # rows spread with a pinned count before the explode (round-12,
+    # functions/partitioning.py) so the 65-buffer partial aggregation
+    # parallelizes off a single-file scan; the doc-keyed final
+    # aggregation reuses the partitioning — no extra exchange.
+    from cflux_spark.functions.partitioning import spread_by
+
+    toks = spread_by(
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_tk")), id_col
+    ).select(F.col(id_col), F.explode(F.col("_tk")).alias("tok")).select(
         F.col(id_col), F.xxhash64("tok").alias("_h")
     )
     h = F.col("_h")

@@ -57,9 +57,14 @@ def hashed_gram_occurrences(
     # repartition doc-level rows BEFORE the gram explosion: the per-doc
     # weight aggregation shuffles on doc_id anyway, so this moves that
     # exchange above the expensive md5-per-gram build (parallel even
-    # off a single-file scan) instead of adding one
-    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")).repartition(
-        F.col("doc_id")
+    # off a single-file scan) instead of adding one. PINNED count
+    # (round-12): the unpinned form was AQE-coalesced back to one
+    # partition at small shuffle sizes, re-serializing the md5 build
+    # (functions/partitioning.py).
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")), "doc_id"
     )
     t = F.col("_toks")
     bi = F.when(

@@ -59,10 +59,15 @@ def _gram_rows_sided(
     joining two per-side (id, n, gram, cnt) aggregates — filtering
     c_cnt > 0 / r_cnt > 0 / both recovers the left / right / inner
     join variants."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        _toks(F.col(cand_col)).alias("_ctoks"),
-        _toks(F.col(ref_col)).alias("_rtoks"),
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("_id"),
+            _toks(F.col(cand_col)).alias("_ctoks"),
+            _toks(F.col(ref_col)).alias("_rtoks"),
+        ),
+        "_id",
     )
 
     def gram_array(t: Column, n: int) -> Column:
@@ -232,10 +237,15 @@ def _char_gram_rows_sided(
     c_cnt, r_cnt), zeros for the absent side — the char twin of
     :func:`_gram_rows_sided` (round-12: single Exchange instead of two
     aggregates + a full outer join)."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.regexp_replace(F.col(cand_col), r"\s+", "").alias("_cs"),
-        F.regexp_replace(F.col(ref_col), r"\s+", "").alias("_rs"),
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.regexp_replace(F.col(cand_col), r"\s+", "").alias("_cs"),
+            F.regexp_replace(F.col(ref_col), r"\s+", "").alias("_rs"),
+        ),
+        "_id",
     )
 
     def gram_array(col: str, n: int):

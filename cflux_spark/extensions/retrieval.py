@@ -50,8 +50,13 @@ def _tokenized(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, dl, _toks) — the token array is materialized once per
     row (no CSE around HOF lambdas — the text_stats lesson). Docs with
     zero tokens keep a row (dl = 0) so corpus stats count them."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_toks")
+    from cflux_spark.functions.partitioning import spread_by
+
+    return spread_by(
+        docs.select(
+            F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("_toks")
+        ),
+        "doc_id",
     ).select("doc_id", F.size("_toks").alias("dl"), "_toks")
 
 

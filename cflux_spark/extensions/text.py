@@ -579,9 +579,13 @@ def winnow_fingerprints(
     toks_expr = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
     # repartition doc-level rows so the per-gram md5 work runs at full
     # parallelism even off a single-file scan (the rows moved are
-    # doc-level — cheaper than any post-explode exchange would be)
-    base = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")).repartition(
-        F.col("doc_id")
+    # doc-level — cheaper than any post-explode exchange would be);
+    # pinned count so AQE cannot coalesce the tiny shuffle back to one
+    # partition (functions/partitioning.py)
+    from cflux_spark.functions.partitioning import spread_by
+
+    base = spread_by(
+        df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("_toks")), "doc_id"
     )
     t = F.col("_toks")
     # guard: sequence(0, n) counts DOWN for n < 0 (docs shorter than k
