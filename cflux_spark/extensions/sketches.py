@@ -268,9 +268,21 @@ def kmv_overlap(
     contract)."""
     from pyspark.sql import Window
 
-    h = F.conv(F.substring(F.md5(F.col(elem_col)), 1, 15), 16, 10).cast("long")
+    # distinct FIRST, hash second (round-12): the old hash-then-
+    # distinct computed md5 per element OCCURRENCE on the scan's
+    # partitioning (one task off a single-file scan); deduping the
+    # raw (group, element) pairs first runs the md5 on DISTINCT
+    # elements only, after the distinct's exchange — parallel and
+    # strictly less hashing. Set-identical: {h(e) for distinct e} =
+    # {h(e) for all e}, and the second distinct collapses hash
+    # collisions exactly as the old form did.
+    h = F.conv(F.substring(F.md5(F.col("_e")), 1, 15), 16, 10).cast("long")
     elems = (
-        df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct().persist()
+        df.select(F.col(group_col).alias("grp"), F.col(elem_col).alias("_e"))
+        .distinct()
+        .select("grp", h.alias("h"))
+        .distinct()
+        .persist()
     )
     w = Window.partitionBy("grp").orderBy("h")
     sk = (

