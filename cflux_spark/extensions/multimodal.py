@@ -638,7 +638,14 @@ def synthetic_images(df: DataFrame, id_col: str = "doc_id", fmt: str = "bmp") ->
                 rows.append((mid, "image", enc(px)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return _spread(df.select(id_col), id_col).mapInPandas(
+    # spread only the JPEG path: the entropy-coded encode is the heavy
+    # kernel worth an exchange; BMP/PNG encodes are header+memcpy and
+    # measured 3x SLOWER with the spread (0.51 s -> 1.61 s at sf0.1 -
+    # the exchange and 32-task dispatch dwarf the kernel)
+    ids = df.select(id_col)
+    if fmt == "jpeg":
+        ids = _spread(ids, id_col)
+    return ids.mapInPandas(
         run, schema="media_id long, kind string, content binary"
     )
 
@@ -686,6 +693,8 @@ def synthetic_audio(df: DataFrame, id_col: str = "doc_id", sample_rate: int = 80
                 rows.append((mid, "audio", encode_wav(samples, sample_rate)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
-    return _spread(df.select(id_col), id_col).mapInPandas(
+    # no spread: the stdlib WAV encode is header+memcpy (the BMP
+    # lesson — an exchange would cost more than the kernel)
+    return df.select(id_col).mapInPandas(
         run, schema="media_id long, kind string, content binary"
     )
