@@ -67,6 +67,24 @@ def get_spark(app_name: str = "cflux_spark", cpus: int | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Long-lived driver capacity (round 12, measured): a session that
+        # plans hundreds of distinct queries generates far more than the
+        # 100 codegen units the Janino class cache holds by default, so
+        # every re-run re-compiles every WholeStageCodegen unit; and the
+        # JIT's 'profiled nmethods' heap (1/2 of the 240 MB default
+        # ReservedCodeCacheSize) saturates mid-run, flushing warm compiled
+        # code. Both are driver-JVM capacity knobs, not data-scale knobs —
+        # the same values are right on a production cluster driver.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4000"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
