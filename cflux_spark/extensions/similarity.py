@@ -1268,9 +1268,20 @@ def _adc_grouped_topk(
             )
         return pd.concat(frames, ignore_index=True)
 
+    # Pin the cell shuffle's partition count before the cogroup
+    # (round-12, guide §2.5): the (cell)-keyed exchange feeding the
+    # kernel is tiny in BYTES (ids + codes), so AQE's advisory-size
+    # coalescing folds it to a few partitions and serializes the
+    # blocked-GEMM kernel on that many cores (measured: the bench's
+    # 8-cell ADC stage ran in 3 tasks). An explicit pinned-count
+    # hash repartition satisfies the cogroup's required distribution
+    # (no extra exchange) and is REPARTITION_BY_NUM — exempt from
+    # coalescing; the count is cores-proportional, never a constant.
+    from cflux_spark.functions.partitioning import spread_by
+
     return (
-        qside.groupBy("cell")
-        .cogroup(cside.groupBy("cell"))
+        spread_by(qside, "cell").groupBy("cell")
+        .cogroup(spread_by(cside, "cell").groupBy("cell"))
         .applyInPandas(adc, "query_id long, neighbor_id long, approx_d2 double")
     )
 
