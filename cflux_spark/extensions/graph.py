@@ -313,14 +313,12 @@ def label_propagation(
 
     Scale shape: per iteration one labels⋈edges equi-join (labels
     are node-sized, shuffled on the join key), one (node, label)
-    count aggregate, one per-node argmax window over candidate
-    labels (bounded by distinct neighbor labels, ≤ degree), and one
+    count aggregate, one per-node argmax (a struct-max hash
+    aggregate over candidate labels, ≤ degree per node), and one
     left join back onto the node set. Labels persist between
     iterations with the same persist→count→unpersist step barrier as
     :func:`pagerank`; the returned frame reads the final cache — the
     caller owns `.unpersist()`. Output: (node, community)."""
-    from pyspark.sql import Window
-
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
@@ -338,17 +336,26 @@ def label_propagation(
     # unmaterialized InMemoryRelation reports default (huge) stats, so
     # the sweep joins would plan sort-merge where broadcast is right
     labels.count()
-    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("lab").asc())
     for _ in range(iterations):
         neigh = (
             und.join(labels.select(F.col("node").alias("b"), "lab"), "b")
             .groupBy(F.col("a").alias("node"), "lab")
             .agg(F.count("*").alias("_c"))
         )
+        # per-node argmax as a HASH AGGREGATE instead of a row_number
+        # window (round-12, guide §2.4): struct max compares fields in
+        # order, so max(struct(_c, -lab)) is exactly "most frequent
+        # label, ties to the SMALLEST label" — (node, lab) rows are
+        # unique post-aggregation, so the selection is deterministic —
+        # while replacing the window's per-key sort with map-side
+        # partial aggregation. (-lab is exact for any label id above
+        # Long.MIN_VALUE; labels here are node ids.)
         best = (
-            neigh.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node", F.col("lab").alias("_new"))
+            neigh.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("_c"), (-F.col("lab")).alias("_nl"))).alias("_m")
+            )
+            .select("node", (-F.col("_m._nl")).alias("_new"))
         )
         nxt = (
             labels.join(best, "node", "left")
