@@ -240,13 +240,32 @@ def ccnet_quality_filter(
     label join — exactly the oracle's ``feat JOIN train`` structure,
     identical histograms because featurization is per-document) and
     corpus-wide scoring (the old shape re-tokenized the exemplar text
-    AND the corpus — three gram explosions; now one). Caches are
+    AND the corpus — three gram explosions; now one). The two
+    independent corpus passes (LM and features) additionally OVERLAP
+    (guide §2.6): the feature cache fills from a driver thread while
+    the LM domain collect runs, so this stretch of the pipeline costs
+    max(LM, features) wall time instead of their sum. Caches are
     doc-keyed aggregates (≪ corpus text); the caller/session owns
     `.unpersist()` — the graph.pagerank contract."""
+    from pyspark import InheritableThread
+
     from cflux_spark.extensions.text import bigram_logprob, perplexity_buckets
 
     lm = bigram_logprob(docs, text_col=text_col, id_col=id_col, lam=lam).persist()
-    tiers = perplexity_buckets(lm)
+    feats = hashed_doc_features(docs, text_col, id_col, n_buckets).persist()
+    # Overlap the two INDEPENDENT corpus passes (guide §2.6, round-12
+    # optimization round): the md5 feature build does not depend on
+    # the LM tiers, so its cache fills from a driver thread while
+    # perplexity_buckets collects the LM score domain below — the
+    # same two jobs, the same values, executed concurrently instead
+    # of back to back (Spark's scheduler back-fills idle cores; cache
+    # block locking serializes any overlapping partition compute).
+    filler = InheritableThread(target=feats.count)
+    filler.start()
+    try:
+        tiers = perplexity_buckets(lm)
+    finally:
+        filler.join()
     labels = tiers.filter(F.col("bucket").isin("head", "tail")).select(
         F.col("doc_id").alias(id_col),
         F.when(F.col("bucket") == "head", F.lit(1.0)).otherwise(F.lit(0.0)).alias(
@@ -254,7 +273,6 @@ def ccnet_quality_filter(
         ),
     )
     labeled = docs.join(labels, id_col)
-    feats = hashed_doc_features(docs, text_col, id_col, n_buckets).persist()
     weights, prior = train_nb_weights(
         labeled,
         text_col=text_col,

@@ -28,10 +28,12 @@ rounding introduced.
 Scale shape (100 TB of edges): each iteration is one join of the edge
 list against the rank frame (rank side is node-cardinality, shuffled
 on the join key; with the edge list pre-partitioned by src the join
-co-locates) + one dst-keyed aggregation + one broadcast 1-row
-dangling/N frame. Ranks persist between iterations (node-sized — tiny
-next to edges) so iteration t+1 never recomputes t. Nothing is
-collected to the driver; the iteration count is fixed, not
+co-locates) + one node-keyed aggregation over the contribution stream
+unioned with a node-sized zero spine. Ranks persist between
+iterations (node-sized — tiny next to edges) so iteration t+1 never
+recomputes t. The dangling mass is the only driver round trip — a
+1-row aggregate folded into the step-barrier action (the accepted
+1-row-collect idiom); the iteration count is fixed, not
 convergence-tested, exactly like production batch PageRank over
 daily crawl snapshots.
 """
@@ -69,27 +71,36 @@ def pagerank(
 
     ``checkpoint_every`` > 0 truncates lineage with an eager
     localCheckpoint every K iterations instead of the persist+count
-    step barrier. The contrib + dangling stages reference the cached
-    rank frame TWICE, so the LOGICAL plan grows ~2^t even though
-    execution reads the cache — measured: 6 iterations over the sf1
-    fixture graph OOMed a 16 GB driver at analysis time without
-    truncation (scripts/pagerank_convergence_probe.py, round 12).
-    Anything beyond the contracted 3 iterations should set it; the
-    knob is value-invariant (unit-pinned)."""
-    # Loop-invariant frames are computed ONCE and persisted (round-12
-    # optimization, guide §2.4): the old shape re-ran the edge
-    # distinct, the outdeg aggregation, and the dangling anti-join
-    # lineage inside EVERY iteration's step-barrier job. ``edeg``
-    # (edges with out-degree attached) is the per-iteration join's
-    # left side — cached already partitioned by src, so each iteration
-    # shuffles only the node-sized rank frame; ``dang_nodes`` (the
-    # no-out-link node set) turns the per-iteration anti-join into a
-    # node-sized semi-join against a cached frame.
-    # the deduped edge frame is the root of EVERY loop-invariant
-    # derivation (nodes, outdeg, edeg, the dangling set) — persist it
-    # so the upstream edge construction (for the catalog fixture: a
-    # scan + global row_number window + join) runs once, not once per
-    # derivation job
+    step barrier. The contrib stream references the cached rank frame
+    once per iteration, but the plan still deepens per iteration —
+    anything far beyond the contracted 3 iterations should set it
+    (scripts/pagerank_convergence_probe.py, round 12); the knob is
+    value-invariant (unit-pinned).
+
+    Round-12 optimization-round loop shape (guide §2.4 — remove
+    shuffles and barrier jobs outright; values bit-identical):
+
+    - The per-iteration ``nodes LEFT JOIN contrib`` (two exchanges +
+      a join) is replaced by UNION-THEN-AGGREGATE: the contribution
+      stream is unioned with a node-sized zero spine read from the
+      cached rank frame, so one hash aggregate both sums the inflow
+      and restores zero-in-link nodes. Σ(longs + 0) is the same exact
+      integer sum the join shape produced.
+    - The per-iteration dangling-mass job (semi-join + 1-row
+      broadcast) is FOLDED INTO THE STEP BARRIER: ranks carry an
+      ``is_dang`` flag, and the barrier action that materializes each
+      iteration's cache is ``agg(sum(rankf) where is_dang)`` instead
+      of ``count()`` — same job count as the old barrier alone, and
+      the next iteration's dangling share becomes a constant-folded
+      literal (the 1-row-aggregate driver-literal idiom, same as the
+      node count). The share expression round(dangf/N) is evaluated
+      by Spark on literals, so its value is bit-identical to the old
+      column form."""
+    # Loop-invariant frames are computed ONCE and persisted (round-12,
+    # guide §2.4): ``e`` (the deduped edge frame) is the root of every
+    # derivation; ``edeg`` (edges with out-degree attached) is the
+    # per-iteration join's left side — cached already partitioned by
+    # src, so each iteration shuffles only the node-sized rank frame.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -100,10 +111,8 @@ def pagerank(
         .persist()
     )
     # node count as a DRIVER LITERAL (the accepted 1-row-aggregate
-    # collect idiom): the old per-iteration crossJoin(broadcast(n1))
-    # paid one broadcast-exchange job EVERY iteration for a number
-    # that never changes. The count also materializes the e + nodes
-    # caches so the planner sees real sizes instead of parquet guesses.
+    # collect idiom). The count also materializes the e + nodes caches
+    # so the planner sees real sizes instead of parquet guesses.
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
     # edeg materializes lazily inside iteration 1's contrib job (one
@@ -111,13 +120,29 @@ def pagerank(
     # iteration joins from REAL runtime sizes at each stage boundary,
     # so the eager-stats barrier bought nothing — measured round 12)
     edeg = e.join(outdeg, "src").persist()
-    dang_nodes = nodes.join(
-        outdeg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
     scale = F.lit(float(RANK_SCALE))
-    ranks = nodes.select(
-        "node", F.round(scale / F.lit(float(n))).cast("long").alias("rankf")
+    # is_dang rides ON the rank frame (node-sized boolean) so every
+    # step barrier can emit the next iteration's dangling mass — this
+    # replaces the separate dang_nodes cache + per-iteration semi-join
+    ranks = nodes.join(
+        outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.round(scale / F.lit(float(n))).cast("long").alias("rankf"),
+        F.col("_has_out").isNull().alias("is_dang"),
     ).persist()
+    # initial dangling mass: materializes the ranks cache AND returns
+    # the 1-row Σ (exact long arithmetic — all init ranks are equal)
+    dangf = (
+        ranks.agg(F.sum(F.when(F.col("is_dang"), F.col("rankf"))).alias("_d"))
+        .collect()[0][0]
+        or 0
+    )
+    # nothing references the node set once the initial rank frame is
+    # materialized — the loop's spine is the rank frame itself
+    nodes.unpersist()
     d = float(damping)
     for it in range(iterations):
         # per-edge quantum transfer: one correctly-rounded division of
@@ -125,51 +150,64 @@ def pagerank(
         # arithmetic, order-independent under any shuffle
         contrib = (
             edeg.join(ranks.select(F.col("node").alias("src"), "rankf"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(F.round(F.col("rankf") / F.col("_deg")).cast("long")).alias(
-                    "_inf"
-                )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rankf") / F.col("_deg")).cast("long").alias("_c"),
+                F.lit(False).alias("_d"),
             )
         )
-        dangling = (
-            ranks.join(dang_nodes, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rankf"), F.lit(0)).cast("long").alias("_dangf"))
+        # node-sized zero spine: restores zero-in-link nodes (the old
+        # LEFT JOIN's coalesce-to-0) and carries is_dang forward; every
+        # node has exactly one spine row, so max(_d) = its flag
+        spine = ranks.select(
+            "node", F.lit(0).cast("long").alias("_c"), F.col("is_dang").alias("_d")
         )
+        # dangling share as a CONSTANT-FOLDED literal expression —
+        # same Spark round()/division semantics as the old column form
+        dang_share = F.round(F.lit(dangf) / F.lit(float(n))).cast("long")
         nxt = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            contrib.unionByName(spine)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_inf"), F.max("_d").alias("is_dang"))
             .select(
                 "node",
                 F.round(
                     (F.lit(1.0) - d) * scale / F.lit(float(n))
-                    + F.lit(d)
-                    * (
-                        F.coalesce(F.col("_inf"), F.lit(0))
-                        + F.round(F.col("_dangf") / F.lit(float(n))).cast("long")
-                    )
+                    + F.lit(d) * (F.col("_inf") + dang_share)
                 )
                 .cast("long")
                 .alias("rankf"),
+                "is_dang",
             )
         )
+        last = it + 1 == iterations
         if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
             # eager localCheckpoint materializes AND truncates lineage
             nxt = nxt.localCheckpoint(eager=True)
+            if not last:
+                dangf = (
+                    nxt.agg(F.sum(F.when(F.col("is_dang"), F.col("rankf"))))
+                    .collect()[0][0]
+                    or 0
+                )
         else:
-            # materialize BEFORE dropping the parent cache —
-            # unpersisting first would force the next iteration to
-            # recompute the whole lineage chain (node-sized job, one
-            # per iteration, same as any production iterative job's
-            # step barrier)
+            # step barrier: materialize BEFORE dropping the parent
+            # cache — and the SAME action returns the next iteration's
+            # dangling mass (no extra job; the final iteration needs
+            # no dangling, so a plain count materializes it)
             nxt = nxt.persist()
-            nxt.count()
+            if last:
+                nxt.count()
+            else:
+                dangf = (
+                    nxt.agg(F.sum(F.when(F.col("is_dang"), F.col("rankf"))))
+                    .collect()[0][0]
+                    or 0
+                )
         ranks.unpersist()
         ranks = nxt
-    nodes.unpersist()
     e.unpersist()
     edeg.unpersist()
-    dang_nodes.unpersist()
     return ranks.select(
         "node", F.round(F.col("rankf") / scale, round_to).alias("rank")
     )
@@ -194,23 +232,30 @@ def hits(
     ``round(score/Σ·1e12)`` — two correctly-rounded double ops of
     exact integers, bit-identical across engines, SQL-replayable.
 
-    Scale shape (100 TB of edges): two edge⋈score joins + two keyed
-    aggregations per iteration, node-sized score frames eagerly
-    localCheckpoint-ed between half-steps, 1-row normalization
-    aggregates broadcast — nothing collected. Each half-step
-    references its parent TWICE (the join and the Σ normalizer), so
-    unlike pagerank the logical plan would grow ~4^t without
-    checkpointing — 3 iterations were enough to OOM the optimizer
-    (measured on a 5-edge graph); lineage truncation per half-step is
-    mandatory here, not a knob.
+    Round-12 optimization-round half-step shape (guide §2.4): the raw
+    pull Σ is aggregated over the edge⋈scores stream UNIONED with a
+    node-sized zero spine (so it is node-complete — the old
+    ``nodes LEFT JOIN raw`` coalesce-to-0 without the join), eagerly
+    localCheckpoint-ed ONCE, and the L1 normalizer is then a 1-row
+    aggregate over that checkpointed node-sized frame collected as a
+    driver literal. The old shape computed the edge⋈scores join TWICE
+    per half-step (once under the normalizer's broadcast, once under
+    the score projection); this shape runs it once, and the score
+    frame becomes a plain projection over the checkpoint — so lineage
+    stays flat without a second materialization per half-step. The
+    normalization round(raw/s·1e12) evaluates with the identical
+    double semantics (long/long division then ·scale) as the old
+    column form — bit-identical output.
+
+    Scale shape (100 TB of edges): one edge⋈score join + one keyed Σ
+    per half-step, node-sized checkpointed score frames, 1-row
+    normalizers collected (the accepted driver-literal idiom).
 
     Output: (node, authority, hub), each rounded to ``round_to``;
     Σ authority ≈ Σ hub ≈ 1. Nodes = distinct endpoints; duplicate
     edges count once."""
-    # the deduped edge frame feeds BOTH half-steps of every iteration
-    # (2·iterations joins) plus the node derivation — persist it once
-    # instead of re-running the distinct inside every eager
-    # checkpoint's job (round-12, guide §2.4)
+    # the deduped edge frame feeds one join per half-step plus the
+    # node derivation — persist it once (round-12, guide §2.4)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -220,72 +265,51 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n1 = nodes.agg(F.count("*").alias("_n"))
+    # node count as a driver literal (kills the crossJoin(broadcast)
+    # of the old init; the count reads the checkpointed node set)
+    n = nodes.count()
     scale = F.lit(float(RANK_SCALE))
-    hubs = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.round(scale / F.col("_n")).cast("long").alias("hf")
-    ).localCheckpoint(eager=True)
+    # init scores: plain projection over the checkpointed node set —
+    # lineage is flat, no extra materialization needed
+    hubs = nodes.select(
+        "node", F.round(scale / F.lit(float(n))).cast("long").alias("hf")
+    )
+    zero = F.lit(0).cast("long")
+
+    def _halfstep(scores: DataFrame, key_in: str, key_out: str, val: str, out: str):
+        """One half-step: pull ``val`` mass along edges (join on
+        ``key_in``, credit ``key_out``), union the node-sized zero
+        spine, aggregate, checkpoint; normalize by the collected Σ."""
+        raw = (
+            e.join(scores.select(F.col("node").alias(key_in), val), key_in)
+            .select(F.col(key_out).alias("node"), F.col(val).alias("_c"))
+            .unionByName(nodes.select("node", zero.alias("_c")))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
+            .localCheckpoint(eager=True)
+        )
+        s = raw.agg(F.sum("_raw")).collect()[0][0]
+        if s is None:  # empty graph — no rows to normalize anyway
+            s = 1
+        return raw.select(
+            "node",
+            F.round(F.col("_raw") / F.lit(s) * scale).cast("long").alias(out),
+        )
+
     auths = None
     for _ in range(iterations):
-        # authority half-step: pull hub mass along in-edges. NOTE the
-        # per-node Σ feeds BOTH the 1-row normalizer broadcast and the
-        # node join, so the edge⋈scores join runs twice per half-step
-        # (both passes read the cached edge frame + the checkpointed
-        # score frame). Persisting the Σ instead was measured SLOWER
-        # at bench scale (+0.4 s/run — CacheManager bookkeeping on a
-        # node-sized frame outweighs the recompute); at production
-        # iteration counts over 100 TB edge lists, persist the raw Σ
-        # per half-step — the second pass there is the dominant cost.
-        araw = (
-            e.join(hubs.select(F.col("node").alias("src"), "hf"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("hf").alias("_araw"))
-        )
-        asum = araw.agg(F.sum("_araw").alias("_s"))
-        auths = (
-            nodes.join(araw, "node", "left")
-            .crossJoin(F.broadcast(asum))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("_araw"), F.lit(0)) / F.col("_s") * scale
-                )
-                .cast("long")
-                .alias("af"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        # authority half-step: pull hub mass along in-edges
+        auths = _halfstep(hubs, "src", "dst", "hf", "af")
         # hub half-step: pull the NEW authority mass along out-edges
-        hraw = (
-            e.join(auths.select(F.col("node").alias("dst"), "af"), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("af").alias("_hraw"))
-        )
-        hsum = hraw.agg(F.sum("_hraw").alias("_s"))
-        hubs = (
-            nodes.join(hraw, "node", "left")
-            .crossJoin(F.broadcast(hsum))
-            .select(
-                "node",
-                F.round(
-                    F.coalesce(F.col("_hraw"), F.lit(0)) / F.col("_s") * scale
-                )
-                .cast("long")
-                .alias("hf"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        hubs = _halfstep(auths, "dst", "src", "af", "hf")
     e.unpersist()
-    return (
-        nodes.join(auths, "node", "left")
-        .join(hubs, "node", "left")
-        .select(
-            "node",
-            F.round(F.coalesce(F.col("af"), F.lit(0)) / scale, round_to).alias(
-                "authority"
-            ),
-            F.round(F.coalesce(F.col("hf"), F.lit(0)) / scale, round_to).alias("hub"),
-        )
+    # both score frames are node-complete (zero spine), so the final
+    # assembly is one inner join — the old nodes-left-join + coalesce
+    # restored rows these frames no longer drop
+    return auths.join(hubs, "node").select(
+        "node",
+        F.round(F.col("af") / scale, round_to).alias("authority"),
+        F.round(F.col("hf") / scale, round_to).alias("hub"),
     )
 
 
@@ -304,21 +328,28 @@ def label_propagation(
     Deterministic variant (so a SQL oracle replays it exactly):
     label_0(v) = v; each iteration every node adopts the most
     frequent label among its neighbors, ties broken by SMALLEST
-    label, isolated nodes keep their label — synchronous updates, a
-    FIXED iteration count, no randomized visit order (the published
-    algorithm's asynchronous random order trades determinism for
-    faster mixing; fixed-sweep synchronous LPA is the standard batch
-    adaptation). All state is integer node ids — zero float
-    exposure.
+    label — synchronous updates, a FIXED iteration count, no
+    randomized visit order (the published algorithm's asynchronous
+    random order trades determinism for faster mixing; fixed-sweep
+    synchronous LPA is the standard batch adaptation). All state is
+    integer node ids — zero float exposure. (Isolated nodes cannot
+    exist here: every node comes from an edge endpoint, and the
+    undirected view gives each endpoint at least one neighbor — so
+    the published "isolated nodes keep their label" clause is
+    vacuous for edge-list input.)
 
     Scale shape: per iteration one labels⋈edges equi-join (labels
     are node-sized, shuffled on the join key), one (node, label)
-    count aggregate, one per-node argmax (a struct-max hash
-    aggregate over candidate labels, ≤ degree per node), and one
-    left join back onto the node set. Labels persist between
-    iterations with the same persist→count→unpersist step barrier as
-    :func:`pagerank`; the returned frame reads the final cache — the
-    caller owns `.unpersist()`. Output: (node, community)."""
+    count aggregate, and one per-node argmax (a struct-max hash
+    aggregate over candidate labels, ≤ degree per node). The old
+    left-join of the argmax back onto the label spine is GONE
+    (round-12 optimization round): the undirected view is symmetric,
+    so the neighbor aggregate covers EVERY node and the join merely
+    renamed a column — dropping it removes one node-sized
+    join+exchange per sweep with bit-identical output. Labels persist
+    between iterations with the same persist→count→unpersist step
+    barrier as :func:`pagerank`; the returned frame reads the final
+    cache — the caller owns `.unpersist()`. Output: (node, community)."""
     e = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     )
@@ -330,9 +361,15 @@ def label_propagation(
         .distinct()
         .persist()
     )
-    nodes = und.select(F.col("a").alias("node")).distinct().persist()
-    labels = nodes.select("node", F.col("node").alias("lab")).persist()
-    # materialize the caches BEFORE the first sweep plans its join: an
+    # und is symmetric, so distinct(a) is already the full endpoint
+    # set — label_0 directly, no separate nodes frame
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .persist()
+    )
+    # materialize the cache BEFORE the first sweep plans its join: an
     # unmaterialized InMemoryRelation reports default (huge) stats, so
     # the sweep joins would plan sort-merge where broadcast is right
     labels.count()
@@ -349,22 +386,18 @@ def label_propagation(
         # unique post-aggregation, so the selection is deterministic —
         # while replacing the window's per-key sort with map-side
         # partial aggregation. (-lab is exact for any label id above
-        # Long.MIN_VALUE; labels here are node ids.)
-        best = (
+        # Long.MIN_VALUE; labels here are node ids.) The aggregate is
+        # node-complete (see docstring), so it IS the next label frame.
+        nxt = (
             neigh.groupBy("node")
             .agg(
                 F.max(F.struct(F.col("_c"), (-F.col("lab")).alias("_nl"))).alias("_m")
             )
-            .select("node", (-F.col("_m._nl")).alias("_new"))
-        )
-        nxt = (
-            labels.join(best, "node", "left")
-            .select("node", F.coalesce(F.col("_new"), F.col("lab")).alias("lab"))
+            .select("node", (-F.col("_m._nl")).alias("lab"))
             .persist()
         )
         nxt.count()  # step barrier: materialize before dropping the parent
         labels.unpersist()
         labels = nxt
-    nodes.unpersist()
     und.unpersist()
     return labels.select("node", F.col("lab").alias("community"))
