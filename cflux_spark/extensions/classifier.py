@@ -135,13 +135,26 @@ def train_nb_weights(
     tot = hist.agg(
         F.sum("cp").alias("tp"), F.sum("cn").alias("tn")
     )
-    b = float(n_buckets)
-    weights = hist.crossJoin(F.broadcast(tot)).select(
+    # Round 13 (VERDICT r12 item 1, the three-rounds-red driver row):
+    # the weight/prior ln values are computed by the PORTABLE
+    # basic-ops ln (functions/parity.py portable_ln_ratio_steps) —
+    # bit-identical in Spark and DuckDB BY CONSTRUCTION, so the
+    # engine libm leaves the lineage of the one query that carries
+    # call-site quanta unrounded into its hashed output. The switch is
+    # value-preserving here: portable-vs-libm disagreement is ≤ ~4e-15
+    # while the smallest realized rounding margin is 7e-11 (measured,
+    # OPTIMIZATION_r13.md) — verified bit-exact at sf0.001/0.01/0.1.
+    from cflux_spark.functions.parity import portable_ln_ratio_steps
+
+    b = int(n_buckets)
+    base = hist.crossJoin(F.broadcast(tot))
+    steps_p, out_p = portable_ln_ratio_steps("cp + 1", f"tp + {b}", "_pp")
+    steps_n, out_n = portable_ln_ratio_steps("cn + 1", f"tn + {b}", "_pn")
+    for name, body in steps_p + steps_n:
+        base = base.selectExpr("*", f"{body} AS {name}")
+    weights = base.selectExpr(
         "bucket",
-        _fixed(
-            F.log((F.col("cp") + F.lit(1.0)) / (F.col("tp") + F.lit(b)))
-            - F.log((F.col("cn") + F.lit(1.0)) / (F.col("tn") + F.lit(b)))
-        ).alias("w_fixed"),
+        f"CAST(round(({out_p} - {out_n}) * 1000000.0E0) AS BIGINT) AS w_fixed",
     )
     # class prior from DOC counts; w_missing is the weight of a bucket
     # neither class observed (both smoothed to count 1) — needed when
@@ -150,12 +163,16 @@ def train_nb_weights(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("mp"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("mn"),
     )
-    prior = docs_per_class.crossJoin(tot).select(
-        _fixed(F.log(F.col("mp") / F.col("mn"))).alias("bias_fixed"),
-        _fixed(
-            F.log(F.lit(1.0) / (F.col("tp") + F.lit(b)))
-            - F.log(F.lit(1.0) / (F.col("tn") + F.lit(b)))
-        ).alias("w_missing_fixed"),
+    pbase = docs_per_class.crossJoin(tot)
+    steps_b, out_b = portable_ln_ratio_steps("mp", "mn", "_pb")
+    steps_mp, out_mp = portable_ln_ratio_steps("1", f"tp + {b}", "_pmp")
+    steps_mn, out_mn = portable_ln_ratio_steps("1", f"tn + {b}", "_pmn")
+    for name, body in steps_b + steps_mp + steps_mn:
+        pbase = pbase.selectExpr("*", f"{body} AS {name}")
+    prior = pbase.selectExpr(
+        f"CAST(round(({out_b}) * 1000000.0E0) AS BIGINT) AS bias_fixed",
+        f"CAST(round(({out_mp} - {out_mn}) * 1000000.0E0) AS BIGINT)"
+        " AS w_missing_fixed",
     )
     return weights, prior
 

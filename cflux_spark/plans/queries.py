@@ -4750,6 +4750,41 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _BIGRAM_CTES + cutoff chain of q_ccnet_buckets), the DSIR md5
 # bucket features at 256 buckets, the Laplace-smoothed class
 # histograms, prior, and per-doc log-odds.
+#
+# Round 13 (VERDICT r12 item 1 — the driver row red three rounds
+# running): the weight/prior ln values on BOTH sides now come from the
+# PORTABLE basic-ops ln (functions/parity.py portable_ln_ratio_steps),
+# so the two engines' libms leave the lineage of the one query whose
+# hashed float carries call-site quanta unrounded. Value-preserving
+# locally (bit-exact vs the old libm form at sf0.001/0.01/0.1 —
+# measured margins ≥ 7e-11 vs ≤ 4e-15 portable-vs-libm drift).
+
+
+def _pln_chain_sql(base_select: str, instances: list[tuple[str, str, str]]) -> str:
+    """Nested-subselect chain materializing portable-ln step columns
+    over ``base_select``; returns SQL text exposing one ``{prefix}_ln``
+    column per (a, b, prefix) instance plus the base columns."""
+    from cflux_spark.functions.parity import portable_ln_ratio_steps
+
+    q_sql = base_select
+    finals = []
+    for a, b, prefix in instances:
+        steps, out = portable_ln_ratio_steps(a, b, prefix)
+        for name, body in steps:
+            q_sql = f"SELECT *, {body} AS {name} FROM ({q_sql})"
+        finals.append((f"{prefix}_ln", out))
+    cols = ", ".join(f"{body} AS {name}" for name, body in finals)
+    return f"SELECT *, {cols} FROM ({q_sql})"
+
+
+_CLS_W_SQL = _pln_chain_sql(
+    "SELECT bucket, cp, cn, tp, tn FROM hist, tot3",
+    [("cp + 1", "tp + 256", "_pp"), ("cn + 1", "tn + 256", "_pn")],
+)
+_CLS_PRIOR_SQL = _pln_chain_sql(
+    "SELECT mp, mn, tp, tn FROM mcls, tot3",
+    [("mp", "mn", "_pb"), ("1", "tp + 256", "_pmp"), ("1", "tn + 256", "_pmn")],
+)
 @q(
     "q_quality_classifier",
     f"""
@@ -4786,21 +4821,17 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot3 AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM hist),
     w AS (
       SELECT bucket,
-             CAST(round((ln((cp + 1.0) / (tp + 256.0))
-                         - ln((cn + 1.0) / (tn + 256.0))) * 1000000.0)
-                  AS BIGINT) AS w_fixed
-      FROM hist, tot3),
+             CAST(round((_pp_ln - _pn_ln) * 1000000.0E0) AS BIGINT) AS w_fixed
+      FROM ({_CLS_W_SQL})),
     mcls AS (
       SELECT sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS mp,
              sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS mn
       FROM train),
     prior AS (
-      SELECT CAST(round(ln(CAST(mp AS DOUBLE) / mn) * 1000000.0) AS BIGINT)
-               AS bias_fixed,
-             CAST(round((ln(1.0 / (tp + 256.0))
-                         - ln(1.0 / (tn + 256.0))) * 1000000.0)
-                  AS BIGINT) AS w_missing_fixed
-      FROM mcls, tot3),
+      SELECT CAST(round((_pb_ln) * 1000000.0E0) AS BIGINT) AS bias_fixed,
+             CAST(round((_pmp_ln - _pmn_ln) * 1000000.0E0) AS BIGINT)
+               AS w_missing_fixed
+      FROM ({_CLS_PRIOR_SQL})),
     lo AS (
       SELECT f.doc_id,
              CAST(p.bias_fixed
