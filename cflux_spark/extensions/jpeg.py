@@ -236,6 +236,26 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -
         p = np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
         padded.append(p)
     qtabs = [qy] + [qc] * (ncomp - 1)
+    # Batched forward DCT + quantization (round 13, guide §4.2): one
+    # stacked matmul / round / zigzag-gather per COMPONENT instead of
+    # ~8 small numpy calls per BLOCK — the per-call overhead dominated
+    # the encode kernel at thumbnail sizes. Identical math in the same
+    # order (the stacked matmul runs the same 8×8 GEMM per slice), so
+    # the emitted bytes are bit-identical; the entropy loop below is
+    # unchanged and reads plain Python ints.
+    zz_all: list[list] = []
+    lastnz_all: list[list] = []
+    for ci in range(ncomp):
+        blocks = padded[ci].reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = _D @ blocks @ _D.T
+        qt8 = qtabs[ci].reshape(8, 8)
+        quant = np.round(coef / qt8).astype(np.int64)
+        zzc = quant.reshape(bh, bwid, 64)[:, :, ZIGZAG]
+        acmask = zzc[:, :, :0:-1] != 0  # zz[63], …, zz[1]
+        has_ac = acmask.any(axis=2)
+        lastnz = np.where(has_ac, 63 - np.argmax(acmask, axis=2), 0)
+        zz_all.append(zzc.tolist())
+        lastnz_all.append(lastnz.tolist())
     mcu_count = 0
     for by in range(bh):
         for bx in range(bwid):
@@ -247,15 +267,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -
                 preds = [0] * ncomp
             mcu_count += 1
             for ci in range(ncomp):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _D @ block @ _D.T
-                qt = qtabs[ci].reshape(8, 8)
-                quant = np.round(coef / qt).astype(np.int64)
-                zz = quant.flatten()[ZIGZAG]
+                zz = zz_all[ci][by][bx]
                 ti = 0 if ci == 0 else 1
                 # DC
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
                 s, bits = _magnitude(diff)
                 code, length = dc_tabs[ti][s]
                 bw.write(code, length)
@@ -263,11 +279,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85, restart_interval: int = 0) -
                     bw.write(bits, s)
                 # AC with run-length, ZRL, EOB
                 run = 0
-                last_nz = 0
-                nz = np.nonzero(zz[1:])[0]
-                last_nz = (nz[-1] + 1) if len(nz) else 0
+                last_nz = lastnz_all[ci][by][bx]
                 for i in range(1, last_nz + 1):
-                    v = int(zz[i])
+                    v = zz[i]
                     if v == 0:
                         run += 1
                         continue
@@ -546,15 +560,20 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
         raise NotImplementedError("sampling factors beyond 2 not supported")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64) for c in comps
-    ]
     preds = [0] * len(comps)
     luts = {key: _huff_lut_cached(payload) for key, payload in htabs.items()}
     segments = _split_entropy_segments(data, pos)
     seg_i = 0
     br = _FastBits(segments[0])
     mcu_count = 0
+    # The entropy walk stays a Python loop (inherently serial bit
+    # cursor); the per-block numpy work (zigzag scatter, dequant, IDCT,
+    # plane placement — ~7 small numpy calls per block, the dominant
+    # cost at thumbnail sizes) is deferred: collect each block's 64
+    # coefficients and batch the lot per COMPONENT below (round 13,
+    # guide §4.2). Same ops in the same per-slice order → bit-identical
+    # planes.
+    comp_zz: list[list[list[int]]] = [[] for _ in comps]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -566,11 +585,10 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
                 preds = [0] * len(comps)
             mcu_count += 1
             for ci, (comp, dct, act) in enumerate(scomp):
-                qt = qtabs[comp["tq"]]
                 dc_sym, dc_ln = luts[(0, dct)]
                 ac_sym, ac_ln = luts[(1, act)]
-                for vy in range(comp["v"]):
-                    for vx in range(comp["h"]):
+                for _vy in range(comp["v"]):
+                    for _vx in range(comp["h"]):
                         s = br.read_symbol(dc_sym, dc_ln)
                         if s:
                             bits = br.take(s)
@@ -599,13 +617,22 @@ def _decode_scan(data, pos, frame, scomp, qtabs, htabs, restart_interval):
                                     else bits - (1 << s) + 1
                                 )
                             k += 1
-                        quant = np.zeros(64, np.int64)
-                        quant[ZIGZAG] = zz
-                        coef = (quant * qt).reshape(8, 8).astype(np.float64)
-                        block = _D.T @ coef @ _D + 128.0
-                        y0 = (my * comp["v"] + vy) * 8
-                        x0 = (mx * comp["h"] + vx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        comp_zz[ci].append(zz)
+    # batched dequant + IDCT + grid placement per component: block
+    # append order above is (my, mx, vy, vx) — exactly the reshape
+    # below; transpose lays rows as (my, vy, 8) and cols as (mx, vx, 8)
+    planes = []
+    for ci, (comp, _dct, _act) in enumerate(scomp):
+        cv, ch = comp["v"], comp["h"]
+        qt = qtabs[comp["tq"]]
+        zzs = np.array(comp_zz[ci], np.int64).reshape(mcuy, mcux, cv, ch, 64)
+        quant = np.zeros((mcuy, mcux, cv, ch, 64), np.int64)
+        quant[..., ZIGZAG] = zzs
+        coef = (quant * qt).reshape(mcuy, mcux, cv, ch, 8, 8).astype(np.float64)
+        blocks = _D.T @ coef @ _D + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 4, 1, 3, 5).reshape(mcuy * cv * 8, mcux * ch * 8)
+        )
     # upsample to full resolution and crop — triangle filter for the
     # 2× case (libjpeg's "fancy upsampling": out[2i] = ¾in[i]+¼in[i-1],
     # out[2i+1] = ¾in[i]+¼in[i+1], edges clamped), which is what every
